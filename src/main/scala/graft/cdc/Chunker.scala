@@ -1,0 +1,147 @@
+package graft.cdc
+
+import java.io.InputStream
+
+/** Content-defined-chunking parameters.
+  *
+  * Defaults mirror the reference estimator's constants (reference:
+  * src/store.rs:11-14): boundary mask `0xffff000000000000` (16 mask bits ⇒
+  * expected ~64 KiB chunks), min chunk 8 KiB, max 128 KiB. The reference
+  * declares MAX_LEN but never enforces it (TODO at src/store.rs:82); we
+  * enforce it by default (`enforceMax = true`) — a bounded chunk size is a
+  * memory-safety requirement at 100 TB scale. Set `enforceMax = false` for
+  * reference-faithful behavior.
+  *
+  * `tableSeed` selects the gear table, so two chunker configs (e.g. the
+  * "xet" production chunker modeled per SURVEY §2.2-C5) produce independent
+  * boundary streams.
+  */
+final case class ChunkerParams(
+    mask: Long = 0xffff000000000000L,
+    minLen: Int = 8 * 1024,
+    maxLen: Int = 128 * 1024,
+    enforceMax: Boolean = true,
+    tableSeed: Long = 0L) {
+  require(minLen > 0 && maxLen >= minLen, s"bad chunker params: min=$minLen max=$maxLen")
+}
+
+object ChunkerParams {
+  val Default: ChunkerParams = ChunkerParams()
+
+  /** Stand-in for the xet-core production chunker (reference: src/xet.rs:10-39):
+    * same ~64 KiB target, enforced max, distinct gear table.
+    */
+  val Xet: ChunkerParams =
+    ChunkerParams(mask = 0xffff000000000000L, minLen = 16 * 1024, maxLen = 128 * 1024,
+      enforceMax = true, tableSeed = 0x9E3779B97F4A7C15L)
+}
+
+/** Gearhash rolling-hash table (public algorithm: gear hashing per the
+  * FastCDC paper / gearhash crate design — `h = (h << 1) + table(byte)`,
+  * boundary when `(h & mask) == 0`). Table entries are derived
+  * deterministically from a seed via splitmix64 so chunking is reproducible
+  * across JVMs, partitions, and releases.
+  */
+object Gear {
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Long]]()
+
+  def table(seed: Long): Array[Long] =
+    cache.computeIfAbsent(seed, s => Array.tabulate(256)(i => splitmix64(s * 0x2545F4914F6CDD1DL + i.toLong)))
+}
+
+/** Streaming CDC chunker: splits an `InputStream` into content-defined
+  * chunks, reading `bufSize` bytes at a time (reference uses a 1 MiB read
+  * buffer, src/store.rs:14). Memory is bounded by `bufSize + maxLen` when
+  * `enforceMax` is on, so arbitrarily large files stream without
+  * materializing — this is the >2 GB scale path SURVEY §7.4-3 calls for.
+  *
+  * The gear hash state is reset at each boundary; since the gear window is
+  * 64 bytes and minLen ≫ 64, boundary decisions are identical to the
+  * carried-state variant, and reset keeps chunking a pure function of the
+  * chunk-local byte stream.
+  *
+  * Closes the stream on exhaustion.
+  */
+final class ChunkIterator(in: InputStream, params: ChunkerParams, bufSize: Int = 1 << 20)
+    extends Iterator[Array[Byte]] {
+  private val table = Gear.table(params.tableSeed)
+  private val buf = new Array[Byte](bufSize)
+  private val pending = scala.collection.mutable.Queue.empty[Array[Byte]]
+  private var carry = new java.io.ByteArrayOutputStream(math.min(params.maxLen, 1 << 20))
+  private var carryLen = 0
+  private var h = 0L
+  private var eof = false
+
+  private def fill(): Unit = {
+    while (pending.isEmpty && !eof) {
+      val n = in.read(buf)
+      if (n < 0) {
+        eof = true
+        in.close()
+        if (carryLen > 0) { pending.enqueue(carry.toByteArray); carry.reset(); carryLen = 0 }
+      } else {
+        var i = 0
+        var start = 0
+        var curLen = carryLen
+        while (i < n) {
+          h = (h << 1) + table(buf(i) & 0xff)
+          curLen += 1
+          i += 1
+          val boundary =
+            (curLen >= params.minLen && (h & params.mask) == 0L) ||
+              (params.enforceMax && curLen >= params.maxLen)
+          if (boundary) {
+            carry.write(buf, start, i - start)
+            pending.enqueue(carry.toByteArray)
+            carry.reset()
+            start = i
+            curLen = 0
+            h = 0L
+          }
+        }
+        carry.write(buf, start, n - start)
+        carryLen = curLen
+      }
+    }
+  }
+
+  override def hasNext: Boolean = { fill(); pending.nonEmpty }
+  override def next(): Array[Byte] = { fill(); pending.dequeue() }
+}
+
+object Chunker {
+  /** Chunk an in-memory byte array (kernel-level API, used by tests and
+    * small-payload callers; the DataFrame layer streams via ChunkIterator).
+    */
+  def chunk(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[Array[Byte]] =
+    new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).toVector
+
+  /** Boundary offsets+lengths without copying chunk payloads. */
+  def boundaries(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[(Int, Int)] = {
+    val table = Gear.table(params.tableSeed)
+    val out = Vector.newBuilder[(Int, Int)]
+    var h = 0L
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + table(bytes(i) & 0xff)
+      i += 1
+      val curLen = i - start
+      if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
+        (params.enforceMax && curLen >= params.maxLen)) {
+        out += ((start, curLen))
+        start = i
+        h = 0L
+      }
+    }
+    if (start < bytes.length) out += ((start, bytes.length - start))
+    out.result()
+  }
+}

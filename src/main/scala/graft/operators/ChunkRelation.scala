@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.cdc.{ChunkIterator, ChunkerParams, Lz4Len, XXH64}
+
+/** One row per chunk occurrence — the engine's core relation (SURVEY §1.1):
+  * `(file_idx, chunk_idx, hash, size, compressed)`, optionally `data`.
+  * `seen_in` / `first_seen_in` are derived by aggregation (Estimator), not
+  * stored — the reference's per-file HashMap accumulate (src/store.rs:43-63)
+  * collapses into this occurrence stream plus a groupBy.
+  */
+final case class ChunkRow(
+    file_idx: Long,
+    chunk_idx: Long,
+    hash: Long,
+    size: Long,
+    compressed: Long)
+
+final case class ChunkRowWithData(
+    file_idx: Long,
+    chunk_idx: Long,
+    hash: Long,
+    size: Long,
+    compressed: Long,
+    data: Array[Byte])
+
+object ChunkRelation {
+
+  /** Chunk a list of files into the occurrence relation.
+    *
+    * Scale design: one task per file (reference parallelism, rayon par_iter
+    * at src/store.rs:103-112, is Spark's native file-parallelism here); each
+    * task streams its file through `ChunkIterator` with bounded memory
+    * (1 MiB buffer + maxLen carry), so >2 GB files are fine — no
+    * `binaryFile` whole-file materialization. Hash + lz4-length are computed
+    * inside the flatMap, so raw chunk bytes never enter Tungsten rows unless
+    * `withData = true` (column retained only on request — the reference's
+    * `store_data` flag, src/store.rs:30, becomes plain column pruning).
+    *
+    * Hadoop FileSystem API is used for the open, so the same code reads
+    * local paths in tests and HDFS/S3 paths on a cluster.
+    */
+  def chunkFiles(
+      spark: SparkSession,
+      paths: Seq[String],
+      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow] = {
+    import spark.implicits._
+    val indexed = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val parallelism = math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism))
+    spark
+      .createDataset(indexed)
+      .repartition(parallelism)
+      .flatMap { case (fileIdx, path) =>
+        openAndChunk(path, params).zipWithIndex.map { case (bytes, ci) =>
+          ChunkRow(fileIdx, ci.toLong, XXH64.hash(bytes, XXH64.DefaultSeed),
+            bytes.length.toLong, Lz4Len(bytes).toLong)
+        }
+      }
+  }
+
+  /** As `chunkFiles` but retaining chunk payloads (reference `store_data`). */
+  def chunkFilesWithData(
+      spark: SparkSession,
+      paths: Seq[String],
+      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRowWithData] = {
+    import spark.implicits._
+    val indexed = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val parallelism = math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism))
+    spark
+      .createDataset(indexed)
+      .repartition(parallelism)
+      .flatMap { case (fileIdx, path) =>
+        openAndChunk(path, params).zipWithIndex.map { case (bytes, ci) =>
+          ChunkRowWithData(fileIdx, ci.toLong, XXH64.hash(bytes, XXH64.DefaultSeed),
+            bytes.length.toLong, Lz4Len(bytes).toLong, bytes)
+        }
+      }
+  }
+
+  /** Chunk an arbitrary binary column (one row in → N chunk rows out): the
+    * generator-shaped surface (SURVEY §2.2) for payloads already inside a
+    * DataFrame, e.g. document text bytes or multimodal blobs.
+    * Input must have columns (id LONG, content BINARY).
+    */
+  def chunkColumn(
+      df: DataFrame,
+      idCol: String,
+      contentCol: String,
+      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol, contentCol)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, content) =>
+        val bytes = if (content == null) Array.emptyByteArray else content
+        new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).zipWithIndex.map {
+          case (b, ci) =>
+            ChunkRow(id, ci.toLong, XXH64.hash(b, XXH64.DefaultSeed), b.length.toLong,
+              Lz4Len(b).toLong)
+        }
+      }
+  }
+
+  private def openAndChunk(path: String, params: ChunkerParams): Iterator[Array[Byte]] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    new ChunkIterator(fs.open(hPath), params)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.ChunkerParams
+
+/** Flat result record mirroring the reference's EstimationResult
+  * (reference: de/estimate.py:13-23). Result cardinality is tiny
+  * (formats × groups), so it lives happily as a collected case class.
+  */
+final case class EstimationResult(
+    group: String,
+    format: String,
+    numfiles: Long,
+    total_len: Long,
+    chunk_bytes: Long,
+    compressed_chunk_bytes: Long,
+    dedup_ratio: Double,
+    xet_bytes: Long,
+    xet_dedup_ratio: Double)
+
+/** The estimator core: every query is a groupBy/agg over the chunk
+  * occurrence relation (SURVEY §2.4). The only wide dependency in the whole
+  * estimator is the hash-keyed shuffle; at 100 TB (~1.6e9 chunks of ~64 B
+  * rows ≈ 100 GB of shuffle vs 100 TB of narrow scan+chunk work) the
+  * shuffle is not the bottleneck — partition count just needs to track
+  * distinct-chunk count.
+  */
+object Estimator {
+
+  /** Per-hash merged relation (A1, reference src/store.rs:114-130):
+    * first_seen_in = min file index, seen_in = ascending set of file
+    * indexes, one entry per file regardless of occurrence count.
+    * `first(size)` is value-neutral: equal hash ⟹ equal bytes ⟹ equal size
+    * (src/store.rs:62's overwrite has the same property).
+    */
+  def merged(chunks: Dataset[ChunkRow]): DataFrame =
+    chunks
+      .groupBy(col("hash"))
+      .agg(
+        min(col("file_idx")).as("first_seen_in"),
+        sort_array(collect_set(col("file_idx"))).as("seen_in"),
+        first(col("size")).as("size"),
+        first(col("compressed")).as("compressed"),
+        sum(col("size")).as("occurrence_bytes"),
+        count(lit(1)).as("occurrences"))
+
+  /** (total, unique-chunk bytes, unique-compressed bytes) in ONE shuffle
+    * (A2, reference src/store.rs:132-136): the per-hash partial aggregate
+    * carries both the distinct-size and the occurrence-sum, then a tiny
+    * final fold adds them up.
+    */
+  def stats(chunks: Dataset[ChunkRow]): (Long, Long, Long) = {
+    val row = chunks
+      .groupBy(col("hash"))
+      .agg(
+        first(col("size")).as("size"),
+        first(col("compressed")).as("compressed"),
+        sum(col("size")).as("occ_bytes"))
+      .agg(
+        sum(col("occ_bytes")).as("total"),
+        sum(col("size")).as("chunk_bytes"),
+        sum(col("compressed")).as("compressed_chunk_bytes"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** Xet-style unique bytes (A4, reference src/xet.rs:24-34): Σ size over
+    * distinct hashes of the xet chunker's stream.
+    */
+  def uniqueBytes(chunks: Dataset[ChunkRow]): Long =
+    chunks
+      .groupBy(col("hash"))
+      .agg(first(col("size")).as("size"))
+      .agg(sum(col("size")))
+      .head()
+      .getLong(0)
+
+  /** The flagship `de dedup`-equivalent (reference lifecycle SURVEY §3.1):
+    * chunk all files, merge, compute ratios with both chunker configs.
+    */
+  def estimate(
+      spark: SparkSession,
+      paths: Seq[String],
+      group: String = "default",
+      format: String = "raw",
+      params: ChunkerParams = ChunkerParams.Default,
+      xetParams: ChunkerParams = ChunkerParams.Xet): EstimationResult = {
+    val chunks = ChunkRelation.chunkFiles(spark, paths, params)
+    val (total, chunkBytes, compressedBytes) = stats(chunks)
+    val xetBytes = uniqueBytes(ChunkRelation.chunkFiles(spark, paths, xetParams))
+    EstimationResult(
+      group = group,
+      format = format,
+      numfiles = paths.size.toLong,
+      total_len = total,
+      chunk_bytes = chunkBytes,
+      compressed_chunk_bytes = compressedBytes,
+      dedup_ratio = if (total == 0) 0.0 else chunkBytes.toDouble / total,
+      xet_bytes = xetBytes,
+      xet_dedup_ratio = if (total == 0) 0.0 else xetBytes.toDouble / total)
+  }
+
+  /** Grid estimation (A5, reference de/estimate.py:41-84) as a SINGLE job:
+    * tag every file with (group, format), chunk everything once, one shuffle
+    * on (group, format, hash), then roll up — the scale-preferred shape over
+    * per-cell jobs (SURVEY §2.4-A5).
+    * Input: (group, format, path) triples. Xet pass is a second single job.
+    */
+  def estimateGrid(
+      spark: SparkSession,
+      files: Seq[(String, String, String)],
+      params: ChunkerParams = ChunkerParams.Default,
+      xetParams: ChunkerParams = ChunkerParams.Xet): Seq[EstimationResult] = {
+    import spark.implicits._
+    if (files.isEmpty) return Seq.empty
+    val tags = files.zipWithIndex.map { case ((g, f, _), i) => (i.toLong, g, f) }
+    val tagDf = spark.createDataset(tags).toDF("file_idx", "group", "format")
+    val numFiles = files
+      .groupBy { case (g, f, _) => (g, f) }
+      .map { case ((g, f), fs) => ((g, f), fs.size.toLong) }
+
+    def cellStats(paths: Seq[String], p: ChunkerParams): DataFrame =
+      ChunkRelation
+        .chunkFiles(spark, paths, p)
+        .join(broadcast(tagDf), "file_idx")
+        .groupBy(col("group"), col("format"), col("hash"))
+        .agg(first(col("size")).as("size"), first(col("compressed")).as("compressed"),
+          sum(col("size")).as("occ_bytes"))
+        .groupBy(col("group"), col("format"))
+        .agg(sum(col("occ_bytes")).as("total"), sum(col("size")).as("chunk_bytes"),
+          sum(col("compressed")).as("compressed_chunk_bytes"))
+
+    val paths = files.map(_._3)
+    val main = cellStats(paths, params)
+      .as[(String, String, Long, Long, Long)]
+      .collect()
+      .map { case (g, f, t, cb, cc) => ((g, f), (t, cb, cc)) }
+      .toMap
+    val xet = cellStats(paths, xetParams)
+      .as[(String, String, Long, Long, Long)]
+      .collect()
+      .map { case (g, f, _, cb, _) => ((g, f), cb) }
+      .toMap
+
+    main.toSeq.sortBy(_._1).map { case ((g, f), (total, cb, cc)) =>
+      val xb = xet.getOrElse((g, f), 0L)
+      EstimationResult(g, f, numFiles((g, f)), total, cb, cc,
+        if (total == 0) 0.0 else cb.toDouble / total, xb,
+        if (total == 0) 0.0 else xb.toDouble / total)
+    }
+  }
+
+  /** Provenance segment sequence (O2, reference src/store.rs:138-143): the
+    * merged chunk stream in byte order mapped to first_seen_in — drives the
+    * heat-map strip. The per-hash side is aggregated (small relative to
+    * occurrences) and broadcast when it fits.
+    */
+  def segments(chunks: Dataset[ChunkRow]): DataFrame = {
+    val firstSeen = chunks.groupBy(col("hash")).agg(min(col("file_idx")).as("first_seen_in"))
+    chunks
+      .join(firstSeen, "hash")
+      .orderBy(col("file_idx"), col("chunk_idx"))
+      .select(col("file_idx"), col("chunk_idx"), col("hash"), col("size"), col("first_seen_in"))
+  }
+}

@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke runner mirroring the driver's t1 check: run SparkEntry.entry
+  * in a forked JVM and assert rows > 0. `sbt "runMain graft.tools.Smoke"`.
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.entry(spark)
+    val n = df.count()
+    df.show(20, truncate = false)
+    println(s"SMOKE entry rows=$n ${if (n > 0) "OK" else "FAIL"}")
+    spark.stop()
+    if (n == 0) sys.exit(1)
+  }
+}

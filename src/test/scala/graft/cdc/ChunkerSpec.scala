@@ -1,0 +1,103 @@
+package graft.cdc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ChunkerSpec extends AnyFunSuite {
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Byte](n)
+    r.nextBytes(a)
+    a
+  }
+
+  test("chunks concatenate back to the input") {
+    val data = randomBytes(1 << 20, 1L)
+    val chunks = Chunker.chunk(data)
+    assert(chunks.map(_.length).sum == data.length)
+    assert(java.util.Arrays.equals(chunks.toArray.flatten, data))
+  }
+
+  test("all chunks >= minLen except possibly the final; all <= maxLen") {
+    val p = ChunkerParams.Default
+    val data = randomBytes((1 << 20) + 12345, 2L)
+    val chunks = Chunker.chunk(data, p)
+    assert(chunks.nonEmpty)
+    chunks.init.foreach(c => assert(c.length >= p.minLen && c.length <= p.maxLen))
+    assert(chunks.last.length <= p.maxLen)
+  }
+
+  test("average chunk size is in the expected ~64 KiB ballpark") {
+    val data = randomBytes(8 << 20, 3L)
+    val chunks = Chunker.chunk(data)
+    val avg = data.length.toDouble / chunks.size
+    // 16 mask bits => expected 64 KiB between boundaries; allow wide slack.
+    assert(avg > 16 * 1024 && avg < 200 * 1024, s"avg=$avg")
+  }
+
+  test("deterministic across runs and buffer sizes") {
+    val data = randomBytes(3 << 20, 4L)
+    val a = Chunker.boundaries(data)
+    val b = Chunker.boundaries(data)
+    assert(a == b)
+    val small = new ChunkIterator(new java.io.ByteArrayInputStream(data), ChunkerParams.Default, bufSize = 4097)
+      .map(_.length).toVector
+    assert(small == a.map(_._2))
+  }
+
+  test("duplicate content yields duplicate chunk hashes (X ++ X)") {
+    val x = randomBytes(2 << 20, 5L)
+    val dup = x ++ x
+    val hashes = Chunker.chunk(dup).map(XXH64.hash(_, XXH64.DefaultSeed))
+    val unique = hashes.toSet
+    assert(unique.size < hashes.size, "expected duplicated chunk hashes for doubled content")
+    // Unique bytes should be close to one copy, well under total.
+    val sizeByHash = Chunker.chunk(dup).map(c => XXH64.hash(c, XXH64.DefaultSeed) -> c.length).toMap
+    val uniqueBytes = sizeByHash.values.sum
+    assert(uniqueBytes < dup.length * 0.75, s"uniqueBytes=$uniqueBytes total=${dup.length}")
+  }
+
+  test("small local edit changes only O(1) chunks") {
+    val x = randomBytes(4 << 20, 6L)
+    val y = x.clone()
+    y(2 << 20) = (y(2 << 20) ^ 0x5a).toByte
+    val hx = Chunker.chunk(x).map(XXH64.hash(_, 42L)).toSet
+    val hy = Chunker.chunk(y).map(XXH64.hash(_, 42L))
+    val changed = hy.count(h => !hx.contains(h))
+    assert(changed <= 4, s"changed=$changed of ${hy.size} chunks")
+  }
+
+  test("different tableSeed produces different boundaries") {
+    val data = randomBytes(2 << 20, 7L)
+    val a = Chunker.boundaries(data, ChunkerParams.Default)
+    val b = Chunker.boundaries(data, ChunkerParams.Xet)
+    assert(a != b)
+  }
+
+  test("property: reassembly + size bounds on arbitrary inputs") {
+    val p = ChunkerParams(minLen = 64, maxLen = 1024, enforceMax = true)
+    val rng = new java.util.Random(99L)
+    (0 until 200).foreach { _ =>
+      val n = rng.nextInt(50000)
+      val data = randomBytes(n, rng.nextLong())
+      val chunks = Chunker.chunk(data, p)
+      assert(chunks.map(_.length).sum == n)
+      if (chunks.nonEmpty) {
+        chunks.init.foreach(c => assert(c.length >= p.minLen && c.length <= p.maxLen))
+        assert(chunks.last.length <= p.maxLen)
+      }
+    }
+  }
+
+  test("empty input produces no chunks") {
+    assert(Chunker.chunk(Array.emptyByteArray).isEmpty)
+  }
+
+  test("lz4 length is positive and compresses repetitive data well") {
+    val repetitive = Array.fill[Byte](100000)(7)
+    val random = randomBytes(100000, 8L)
+    assert(Lz4Len(repetitive) < 2000)
+    assert(Lz4Len(random) >= 100000 * 9 / 10)
+    assert(Lz4Len(Array.emptyByteArray) == 0)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.cdc.{ChunkerParams, XXH64}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+
+class EstimatorSpec extends SparkSpec {
+
+  private def writeTemp(name: String, bytes: Array[Byte]): Path = {
+    val dir = Files.createTempDirectory("graft-est")
+    val p = dir.resolve(name)
+    Files.write(p, bytes)
+    p
+  }
+
+  private def randomBytes(n: Int, seed: Long): Array[Byte] = {
+    val r = new java.util.Random(seed)
+    val a = new Array[Byte](n)
+    r.nextBytes(a)
+    a
+  }
+
+  test("XXH64 matches Spark's built-in xxhash64 (seed 42)") {
+    import spark.implicits._
+    val payloads = Seq(
+      Array.emptyByteArray,
+      "hello".getBytes("UTF-8"),
+      randomBytes(7, 1),
+      randomBytes(32, 2),
+      randomBytes(1000, 3))
+    val fromSpark = payloads
+      .toDF("b")
+      .select(xxhash64(col("b")))
+      .collect()
+      .map(_.getLong(0))
+    val ours = payloads.map(XXH64.hash(_, 42L))
+    assert(fromSpark.toSeq == ours)
+  }
+
+  test("two identical files dedup to ~half the total bytes") {
+    val bytes = randomBytes(2 << 20, 11L)
+    val f1 = writeTemp("a.bin", bytes)
+    val f2 = writeTemp("b.bin", bytes)
+    val r = Estimator.estimate(spark, Seq(f1.toString, f2.toString))
+    assert(r.numfiles == 2)
+    assert(r.total_len == bytes.length.toLong * 2)
+    assert(r.chunk_bytes == bytes.length.toLong, "identical files must share every chunk")
+    assert(math.abs(r.dedup_ratio - 0.5) < 1e-9)
+    assert(r.xet_bytes == bytes.length.toLong)
+  }
+
+  test("merge semantics: first_seen_in = min file idx, seen_in ascending per-file set") {
+    val shared = randomBytes(1 << 20, 12L)
+    val only2 = randomBytes(1 << 20, 13L)
+    val f1 = writeTemp("a.bin", shared)
+    val f2 = writeTemp("b.bin", shared ++ only2)
+    val chunks = ChunkRelation.chunkFiles(spark, Seq(f1.toString, f2.toString))
+    val m = Estimator.merged(chunks).cache()
+    import spark.implicits._
+    val bothFiles = m.filter(size(col("seen_in")) === 2)
+    assert(bothFiles.count() > 0, "shared prefix must produce chunks seen in both files")
+    assert(bothFiles.filter(col("first_seen_in") =!= 0).count() == 0)
+    val seenLists = m.select(col("seen_in")).as[Seq[Long]].collect()
+    seenLists.foreach(s => assert(s == s.sorted && s.distinct == s))
+    m.unpersist()
+  }
+
+  test("estimate on real parquet testdata returns sane ratios") {
+    val paths = Seq(sf() + "/lineitem.parquet", sf() + "/orders.parquet")
+    val r = Estimator.estimate(spark, paths)
+    assert(r.total_len > 0)
+    assert(r.dedup_ratio > 0.0 && r.dedup_ratio <= 1.0)
+    assert(r.compressed_chunk_bytes > 0 && r.compressed_chunk_bytes <= r.chunk_bytes)
+  }
+
+  test("grid estimate: one result per (group, format) with correct numfiles") {
+    val a = writeTemp("a.bin", randomBytes(512 << 10, 14L))
+    val b = writeTemp("b.bin", randomBytes(512 << 10, 15L))
+    val res = Estimator.estimateGrid(
+      spark,
+      Seq(("g1", "raw", a.toString), ("g1", "raw", b.toString), ("g2", "raw", a.toString)))
+    assert(res.size == 2)
+    val g1 = res.find(_.group == "g1").get
+    assert(g1.numfiles == 2)
+    assert(res.find(_.group == "g2").get.numfiles == 1)
+    res.foreach(r => assert(r.dedup_ratio > 0 && r.dedup_ratio <= 1.0))
+  }
+
+  test("segments: ordered provenance stream with correct length") {
+    val bytes = randomBytes(1 << 20, 16L)
+    val f1 = writeTemp("a.bin", bytes)
+    val f2 = writeTemp("b.bin", bytes)
+    val chunks = ChunkRelation.chunkFiles(spark, Seq(f1.toString, f2.toString)).cache()
+    val occ = chunks.count()
+    val seg = Estimator.segments(chunks).collect()
+    assert(seg.length == occ)
+    // file 2's chunks are all first seen in file 0 (identical content)
+    seg.filter(_.getLong(0) == 1L).foreach(r => assert(r.getLong(4) == 0L))
+    chunks.unpersist()
+  }
+}
