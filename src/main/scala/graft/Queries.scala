@@ -1,7 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.operators._
 
 /** The engine's query catalog: every operator from SURVEY §2 (plus the
@@ -9,27 +10,248 @@ import graft.operators._
   * driver's testdata tables, with a DuckDB oracle where the semantics are
   * ANSI-SQL-expressible.
   *
-  * Column names are aliased identically in the Spark plan and the oracle
-  * SQL (the driver sorts columns by name before hashing). Floating-point
-  * aggregates are cast to DECIMAL before summing so Spark and DuckDB get
-  * bit-identical results regardless of accumulation order.
+  * Cross-engine determinism rules used throughout:
+  *   - Column names aliased identically in the Spark plan and the oracle
+  *     SQL (the driver sorts columns by name before hashing values).
+  *   - Monetary/quantity aggregates go through DECIMAL casts *before*
+  *     summing, so Spark and DuckDB both do exact decimal arithmetic and
+  *     the final double cast is bit-identical regardless of row order.
+  *   - No unordered LIMIT without a total tiebreaker; window orderings
+  *     always carry a unique key.
   */
 object Queries {
 
-  private def t(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+  private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- scans
+
+  /** P1/P3/P4: projection + filter + cast, all pushed into the parquet scan
+    * (PushedFilters + pruned ReadSchema visible in explain).
+    */
+  private def q02FilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 150000.0 && col("o_orderstatus") =!= "F")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority"))
+
+  // ----------------------------------------------------------- aggregates
+
+  /** A2-shaped totals roll-up: the TPC-H Q1 pricing summary over lineitem —
+    * partial+final hash aggregate, decimal-exact sums.
+    */
+  private def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** A5-shaped grid: aggregation keyed by a (group × format)-like pair. */
+  private def q07GroupGrid(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("event_type"), col("user_id") % 10)
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
+      .withColumnRenamed("(user_id % 10)", "user_bucket")
+      .select(col("event_type"), col("user_bucket"), col("n"), col("sum_value"))
+
+  /** A8: fixed-width histogram of order totals (integer bucket arithmetic —
+    * cross-engine stable, no data-dependent min/max).
+    */
+  private def q06Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .select(floor(col("o_totalprice") / 10000.0).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Distinct-count aggregates (the approximate-distinct story's exact
+    * baseline): count + countDistinct per group.
+    */
+  private def q09Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+
+  /** Grouping-sets shape (SURVEY §2.8): rollup over region → nation with
+    * customer counts and exact decimal balances.
+    */
+  private def q10Rollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = t(spark, sfDir, "region")
+    val nation = t(spark, sfDir, "nation")
+    val customer = t(spark, sfDir, "customer")
+    customer
+      .join(nation, customer("c_nationkey") === nation("n_nationkey"))
+      .join(region, nation("n_regionkey") === region("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
+    * segment. Small dims (customer) broadcast; lineitem⋈orders shuffles on
+    * the join key once.
+    */
+  private def q03JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = t(spark, sfDir, "lineitem")
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
+  /** Anti join: customers with no URGENT-priority orders (left_anti —
+    * Spark's NOT EXISTS physical form; broadcast-able at dim scale).
+    */
+  private def q08AntiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val urgent = t(spark, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    customer
+      .join(urgent, customer("c_custkey") === urgent("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Semi join: parts that appear in some lineitem. */
+  private def q11SemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = t(spark, sfDir, "part")
+    val li = t(spark, sfDir, "lineitem")
+    part
+      .join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+  }
+
+  // ------------------------------------------------------ order / windows
+
+  /** O4/top-k: top 10 orders by total price with a unique tiebreaker. */
+  private def q04TopK(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** A9 best-in-group via window: highest-balance customer per segment. */
+  private def q05WindowBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, sfDir, "customer")
+      .withColumn("rank_in_segment", row_number().over(w))
+      .filter(col("rank_in_segment") <= 3)
+      .select(col("c_mktsegment"), col("rank_in_segment").cast("long").as("rank_in_segment"),
+        col("c_custkey"), col("c_acctbal"))
+  }
+
+  /** Sequential window (lag-shaped, O5 positional semantics): per-user
+    * event sequence numbers and a running count, ordered by the unique
+    * event_id (timestamp-free ordering keeps ns-vs-µs truncation out of the
+    * cross-engine compare).
+    */
+  private def q12EventSeq(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+    t(spark, sfDir, "events")
+      .withColumn("seq", row_number().over(w))
+      .filter(col("seq") <= 5)
+      .select(col("user_id"), col("seq").cast("long").as("seq"),
+        col("event_id"), col("event_type"))
+  }
+
+  // ------------------------------------------------------------- catalog
 
   /** CDC estimate over the scale-factor directory's parquet files —
     * rows-only check (the chunker has no SQL equivalent).
     */
   private def cdcEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val paths = Seq(t(sfDir, "lineitem"), t(sfDir, "orders"))
-    spark.createDataset(Seq(Estimator.estimate(spark, paths, group = "sf", format = "parquet"))).toDF()
+    val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
+    spark
+      .createDataset(Seq(Estimator.estimate(spark, paths, group = "sf", format = "parquet")))
+      .toDF()
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cdc_estimate" -> cdcEstimate
-  )
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_filter_project" -> q02FilterProject _,
+    "q03_join_agg" -> q03JoinAgg _,
+    "q04_topk" -> q04TopK _,
+    "q05_window_best" -> q05WindowBest _,
+    "q06_histogram" -> q06Histogram _,
+    "q07_group_grid" -> q07GroupGrid _,
+    "q08_anti_join" -> q08AntiJoin _,
+    "q09_distinct" -> q09Distinct _,
+    "q10_rollup" -> q10Rollup _,
+    "q11_semi_join" -> q11SemiJoin _,
+    "q12_event_seq" -> q12EventSeq _,
+    "cdc_estimate" -> (cdcEstimate _)
+  ) ++ TextQueries.all ++ SimilarityQueries.all
 
-  val oracles: Map[String, String] = Map()
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_totalprice > 150000.0 AND o_orderstatus <> 'F'""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_window_best" ->
+      """SELECT c_mktsegment, rank_in_segment, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_segment
+        |  FROM customer) WHERE rank_in_segment <= 3""".stripMargin,
+    "q06_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 10000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q07_group_grid" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type, user_id % 10""".stripMargin,
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q09_distinct" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q10_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q11_semi_join" ->
+      """SELECT p_partkey, p_brand, p_size FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+    "q12_event_seq" ->
+      """SELECT user_id, seq, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS seq
+        |  FROM events) WHERE seq <= 5""".stripMargin
+  ) ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedupe, TextAnalysis}
+
+/** Text-pipeline query catalog: dedup + text-analysis operators over the
+  * `documents` table. Oracle SQL provided wherever DuckDB can express the
+  * same semantics (md5, pure column arithmetic, windows); signature-based
+  * ops (minhash/simhash/fingerprint/langid) are rows-only.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe
+      .exactDuplicates(docs(spark, sfDir), "doc_id", col("text"))
+      .select(col("doc_id"), col("fp"), col("canonical_id"), col("is_dup"))
+
+  /** Near-exact: duplicate classes on a 40-char prefix — exercises the
+    * same shape with actual collisions in synthetic data.
+    */
+  private def dedupPrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe
+      .exactDuplicates(docs(spark, sfDir), "doc_id", substring(col("text"), 1, 40))
+      .select(col("doc_id"), col("fp"), col("canonical_id"), col("is_dup"))
+
+  private def textTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+
+  private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val text = col("text")
+    val nChars = length(text)
+    val nTokens = TextAnalysis.tokenCountCol(text)
+    docs(spark, sfDir)
+      .select(
+        col("doc_id"),
+        ((nChars - (nTokens - lit(1))).cast("double") / nTokens.cast("double"))
+          .as("avg_token_len"),
+        ((length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+          greatest(nChars, lit(1)).cast("double")).as("punct_ratio"))
+  }
+
+  private def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(TextAnalysis.tokenCountCol(col("text")).cast("long")).as("sum_tokens"))
+
+  private def langId(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+
+  private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+        element_at(col("fp"), 1).as("min_fingerprint"))
+
+  private def qualityFull(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis
+      .qualityScore(docs(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+        col("punct_ratio"), col("stopword_ratio"))
+
+  private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3)
+
+  private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact _,
+    "dedup_prefix" -> dedupPrefix _,
+    "dedup_minhash" -> minhashPairs _,
+    "dedup_simhash" -> simhashPairs _,
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "text_stats" -> textStats _,
+    "text_quality_full" -> qualityFull _,
+    "lang_id" -> langId _,
+    "doc_fingerprint" -> docFingerprint _
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents""".stripMargin,
+    "dedup_prefix" ->
+      """SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
+        |  MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40))) AS canonical_id,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40))) AS is_dup
+        |FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, length(text) AS n_chars_m,
+        |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
+        |FROM documents""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens
+        |FROM documents GROUP BY lang, source""".stripMargin
+  )
+}

@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cdc.XXH64
+
+/** Deduplication operators for training-data pipelines, from exact to
+  * approximate:
+  *
+  *   - exact: fingerprint groupBy (one shuffle, the A1 merge shape)
+  *   - MinHash + LSH banding: shingle → signature → band buckets →
+  *     candidate pairs → exact Jaccard verify
+  *   - SimHash: 64-bit signature, block-match candidate generation
+  *     (pigeonhole over 4×16-bit blocks guarantees recall at hamming ≤ 3)
+  *   - n-gram Jaccard: exact pairwise verify on candidates only — the
+  *     O(n²) cross join never materializes at scale
+  *
+  * Scale notes: signatures are computed per-row in one narrow pass (UDF
+  * over the token set — no explode/pivot shuffle); candidate generation
+  * shuffles on (band, bucket-hash) whose cardinality ≈ docs × bands; the
+  * verify join is keyed by candidate pair, proportional to true-ish pairs,
+  * not n².
+  */
+object Dedupe {
+
+  // ----------------------------------------------------------- exact dedup
+
+  /** Exact duplicate classes by content hash: canonical = min id per class.
+    * `keyExpr` defaults to the full text; pass a normalized/prefix
+    * expression for near-exact variants.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+    df.withColumn("fp", md5(keyCol.cast("binary")))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  // ------------------------------------------------------------- shingling
+
+  def wordShingles(text: String, k: Int): Set[Long] = {
+    if (text == null) Set.empty
+    else {
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (words.length < k) {
+        if (words.isEmpty) Set.empty
+        else Set(XXH64.hash(words.mkString(" ").getBytes("UTF-8"), 42L))
+      } else
+        words
+          .sliding(k)
+          .map(s => XXH64.hash(s.mkString(" ").getBytes("UTF-8"), 42L))
+          .toSet
+    }
+  }
+
+  // --------------------------------------------------------------- minhash
+
+  /** MinHash signature: h_i = min over shingles of xxh64(shingle, seed=i).
+    * One narrow pass; `numHashes` u64 mins per doc.
+    */
+  def minhashSignature(shingles: Set[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val buf = new Array[Byte](8)
+    shingles.foreach { s =>
+      var b = 0
+      while (b < 8) { buf(b) = (s >>> (8 * b)).toByte; b += 1 }
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hash(buf, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** MinHash-LSH near-duplicate pairs.
+    * @return (id_a, id_b, est_jaccard, jaccard) — est from signature
+    *         agreement, exact from shingle sets, both per candidate pair.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = bands // rows per band = numHashes / bands
+    val rowsPerBand = numHashes / bands
+
+    val docs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = wordShingles(text, shingleK)
+        (id, sh.toArray.sorted, minhashSignature(sh, numHashes))
+      }
+      .toDF("id", "shingles", "sig")
+      .cache()
+
+    // band → bucket key = hash of the band's signature slice
+    val banded = docs
+      .select(col("id"), col("sig"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sig) =>
+        (0 until bands).iterator.map { b =>
+          val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+          val bytes = new Array[Byte](slice.length * 8)
+          var i = 0
+          while (i < slice.length) {
+            var j = 0
+            while (j < 8) { bytes(i * 8 + j) = (slice(i) >>> (8 * j)).toByte; j += 1 }
+            i += 1
+          }
+          (b, XXH64.hash(bytes, 7L), id)
+        }
+      }
+      .toDF("band", "bucket", "id")
+
+    val candidates = banded
+      .as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val verified = candidates
+      .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+        col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+        col("sig").as("sig_b")), "id_b")
+      // USING joins move the key column first; pin the order before decode
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sig_a"), col("sh_b"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long], Array[Long], Array[Long])]
+      .map { case (a, b, shA, sigA, shB, sigB) =>
+        val inter = shA.intersect(shB).length
+        val union = shA.length + shB.length - inter
+        val jac = if (union == 0) 0.0 else inter.toDouble / union
+        val est = sigA.zip(sigB).count { case (x, y) => x == y }.toDouble / sigA.length
+        (a, b, est, jac)
+      }
+      .toDF("id_a", "id_b", "est_jaccard", "jaccard")
+
+    verified.filter(col("jaccard") >= threshold)
+  }
+
+  // --------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token hashes (public algorithm: Charikar'02 /
+    * Manku et al. WWW'07).
+    */
+  def simhash(text: String): Long = {
+    if (text == null) 0L
+    else {
+      val acc = new Array[Int](64)
+      text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+        val h = XXH64.hash(w.getBytes("UTF-8"), 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      var out = 0L
+      var i = 0
+      while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+  }
+
+  private val simhashUdf = udf { (text: String) => simhash(text) }
+  def simhashCol(text: Column): Column = simhashUdf(text)
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxDistance, candidates
+    * via pigeonhole block match: with 4 blocks of 16 bits, any pair at
+    * hamming ≤ 3 agrees on ≥ 1 whole block — full recall, no n² join.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDistance: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val blocks = maxDistance + 1
+    val bits = 64 / blocks
+
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash(text)) }
+      .toDF("id", "sig")
+      .cache()
+
+    val blocked = sigs
+      .as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until blocks).iterator.map { b =>
+          val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+          (b, (sig >>> (b * bits)) & mask, id, sig)
+        }
+      }
+      .toDF("block", "key", "id", "sig")
+
+    blocked
+      .as("l")
+      .join(blocked.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // --------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    * sign-bit signature buckets candidates, exact cosine verifies. Vectors
+    * as Array[Float]; hyperplanes derived deterministically from a seed.
+    */
+  def embeddingNearDups(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      planes: Int = 16,
+      minCosine: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hyper = Similarity.randomPlanes(planes, dim, seed)
+
+    val sigs = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, Similarity.planeSignature(v, hyper), v) }
+      .toDF("id", "sig", "vec")
+      .cache()
+
+    sigs
+      .as("l")
+      .join(sigs.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= minCosine)
+  }
+}

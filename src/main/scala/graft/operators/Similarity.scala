@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - `bruteForceTopK`: exact cosine top-k for a (small, broadcast) query
+  *     set against the full corpus — the correctness baseline. The corpus
+  *     side is a narrow scan; per row it scores |Q| dot products, then a
+  *     per-query window keeps k. No corpus self-join.
+  *   - `ivfTopK`: the scale path — k-means-lite coarse quantizer (IVF):
+  *     corpus is bucketed by nearest centroid once (shuffle by centroid),
+  *     queries probe only `nprobe` nearest centroid buckets, so scored
+  *     candidates shrink by ~numCentroids/nprobe.
+  *
+  * All float math is accumulated in Double with a fixed left-to-right
+  * order, so results are deterministic across partitionings.
+  */
+object Similarity {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Deterministic random hyperplanes (splitmix64-seeded gaussian-ish via
+    * sum of uniforms) for sign-bit LSH.
+    */
+  def randomPlanes(planes: Int, dim: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)((rng.nextDouble() * 2 - 1).toFloat))
+  }
+
+  def planeSignature(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      if (dot(v, planes(i)) >= 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact cosine top-k: for each query vector (id in `queryIds`), the k
+    * nearest corpus vectors by cosine. Queries are collected + broadcast
+    * (the query set is small by contract; the corpus is not).
+    */
+  def bruteForceTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val queries = base
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Array[Float])]
+      .collect()
+    val bc = spark.sparkContext.broadcast(queries)
+
+    val scored = base
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        bc.value.iterator.collect {
+          case (qid, qvec) if qid != id => (qid, id, cosine(qvec, vec))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cosine")
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-style ANN: corpus assigned once to `numCentroids` coarse centroids
+    * (deterministic seeded init + a few Lloyd iterations over a sample),
+    * each query probes its `nprobe` nearest centroids' buckets only.
+    * Returns the same schema as bruteForceTopK; recall < 1 by design.
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      sampleSize: Int = 2000,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+
+    // --- train coarse quantizer on a deterministic sample (driver-side:
+    // sampleSize × dim floats, tiny) ---
+    val sample = base
+      .orderBy(col("id"))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+    val centroids = kmeansLite(sample, numCentroids, iters = 5, seed)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    def nearest(v: Array[Float], n: Int): Seq[Int] =
+      bcCentroids.value.zipWithIndex
+        .map { case (c, i) => (i, -dot(v, c) / math.max(norm(c), 1e-12)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(n)
+        .map(_._1)
+        .toSeq
+
+    val assigned = base
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (nearest(v, 1).head, id, v) }
+      .toDF("bucket", "id", "vec")
+
+    val queries = base
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Array[Float])]
+      .collect()
+    val probes = queries.flatMap { case (qid, qv) =>
+      nearest(qv, nprobe).map(b => (qid, b))
+    }
+    val bcQueries = spark.sparkContext.broadcast(queries.toMap)
+    val probesDf = spark.createDataset(probes.toSeq).toDF("query_id", "bucket")
+
+    val scored = assigned
+      .join(broadcast(probesDf), "bucket")
+      .filter(col("id") =!= col("query_id"))
+      .as[(Int, Long, Array[Float], Long)]
+      .map { case (_, id, vec, qid) => (qid, id, cosine(bcQueries.value(qid), vec)) }
+      .toDF("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  private[operators] def kmeansLite(
+      sample: Array[Array[Float]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    val rng = new java.util.Random(seed)
+    var centroids = Array.tabulate(math.min(k, sample.length)) { i =>
+      sample(rng.nextInt(sample.length)).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MinValue
+        var i = 0
+        while (i < centroids.length) {
+          val d = dot(v, centroids(i))
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+}

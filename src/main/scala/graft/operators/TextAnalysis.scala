@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language ID, document fingerprinting.
+  * All narrow (per-row) transforms — no shuffle; they stay inside
+  * whole-stage codegen where expressible as `functions._` columns and drop
+  * to (deterministic) Scala UDFs only for set-based logic.
+  */
+object TextAnalysis {
+
+  /** Whitespace-token count as pure column arithmetic (codegen-friendly and
+    * ANSI-expressible for the oracle): spaces + 1.
+    */
+  def tokenCountCol(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))) + lit(1)
+
+  /** BPE-ish subword token estimate: word count plus an extra token per 4
+    * characters of long words — a cheap deterministic proxy for tokenizer
+    * cost accounting (real BPE needs a vocab; the regex split is the
+    * documented stand-in).
+    */
+  private val bpeishUdf = udf { (text: String) =>
+    if (text == null) 0L
+    else
+      text
+        .split("[^A-Za-z0-9]+")
+        .iterator
+        .filter(_.nonEmpty)
+        .map(w => 1L + (w.length - 1) / 4)
+        .sum
+  }
+
+  def bpeishTokenCount(text: Column): Column = bpeishUdf(text)
+
+  private val Stopwords: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "be", "this", "are", "was")
+
+  /** Quality metrics per document: char/token counts, average word length,
+    * punctuation ratio, stopword ratio, alpha ratio. Codegen columns except
+    * the stopword ratio (set membership → UDF).
+    */
+  private val stopwordRatioUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) 0.0
+    else {
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (words.isEmpty) 0.0 else words.count(Stopwords.contains).toDouble / words.length
+    }
+  }
+
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val text = col(textCol)
+    val nChars = length(text)
+    val nTokens = tokenCountCol(text)
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("avg_token_len",
+        (nChars - (nTokens - lit(1))).cast("double") / nTokens.cast("double"))
+      .withColumn("punct_ratio",
+        (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+          greatest(nChars, lit(1)).cast("double"))
+      .withColumn("stopword_ratio", stopwordRatioUdf(text))
+  }
+
+  /** Language-ID heuristic: score per-language marker word/character-class
+    * hits; highest count wins, `und` when nothing matches. A real system
+    * uses char n-gram models; the marker table keeps this deterministic and
+    * dependency-free while exercising the full distributed shape.
+    */
+  private val LangMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "in", "that", "it", "with"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Set("le", "la", "les", "et", "est", "une", "dans", "pour"),
+    "es" -> Set("el", "la", "los", "las", "es", "una", "por", "para"),
+    "it" -> Set("il", "la", "che", "di", "non", "per", "una", "sono"))
+
+  private val langIdUdf = udf { (text: String) =>
+    if (text == null || text.isEmpty) "und"
+    else {
+      val words = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).take(200).toSeq
+      if (words.exists(w => w.exists(c => c >= '一' && c <= '鿿'))) "zh"
+      else {
+        val scores = LangMarkers.map { case (lang, markers) =>
+          lang -> words.count(markers.contains)
+        }
+        val (best, score) = scores.maxBy { case (l, s) => (s, l) }
+        if (score == 0) "und" else best
+      }
+    }
+  }
+
+  def langId(text: Column): Column = langIdUdf(text)
+
+  /** Document fingerprint via winnowing (public algorithm: Schleimer et al.,
+    * SIGMOD'03): rolling hash over k-grams, minimum per sliding window →
+    * compact fingerprint set that is robust to local edits. Returns a
+    * sorted distinct array of fingerprint hashes.
+    */
+  private def winnow(text: String, k: Int, window: Int): Array[Long] = {
+    if (text == null || text.length < k) Array.empty
+    else {
+      val s = text.toLowerCase
+      val n = s.length - k + 1
+      val hashes = new Array[Long](n)
+      // Polynomial rolling hash over a k-char window, base 257 mod 2^64.
+      val base = 257L
+      var pow = 1L
+      var i = 1
+      while (i < k) { pow *= base; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * base + s.charAt(i); i += 1 }
+      hashes(0) = h
+      i = 1
+      while (i < n) {
+        h = (h - s.charAt(i - 1) * pow) * base + s.charAt(i + k - 1)
+        hashes(i) = h
+        i += 1
+      }
+      val out = scala.collection.mutable.TreeSet.empty[Long]
+      var w = 0
+      val lastWindow = n - window
+      if (lastWindow < 0) out += hashes.min
+      else while (w <= lastWindow) {
+        var m = hashes(w)
+        var j = w + 1
+        while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
+        out += m
+        w += 1
+      }
+      out.toArray
+    }
+  }
+
+  private val fingerprintUdf = udf { (text: String) => winnow(text, 8, 16) }
+
+  def fingerprint(text: Column): Column = fingerprintUdf(text)
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupeSpec extends SparkSpec {
+
+  private def docsDf = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+      (2L, "the quick brown fox jumps over the lazy cat again and again today"), // near dup of 0
+      (3L, "completely different content about spark query engines and shuffles"),
+      (4L, "yet another unrelated document mentioning parquet files and chunks"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exactDuplicates: identical texts share fp, canonical = min id") {
+    val r = Dedupe.exactDuplicates(docsDf, "doc_id", col("text"))
+    val rows = r.select("doc_id", "canonical_id", "is_dup").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).sortBy(_._1)
+    assert(rows(0) == ((0L, 0L, false)))
+    assert(rows(1) == ((1L, 0L, true)))
+    assert(rows(2)._3 == false && rows(3)._3 == false && rows(4)._3 == false)
+  }
+
+  test("minhashPairs: finds the near-dup pair, skips unrelated docs") {
+    val pairs = Dedupe
+      .minhashPairs(docsDf, "doc_id", "text", shingleK = 2, numHashes = 64,
+        bands = 16, threshold = 0.3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
+  }
+
+  test("minhash estimated jaccard tracks exact jaccard") {
+    val r = Dedupe
+      .minhashPairs(docsDf, "doc_id", "text", shingleK = 2, threshold = 0.0)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .head()
+    assert(r.getDouble(2) == 1.0) // identical docs: all signature mins agree
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("simhash: identical text => distance 0; near text small; far text large") {
+    val s0 = Dedupe.simhash(docsDf.collect()(0).getString(1))
+    val s1 = Dedupe.simhash(docsDf.collect()(1).getString(1))
+    val s2 = Dedupe.simhash(docsDf.collect()(2).getString(1))
+    val s3 = Dedupe.simhash(docsDf.collect()(3).getString(1))
+    assert(s0 == s1)
+    assert(java.lang.Long.bitCount(s0 ^ s2) < java.lang.Long.bitCount(s0 ^ s3))
+  }
+
+  test("simhashPairs finds exact dup at distance 0") {
+    val pairs = Dedupe
+      .simhashPairs(docsDf, "doc_id", "text", maxDistance = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, d) => a == 0L && b == 1L && d == 0L })
+  }
+
+  test("embeddingNearDups: planted near-identical vectors pair up") {
+    import spark.implicits._
+    val rng = new java.util.Random(1)
+    def vec() = Array.fill(16)(rng.nextFloat() * 2 - 1)
+    val v0 = vec()
+    val v1 = v0.clone(); v1(0) = v1(0) + 0.01f
+    val rows = Seq((0L, v0), (1L, v1)) ++ (2L until 20L).map(i => (i, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = Dedupe
+      .embeddingNearDups(df, "vec_id", "embedding", dim = 16, planes = 8, minCosine = 0.99)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def embDf = {
+    import spark.implicits._
+    val rng = new java.util.Random(7)
+    val rows = (0L until 100L).map { i =>
+      (i, Array.fill(32)(rng.nextFloat() * 2 - 1))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine kernel: self = 1, orthogonal = 0") {
+    val a = Array(1f, 0f, 0f)
+    val b = Array(0f, 1f, 0f)
+    assert(math.abs(Similarity.cosine(a, a) - 1.0) < 1e-12)
+    assert(Similarity.cosine(a, b) == 0.0)
+    assert(Similarity.cosine(a, Array(0f, 0f, 0f)) == 0.0)
+  }
+
+  test("bruteForceTopK: k neighbors per query, ranked by cosine, no self") {
+    val r = Similarity.bruteForceTopK(embDf, "vec_id", "embedding", Seq(0L, 1L), k = 5)
+    val rows = r.collect()
+    assert(rows.length == 10)
+    Seq(0L, 1L).foreach { q =>
+      val mine = rows.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+      assert(mine.map(_.getLong(1)).toSeq == (1 to 5))
+      val cosines = mine.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(!mine.exists(_.getLong(2) == q), "self must be excluded")
+    }
+  }
+
+  test("ivfTopK: subset of brute-force candidates with decent recall at full probe") {
+    val brute = Similarity
+      .bruteForceTopK(embDf, "vec_id", "embedding", Seq(0L), k = 5)
+      .collect()
+      .map(_.getLong(2))
+      .toSet
+    val ivf = Similarity
+      .ivfTopK(embDf, "vec_id", "embedding", Seq(0L), k = 5, numCentroids = 4, nprobe = 4)
+      .collect()
+      .map(_.getLong(2))
+      .toSet
+    // probing all centroids == exhaustive => identical result set
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  test("ivfTopK with partial probe returns k rows (approximate)") {
+    val r = Similarity
+      .ivfTopK(embDf, "vec_id", "embedding", Seq(0L), k = 5, numCentroids = 8, nprobe = 2)
+      .collect()
+    assert(r.length == 5)
+  }
+
+  test("kmeansLite is deterministic under seed") {
+    val rng = new java.util.Random(3)
+    val sample = Array.fill(50)(Array.fill(8)(rng.nextFloat()))
+    val a = Similarity.kmeansLite(sample, 4, 3, 42L)
+    val b = Similarity.kmeansLite(sample, 4, 3, 42L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}

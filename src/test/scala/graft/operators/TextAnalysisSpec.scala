@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("tokenCountCol counts whitespace tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "single"), (3L, "x y")).toDF("id", "text")
+    val counts = df.select(TextAnalysis.tokenCountCol(col("text"))).collect().map(_.getInt(0))
+    assert(counts.toSeq == Seq(3, 1, 2))
+  }
+
+  test("bpeish token count: long words cost extra tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "hi"), (2L, "internationalization")).toDF("id", "text")
+    val counts = df.select(TextAnalysis.bpeishTokenCount(col("text"))).collect().map(_.getLong(0))
+    assert(counts(0) == 1L)
+    assert(counts(1) == 1L + (20 - 1) / 4)
+  }
+
+  test("qualityScore produces ratios in [0,1] and sane avg token length") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(df, "text").head()
+    val stopRatio = r.getAs[Double]("stopword_ratio")
+    val punct = r.getAs[Double]("punct_ratio")
+    assert(stopRatio > 0.0 && stopRatio <= 1.0)
+    assert(punct > 0.0 && punct < 0.1)
+    assert(r.getAs[Double]("avg_token_len") > 1.0)
+  }
+
+  test("langId picks marker language, und for empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog is in the house with it"),
+      (2L, "der hund und die katze ist nicht ein problem"),
+      (3L, "el perro es una de las cosas por la casa"),
+      (4L, ""),
+      (5L, "zzz qqq www")).toDF("id", "text")
+    val preds = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(preds.toSeq == Seq("en", "de", "es", "und", "und"))
+  }
+
+  test("fingerprint: identical docs identical, edits change few fingerprints") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    val edited = base.replaceFirst("fox", "cat")
+    val df = Seq((1L, base), (2L, base), (3L, edited)).toDF("id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect()
+      .map(_.getSeq[Long](0).toSet)
+    assert(fps(0) == fps(1))
+    val overlap = fps(0).intersect(fps(2)).size.toDouble / fps(0).size
+    assert(overlap > 0.5, s"overlap=$overlap")
+    assert(fps(0) != fps(2))
+  }
+}
