@@ -181,6 +181,33 @@ object Queries {
       .toDF()
   }
 
+  /** G1-G7 + A5 end-to-end: synthetic variants written under two parquet
+    * formats, single-job grid estimate (rows-only; the RNG has no SQL
+    * equivalent).
+    */
+  private def syntheticGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.synthetic.{DType, DataGenerator, EditPoints}
+    import graft.sources.TableFormat
+    val gen = new DataGenerator(
+      DType.parseSchema("""{"a": "int", "b": "str", "c": ["int"]}"""), 42L)
+    val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(2), 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft-grid")
+    val grouped = Seq("deleted", "inserted", "appended", "updated").map { v =>
+      v -> Map("original" -> tables("original"), v -> tables(v))
+    }.toMap
+    val results = CompareFormats.compareTables(
+      spark, grouped,
+      Seq(TableFormat.ParquetFormat("none"), TableFormat.ParquetFormat("snappy")), dir)
+    spark.createDataset(results).toDF()
+  }
+
+  /** S9+A8: parquet page-size profile of the sf directory's lineitem. */
+  private def pageProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.PageProfiler.pageSizeHistogram(
+      graft.sources.PageProfiler.pageStats(
+        spark, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -194,7 +221,9 @@ object Queries {
     "q10_rollup" -> q10Rollup _,
     "q11_semi_join" -> q11SemiJoin _,
     "q12_event_seq" -> q12EventSeq _,
-    "cdc_estimate" -> (cdcEstimate _)
+    "cdc_estimate" -> (cdcEstimate _),
+    "synthetic_grid" -> (syntheticGrid _),
+    "page_profile" -> (pageProfile _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   val oracles: Map[String, String] = Map(

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.TableFormat
+import graft.cdc.ChunkerParams
+import java.nio.file.Path
+
+/** The comparison harness (reference: compare_formats_tables,
+  * de/estimate.py:41-84 + `de stats` / `de synthetic` pipelines,
+  * SURVEY §3.2-3.3): write every (group, table) under every format, then
+  * estimate dedup per (group, format) cell.
+  *
+  * Scale shape: writes are independent Spark jobs; the estimation is ONE
+  * tagged job (Estimator.estimateGrid) — a single shuffle keyed by
+  * (group, format, hash) instead of formats × groups separate jobs.
+  *
+  * Post-write sanity check (reference de/formats.py:116-129): row count +
+  * schema arity preserved, asserted per write.
+  */
+object CompareFormats {
+
+  def compareTables(
+      spark: SparkSession,
+      tables: Map[String, Map[String, DataFrame]], // group -> table name -> df
+      formats: Seq[TableFormat],
+      directory: Path,
+      params: ChunkerParams = ChunkerParams.Default,
+      sanityCheck: Boolean = true): Seq[EstimationResult] = {
+    val files: Seq[(String, String, String)] = for {
+      (group, groupTables) <- tables.toSeq.sortBy(_._1)
+      fmt <- formats
+      (tableName, df) <- groupTables.toSeq.sortBy(_._1)
+      path <- {
+        val written = fmt.write(df, directory, group, tableName)
+        if (sanityCheck) verifyWrite(spark, df, fmt, written)
+        written
+      }
+    } yield (group, fmt.name, path)
+    Estimator.estimateGrid(spark, files, params)
+  }
+
+  private def verifyWrite(
+      spark: SparkSession,
+      src: DataFrame,
+      fmt: TableFormat,
+      paths: Seq[String]): Unit = {
+    val back = fmt match {
+      case _: TableFormat.ParquetFormat => Some(spark.read.parquet(paths: _*))
+      case _: TableFormat.JsonLinesFormat => Some(spark.read.json(paths: _*))
+      case _ => None // CSV round-trip loses types; count-only below
+    }
+    back.foreach { b =>
+      val n = b.count()
+      val expected = src.count()
+      require(n == expected, s"${fmt.name}: wrote $n rows, expected $expected")
+      require(b.schema.fields.length == src.schema.fields.length,
+        s"${fmt.name}: schema arity changed")
+    }
+  }
+
+  /** Plain-text report table (the reference's rich table, de/display.py:32-88,
+    * sans colors): sections per group, best dedup ratio starred, humanized
+    * sizes, ratio bar.
+    */
+  def formatReport(results: Seq[EstimationResult]): String = {
+    def human(b: Long): String = {
+      val units = Seq("B", "KiB", "MiB", "GiB", "TiB")
+      var v = b.toDouble
+      var u = 0
+      while (v >= 1024 && u < units.size - 1) { v /= 1024; u += 1 }
+      f"$v%.1f ${units(u)}"
+    }
+    def bar(ratio: Double): String = {
+      val width = 20
+      val filled = math.round(ratio * width).toInt.min(width).max(0)
+      "#" * filled + "." * (width - filled)
+    }
+    val sb = new StringBuilder
+    sb.append(f"${"group"}%-12s ${"format"}%-24s ${"files"}%5s ${"total"}%10s ${"chunks"}%10s ${"ratio"}%7s ${"xet"}%7s\n")
+    results.groupBy(_.group).toSeq.sortBy(_._1).foreach { case (group, rs) =>
+      val best = rs.map(_.dedup_ratio).min
+      rs.sortBy(_.dedup_ratio).foreach { r =>
+        val star = if (r.dedup_ratio == best) "*" else " "
+        sb.append(
+          f"${r.group}%-12s ${r.format}%-24s ${r.numfiles}%5d ${human(r.total_len)}%10s " +
+            f"${human(r.chunk_bytes)}%10s ${r.dedup_ratio * 100}%6.1f%%$star ${r.xet_dedup_ratio * 100}%6.1f%% ${bar(r.dedup_ratio)}\n")
+      }
+    }
+    sb.result()
+  }
+}

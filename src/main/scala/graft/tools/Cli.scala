@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{CompareFormats, ChunkRelation, Estimator}
+import graft.sources.{PageProfiler, TableFormat}
+import graft.synthetic.{DType, DataGenerator, EditPoints}
+import java.nio.file.{Files, Paths}
+
+/** Command-line surface mirroring the reference's `de` CLI (de/cli.py):
+  *
+  *   sbt "runMain graft.tools.Cli dedup FILE..."            (de dedup)
+  *   sbt "runMain graft.tools.Cli stats DIR [OUTDIR]"       (de stats)
+  *   sbt "runMain graft.tools.Cli synthetic SCHEMA_JSON [OUTDIR]"
+  *   sbt "runMain graft.tools.Cli page-chunks FILE..."      (de page-chunks)
+  *   sbt "runMain graft.tools.Cli viz FILE... OUT.png"      (provenance strip)
+  */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "dedup" :: files if files.nonEmpty =>
+      val spark = session()
+      val r = Estimator.estimate(spark, files)
+      println(f"Deduplication ratio: ${r.dedup_ratio * 100}%.1f%% " +
+        f"(${r.chunk_bytes}%d/${r.total_len}%d)")
+      println(f"Xet deduplication ratio: ${r.xet_dedup_ratio * 100}%.1f%% " +
+        f"(${r.xet_bytes}%d/${r.total_len}%d)")
+      spark.stop()
+
+    case "stats" :: dir :: rest =>
+      val spark = session()
+      val outDir = rest.headOption.map(Paths.get(_))
+        .getOrElse(Files.createTempDirectory("graft-stats"))
+      val paths = Files.list(Paths.get(dir)).iterator()
+      val parquets = new Iterator[java.nio.file.Path] {
+        def hasNext = paths.hasNext; def next() = paths.next()
+      }.filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+      require(parquets.nonEmpty, s"no .parquet files under $dir")
+      val tables = Map("combined" -> parquets.map { p =>
+        val stem = Paths.get(p).getFileName.toString.stripSuffix(".parquet")
+        stem -> spark.read.parquet(p)
+      }.toMap)
+      val results = CompareFormats.compareTables(
+        spark, tables, TableFormat.defaultGrid(withJson = true), outDir)
+      println(CompareFormats.formatReport(results))
+      spark.stop()
+
+    case "synthetic" :: schemaJson :: rest =>
+      val spark = session()
+      val outDir = rest.headOption.map(Paths.get(_))
+        .getOrElse(Files.createTempDirectory("graft-synth"))
+      val gen = new DataGenerator(DType.parseSchema(schemaJson), 42L)
+      val tables = gen.generateSyntheticTables(
+        spark, 100000L, EditPoints.linspace(2), 1000, perColumnUpdates = true)
+      val grouped = tables.collect {
+        case (v, df) if v != "original" =>
+          v -> Map("original" -> tables("original"), v -> df)
+      }
+      val results = CompareFormats.compareTables(
+        spark, grouped, TableFormat.defaultGrid(), outDir)
+      println(CompareFormats.formatReport(results))
+      spark.stop()
+
+    case "page-chunks" :: files if files.nonEmpty =>
+      val spark = session()
+      PageProfiler.pageSizeHistogram(PageProfiler.pageStats(spark, files))
+        .orderBy("bucket").show(100, truncate = false)
+      spark.stop()
+
+    case "viz" :: rest if rest.size >= 2 =>
+      val spark = session()
+      val files = rest.init
+      val out = Paths.get(rest.last)
+      val segs = Estimator
+        .segments(ChunkRelation.chunkFiles(spark, files))
+        .select("first_seen_in", "size")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq
+      Viz.provenancePng(segs, out)
+      println(s"wrote $out (${segs.size} chunks)")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown command: ${other.mkString(" ")}
+           |usage:
+           |  dedup FILE...
+           |  stats DIR [OUTDIR]
+           |  synthetic SCHEMA_JSON [OUTDIR]
+           |  page-chunks FILE...
+           |  viz FILE... OUT.png""".stripMargin)
+      sys.exit(2)
+  }
+}

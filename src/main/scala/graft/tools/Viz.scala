@@ -1,0 +1,63 @@
+package graft.tools
+
+import java.awt.image.BufferedImage
+import java.nio.file.Path
+
+/** Provenance heat-map PNG (reference: src/show.rs — 256×256 RGB strip,
+  * 8-px row blocks, sequence resampled to 8192 samples with linear
+  * interpolation, palette keyed by first_seen_in). Pure-JVM port of the
+  * *shape* (BufferedImage + ImageIO), consuming the O2 segment sequence.
+  */
+object Viz {
+
+  private val Width = 256
+  private val Height = 256
+  private val RowBlock = 8
+  private val Samples = (Width * Height) / RowBlock // 8192
+
+  /** 32-color palette, deterministic golden-angle HSB walk. */
+  private val Palette: Array[Int] = Array.tabulate(32) { i =>
+    java.awt.Color.HSBtoRGB((i * 0.61803398875f) % 1.0f, 0.65f, 0.92f)
+  }
+
+  /** Render the per-chunk first_seen_in sequence (byte-ordered, one entry
+    * per occurrence, weighted by chunk size) to a PNG.
+    */
+  def provenancePng(segments: Seq[(Long, Long)], out: Path): Unit = {
+    val img = render(segments)
+    javax.imageio.ImageIO.write(img, "png", out.toFile)
+  }
+
+  private[tools] def render(segments: Seq[(Long, Long)]): BufferedImage = {
+    val img = new BufferedImage(Width, Height, BufferedImage.TYPE_INT_RGB)
+    if (segments.isEmpty) return img
+    // expand to byte-weighted cumulative positions, then resample to 8192
+    val totalBytes = segments.map(_._2).sum.toDouble
+    val resampled = new Array[Int](Samples)
+    var segIdx = 0
+    var consumed = 0.0
+    var i = 0
+    while (i < Samples) {
+      val target = (i + 0.5) / Samples * totalBytes
+      while (segIdx < segments.size - 1 && consumed + segments(segIdx)._2 < target) {
+        consumed += segments(segIdx)._2
+        segIdx += 1
+      }
+      resampled(i) = (segments(segIdx)._1 % 32).toInt
+      i += 1
+    }
+    var s = 0
+    while (s < Samples) {
+      val x = s % Width
+      val yBase = (s / Width) * RowBlock
+      val rgb = Palette(resampled(s))
+      var dy = 0
+      while (dy < RowBlock) {
+        img.setRGB(x, yBase + dy, rgb)
+        dy += 1
+      }
+      s += 1
+    }
+    img
+  }
+}
