@@ -191,14 +191,16 @@ object Queries {
     import graft.sources.TableFormat
     val gen = new DataGenerator(
       DType.parseSchema("""{"a": "int", "b": "str", "c": ["int"]}"""), 42L)
-    val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(2), 100)
+    val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(2), 100,
+      assertCounts = false)
     val dir = java.nio.file.Files.createTempDirectory("graft-grid")
     val grouped = Seq("deleted", "inserted", "appended", "updated").map { v =>
       v -> Map("original" -> tables("original"), v -> tables(v))
     }.toMap
     val results = CompareFormats.compareTables(
       spark, grouped,
-      Seq(TableFormat.ParquetFormat("none"), TableFormat.ParquetFormat("snappy")), dir)
+      Seq(TableFormat.ParquetFormat("none"), TableFormat.ParquetFormat("snappy")), dir,
+      sanityCheck = false)
     spark.createDataset(results).toDF()
   }
 
@@ -207,6 +209,49 @@ object Queries {
     graft.sources.PageProfiler.pageSizeHistogram(
       graft.sources.PageProfiler.pageStats(
         spark, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")))
+
+  /** Approximate-distinct estimate vs exact, one row (shuffle-free HLL
+    * path vs the exact groupBy path).
+    */
+  private def cdcEstimateApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
+    val chunks = ChunkRelation.chunkFiles(spark, paths).cache()
+    try {
+      val (total, exactUnique, _) = Estimator.stats(chunks)
+      val (_, approxUnique, approxBytes) = Estimator.statsApprox(chunks)
+      Seq((total, exactUnique, approxUnique, approxBytes,
+        if (total == 0) 0.0 else approxBytes / total))
+        .toDF("total_len", "chunk_bytes", "approx_unique_chunks",
+          "approx_chunk_bytes", "approx_dedup_ratio")
+    } finally { chunks.unpersist(); () }
+  }
+
+  /** Streaming: watermarked tumbling-window aggregation over events run as
+    * a real Structured Streaming query into a memory sink; output keyed by
+    * epoch-second window start for cross-engine comparability.
+    */
+  private def streamWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"evt_win_${math.abs(sfDir.hashCode)}"
+    val result = graft.streaming.EventStream.runWindowedOnce(
+      spark, s"$sfDir/events.parquet", name)
+    result
+      .withColumn("window_start_epoch", unix_timestamp(col("window_start")))
+      .select(col("window_start_epoch"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Multimodal: JSON-blob corpus from documents → stub decode + real
+    * byte-histogram features → per-channel roll-up.
+    */
+  private def mmEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = Multimodal.blobsFromTable(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+    Multimodal
+      .enrich(blobs, "blob_id", "content")
+      .groupBy(col("channels"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("sum_bytes"))
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -223,7 +268,10 @@ object Queries {
     "q12_event_seq" -> q12EventSeq _,
     "cdc_estimate" -> (cdcEstimate _),
     "synthetic_grid" -> (syntheticGrid _),
-    "page_profile" -> (pageProfile _)
+    "page_profile" -> (pageProfile _),
+    "cdc_estimate_approx" -> (cdcEstimateApprox _),
+    "stream_window" -> (streamWindow _),
+    "mm_enrich" -> (mmEnrich _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   val oracles: Map[String, String] = Map(
@@ -281,6 +329,11 @@ object Queries {
       """SELECT user_id, seq, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS seq
-        |  FROM events) WHERE seq <= 5""".stripMargin
+        |  FROM events) WHERE seq <= 5""".stripMargin,
+    "stream_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
   ) ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

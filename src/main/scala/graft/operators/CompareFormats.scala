@@ -26,16 +26,24 @@ object CompareFormats {
       directory: Path,
       params: ChunkerParams = ChunkerParams.Default,
       sanityCheck: Boolean = true): Seq[EstimationResult] = {
-    val files: Seq[(String, String, String)] = for {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // concurrent write submission (the reference's ThreadPoolExecutor,
+    // de/estimate.py:57-68): independent Spark jobs overlap in the scheduler
+    val cells = for {
       (group, groupTables) <- tables.toSeq.sortBy(_._1)
       fmt <- formats
       (tableName, df) <- groupTables.toSeq.sortBy(_._1)
-      path <- {
+    } yield (group, fmt, tableName, df)
+    val futures = cells.map { case (group, fmt, tableName, df) =>
+      Future {
         val written = fmt.write(df, directory, group, tableName)
         if (sanityCheck) verifyWrite(spark, df, fmt, written)
-        written
+        written.map(p => (group, fmt.name, p))
       }
-    } yield (group, fmt.name, path)
+    }
+    val files = Await.result(Future.sequence(futures), Duration.Inf).flatten
     Estimator.estimateGrid(spark, files, params)
   }
 

@@ -65,6 +65,27 @@ object Estimator {
     (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
+  /** Approximate estimate (the "approximate distinct" framing in
+    * BASELINE.json, reserved as extension in SURVEY §2.4-A4): HLL++
+    * `approx_count_distinct` over chunk hashes × mean chunk size. ONE
+    * narrow aggregation — no hash-keyed shuffle at all, so at 100 TB the
+    * whole estimate is a scan-side partial aggregate + a tiny final merge;
+    * accuracy is rsd-bounded (default 1%).
+    */
+  def statsApprox(chunks: Dataset[ChunkRow], rsd: Double = 0.01): (Long, Long, Double) = {
+    val row = chunks
+      .agg(
+        sum(col("size")).as("total"),
+        approx_count_distinct(col("hash"), rsd).as("approx_unique"),
+        count(lit(1)).as("occurrences"))
+      .head()
+    val total = row.getLong(0)
+    val approxUnique = row.getLong(1)
+    val occ = row.getLong(2)
+    val avgChunk = if (occ == 0) 0.0 else total.toDouble / occ
+    (total, approxUnique, approxUnique * avgChunk)
+  }
+
   /** Xet-style unique bytes (A4, reference src/xet.rs:24-34): Σ size over
     * distinct hashes of the xet chunker's stream.
     */

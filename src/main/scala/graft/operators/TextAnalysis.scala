@@ -120,16 +120,19 @@ object TextAnalysis {
         hashes(i) = h
         i += 1
       }
+      // O(n) sliding-window minimum via monotonic deque
       val out = scala.collection.mutable.TreeSet.empty[Long]
-      var w = 0
-      val lastWindow = n - window
-      if (lastWindow < 0) out += hashes.min
-      else while (w <= lastWindow) {
-        var m = hashes(w)
-        var j = w + 1
-        while (j < w + window) { if (hashes(j) < m) m = hashes(j); j += 1 }
-        out += m
-        w += 1
+      if (n <= window) out += hashes.min
+      else {
+        val deque = new java.util.ArrayDeque[Int]()
+        var i2 = 0
+        while (i2 < n) {
+          while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i2)) deque.pollLast()
+          deque.addLast(i2)
+          if (deque.peekFirst() <= i2 - window) deque.pollFirst()
+          if (i2 >= window - 1) out += hashes(deque.peekFirst())
+          i2 += 1
+        }
       }
       out.toArray
     }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the events table (the reference is
+  * batch-only — SURVEY §2.8 — so this is the pipeline-extension layer):
+  * watermarked windowed aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`.
+  *
+  * The events parquet stores ts as TIMESTAMP(NANOS) (read as long under
+  * nanosAsLong); `withEventTime` converts to a proper timestamp column.
+  */
+object EventStream {
+
+  final case class EventRow(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(count: Long, sumValue: Double, lastTs: Long)
+
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double,
+      closed_at: Long)
+
+  def withEventTime(df: DataFrame): DataFrame =
+    df.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Tumbling-window counts/sums per event type with a watermark: the
+    * canonical streaming aggregation (append-mode compatible).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_), col("event_type"))
+      // decimal-cast sum: deterministic under any row order (and therefore
+      // comparable against a batch oracle engine)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Per-user sessionization with processing-time timeout: counts + value
+    * sums until a gap closes the session. State is one small case class per
+    * active user — the `KeyValueGroupedDataset` custom-state surface.
+    */
+  def sessionize(
+      events: Dataset[EventRow],
+      gapNanos: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            if (cur.count > 0 && e.ts - cur.lastTs > gapNanos) {
+              closed += SessionOut(userId, cur.count, cur.sumValue, cur.lastTs)
+              cur = SessionState(0L, 0.0, Long.MinValue)
+            }
+            cur = SessionState(cur.count + 1, cur.sumValue + e.value, e.ts)
+          }
+          state.update(cur)
+          closed.iterator
+        })
+  }
+
+  /** Batch-driven smoke harness: run the windowed aggregation as a stream
+    * over a parquet directory into a memory sink, synchronously.
+    */
+  def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    // file-source streams need a directory; a single-file input becomes
+    // parent-dir + glob filter
+    val (baseDir, glob) =
+      if (dir.endsWith(".parquet")) {
+        val p = java.nio.file.Paths.get(dir)
+        (p.getParent.toString, Some(p.getFileName.toString))
+      } else (dir, None)
+    var reader = spark.readStream.schema(schema)
+    glob.foreach(g => reader = reader.option("pathGlobFilter", g))
+    val stream = reader.parquet(baseDir)
+    // complete mode so bounded batches surface every window (append would
+    // hold back windows the watermark never closes on a finite input)
+    val q = windowedCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private def blobs = {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(50)
+    Multimodal.blobsFromTable(docs, "doc_id")
+  }
+
+  test("blobsFromTable produces binary content rows") {
+    val b = blobs.cache()
+    assert(b.count() == 50)
+    assert(b.schema("content").dataType.typeName == "binary")
+    val first = b.orderBy("blob_id").head()
+    assert(new String(first.getAs[Array[Byte]]("content"), "UTF-8").startsWith("{"))
+    b.unpersist()
+  }
+
+  test("enrich: deterministic stub metadata + real histogram features") {
+    val e = Multimodal.enrich(blobs, "blob_id", "content").cache()
+    assert(e.count() == 50)
+    val row = e.orderBy("blob_id").head()
+    assert(row.getAs[Int]("width") >= 1 && row.getAs[Int]("width") <= 1920)
+    val feats = row.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == 64)
+    assert(math.abs(feats.sum - 1.0f) < 1e-3, "histogram must be L1-normalized")
+    // deterministic: re-running yields identical rows
+    val again = Multimodal.enrich(blobs, "blob_id", "content").orderBy("blob_id").head()
+    assert(again == row)
+    e.unpersist()
+  }
+
+  test("sampleFrames: one row per frame, bounded by maxFrames") {
+    val f = Multimodal.sampleFrames(blobs, "blob_id", "content", strideBytes = 128, maxFrames = 4)
+    val counts = f.groupBy("blob_id").count().collect()
+    assert(counts.forall(r => r.getLong(1) >= 1 && r.getLong(1) <= 4))
+    val frame = f.filter(col("frame_idx") === 0).head()
+    assert(frame.getAs[Array[Byte]]("frame_bytes").length <= 128)
+  }
+
+  test("features feed the similarity operator end-to-end") {
+    val e = Multimodal.enrich(blobs, "blob_id", "content")
+    val topk = Similarity.bruteForceTopK(e, "blob_id", "features", Seq(0L), k = 3)
+    assert(topk.count() == 3)
+  }
+}
