@@ -241,6 +241,22 @@ object Queries {
         col("sum_value"))
   }
 
+  /** A6 per-doc chunk presence matrix: explode the merged relation's
+    * seen_in to (hash, doc) membership with uniqueness flags — the
+    * viz-backing shape (reference de/__init__.py:109-137).
+    */
+  private def chunkMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet",
+      s"$sfDir/customer.parquet")
+    val merged = Estimator.merged(ChunkRelation.chunkFiles(spark, paths))
+    merged
+      .select(col("hash"), col("size"), col("first_seen_in"),
+        size(col("seen_in")).as("n_files"), explode(col("seen_in")).as("file_idx"))
+      .withColumn("is_unique", col("n_files") === 1)
+      .select(col("hash"), col("file_idx"), col("size"), col("first_seen_in"),
+        col("is_unique"))
+  }
+
   /** Multimodal: JSON-blob corpus from documents → stub decode + real
     * byte-histogram features → per-channel roll-up.
     */
@@ -271,7 +287,8 @@ object Queries {
     "page_profile" -> (pageProfile _),
     "cdc_estimate_approx" -> (cdcEstimateApprox _),
     "stream_window" -> (streamWindow _),
-    "mm_enrich" -> (mmEnrich _)
+    "mm_enrich" -> (mmEnrich _),
+    "chunk_matrix" -> (chunkMatrix _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   val oracles: Map[String, String] = Map(

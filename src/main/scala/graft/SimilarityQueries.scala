@@ -32,16 +32,49 @@ object SimilarityQueries {
       .groupBy(col("label"), size(col("embedding")).cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vectors"))
 
+  /** Exact top-k by quantized dot product — the similarity-search operator
+    * with a cell-exact DuckDB oracle: both engines quantize floats to
+    * round(x*1000) BIGINTs (no rounding ties exist: k+0.5 would need a
+    * non-dyadic float), so the score is pure integer arithmetic.
+    */
+  private def annDotExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = emb(spark, sfDir)
+    val q = base.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val qArr = array(q.map(f => lit(math.round(f.toDouble * 1000))): _*)
+    base
+      .filter(col("vec_id") =!= 0L)
+      .withColumn("dot_scaled",
+        aggregate(
+          zip_with(col("embedding"), qArr,
+            (x, y) => round(x.cast("double") * 1000).cast("long") * y),
+          lit(0L), (acc, x) => acc + x))
+      .orderBy(col("dot_scaled").desc, col("vec_id").asc)
+      .limit(5)
+      .select(col("vec_id"), col("dot_scaled"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "emb_neardup" -> nearDups _,
-    "emb_dims" -> embDims _
+    "emb_dims" -> embDims _,
+    "ann_dot_exact" -> annDotExact _
   )
 
   val oracles: Map[String, String] = Map(
     "emb_dims" ->
       """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, COUNT(*) AS n_vectors
-        |FROM embeddings GROUP BY label, len(embedding)""".stripMargin
+        |FROM embeddings GROUP BY label, len(embedding)""".stripMargin,
+    "ann_dot_exact" ->
+      """SELECT b.vec_id,
+        |  CAST(SUM(CAST(ROUND(CAST(b.embedding[i.i] AS DOUBLE) * 1000) AS BIGINT)
+        |    * CAST(ROUND(CAST(a.embedding[i.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_scaled
+        |FROM embeddings b,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) a,
+        |     (SELECT UNNEST(range(1, 65)) AS i) i
+        |WHERE b.vec_id <> 0
+        |GROUP BY b.vec_id
+        |ORDER BY dot_scaled DESC, b.vec_id ASC LIMIT 5""".stripMargin
   )
 }

@@ -77,6 +77,26 @@ object TextQueries {
   private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3)
 
+  /** CDC over in-table payloads via the custom Catalyst Generator
+    * expression: chunk each document's UTF-8 bytes (small chunk params for
+    * doc-sized payloads), dedup chunks per source.
+    */
+  private def docCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.plans.CdcChunks
+    val chunked = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
+          maxLen = 256, maskBits = 5))
+    chunked
+      .groupBy(col("source"), col("hash"))
+      .agg(first(col("size")).as("size"), sum(col("size")).as("occ_bytes"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ_bytes")).as("total_bytes"),
+        sum(col("size")).as("unique_bytes"))
+      .withColumn("dedup_ratio",
+        col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -87,7 +107,8 @@ object TextQueries {
     "text_stats" -> textStats _,
     "text_quality_full" -> qualityFull _,
     "lang_id" -> langId _,
-    "doc_fingerprint" -> docFingerprint _
+    "doc_fingerprint" -> docFingerprint _,
+    "doc_cdc" -> docCdc _
   )
 
   val oracles: Map[String, String] = Map(

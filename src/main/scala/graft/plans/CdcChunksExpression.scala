@@ -1,0 +1,78 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import graft.cdc.{ChunkIterator, ChunkerParams, Lz4Len, XXH64}
+
+/** `cdc_chunks(content BINARY)` — a Catalyst Generator (table-valued
+  * expression): one input blob → N chunk rows
+  * `(chunk_idx LONG, hash LONG, size LONG, compressed LONG)`.
+  *
+  * This is the reference's chunking operator surfaced at the SQL layer
+  * (SURVEY §2.2-C1's "optionally a Catalyst Generator expression"), so
+  * `SELECT doc_id, c.* FROM docs LATERAL VIEW cdc_chunks(payload) c`
+  * works alongside the Dataset `flatMap` path (`ChunkRelation`). Generators
+  * execute inside GenerateExec which keeps the surrounding stage narrow;
+  * eval is a pure kernel call, CodegenFallback only wraps the call itself.
+  */
+final case class CdcChunks(
+    child: Expression,
+    minLen: Int,
+    maxLen: Int,
+    maskBits: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", LongType, nullable = false),
+    StructField("hash", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("compressed", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks requires BINARY input, got ${child.dataType.catalogString}")
+
+  @transient private lazy val params =
+    ChunkerParams(mask = -1L << (64 - maskBits), minLen = minLen, maxLen = maxLen)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val bytes = child.eval(input).asInstanceOf[Array[Byte]]
+    if (bytes == null || bytes.isEmpty) Iterator.empty
+    else {
+      new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).zipWithIndex.map {
+        case (chunk, i) =>
+          InternalRow(i.toLong, XXH64.hash(chunk, XXH64.DefaultSeed),
+            chunk.length.toLong, Lz4Len(chunk).toLong)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** Column-level API: `df.select($"id", cdc_chunks($"payload"))`. */
+  def cdc_chunks(
+      content: Column,
+      minLen: Int = 8 * 1024,
+      maxLen: Int = 128 * 1024,
+      maskBits: Int = 16): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      CdcChunks(org.apache.spark.sql.GraftBridge.expression(content),
+        minLen, maxLen, maskBits))
+
+  /** Register `cdc_chunks` for SQL (`LATERAL VIEW cdc_chunks(b)`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      exprs => CdcChunks(exprs.head, 8 * 1024, 128 * 1024, 16),
+      "built-in")
+}
