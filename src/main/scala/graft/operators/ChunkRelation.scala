@@ -58,6 +58,46 @@ object ChunkRelation {
       }
   }
 
+  /** Scale-aware chunking: files at or above `largeFileThreshold` go
+    * through the split-parallel DistributedChunker (intra-file
+    * parallelism), the rest through the one-task-per-file streaming path.
+    * Output is identical either way (DistributedChunkerSpec proves
+    * byte-identity), so this is purely a scheduling decision.
+    */
+  def chunkFilesAuto(
+      spark: SparkSession,
+      paths: Seq[String],
+      params: ChunkerParams = ChunkerParams.Default,
+      largeFileThreshold: Long = 1L << 30): Dataset[ChunkRow] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val sized = paths.zipWithIndex.map { case (p, i) =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      (p, i.toLong, hp.getFileSystem(conf).getFileStatus(hp).getLen)
+    }
+    val (large, small) = sized.partition(_._3 >= largeFileThreshold)
+    val smallDs =
+      if (small.isEmpty) None
+      else {
+        import spark.implicits._
+        val indexed = small.map { case (p, i, _) => (i, p) }
+        Some(spark
+          .createDataset(indexed)
+          .repartition(math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism)))
+          .flatMap { case (fileIdx, path) =>
+            openAndChunk(path, params).zipWithIndex.map { case (bytes, ci) =>
+              ChunkRow(fileIdx, ci.toLong, XXH64.hash(bytes, XXH64.DefaultSeed),
+                bytes.length.toLong, Lz4Len(bytes).toLong)
+            }
+          })
+      }
+    val largeDs = large.map { case (p, i, _) =>
+      DistributedChunker.chunkLargeFile(spark, p, fileIdx = i, params)
+    }
+    (smallDs.toSeq ++ largeDs).reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset(implicitly[org.apache.spark.sql.Encoder[ChunkRow]](
+        org.apache.spark.sql.Encoders.product[ChunkRow])))
+  }
+
   /** As `chunkFiles` but retaining chunk payloads (reference `store_data`). */
   def chunkFilesWithData(
       spark: SparkSession,

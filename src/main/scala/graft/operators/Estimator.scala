@@ -107,9 +107,10 @@ object Estimator {
       format: String = "raw",
       params: ChunkerParams = ChunkerParams.Default,
       xetParams: ChunkerParams = ChunkerParams.Xet): EstimationResult = {
-    val chunks = ChunkRelation.chunkFiles(spark, paths, params)
+    // auto-routing: files >= 1 GiB get intra-file split parallelism
+    val chunks = ChunkRelation.chunkFilesAuto(spark, paths, params)
     val (total, chunkBytes, compressedBytes) = stats(chunks)
-    val xetBytes = uniqueBytes(ChunkRelation.chunkFiles(spark, paths, xetParams))
+    val xetBytes = uniqueBytes(ChunkRelation.chunkFilesAuto(spark, paths, xetParams))
     EstimationResult(
       group = group,
       format = format,
