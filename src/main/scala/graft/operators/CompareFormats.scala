@@ -66,6 +66,24 @@ object CompareFormats {
     }
   }
 
+  /** Writer-parameter sweep (reference: compare_formats de/estimate.py:87-119
+    * + `de param-impact` de/cli.py:310-349): one baseline format vs a list
+    * of contenders over the same table, one estimation cell each — shows
+    * how a knob (row-group size, page size) moves the dedup ratio.
+    */
+  def paramImpact(
+      spark: SparkSession,
+      table: DataFrame,
+      baseline: TableFormat,
+      contenders: Seq[TableFormat],
+      directory: Path,
+      params: ChunkerParams = ChunkerParams.Default): Seq[EstimationResult] = {
+    val files = (baseline +: contenders).flatMap { fmt =>
+      fmt.write(table, directory, "param-impact", "t").map(p => ("param-impact", fmt.name, p))
+    }
+    Estimator.estimateGrid(spark, files, params)
+  }
+
   /** Plain-text report table (the reference's rich table, de/display.py:32-88,
     * sans colors): sections per group, best dedup ratio starred, humanized
     * sizes, ratio bar.

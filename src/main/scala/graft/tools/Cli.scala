@@ -74,6 +74,45 @@ object Cli {
       println(CompareFormats.formatReport(results))
       spark.stop()
 
+    case "rewrite" :: files if files.nonEmpty =>
+      // reference `de rewrite` writes {stem}-dedup; CDC parquet writing is
+      // not reachable from Spark's writer (README coverage map), so this
+      // rewrites with zstd + small pages — the closest dedup-friendly knobs
+      val spark = session()
+      files.foreach { f =>
+        val src = Paths.get(f)
+        val stem = src.getFileName.toString.stripSuffix(".parquet")
+        val fmt = TableFormat.ParquetFormat("zstd", dataPageBytes = Some(64 * 1024))
+        val out = fmt.write(spark.read.parquet(f), src.getParent, s"$stem-dedup", stem)
+        println(s"rewrote $f -> ${out.mkString(",")}")
+      }
+      spark.stop()
+
+    case "revisions" :: file :: targetDir :: Nil =>
+      val out = GitRevisions.checkoutFileRevisions(
+        Paths.get(file), Paths.get(targetDir))
+      println(s"wrote ${out.size} revisions under $targetDir")
+      out.foreach(p => println(s"  $p"))
+
+    case "param-impact" :: file :: knob :: Nil =>
+      val spark = session()
+      val df = spark.read.parquet(file)
+      val outDir = Files.createTempDirectory("graft-param")
+      val (baseline, contenders) = knob match {
+        case "--row-group-size" =>
+          (TableFormat.ParquetFormat("snappy", rowGroupBytes = Some(1L << 20)),
+            (14 to 22 by 2).map(b =>
+              TableFormat.ParquetFormat("snappy", rowGroupBytes = Some(1L << b))))
+        case "--data-page-size" =>
+          (TableFormat.ParquetFormat("snappy", dataPageBytes = Some(1L << 20)),
+            (12 to 22 by 2).map(b =>
+              TableFormat.ParquetFormat("snappy", dataPageBytes = Some(1L << b))))
+        case other => sys.error(s"unknown knob $other (use --row-group-size | --data-page-size)")
+      }
+      val results = CompareFormats.paramImpact(spark, df, baseline, contenders, outDir)
+      println(CompareFormats.formatReport(results))
+      spark.stop()
+
     case "page-chunks" :: files if files.nonEmpty =>
       val spark = session()
       PageProfiler.pageSizeHistogram(PageProfiler.pageStats(spark, files))
@@ -101,6 +140,9 @@ object Cli {
            |  dedup FILE...
            |  stats DIR [OUTDIR]
            |  synthetic SCHEMA_JSON [OUTDIR]
+           |  rewrite FILE...
+           |  revisions FILE TARGET_DIR
+           |  param-impact FILE --row-group-size|--data-page-size
            |  page-chunks FILE...
            |  viz FILE... OUT.png""".stripMargin)
       sys.exit(2)

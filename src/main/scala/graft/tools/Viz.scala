@@ -28,6 +28,32 @@ object Viz {
     javax.imageio.ImageIO.write(img, "png", out.toFile)
   }
 
+  /** Multi-doc strip diff as self-contained HTML (reference:
+    * de/__init__.py:83-145): one horizontal strip per file, one cell per
+    * chunk, color = first_seen_in, opacity 1.0 unique / 0.5 shared,
+    * width ∝ chunk size. Input = the A6 matrix rows
+    * (file_idx, first_seen_in, size, is_unique) in byte order per file.
+    */
+  def stripDiffHtml(rows: Seq[(Long, Long, Long, Boolean)]): String = {
+    val byFile = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    sb.append("<html><body style=\"font-family:monospace\">")
+    byFile.foreach { case (fileIdx, chunks) =>
+      val total = math.max(1L, chunks.map(_._3).sum)
+      sb.append(s"<div>file $fileIdx</div><div style=\"display:flex;height:14px;margin:2px 0\">")
+      chunks.foreach { case (_, firstSeen, size, unique) =>
+        val rgb = Palette((firstSeen % 32).toInt) & 0xffffff
+        val pct = size.toDouble * 100 / total
+        val opacity = if (unique) "1.0" else "0.5"
+        sb.append(
+          f"<div style=${"\""}width:$pct%.3f%%;background:#$rgb%06x;opacity:$opacity${"\""}></div>")
+      }
+      sb.append("</div>")
+    }
+    sb.append("</body></html>")
+    sb.result()
+  }
+
   private[tools] def render(segments: Seq[(Long, Long)]): BufferedImage = {
     val img = new BufferedImage(Width, Height, BufferedImage.TYPE_INT_RGB)
     if (segments.isEmpty) return img

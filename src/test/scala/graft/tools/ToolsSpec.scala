@@ -1,0 +1,73 @@
+package graft.tools
+
+import graft.SparkSpec
+import graft.operators.{ChunkRelation, CompareFormats, Estimator}
+import graft.sources.TableFormat
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class ToolsSpec extends SparkSpec {
+
+  test("git revisions: enumerates and materializes this repo's README history") {
+    val readme = Paths.get("/root/repo/README.md")
+    val revs = GitRevisions.listRevisions(readme)
+    assert(revs.nonEmpty)
+    val target = Files.createTempDirectory("graft-revs")
+    val out = GitRevisions.checkoutFileRevisions(readme, target)
+    assert(out.size == revs.size)
+    assert(out.forall(p => Files.size(p) > 0))
+    assert(out.head.getFileName.toString.startsWith("README-"))
+    // newest revision content equals the committed HEAD version
+    val headBytes = new String(
+      java.nio.file.Files.readAllBytes(out.head), "UTF-8")
+    assert(headBytes.contains("graft"))
+  }
+
+  test("git revisions: from/until slice bounds the list") {
+    val readme = Paths.get("/root/repo/README.md")
+    val revs = GitRevisions.listRevisions(readme)
+    assume(revs.size >= 2)
+    val target = Files.createTempDirectory("graft-revs2")
+    val out = GitRevisions.checkoutFileRevisions(
+      readme, target, fromRev = Some(revs(1).take(8)), untilRev = None)
+    assert(out.size == revs.size - 1)
+  }
+
+  test("param-impact: one result per format, knob changes the written file") {
+    val df = spark.range(50000).select(col("id"),
+      concat(lit("value-"), col("id")).as("s"))
+    val dir = Files.createTempDirectory("graft-pi")
+    val results = CompareFormats.paramImpact(
+      spark, df,
+      TableFormat.ParquetFormat("snappy", rowGroupBytes = Some(1L << 20)),
+      Seq(TableFormat.ParquetFormat("snappy", rowGroupBytes = Some(64L << 10))),
+      dir)
+    assert(results.size == 2)
+    assert(results.map(_.format).distinct.size == 2)
+    results.foreach(r => assert(r.total_len > 0))
+  }
+
+  test("strip diff html renders per-file strips") {
+    val rows = Seq(
+      (0L, 0L, 1000L, true), (0L, 0L, 2000L, false),
+      (1L, 0L, 2000L, false), (1L, 1L, 500L, true))
+    val html = Viz.stripDiffHtml(rows)
+    assert(html.contains("file 0") && html.contains("file 1"))
+    assert(html.contains("opacity:0.5") && html.contains("opacity:1.0"))
+  }
+
+  test("ordered chunk dump with payloads (reference store_data path)") {
+    val dir = Files.createTempDirectory("graft-dump")
+    val f = dir.resolve("x.bin")
+    val r = new java.util.Random(5)
+    val data = new Array[Byte](300000)
+    r.nextBytes(data)
+    Files.write(f, data)
+    val withData = ChunkRelation.chunkFilesWithData(spark, Seq(f.toString))
+      .orderBy("chunk_idx").collect()
+    assert(withData.map(_.data.length.toLong).sum == data.length.toLong)
+    // payload bytes reassemble the file in chunk order
+    val reassembled = withData.flatMap(_.data)
+    assert(java.util.Arrays.equals(reassembled, data))
+  }
+}
