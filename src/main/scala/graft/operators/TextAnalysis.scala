@@ -120,21 +120,26 @@ object TextAnalysis {
         hashes(i) = h
         i += 1
       }
-      // O(n) sliding-window minimum via monotonic deque
-      val out = scala.collection.mutable.TreeSet.empty[Long]
+      // O(n) sliding-window minimum via monotonic deque; record only when
+      // the window's min index changes (classic winnowing), dedup at end
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       if (n <= window) out += hashes.min
       else {
         val deque = new java.util.ArrayDeque[Int]()
+        var lastRecorded = -1
         var i2 = 0
         while (i2 < n) {
           while (!deque.isEmpty && hashes(deque.peekLast()) >= hashes(i2)) deque.pollLast()
           deque.addLast(i2)
           if (deque.peekFirst() <= i2 - window) deque.pollFirst()
-          if (i2 >= window - 1) out += hashes(deque.peekFirst())
+          if (i2 >= window - 1) {
+            val minIdx = deque.peekFirst()
+            if (minIdx != lastRecorded) { out += hashes(minIdx); lastRecorded = minIdx }
+          }
           i2 += 1
         }
       }
-      out.toArray
+      out.distinct.sorted.toArray
     }
   }
 

@@ -20,8 +20,17 @@ object DType {
   final case class ListT(elem: DType) extends DType
 
   def parseSchema(json: String): Seq[(String, DType)] = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = mapper.readTree(json)
+    // lenient JSON (unquoted keys, single quotes) — shells and sbt's arg
+    // tokenizer eat double quotes, so `{a:int,b:[str]}` must work too:
+    // bare identifiers get quoted before parsing when no quotes survive
+    val normalized =
+      if (json.contains("\"") || json.contains("'")) json
+      else json.replaceAll("([A-Za-z_][A-Za-z0-9_]*)", "\"$1\"")
+    val mapper = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_UNQUOTED_FIELD_NAMES)
+      .enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+      .build()
+    val node = mapper.readTree(normalized)
     require(node.isObject, "schema root must be a JSON object")
     parseStruct(node).fields
   }

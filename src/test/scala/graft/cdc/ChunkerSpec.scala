@@ -89,6 +89,20 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
+  test("golden vectors: pinned boundaries + hashes (gear table stability)") {
+    // Pinned 2026-08: any change to the gear table, mask handling, or
+    // XXH64 breaks chunk identity across releases — this test is the trip
+    // wire (SURVEY §5-4).
+    val r = new java.util.Random(20260812L)
+    val data = new Array[Byte](256 * 1024)
+    r.nextBytes(data)
+    val bounds = Chunker.boundaries(data)
+    assert(bounds == Vector((0, 39480), (39480, 131072), (170552, 91592)))
+    val hashes = Chunker.chunk(data).map(c => XXH64.hash(c, 42L))
+    assert(hashes == Vector(230101126712696998L, 1807013923015510247L,
+      5897939731392082316L))
+  }
+
   test("empty input produces no chunks") {
     assert(Chunker.chunk(Array.emptyByteArray).isEmpty)
   }
