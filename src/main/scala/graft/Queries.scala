@@ -210,6 +210,14 @@ object Queries {
       graft.sources.PageProfiler.pageStats(
         spark, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")))
 
+  /** S9 footer profile with a DuckDB parquet_metadata() oracle: per
+    * (row_group, column) value counts and chunk sizes of the sf lineitem.
+    * NOTE: the oracle SQL must name a concrete file — it targets the
+    * driver's sf0.01 verification directory.
+    */
+  private def rowgroupProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.PageProfiler.rowGroupStats(spark, Seq(s"$sfDir/lineitem.parquet"))
+
   /** Approximate-distinct estimate vs exact, one row (shuffle-free HLL
     * path vs the exact groupBy path).
     */
@@ -285,6 +293,7 @@ object Queries {
     "cdc_estimate" -> (cdcEstimate _),
     "synthetic_grid" -> (syntheticGrid _),
     "page_profile" -> (pageProfile _),
+    "rowgroup_profile" -> (rowgroupProfile _),
     "cdc_estimate_approx" -> (cdcEstimateApprox _),
     "stream_window" -> (streamWindow _),
     "mm_enrich" -> (mmEnrich _),
@@ -351,6 +360,12 @@ object Queries {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "rowgroup_profile" ->
+      """SELECT row_group_id AS row_group, path_in_schema AS column_name,
+        |  CAST(num_values AS BIGINT) AS num_values,
+        |  CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
+        |  CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size
+        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')""".stripMargin
   ) ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -68,8 +68,8 @@ object TextQueries {
   private def qualityFull(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis
       .qualityScore(docs(spark, sfDir))
-      .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
-        col("punct_ratio"), col("stopword_ratio"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
 
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3)
@@ -133,6 +133,19 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
+    "text_quality_full" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE)
+        |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_token_len,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |    'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |    / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |      FROM documents)""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

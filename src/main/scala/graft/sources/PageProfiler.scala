@@ -20,6 +20,43 @@ object PageProfiler {
       uncompressed_bytes: Long,
       num_values: Long)
 
+  final case class RowGroupStat(
+      row_group: Long,
+      column_name: String,
+      num_values: Long,
+      total_compressed_size: Long,
+      total_uncompressed_size: Long)
+
+  /** Row-group/column-chunk stats from the footer only (no page reads) —
+    * cross-checkable against DuckDB's parquet_metadata().
+    */
+  def rowGroupStats(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark
+      .createDataset(paths)
+      .repartition(math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { path =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(path), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).iterator.flatMap { rg =>
+            val block = blocks.get(rg)
+            val cols = block.getColumns
+            (0 until cols.size()).map { ci =>
+              val c = cols.get(ci)
+              RowGroupStat(rg.toLong, c.getPath.toDotString, c.getValueCount,
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
+          }.toVector.iterator
+        } finally reader.close()
+      }
+      .toDF()
+  }
+
   /** One row per data page across all files. */
   def pageStats(spark: SparkSession, paths: Seq[String]): DataFrame = {
     import spark.implicits._
