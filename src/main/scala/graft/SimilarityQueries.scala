@@ -34,20 +34,23 @@ object SimilarityQueries {
 
   /** Exact top-k by quantized dot product — the similarity-search operator
     * with a cell-exact DuckDB oracle: both engines quantize floats to
-    * round(x*1000) BIGINTs (no rounding ties exist: k+0.5 would need a
-    * non-dyadic float), so the score is pure integer arithmetic.
+    * floor(x*1000 + 0.5) BIGINTs. Floor semantics (not HALF_UP round) is
+    * deliberate: floats like odd/16 DO land exactly on k+0.5 after *1000,
+    * and round-half-away differs between ties at negative values across
+    * engines, while floor(x+0.5) is one unambiguous function everywhere.
     */
   private def annDotExact(spark: SparkSession, sfDir: String): DataFrame = {
     val base = emb(spark, sfDir)
     val q = base.filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0)
-    val qArr = array(q.map(f => lit(math.round(f.toDouble * 1000))): _*)
+    val qArr = array(q.map(f =>
+      lit(math.floor(f.toDouble * 1000 + 0.5).toLong)): _*)
     base
       .filter(col("vec_id") =!= 0L)
       .withColumn("dot_scaled",
         aggregate(
           zip_with(col("embedding"), qArr,
-            (x, y) => round(x.cast("double") * 1000).cast("long") * y),
+            (x, y) => floor(x.cast("double") * 1000 + 0.5).cast("long") * y),
           lit(0L), (acc, x) => acc + x))
       .orderBy(col("dot_scaled").desc, col("vec_id").asc)
       .limit(5)
@@ -68,8 +71,8 @@ object SimilarityQueries {
         |FROM embeddings GROUP BY label, len(embedding)""".stripMargin,
     "ann_dot_exact" ->
       """SELECT b.vec_id,
-        |  CAST(SUM(CAST(ROUND(CAST(b.embedding[i.i] AS DOUBLE) * 1000) AS BIGINT)
-        |    * CAST(ROUND(CAST(a.embedding[i.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot_scaled
+        |  CAST(SUM(CAST(FLOOR(CAST(b.embedding[i.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |    * CAST(FLOOR(CAST(a.embedding[i.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS dot_scaled
         |FROM embeddings b,
         |     (SELECT embedding FROM embeddings WHERE vec_id = 0) a,
         |     (SELECT UNNEST(range(1, 65)) AS i) i

@@ -43,9 +43,17 @@ object ChunkRelation {
   def chunkFiles(
       spark: SparkSession,
       paths: Seq[String],
-      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow] = {
+      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow] =
+    chunkIndexedFiles(spark, paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }, params)
+
+  /** Shared per-file chunk-row production (single definition keeps the
+    * plain and auto paths byte-identical by construction).
+    */
+  private def chunkIndexedFiles(
+      spark: SparkSession,
+      indexed: Seq[(Long, String)],
+      params: ChunkerParams): Dataset[ChunkRow] = {
     import spark.implicits._
-    val indexed = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
     val parallelism = math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism))
     spark
       .createDataset(indexed)
@@ -77,19 +85,7 @@ object ChunkRelation {
     val (large, small) = sized.partition(_._3 >= largeFileThreshold)
     val smallDs =
       if (small.isEmpty) None
-      else {
-        import spark.implicits._
-        val indexed = small.map { case (p, i, _) => (i, p) }
-        Some(spark
-          .createDataset(indexed)
-          .repartition(math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism)))
-          .flatMap { case (fileIdx, path) =>
-            openAndChunk(path, params).zipWithIndex.map { case (bytes, ci) =>
-              ChunkRow(fileIdx, ci.toLong, XXH64.hash(bytes, XXH64.DefaultSeed),
-                bytes.length.toLong, Lz4Len(bytes).toLong)
-            }
-          })
-      }
+      else Some(chunkIndexedFiles(spark, small.map { case (p, i, _) => (i, p) }, params))
     val largeDs = large.map { case (p, i, _) =>
       DistributedChunker.chunkLargeFile(spark, p, fileIdx = i, params)
     }

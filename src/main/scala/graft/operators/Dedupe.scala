@@ -147,7 +147,13 @@ object Dedupe {
       }
       .toDF("id_a", "id_b", "est_jaccard", "jaccard")
 
-    verified.filter(col("jaccard") >= threshold)
+    // materialize the (small) pair result, then release the cached
+    // signature relation — callers keep a cheap cached handle, executors
+    // don't accumulate pinned blocks across catalog runs
+    val result = verified.filter(col("jaccard") >= threshold).cache()
+    result.count()
+    docs.unpersist()
+    result
   }
 
   // --------------------------------------------------------------- simhash
@@ -208,7 +214,7 @@ object Dedupe {
       }
       .toDF("block", "key", "id", "sig")
 
-    blocked
+    val result = blocked
       .as("l")
       .join(blocked.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
@@ -219,6 +225,10 @@ object Dedupe {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDistance)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .cache()
+    result.count()
+    sigs.unpersist()
+    result
   }
 
   // --------------------------------------------------- embedding near-dup
@@ -246,7 +256,7 @@ object Dedupe {
       .toDF("id", "sig", "vec")
       .cache()
 
-    sigs
+    val result = sigs
       .as("l")
       .join(sigs.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -255,5 +265,9 @@ object Dedupe {
       .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
       .toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= minCosine)
+      .cache()
+    result.count()
+    sigs.unpersist()
+    result
   }
 }

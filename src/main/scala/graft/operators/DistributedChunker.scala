@@ -174,6 +174,9 @@ object DistributedChunker {
     val in = fs.open(p)
     try {
       ranges.iterator.zipWithIndex.map { case ((off, len), i) =>
+        require(len <= Int.MaxValue.toLong,
+          s"chunk of $len bytes exceeds 2 GiB — run with enforceMax=true " +
+            "(candidate-free spans can otherwise produce unbounded chunks)")
         val bytes = new Array[Byte](len.toInt)
         in.seek(off)
         in.readFully(bytes)

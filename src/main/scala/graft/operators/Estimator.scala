@@ -58,9 +58,9 @@ object Estimator {
         first(col("compressed")).as("compressed"),
         sum(col("size")).as("occ_bytes"))
       .agg(
-        sum(col("occ_bytes")).as("total"),
-        sum(col("size")).as("chunk_bytes"),
-        sum(col("compressed")).as("compressed_chunk_bytes"))
+        coalesce(sum(col("occ_bytes")), lit(0L)).as("total"),
+        coalesce(sum(col("size")), lit(0L)).as("chunk_bytes"),
+        coalesce(sum(col("compressed")), lit(0L)).as("compressed_chunk_bytes"))
       .head()
     (row.getLong(0), row.getLong(1), row.getLong(2))
   }
@@ -75,7 +75,7 @@ object Estimator {
   def statsApprox(chunks: Dataset[ChunkRow], rsd: Double = 0.01): (Long, Long, Double) = {
     val row = chunks
       .agg(
-        sum(col("size")).as("total"),
+        coalesce(sum(col("size")), lit(0L)).as("total"),
         approx_count_distinct(col("hash"), rsd).as("approx_unique"),
         count(lit(1)).as("occurrences"))
       .head()
@@ -93,7 +93,7 @@ object Estimator {
     chunks
       .groupBy(col("hash"))
       .agg(first(col("size")).as("size"))
-      .agg(sum(col("size")))
+      .agg(coalesce(sum(col("size")), lit(0L)))
       .head()
       .getLong(0)
 
@@ -165,7 +165,10 @@ object Estimator {
       .map { case (g, f, _, cb, _) => ((g, f), cb) }
       .toMap
 
-    main.toSeq.sortBy(_._1).map { case ((g, f), (total, cb, cc)) =>
+    // every requested cell appears in the result, zeroed if its files
+    // produced no chunks (the reference reports all cells)
+    numFiles.keys.toSeq.sorted.map { case (g, f) =>
+      val (total, cb, cc) = main.getOrElse((g, f), (0L, 0L, 0L))
       val xb = xet.getOrElse((g, f), 0L)
       EstimationResult(g, f, numFiles((g, f)), total, cb, cc,
         if (total == 0) 0.0 else cb.toDouble / total, xb,

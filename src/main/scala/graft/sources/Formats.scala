@@ -36,15 +36,18 @@ object TableFormat {
   }
 
   /** Collect the data files Spark wrote (skip _SUCCESS/CRC). */
-  private def partFiles(dir: Path, ext: String): Seq[String] =
-    Files
-      .list(dir)
-      .iterator()
-      .asScala
-      .filter(p => p.getFileName.toString.endsWith(ext))
-      .map(_.toString)
-      .toSeq
-      .sorted
+  private def partFiles(dir: Path, ext: String): Seq[String] = {
+    val stream = Files.list(dir)
+    try
+      stream
+        .iterator()
+        .asScala
+        .filter(p => p.getFileName.toString.endsWith(ext))
+        .map(_.toString)
+        .toSeq
+        .sorted
+    finally stream.close()
+  }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
     def asScala: Iterator[A] = new Iterator[A] {
@@ -118,20 +121,22 @@ object TableFormat {
 
   /** JSONLines with optional compression (reference: de/formats.py:168-184). */
   final case class JsonLinesFormat(
-      compression: Option[String] = None, // gzip | none
+      compression: Option[String] = None, // gzip | zstd | none
       singleFile: Boolean = true) extends TableFormat {
     def name: String = compression.fold("jsonlines")(c => s"jsonlines-$c")
     def write(df: DataFrame, directory: Path, group: String, table: String): Seq[String] = {
       val dir = targetDir(directory, group, name)
-      val ext = compression match {
-        case Some("gzip") => ".jsonl.gz"
-        case _ => ".jsonl"
+      // Spark's part-file suffix per codec — what partFiles must match
+      val partExt = compression match {
+        case Some("gzip") => ".json.gz"
+        case Some("zstd") => ".json.zst"
+        case Some(other) => s".json.$other"
+        case None => ".json"
       }
-      writeAndCollect(df, dir, table, if (compression.isDefined) ".gz" else ".json", singleFile) {
-        (d, path) =>
-          var w = d.write.mode("overwrite")
-          compression.foreach(c => w = w.option("compression", c))
-          w.json(path)
+      writeAndCollect(df, dir, table, partExt, singleFile) { (d, path) =>
+        var w = d.write.mode("overwrite")
+        compression.foreach(c => w = w.option("compression", c))
+        w.json(path)
       }
     }
   }

@@ -23,7 +23,9 @@ object EventStream {
       closed_at: Long)
 
   def withEventTime(df: DataFrame): DataFrame =
-    df.withColumn("event_time", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division: `/` on longs is double division in Spark SQL and
+    // loses sub-µs precision for epoch-nanos beyond 2^53
+    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling-window counts/sums per event type with a watermark: the
     * canonical streaming aggregation (append-mode compatible).
@@ -42,30 +44,41 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
-  /** Per-user sessionization with processing-time timeout: counts + value
-    * sums until a gap closes the session. State is one small case class per
-    * active user — the `KeyValueGroupedDataset` custom-state surface.
+  /** Per-user sessionization: counts + value sums until an event-time gap
+    * closes the session. A processing-time timeout (gap-scaled, min 10 s)
+    * closes idle users' sessions and frees their state, so long-running
+    * streams don't accumulate state for churned users.
     */
   def sessionize(
       events: Dataset[EventRow],
       gapNanos: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutMs = math.max(10000L, gapNanos / 1000000L)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-          var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            if (cur.count > 0 && e.ts - cur.lastTs > gapNanos) {
-              closed += SessionOut(userId, cur.count, cur.sumValue, cur.lastTs)
-              cur = SessionState(0L, 0.0, Long.MinValue)
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .filter(_.count > 0)
+              .map(s => SessionOut(userId, s.count, s.sumValue, s.lastTs))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              if (cur.count > 0 && e.ts - cur.lastTs > gapNanos) {
+                closed += SessionOut(userId, cur.count, cur.sumValue, cur.lastTs)
+                cur = SessionState(0L, 0.0, Long.MinValue)
+              }
+              cur = SessionState(cur.count + 1, cur.sumValue + e.value, e.ts)
             }
-            cur = SessionState(cur.count + 1, cur.sumValue + e.value, e.ts)
+            state.update(cur)
+            if (!state.getOption.isEmpty) state.setTimeoutDuration(timeoutMs)
+            closed.iterator
           }
-          state.update(cur)
-          closed.iterator
         })
   }
 
@@ -84,6 +97,7 @@ object EventStream {
     var reader = spark.readStream.schema(schema)
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = reader.parquet(baseDir)
+    spark.catalog.dropTempView(queryName) // re-runnable within one session
     // complete mode so bounded batches surface every window (append would
     // hold back windows the watermark never closes on a finite input)
     val q = windowedCounts(stream).writeStream

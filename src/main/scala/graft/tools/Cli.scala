@@ -44,10 +44,14 @@ object Cli {
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-stats"))
-      val paths = Files.list(Paths.get(dir)).iterator()
-      val parquets = new Iterator[java.nio.file.Path] {
-        def hasNext = paths.hasNext; def next() = paths.next()
-      }.filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+      val stream = Files.list(Paths.get(dir))
+      val parquets =
+        try {
+          val it = stream.iterator()
+          new Iterator[java.nio.file.Path] {
+            def hasNext = it.hasNext; def next() = it.next()
+          }.filter(_.toString.endsWith(".parquet")).map(_.toString).toSeq.sorted
+        } finally stream.close()
       require(parquets.nonEmpty, s"no .parquet files under $dir")
       val tables = Map("combined" -> parquets.map { p =>
         val stem = Paths.get(p).getFileName.toString.stripSuffix(".parquet")
