@@ -24,6 +24,26 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** The estimator queries (exact, approx, matrix) all need the same chunk
+    * relation over the sf directory; chunk once per (session, dir, params)
+    * and share the cached Dataset across catalog queries.
+    */
+  private val chunkCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.Dataset[ChunkRow]]
+
+  private[graft] def sfChunks(
+      spark: SparkSession,
+      sfDir: String,
+      params: graft.cdc.ChunkerParams = graft.cdc.ChunkerParams.Default)
+      : org.apache.spark.sql.Dataset[ChunkRow] = {
+    val key = (spark.sparkContext.applicationId + sfDir, params.toString)
+    chunkCache.getOrElseUpdate(key, {
+      val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
+      ChunkRelation.chunkFiles(spark, paths, params).cache()
+    })
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   // ---------------------------------------------------------------- scans
@@ -176,9 +196,14 @@ object Queries {
   private def cdcEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
-    spark
-      .createDataset(Seq(Estimator.estimate(spark, paths, group = "sf", format = "parquet")))
-      .toDF()
+    val chunks = sfChunks(spark, sfDir)
+    val (total, chunkBytes, compressedBytes) = Estimator.stats(chunks)
+    val xetBytes = Estimator.uniqueBytes(
+      sfChunks(spark, sfDir, graft.cdc.ChunkerParams.Xet))
+    val r = EstimationResult("sf", "parquet", paths.size.toLong, total, chunkBytes,
+      compressedBytes, if (total == 0) 0.0 else chunkBytes.toDouble / total,
+      xetBytes, if (total == 0) 0.0 else xetBytes.toDouble / total)
+    spark.createDataset(Seq(r)).toDF()
   }
 
   /** G1-G7 + A5 end-to-end: synthetic variants written under two parquet
@@ -223,16 +248,13 @@ object Queries {
     */
   private def cdcEstimateApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
-    val chunks = ChunkRelation.chunkFiles(spark, paths).cache()
-    try {
-      val (total, exactUnique, _) = Estimator.stats(chunks)
-      val (_, approxUnique, approxBytes) = Estimator.statsApprox(chunks)
-      Seq((total, exactUnique, approxUnique, approxBytes,
-        if (total == 0) 0.0 else approxBytes / total))
-        .toDF("total_len", "chunk_bytes", "approx_unique_chunks",
-          "approx_chunk_bytes", "approx_dedup_ratio")
-    } finally { chunks.unpersist(); () }
+    val chunks = sfChunks(spark, sfDir)
+    val (total, exactUnique, _) = Estimator.stats(chunks)
+    val (_, approxUnique, approxBytes) = Estimator.statsApprox(chunks)
+    Seq((total, exactUnique, approxUnique, approxBytes,
+      if (total == 0) 0.0 else approxBytes / total))
+      .toDF("total_len", "chunk_bytes", "approx_unique_chunks",
+        "approx_chunk_bytes", "approx_dedup_ratio")
   }
 
   /** Streaming: watermarked tumbling-window aggregation over events run as
@@ -254,9 +276,7 @@ object Queries {
     * viz-backing shape (reference de/__init__.py:109-137).
     */
   private def chunkMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet",
-      s"$sfDir/customer.parquet")
-    val merged = Estimator.merged(ChunkRelation.chunkFiles(spark, paths))
+    val merged = Estimator.merged(sfChunks(spark, sfDir))
     merged
       .select(col("hash"), col("size"), col("first_seen_in"),
         size(col("seen_in")).as("n_files"), explode(col("seen_in")).as("file_idx"))

@@ -40,21 +40,19 @@ object TextAnalysis {
     "for", "on", "with", "as", "at", "by", "be", "this", "are", "was")
 
   /** Quality metrics per document: char/token counts, average word length,
-    * punctuation ratio, stopword ratio, alpha ratio. Codegen columns except
-    * the stopword ratio (set membership → UDF).
+    * punctuation ratio, stopword ratio — all pure column expressions
+    * (whole-stage codegen, no UDF): the stopword membership test is
+    * array_contains over a literal array inside a higher-order filter.
     */
-  private val stopwordRatioUdf = udf { (text: String) =>
-    if (text == null || text.isEmpty) 0.0
-    else {
-      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-      if (words.isEmpty) 0.0 else words.count(Stopwords.contains).toDouble / words.length
-    }
-  }
-
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val text = col(textCol)
     val nChars = length(text)
     val nTokens = tokenCountCol(text)
+    val stopArr = array(Stopwords.toSeq.sorted.map(lit): _*)
+    val words = filter(split(lower(text), "\\s+"), w => w =!= "")
+    val stopRatio = when(size(words) > 0,
+      size(filter(words, w => array_contains(stopArr, w))).cast("double") /
+        size(words).cast("double")).otherwise(lit(0.0))
     df.withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", nTokens)
       .withColumn("avg_token_len",
@@ -62,7 +60,7 @@ object TextAnalysis {
       .withColumn("punct_ratio",
         (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
           greatest(nChars, lit(1)).cast("double"))
-      .withColumn("stopword_ratio", stopwordRatioUdf(text))
+      .withColumn("stopword_ratio", stopRatio)
   }
 
   /** Language-ID heuristic: score per-language marker word/character-class

@@ -119,20 +119,24 @@ object TableFormat {
     }
   }
 
-  /** JSONLines with optional compression (reference: de/formats.py:168-184). */
+  /** JSONLines with optional compression (reference: de/formats.py:168-184;
+    * the reference's zstd option is pandas-side — Spark's JSON writer
+    * supports gzip/lz4/deflate/bzip2/snappy only, so zstd is rejected
+    * up front with the supported list).
+    */
   final case class JsonLinesFormat(
-      compression: Option[String] = None, // gzip | zstd | none
+      compression: Option[String] = None,
       singleFile: Boolean = true) extends TableFormat {
+    // Spark's part-file suffix per codec — what partFiles must match
+    private val codecExt = Map(
+      "gzip" -> ".json.gz", "lz4" -> ".json.lz4", "deflate" -> ".json.deflate",
+      "bzip2" -> ".json.bz2", "snappy" -> ".json.snappy")
+    compression.foreach(c => require(codecExt.contains(c),
+      s"jsonlines codec $c unsupported by Spark's JSON writer; use one of ${codecExt.keys}"))
     def name: String = compression.fold("jsonlines")(c => s"jsonlines-$c")
     def write(df: DataFrame, directory: Path, group: String, table: String): Seq[String] = {
       val dir = targetDir(directory, group, name)
-      // Spark's part-file suffix per codec — what partFiles must match
-      val partExt = compression match {
-        case Some("gzip") => ".json.gz"
-        case Some("zstd") => ".json.zst"
-        case Some(other) => s".json.$other"
-        case None => ".json"
-      }
+      val partExt = compression.map(codecExt).getOrElse(".json")
       writeAndCollect(df, dir, table, partExt, singleFile) { (d, path) =>
         var w = d.write.mode("overwrite")
         compression.foreach(c => w = w.option("compression", c))

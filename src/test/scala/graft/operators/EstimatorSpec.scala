@@ -66,6 +66,14 @@ class EstimatorSpec extends SparkSpec {
     m.unpersist()
   }
 
+  test("empty input: estimate returns zeros, not NPE") {
+    val empty = writeTemp("empty.bin", Array.emptyByteArray)
+    val r = Estimator.estimate(spark, Seq(empty.toString))
+    assert(r.total_len == 0 && r.chunk_bytes == 0 && r.dedup_ratio == 0.0)
+    val grid = Estimator.estimateGrid(spark, Seq(("g", "f", empty.toString)))
+    assert(grid.size == 1 && grid.head.total_len == 0 && grid.head.numfiles == 1)
+  }
+
   test("estimate on real parquet testdata returns sane ratios") {
     val paths = Seq(sf() + "/lineitem.parquet", sf() + "/orders.parquet")
     val r = Estimator.estimate(spark, paths)

@@ -30,6 +30,17 @@ class FormatsSpec extends SparkSpec {
     assert(lines.get(0).startsWith("{"))
   }
 
+  test("jsonlines gzip and lz4 writers collect their part files; zstd rejected") {
+    val df = gen.generate(spark, 30)
+    val dir = Files.createTempDirectory("graft-fmt")
+    Seq("gzip", "lz4").foreach { codec =>
+      val paths = TableFormat.JsonLinesFormat(Some(codec)).write(df, dir, "g", s"t-$codec")
+      assert(paths.size == 1, s"$codec: $paths")
+      assert(Files.size(java.nio.file.Paths.get(paths.head)) > 0)
+    }
+    intercept[IllegalArgumentException] { TableFormat.JsonLinesFormat(Some("zstd")) }
+  }
+
   test("row-group size knob produces multiple row groups") {
     val df = gen.generate(spark, 5000)
     val dir = Files.createTempDirectory("graft-fmt")
