@@ -191,7 +191,7 @@ final class DataGenerator(schema: Seq[(String, DType)], seed: Long = 42L) {
     val dataCols = df.columns.filter(_ != "id")
     val joined = df.as("o").join(edits.as("e"), Seq("id"), "left")
     joined.select(
-      (col("id") +: dataCols.map(c =>
+      (col("id") +: dataCols.toSeq.map(c =>
         coalesce(col(s"e.$c"), col(s"o.$c")).as(c))): _*)
   }
 

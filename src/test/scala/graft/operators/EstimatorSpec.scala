@@ -82,6 +82,34 @@ class EstimatorSpec extends SparkSpec {
     assert(r.compressed_chunk_bytes > 0 && r.compressed_chunk_bytes <= r.chunk_bytes)
   }
 
+  test("metamorphic: append-only edit adds ~appended bytes of unique chunks") {
+    val base = randomBytes(4 << 20, 21L)
+    val appended = randomBytes(512 << 10, 22L)
+    val f1 = writeTemp("a.bin", base)
+    val f2 = writeTemp("b.bin", base ++ appended)
+    val r = Estimator.estimate(spark, Seq(f1.toString, f2.toString))
+    assert(r.total_len == base.length.toLong * 2 + appended.length)
+    // unique ≈ base + appended + at most a couple of boundary chunks
+    val slack = 2 * 128 * 1024
+    assert(r.chunk_bytes >= base.length.toLong + appended.length)
+    assert(r.chunk_bytes <= base.length.toLong + appended.length + slack,
+      s"unique=${r.chunk_bytes}")
+  }
+
+  test("metamorphic: concatenation preserves total bytes") {
+    val a = randomBytes(1 << 20, 23L)
+    val b = randomBytes(1 << 20, 24L)
+    val fa = writeTemp("a.bin", a)
+    val fb = writeTemp("b.bin", b)
+    val fab = writeTemp("ab.bin", a ++ b)
+    val separate = Estimator.estimate(spark, Seq(fa.toString, fb.toString))
+    val joined = Estimator.estimate(spark, Seq(fab.toString))
+    assert(separate.total_len == joined.total_len)
+    // shared content dominates: concatenated file shares almost all chunks
+    val both = Estimator.estimate(spark, Seq(fa.toString, fb.toString, fab.toString))
+    assert(both.chunk_bytes < both.total_len * 0.6)
+  }
+
   test("grid estimate: one result per (group, format) with correct numfiles") {
     val a = writeTemp("a.bin", randomBytes(512 << 10, 14L))
     val b = writeTemp("b.bin", randomBytes(512 << 10, 15L))
