@@ -79,6 +79,13 @@ object Dedupe {
     * @return (id_a, id_b, est_jaccard, jaccard) — est from signature
     *         agreement, exact from shingle sets, both per candidate pair.
     */
+  /** @param maxBucketSize LSH-standard skew guard: a band bucket holding
+    *   B docs contributes B² candidate pairs, so one hot bucket (e.g. a
+    *   corpus with thousands of identical boilerplate docs) turns the
+    *   candidate join quadratic. Buckets above the cap are dropped from
+    *   candidate generation — recall for their members comes from their
+    *   other (smaller) band buckets, which near-identical docs always have.
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -86,7 +93,8 @@ object Dedupe {
       shingleK: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -122,9 +130,16 @@ object Dedupe {
       }
       .toDF("band", "bucket", "id")
 
-    val candidates = banded
+    // skew guard: cap per-bucket membership before the self-join
+    val bucketSizes = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val capped = banded.join(bucketSizes.drop("bucket_n"), Seq("band", "bucket"))
+
+    val candidates = capped
       .as("l")
-      .join(banded.as("r"),
+      .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -191,7 +206,8 @@ object Dedupe {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxDistance: Int = 3): DataFrame = {
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val blocks = maxDistance + 1
@@ -214,9 +230,17 @@ object Dedupe {
       }
       .toDF("block", "key", "id", "sig")
 
-    val result = blocked
+    // same skew guard as minhashPairs: one hot 16-bit block bucket would
+    // make the candidate join quadratic
+    val blockSizes = blocked
+      .groupBy(col("block"), col("key"))
+      .agg(count(lit(1)).as("block_n"))
+      .filter(col("block_n") <= maxBucketSize)
+    val capped = blocked.join(blockSizes.drop("block_n"), Seq("block", "key"))
+
+    val result = capped
       .as("l")
-      .join(blocked.as("r"),
+      .join(capped.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

@@ -46,6 +46,19 @@ class DedupeSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("bucket cap bounds candidate blowup but small caps still find dups") {
+    import spark.implicits._
+    // 30 identical docs: uncapped would give C(30,2)=435 pairs per band
+    val df = (0L until 30L).map(i => (i, "same text repeated for everyone here"))
+      .toDF("doc_id", "text")
+    val capped = Dedupe.minhashPairs(df, "doc_id", "text", shingleK = 2,
+      threshold = 0.9, maxBucketSize = 5)
+    assert(capped.count() == 0, "all buckets over cap -> no candidates")
+    val uncapped = Dedupe.minhashPairs(df, "doc_id", "text", shingleK = 2,
+      threshold = 0.9, maxBucketSize = 2000)
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
   test("simhash: identical text => distance 0; near text small; far text large") {
     val s0 = Dedupe.simhash(docsDf.collect()(0).getString(1))
     val s1 = Dedupe.simhash(docsDf.collect()(1).getString(1))
