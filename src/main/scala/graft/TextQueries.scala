@@ -77,6 +77,10 @@ object TextQueries {
   private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3)
 
+  private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", k = 3,
+      threshold = 0.3)
+
   /** CDC over in-table payloads via the custom Catalyst Generator
     * expression: chunk each document's UTF-8 bytes (small chunk params for
     * doc-sized payloads), dedup chunks per source.
@@ -102,6 +106,7 @@ object TextQueries {
     "dedup_prefix" -> dedupPrefix _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
+    "dedup_ngram" -> ngramPairs _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
@@ -112,6 +117,27 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+        |      ELSE [array_to_string(words, ' ')] END)) AS gram
+        |  FROM w),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -171,6 +171,57 @@ object Dedupe {
     result
   }
 
+  // -------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard pairs via inverted-index join (the classic
+    * set-similarity-join shape): explode distinct word k-grams, self-join
+    * on gram, count common per pair, Jaccard from integer set sizes. Unlike
+    * the signature-based ops this is fully relational — every step is
+    * SQL-expressible, so it carries a DuckDB oracle.
+    *
+    * Scale: the shuffle is |distinct grams per doc| rows; `maxGramFreq`
+    * prunes stopword-like grams that appear in more than that many docs
+    * (each contributes df² pair-occurrences) — same skew rationale as the
+    * LSH bucket cap. Default ∞ keeps oracle parity; set it at scale.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.5,
+      maxGramFreq: Long = Long.MaxValue): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val grams = when(size(words) >= k,
+      transform(sequence(lit(1), size(words) - (k - 1)),
+        i => concat_ws(" ", slice(words, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", words)))
+    val exploded = df
+      .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram"))
+    val pruned =
+      if (maxGramFreq == Long.MaxValue) exploded
+      else {
+        val keep = exploded.groupBy(col("gram"))
+          .agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= maxGramFreq)
+          .select(col("gram"))
+        exploded.join(keep, "gram")
+      }
+    val sizes = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val common = pruned
+      .as("l")
+      .join(pruned.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token hashes (public algorithm: Charikar'02 /

@@ -46,6 +46,22 @@ class DedupeSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("ngramJaccardPairs: exact jaccard on near-dups, gram-frequency prune works") {
+    val pairs = Dedupe
+      .ngramJaccardPairs(docsDf, "doc_id", "text", k = 2, threshold = 0.3)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(pairs((0L, 1L)) == 1.0, "identical docs => jaccard 1.0")
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a >= 3L || b >= 3L },
+      s"unrelated docs must not pair: ${pairs.keys}")
+    // aggressive frequency prune removes every gram (all shared by 0/1/2)
+    val pruned = Dedupe.ngramJaccardPairs(docsDf, "doc_id", "text", k = 2,
+      threshold = 0.3, maxGramFreq = 1L)
+    assert(pruned.count() == 0)
+  }
+
   test("bucket cap bounds candidate blowup but small caps still find dups") {
     import spark.implicits._
     // 30 identical docs: uncapped would give C(30,2)=435 pairs per band
