@@ -196,9 +196,15 @@ object Dedupe {
       transform(sequence(lit(1), size(words) - (k - 1)),
         i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array(concat_ws(" ", words)))
+    // cached: consumed three times (sizes, shared-gram df, self-join) —
+    // without it the text splitting/explosion re-runs per consumer
     val exploded = df
       .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram"))
-    val pruned =
+      .cache()
+    // set sizes come from the FULL gram sets; the self-join only needs
+    // grams shared by >= 2 docs (df=1 grams cannot contribute to any
+    // pair), which prunes the dominant unique-gram mass exactly
+    val sizesSource =
       if (maxGramFreq == Long.MaxValue) exploded
       else {
         val keep = exploded.groupBy(col("gram"))
@@ -207,19 +213,28 @@ object Dedupe {
           .select(col("gram"))
         exploded.join(keep, "gram")
       }
-    val sizes = pruned.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val common = pruned
+    val sizes = sizesSource.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val shared = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_df"))
+      .filter(col("gram_df") >= 2 && col("gram_df") <= maxGramFreq)
+      .select(col("gram"))
+    val joinable = sizesSource.join(shared, "gram")
+    val common = joinable
       .as("l")
-      .join(pruned.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .join(joinable.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .cache()
+    result.count()
+    exploded.unpersist()
+    result
   }
 
   // --------------------------------------------------------------- simhash
