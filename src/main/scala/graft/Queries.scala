@@ -291,10 +291,14 @@ object Queries {
   private def mmEnrich(spark: SparkSession, sfDir: String): DataFrame = {
     val blobs = Multimodal.blobsFromTable(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+    val thumbs = Multimodal.resize(blobs, "blob_id", "content", targetBytes = 256)
+      .select(col("blob_id"), length(col("thumb")).cast("long").as("thumb_bytes"))
     Multimodal
       .enrich(blobs, "blob_id", "content")
+      .join(thumbs, "blob_id")
       .groupBy(col("channels"))
-      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("sum_bytes"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("sum_bytes"),
+        sum(col("thumb_bytes")).as("sum_thumb_bytes"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -84,6 +84,25 @@ object CompareFormats {
     Estimator.estimateGrid(spark, files, params)
   }
 
+  /** Markdown table emitter (the reference's `visualize` markdown output,
+    * de/__init__.py:28-80): one row per result, best-in-group bolded.
+    */
+  def formatMarkdown(results: Seq[EstimationResult]): String = {
+    val sb = new StringBuilder
+    sb.append("| group | format | files | total | chunks | dedup ratio | xet ratio |\n")
+    sb.append("|---|---|---|---|---|---|---|\n")
+    results.groupBy(_.group).toSeq.sortBy(_._1).foreach { case (_, rs) =>
+      val best = rs.map(_.dedup_ratio).min
+      rs.sortBy(_.dedup_ratio).foreach { r =>
+        val ratio = f"${r.dedup_ratio * 100}%.1f%%"
+        val cell = if (r.dedup_ratio == best) s"**$ratio**" else ratio
+        sb.append(s"| ${r.group} | ${r.format} | ${r.numfiles} | ${r.total_len} " +
+          f"| ${r.chunk_bytes} | $cell | ${r.xet_dedup_ratio * 100}%.1f%% |\n")
+      }
+    }
+    sb.result()
+  }
+
   /** Plain-text report table (the reference's rich table, de/display.py:32-88,
     * sans colors): sections per group, best dedup ratio starred, humanized
     * sizes, ratio bar.

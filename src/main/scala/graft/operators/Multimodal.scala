@@ -47,6 +47,35 @@ object Multimodal {
     bins
   }
 
+  /** Resize STUB: deterministic fixed-size "thumbnail" — samples
+    * `targetBytes` evenly-spaced bytes from the blob. Real resize plugs a
+    * codec into the same (blob in → smaller blob out) narrow transform;
+    * schema, batching, and downstream compatibility are what's exercised.
+    */
+  def resizeStub(content: Array[Byte], targetBytes: Int = 1024): Array[Byte] = {
+    if (content == null || content.isEmpty) Array.emptyByteArray
+    else if (content.length <= targetBytes) content
+    else {
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < targetBytes) {
+        out(i) = content((i.toLong * content.length / targetBytes).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Per-row resize over a blob DataFrame: (id, content) → (id, thumb). */
+  def resize(df: DataFrame, idCol: String, contentCol: String, targetBytes: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, c) => (id, resizeStub(c, targetBytes)) }
+      .toDF("blob_id", "thumb")
+  }
+
   /** Frame sampling STUB: every `strideBytes` block stands in for a decoded
     * frame; emits (blob_id, frame_idx, frame_bytes) — the generator shape a
     * real video pipeline needs (one row in → N frame rows out).

@@ -60,6 +60,7 @@ object Cli {
       val results = CompareFormats.compareTables(
         spark, tables, TableFormat.defaultGrid(withJson = true), outDir)
       println(CompareFormats.formatReport(results))
+      println(CompareFormats.formatMarkdown(results))
       spark.stop()
 
     case "synthetic" :: schemaJson :: rest =>

@@ -41,6 +41,18 @@ class MultimodalSpec extends SparkSpec {
     assert(frame.getAs[Array[Byte]]("frame_bytes").length <= 128)
   }
 
+  test("resize stub: fixed target size, deterministic, passthrough for small blobs") {
+    val r = Multimodal.resize(blobs, "blob_id", "content", targetBytes = 64).cache()
+    assert(r.count() == 50)
+    r.collect().foreach(row => assert(row.getAs[Array[Byte]]("thumb").length <= 64))
+    val a = Multimodal.resize(blobs, "blob_id", "content", 64).orderBy("blob_id").head()
+    val b = Multimodal.resize(blobs, "blob_id", "content", 64).orderBy("blob_id").head()
+    assert(java.util.Arrays.equals(a.getAs[Array[Byte]]("thumb"), b.getAs[Array[Byte]]("thumb")))
+    assert(java.util.Arrays.equals(
+      Multimodal.resizeStub("tiny".getBytes, 64), "tiny".getBytes))
+    r.unpersist()
+  }
+
   test("features feed the similarity operator end-to-end") {
     val e = Multimodal.enrich(blobs, "blob_id", "content")
     val topk = Similarity.bruteForceTopK(e, "blob_id", "features", Seq(0L), k = 3)

@@ -81,6 +81,8 @@ class FormatsSpec extends SparkSpec {
     }
     val report = CompareFormats.formatReport(results)
     assert(report.contains("appended") && report.contains("parquet-none"))
+    val md = CompareFormats.formatMarkdown(results)
+    assert(md.startsWith("| group |") && md.contains("**"))
   }
 
   test("provenance png renders without error") {
