@@ -188,6 +188,26 @@ object Queries {
         col("event_id"), col("event_type"))
   }
 
+  /** Point-in-time join: each event picks up the customer's latest order
+    * at or before the event time — the feature-store as-of primitive,
+    * verified against DuckDB's native ASOF JOIN.
+    */
+  private def q13AsofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = t(spark, sfDir, "events").select(col("event_id"), col("user_id"), col("ts"))
+    val ordersDedup = t(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    AsOfJoin
+      .asof(events, ordersDedup,
+        leftKey = col("user_id"), rightKey = col("o_custkey"),
+        leftTime = expr("ts div 1000"),
+        // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast an
+        // identity on the wall-clock instant (matches DuckDB's naive cmp)
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
+        valueCols = Seq("last_orderkey" -> col("o_orderkey")))
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+  }
+
   // ------------------------------------------------------------- catalog
 
   /** CDC estimate over the scale-factor directory's parquet files —
@@ -314,6 +334,7 @@ object Queries {
     "q10_rollup" -> q10Rollup _,
     "q11_semi_join" -> q11SemiJoin _,
     "q12_event_seq" -> q12EventSeq _,
+    "q13_asof_join" -> q13AsofJoin _,
     "cdc_estimate" -> (cdcEstimate _),
     "synthetic_grid" -> (syntheticGrid _),
     "page_profile" -> (pageProfile _),
@@ -380,6 +401,13 @@ object Queries {
         |  SELECT user_id, event_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS seq
         |  FROM events) WHERE seq <= 5""".stripMargin,
+    "q13_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "stream_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
         |  event_type, COUNT(*) AS n,
