@@ -76,3 +76,20 @@ object CdcChunks {
       exprs => CdcChunks(exprs.head, 8 * 1024, 128 * 1024, 16),
       "built-in")
 }
+
+/** Session-extension entry point: `--conf
+  * spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) exposes graft's SQL surface in
+  * any session without touching code — the standard deployment hook for
+  * custom Catalyst pieces.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("cdc_chunks"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CdcChunks].getCanonicalName, "cdc_chunks"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CdcChunks(exprs.head, 8 * 1024, 128 * 1024, 16)))
+  }
+}
