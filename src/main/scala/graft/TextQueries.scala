@@ -34,6 +34,11 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_m"),
         TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
 
+  private def textTokensBpe(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpe"))
+
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
     val nChars = length(text)
@@ -108,6 +113,7 @@ object TextQueries {
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
     "text_tokens" -> textTokens _,
+    "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_quality_full" -> qualityFull _,
@@ -151,6 +157,12 @@ object TextQueries {
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars_m,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''),
+        |    x -> 1 + (length(x) - 1) // 4)), 0) AS BIGINT) AS n_tokens_bpe
         |FROM documents""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

@@ -20,20 +20,15 @@ object TextAnalysis {
   /** BPE-ish subword token estimate: word count plus an extra token per 4
     * characters of long words — a cheap deterministic proxy for tokenizer
     * cost accounting (real BPE needs a vocab; the regex split is the
-    * documented stand-in).
+    * documented stand-in). Pure column expressions (codegen, SQL-parity).
     */
-  private val bpeishUdf = udf { (text: String) =>
-    if (text == null) 0L
-    else
-      text
-        .split("[^A-Za-z0-9]+")
-        .iterator
-        .filter(_.nonEmpty)
-        .map(w => 1L + (w.length - 1) / 4)
-        .sum
-  }
-
-  def bpeishTokenCount(text: Column): Column = bpeishUdf(text)
+  def bpeishTokenCount(text: Column): Column =
+    coalesce(
+      aggregate(
+        filter(split(text, "[^A-Za-z0-9]+"), w => w =!= ""),
+        lit(0L),
+        (acc, w) => acc + lit(1L) + ((length(w) - 1) / 4).cast("long")),
+      lit(0L))
 
   private val Stopwords: Set[String] = Set(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
