@@ -188,6 +188,17 @@ object Queries {
         col("event_id"), col("event_type"))
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` both linearly interpolate; rounding to 4
+    * decimals absorbs last-ulp interpolation-order differences).
+    */
+  private def q14Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+
   /** Point-in-time join: each event picks up the customer's latest order
     * at or before the event time — the feature-store as-of primitive,
     * verified against DuckDB's native ASOF JOIN.
@@ -335,6 +346,7 @@ object Queries {
     "q11_semi_join" -> q11SemiJoin _,
     "q12_event_seq" -> q12EventSeq _,
     "q13_asof_join" -> q13AsofJoin _,
+    "q14_percentiles" -> q14Percentiles _,
     "cdc_estimate" -> (cdcEstimate _),
     "synthetic_grid" -> (syntheticGrid _),
     "page_profile" -> (pageProfile _),
@@ -401,6 +413,11 @@ object Queries {
         |  SELECT user_id, event_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS seq
         |  FROM events) WHERE seq <= 5""".stripMargin,
+    "q14_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q13_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

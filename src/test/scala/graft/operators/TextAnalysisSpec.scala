@@ -43,6 +43,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds.toSeq == Seq("en", "de", "es", "und", "und"))
   }
 
+  test("null text: operators degrade gracefully, no crashes") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, "real text here"))
+      .toDF("doc_id", "text")
+    // quality metrics: null text -> null/zero metrics, no exception
+    assert(TextAnalysis.qualityScore(df, "text").count() == 2)
+    assert(df.select(TextAnalysis.langId(col("text"))).collect()
+      .map(_.getString(0)).contains("und"))
+    assert(df.select(TextAnalysis.fingerprint(col("text"))).count() == 2)
+    assert(df.select(TextAnalysis.bpeishTokenCount(col("text"))).count() == 2)
+    // dedup ops over null text
+    assert(graft.operators.Dedupe.exactDuplicates(df, "doc_id", col("text")).count() == 2)
+    assert(graft.operators.Dedupe.ngramJaccardPairs(df, "doc_id", "text").count() == 0)
+    assert(graft.operators.Dedupe.simhashPairs(df, "doc_id", "text").count() == 0)
+  }
+
   test("fingerprint: identical docs identical, edits change few fingerprints") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog " * 10
