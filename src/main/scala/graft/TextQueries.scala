@@ -106,7 +106,19 @@ object TextQueries {
         col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
   }
 
+  /** Composed curation pipeline over documents: quality → lang → exact
+    * dedup → MinHash near-dedup, with per-(source, fate) accounting.
+    */
+  private def curate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.CuratePipeline
+    val annotated = CuratePipeline.curate(
+      docs(spark, sfDir), "doc_id", "text",
+      CuratePipeline.CurateParams(minTokens = 20, nearDupThreshold = 0.8))
+    CuratePipeline.report(annotated)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> curate _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
     "dedup_minhash" -> minhashPairs _,

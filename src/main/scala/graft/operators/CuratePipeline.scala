@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composed flow a 100 TB corpus
+  * actually runs — quality gating, language filtering, exact dedup, then
+  * near-dedup — with per-stage accounting so data loss is auditable.
+  *
+  * Shape: stages 1-3 are narrow or single-shuffle; the near-dedup stage is
+  * MinHash-LSH (banded buckets, capped). Every document carries its
+  * elimination reason, so the report is one groupBy over the final frame —
+  * no per-stage recounting jobs.
+  */
+object CuratePipeline {
+
+  final case class CurateParams(
+      minTokens: Int = 10,
+      maxStopwordRatio: Double = 1.0,
+      minStopwordRatio: Double = 0.0,
+      keepLangs: Set[String] = Set.empty, // empty = keep all
+      nearDupThreshold: Double = 0.8)
+
+  /** Annotate every doc with its fate: kept | quality | lang | exact_dup |
+    * near_dup. Returns the full annotated frame (filter on
+    * `fate = 'kept'` for the surviving corpus).
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      params: CurateParams = CurateParams()): DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+
+    val qualityFail =
+      col("n_tokens") < params.minTokens ||
+        col("stopword_ratio") > params.maxStopwordRatio ||
+        col("stopword_ratio") < params.minStopwordRatio
+    val langFail =
+      if (params.keepLangs.isEmpty) lit(false)
+      else !col("lang_pred").isin(params.keepLangs.toSeq: _*)
+
+    val exact = Dedupe.exactDuplicates(quality, idCol, col(textCol))
+
+    // near-dups only among docs still alive after earlier stages
+    val alive = exact.filter(!qualityFail && !langFail && !col("is_dup"))
+    val nearDupIds = Dedupe
+      .minhashPairs(alive, idCol, textCol, threshold = params.nearDupThreshold)
+      .select(col("id_b").as("__near_dup_id"))
+      .distinct()
+
+    exact
+      .join(nearDupIds, exact(idCol) === col("__near_dup_id"), "left")
+      .withColumn("fate",
+        when(qualityFail, "quality")
+          .when(langFail, "lang")
+          .when(col("is_dup"), "exact_dup")
+          .when(col("__near_dup_id").isNotNull, "near_dup")
+          .otherwise("kept"))
+      .drop("__near_dup_id")
+  }
+
+  /** Per-(source, fate) accounting: docs and token mass in/out. */
+  def report(annotated: DataFrame, sourceCol: String = "source"): DataFrame =
+    annotated
+      .groupBy(col(sourceCol), col("fate"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+}
