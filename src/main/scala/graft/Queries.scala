@@ -35,11 +35,13 @@ object Queries {
   private[graft] def sfChunks(
       spark: SparkSession,
       sfDir: String,
-      params: graft.cdc.ChunkerParams = graft.cdc.ChunkerParams.Default)
+      params: graft.cdc.ChunkerParams = graft.cdc.ChunkerParams.Default,
+      tables: Seq[String] = Seq("lineitem", "orders"))
       : org.apache.spark.sql.Dataset[ChunkRow] = {
-    val key = (spark.sparkContext.applicationId + sfDir, params.toString)
+    val key = (spark.sparkContext.applicationId + sfDir + tables.mkString(","),
+      params.toString)
     chunkCache.getOrElseUpdate(key, {
-      val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
+      val paths = tables.map(t => s"$sfDir/$t.parquet")
       ChunkRelation.chunkFiles(spark, paths, params).cache()
     })
   }
@@ -229,8 +231,9 @@ object Queries {
     val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
     val chunks = sfChunks(spark, sfDir)
     val (total, chunkBytes, compressedBytes) = Estimator.stats(chunks)
+    // xet pass is consumed exactly once — chunk directly, don't cache
     val xetBytes = Estimator.uniqueBytes(
-      sfChunks(spark, sfDir, graft.cdc.ChunkerParams.Xet))
+      ChunkRelation.chunkFiles(spark, paths, graft.cdc.ChunkerParams.Xet))
     val r = EstimationResult("sf", "parquet", paths.size.toLong, total, chunkBytes,
       compressedBytes, if (total == 0) 0.0 else chunkBytes.toDouble / total,
       xetBytes, if (total == 0) 0.0 else xetBytes.toDouble / total)
@@ -307,7 +310,8 @@ object Queries {
     * viz-backing shape (reference de/__init__.py:109-137).
     */
   private def chunkMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = Estimator.merged(sfChunks(spark, sfDir))
+    val merged = Estimator.merged(
+      sfChunks(spark, sfDir, tables = Seq("lineitem", "orders", "customer")))
     merged
       .select(col("hash"), col("size"), col("first_seen_in"),
         size(col("seen_in")).as("n_files"), explode(col("seen_in")).as("file_idx"))

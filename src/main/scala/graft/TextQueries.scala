@@ -139,12 +139,13 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |  FROM documents),
-        |g AS (
+        |g0 AS (
         |  SELECT doc_id, UNNEST(list_distinct(
         |    CASE WHEN len(words) >= 3
         |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
         |      ELSE [array_to_string(words, ' ')] END)) AS gram
         |  FROM w),
+        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
         |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common

@@ -26,7 +26,9 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** @param valueCols output name → right-side column to carry. */
+  /** @param valueCols output name → right-side column to carry. Output
+    * names must not collide with left columns (checked).
+    */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -36,25 +38,29 @@ object AsOfJoin {
       rightTime: Column,
       valueCols: Seq[(String, Column)]): DataFrame = {
     val leftCols = left.columns.toSeq
+    valueCols.foreach { case (n, _) =>
+      require(!leftCols.contains(n), s"asof output column '$n' collides with a left column")
+    }
     val probes = left
       .withColumn("__key", leftKey)
       .withColumn("__t", leftTime.cast("long"))
       .withColumn("__is_probe", lit(1))
+    // state is carried as ONE non-null struct per right row, so a matched
+    // right row whose value column is null still wins over older state
+    // (last(value, ignoreNulls) alone would skip it and return stale data)
     val state = right
-      .select(
-        (Seq(rightKey.as("__key"), rightTime.cast("long").as("__t"),
-          lit(0).as("__is_probe")) ++
-          valueCols.map { case (n, c) => c.as(s"__v_$n") }): _*)
+      .select(rightKey.as("__key"), rightTime.cast("long").as("__t"),
+        lit(0).as("__is_probe"),
+        struct(valueCols.map { case (n, c) => c.as(n) }: _*).as("__state"))
     val unioned = probes.unionByName(state, allowMissingColumns = true)
     val w = Window
       .partitionBy(col("__key"))
       .orderBy(col("__t").asc, col("__is_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned) { case (df, (n, _)) =>
-      df.withColumn(n, last(col(s"__v_$n"), ignoreNulls = true).over(w))
-    }
-    carried
+    unioned
+      .withColumn("__carried", last(col("__state"), ignoreNulls = true).over(w))
       .filter(col("__is_probe") === 1)
-      .select((leftCols.map(col) ++ valueCols.map { case (n, _) => col(n) }): _*)
+      .select((leftCols.map(col) ++
+        valueCols.map { case (n, _) => col(s"__carried.$n").as(n) }): _*)
   }
 }

@@ -33,8 +33,11 @@ object CuratePipeline {
     val quality = TextAnalysis.qualityScore(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
 
+    // null text must fail the quality gate, not slip through on three-valued
+    // logic (NULL predicates skip every `when` branch)
     val qualityFail =
-      col("n_tokens") < params.minTokens ||
+      col(textCol).isNull ||
+        col("n_tokens") < params.minTokens ||
         col("stopword_ratio") > params.maxStopwordRatio ||
         col("stopword_ratio") < params.minStopwordRatio
     val langFail =

@@ -79,12 +79,13 @@ object Dedupe {
     * @return (id_a, id_b, est_jaccard, jaccard) — est from signature
     *         agreement, exact from shingle sets, both per candidate pair.
     */
-  /** @param maxBucketSize LSH-standard skew guard: a band bucket holding
-    *   B docs contributes B² candidate pairs, so one hot bucket (e.g. a
-    *   corpus with thousands of identical boilerplate docs) turns the
-    *   candidate join quadratic. Buckets above the cap are dropped from
-    *   candidate generation — recall for their members comes from their
-    *   other (smaller) band buckets, which near-identical docs always have.
+  /** @param maxBucketSize LSH skew guard: a band bucket holding B docs
+    *   contributes B² candidate pairs, so one hot bucket (thousands of
+    *   identical boilerplate docs) turns the candidate join quadratic.
+    *   Over-cap buckets degrade from clique to STAR candidates — every
+    *   member pairs with the bucket's min id only (B-1 pairs) — so giant
+    *   duplicate clusters, whose docs collide in ALL bands, still surface
+    *   through their canonical member instead of vanishing.
     */
   def minhashPairs(
       df: DataFrame,
@@ -130,20 +131,31 @@ object Dedupe {
       }
       .toDF("band", "bucket", "id")
 
-    // skew guard: cap per-bucket membership before the self-join
+    // skew guard: small buckets pair all-vs-all; over-cap buckets emit
+    // star candidates around their min id (linear, recall via canonical)
     val bucketSizes = banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val capped = banded.join(bucketSizes.drop("bucket_n"), Seq("band", "bucket"))
-
-    val candidates = capped
+    val capped = banded.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
+      Seq("band", "bucket"))
+    val cliquePairs = capped
       .as("l")
       .join(capped.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    val hotMembers = banded.join(
+      bucketSizes.filter(col("bucket_n") > maxBucketSize).drop("bucket_n"),
+      Seq("band", "bucket"))
+    val hotCenters = hotMembers
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("center_id"))
+    val starPairs = hotMembers
+      .join(hotCenters, Seq("band", "bucket"))
+      .filter(col("id") =!= col("center_id"))
+      .select(col("center_id").as("id_a"), col("id").as("id_b"))
+    val candidates = cliquePairs.unionByName(starPairs).distinct()
 
     val verified = candidates
       .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a"),
@@ -197,28 +209,25 @@ object Dedupe {
         i => concat_ws(" ", slice(words, i, lit(k)))))
       .otherwise(array(concat_ws(" ", words)))
     // cached: consumed three times (sizes, shared-gram df, self-join) —
-    // without it the text splitting/explosion re-runs per consumer
+    // without it the text splitting/explosion re-runs per consumer.
+    // null/empty grams (null or empty text) are dropped so degenerate docs
+    // never pair; the oracle filters the same way.
     val exploded = df
       .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram"))
+      .filter(col("gram").isNotNull && col("gram") =!= "")
       .cache()
-    // set sizes come from the FULL gram sets; the self-join only needs
-    // grams shared by >= 2 docs (df=1 grams cannot contribute to any
-    // pair), which prunes the dominant unique-gram mass exactly
+    // ONE gram-frequency aggregate feeds both prunes: sizes come from the
+    // freq-capped gram sets (full sets when uncapped); the self-join only
+    // needs grams shared by >= 2 docs (df=1 grams cannot form pairs)
+    val gramDf = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
     val sizesSource =
       if (maxGramFreq == Long.MaxValue) exploded
-      else {
-        val keep = exploded.groupBy(col("gram"))
-          .agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") <= maxGramFreq)
-          .select(col("gram"))
-        exploded.join(keep, "gram")
-      }
+      else exploded.join(
+        gramDf.filter(col("gram_df") <= maxGramFreq).select(col("gram")), "gram")
     val sizes = sizesSource.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val shared = exploded.groupBy(col("gram"))
-      .agg(count(lit(1)).as("gram_df"))
-      .filter(col("gram_df") >= 2 && col("gram_df") <= maxGramFreq)
-      .select(col("gram"))
-    val joinable = sizesSource.join(shared, "gram")
+    val joinable = exploded.join(
+      gramDf.filter(col("gram_df") >= 2 && col("gram_df") <= maxGramFreq)
+        .select(col("gram")), "gram")
     val common = joinable
       .as("l")
       .join(joinable.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
@@ -296,21 +305,35 @@ object Dedupe {
       }
       .toDF("block", "key", "id", "sig")
 
-    // same skew guard as minhashPairs: one hot 16-bit block bucket would
-    // make the candidate join quadratic
+    // same skew guard as minhashPairs: clique pairs for small buckets,
+    // star-around-min for over-cap buckets
     val blockSizes = blocked
       .groupBy(col("block"), col("key"))
       .agg(count(lit(1)).as("block_n"))
-      .filter(col("block_n") <= maxBucketSize)
-    val capped = blocked.join(blockSizes.drop("block_n"), Seq("block", "key"))
-
-    val result = capped
+    val capped = blocked.join(
+      blockSizes.filter(col("block_n") <= maxBucketSize).drop("block_n"),
+      Seq("block", "key"))
+    val cliquePairs = capped
       .as("l")
       .join(capped.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+    val hotMembers = blocked.join(
+      blockSizes.filter(col("block_n") > maxBucketSize).drop("block_n"),
+      Seq("block", "key"))
+    val hotCenters = hotMembers
+      .groupBy(col("block"), col("key"))
+      .agg(min(col("id")).as("center_id"))
+    val starPairs = hotMembers
+      .join(hotCenters, Seq("block", "key"))
+      .filter(col("id") =!= col("center_id"))
+      .join(sigs.select(col("id").as("center_id"), col("sig").as("center_sig")), "center_id")
+      .select(col("center_id").as("id_a"), col("id").as("id_b"),
+        col("center_sig").as("sig_a"), col("sig").as("sig_b"))
+    val result = cliquePairs
+      .unionByName(starPairs)
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxDistance)

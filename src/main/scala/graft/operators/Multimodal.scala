@@ -66,14 +66,16 @@ object Multimodal {
     }
   }
 
-  /** Per-row resize over a blob DataFrame: (id, content) → (id, thumb). */
+  /** Per-row resize over a blob DataFrame: (id, content) → (id, thumb);
+    * the output id column keeps the caller's `idCol` name.
+    */
   def resize(df: DataFrame, idCol: String, contentCol: String, targetBytes: Int = 1024): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(contentCol))
       .as[(Long, Array[Byte])]
       .map { case (id, c) => (id, resizeStub(c, targetBytes)) }
-      .toDF("blob_id", "thumb")
+      .toDF(idCol, "thumb")
   }
 
   /** Frame sampling STUB: every `strideBytes` block stands in for a decoded

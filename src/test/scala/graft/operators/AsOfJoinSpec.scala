@@ -32,6 +32,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getString(3) == "exact")
   }
 
+  test("matched right row with null value beats older non-null state") {
+    import spark.implicits._
+    val probes = Seq((1L, 5L, 25L)).toDF("probe_id", "key", "t")
+    val state = Seq((5L, 10L, Some("a")), (5L, 20L, None))
+      .toDF("key", "t", "v")
+    val out = AsOfJoin.asof(probes, state, col("key"), col("key"), col("t"), col("t"),
+      Seq("val" -> col("v"))).head()
+    assert(out.isNullAt(3), "the t=20 matched row's null must win over the stale 'a'")
+  }
+
+  test("output name colliding with a left column is rejected") {
+    import spark.implicits._
+    val probes = Seq((1L, 5L, 25L)).toDF("probe_id", "key", "t")
+    val state = Seq((5L, 10L, "a")).toDF("key", "t", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(probes, state, col("key"), col("key"), col("t"), col("t"),
+        Seq("t" -> col("v")))
+    }
+  }
+
   test("multiple value columns carry independently") {
     import spark.implicits._
     val probes = Seq((1L, 1L, 10L)).toDF("probe_id", "key", "t")

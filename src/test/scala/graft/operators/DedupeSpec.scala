@@ -62,14 +62,16 @@ class DedupeSpec extends SparkSpec {
     assert(pruned.count() == 0)
   }
 
-  test("bucket cap bounds candidate blowup but small caps still find dups") {
+  test("over-cap buckets degrade to star pairs around the min id, not to zero") {
     import spark.implicits._
-    // 30 identical docs: uncapped would give C(30,2)=435 pairs per band
+    // 30 identical docs: clique would give C(30,2)=435 pairs
     val df = (0L until 30L).map(i => (i, "same text repeated for everyone here"))
       .toDF("doc_id", "text")
     val capped = Dedupe.minhashPairs(df, "doc_id", "text", shingleK = 2,
       threshold = 0.9, maxBucketSize = 5)
-    assert(capped.count() == 0, "all buckets over cap -> no candidates")
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 29, s"star pattern: 29 canonical pairs, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 0L), "every pair links to the cluster's min id")
     val uncapped = Dedupe.minhashPairs(df, "doc_id", "text", shingleK = 2,
       threshold = 0.9, maxBucketSize = 2000)
     assert(uncapped.count() == 30L * 29 / 2)
