@@ -124,6 +124,33 @@ object Cli {
         .orderBy("bucket").show(100, truncate = false)
       spark.stop()
 
+    case "curate" :: file :: Nil =>
+      val spark = session()
+      val docs = spark.read.parquet(file)
+      val annotated = graft.operators.CuratePipeline.curate(docs, "doc_id", "text")
+      graft.operators.CuratePipeline.report(annotated)
+        .orderBy("source", "fate").show(100, truncate = false)
+      spark.stop()
+
+    case "viz-html" :: rest if rest.size >= 2 =>
+      val spark = session()
+      val files = rest.init
+      val out = Paths.get(rest.last)
+      val matrixRows = Estimator
+        .merged(ChunkRelation.chunkFiles(spark, files))
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.col("seen_in")).as("file_idx"),
+          org.apache.spark.sql.functions.col("first_seen_in"),
+          org.apache.spark.sql.functions.col("size"),
+          (org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.col("seen_in")) === 1).as("is_unique"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toSeq
+      Files.writeString(out, Viz.stripDiffHtml(matrixRows))
+      println(s"wrote $out (${matrixRows.size} chunk cells)")
+      spark.stop()
+
     case "viz" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -149,7 +176,9 @@ object Cli {
            |  revisions FILE TARGET_DIR
            |  param-impact FILE --row-group-size|--data-page-size
            |  page-chunks FILE...
-           |  viz FILE... OUT.png""".stripMargin)
+           |  curate DOCUMENTS.parquet
+           |  viz FILE... OUT.png
+           |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)
   }
 }

@@ -56,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
     assert(r.length == 5)
   }
 
+  test("ivf recall@5 over 20 queries is usable at partial probe") {
+    val queries = (0L until 20L)
+    val brute = Similarity
+      .bruteForceTopK(embDf, "vec_id", "embedding", queries, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val ivf = Similarity
+      .ivfTopK(embDf, "vec_id", "embedding", queries, k = 5,
+        numCentroids = 8, nprobe = 4)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = queries.map { q =>
+      brute(q).intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.sum / queries.size
+    info(f"ivf recall@5 (8 centroids, nprobe 4): $recall%.2f")
+    assert(recall >= 0.5, f"recall too low: $recall%.2f")
+  }
+
   test("kmeansLite is deterministic under seed") {
     val rng = new java.util.Random(3)
     val sample = Array.fill(50)(Array.fill(8)(rng.nextFloat()))
