@@ -285,9 +285,13 @@ object Queries {
     val chunks = sfChunks(spark, sfDir)
     val (total, exactUnique, _) = Estimator.stats(chunks)
     val (_, approxUnique, approxBytes) = Estimator.statsApprox(chunks)
-    Seq((total, exactUnique, approxUnique, approxBytes,
+    val kmvUnique = chunks
+      .agg(graft.functions.KmvSketch.kmv_distinct(col("hash")))
+      .head()
+      .getLong(0)
+    Seq((total, exactUnique, approxUnique, kmvUnique, approxBytes,
       if (total == 0) 0.0 else approxBytes / total))
-      .toDF("total_len", "chunk_bytes", "approx_unique_chunks",
+      .toDF("total_len", "chunk_bytes", "hll_unique_chunks", "kmv_unique_chunks",
         "approx_chunk_bytes", "approx_dedup_ratio")
   }
 

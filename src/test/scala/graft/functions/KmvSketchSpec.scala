@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmvSketchSpec extends SparkSpec {
+
+  test("exact below k: small distinct sets are counted exactly") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => i % 100).toDF("h")
+      .select(xxhash64(col("h")).as("hash"))
+    val est = df.agg(KmvSketch.kmv_distinct(col("hash"), k = 1024)).head().getLong(0)
+    assert(est == 100L)
+  }
+
+  test("estimate within 10% for 100k distinct values at k=1024") {
+    import spark.implicits._
+    val n = 100000L
+    val df = spark.range(n).select(xxhash64(col("id")).as("hash"))
+    val est = df.agg(KmvSketch.kmv_distinct(col("hash"), k = 1024)).head().getLong(0)
+    val err = math.abs(est - n).toDouble / n
+    info(f"kmv estimate: $est (err ${err * 100}%.1f%%)")
+    assert(err < 0.10, s"estimate $est too far from $n")
+  }
+
+  test("stable under repartitioning (merge correctness)") {
+    import spark.implicits._
+    val df = spark.range(50000L).select(xxhash64(col("id")).as("hash"))
+    val a = df.agg(KmvSketch.kmv_distinct(col("hash"))).head().getLong(0)
+    val b = df.repartition(17).agg(KmvSketch.kmv_distinct(col("hash"))).head().getLong(0)
+    assert(a == b, "sketch must be partitioning-invariant")
+  }
+
+  test("duplicates don't inflate the estimate") {
+    import spark.implicits._
+    val distinct = spark.range(20000L).select(xxhash64(col("id")).as("hash"))
+    val duplicated = distinct.union(distinct).union(distinct)
+    val a = distinct.agg(KmvSketch.kmv_distinct(col("hash"))).head().getLong(0)
+    val b = duplicated.agg(KmvSketch.kmv_distinct(col("hash"))).head().getLong(0)
+    assert(a == b)
+  }
+
+  test("grouped aggregation works (one sketch per group)") {
+    import spark.implicits._
+    val df = spark.range(30000L)
+      .select((col("id") % 3).as("g"), xxhash64(col("id")).as("hash"))
+    val rows = df.groupBy(col("g")).agg(KmvSketch.kmv_distinct(col("hash")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.values.foreach(est => assert(math.abs(est - 10000L) < 1500L, s"est=$est"))
+  }
+}
