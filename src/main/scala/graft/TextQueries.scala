@@ -117,8 +117,36 @@ object TextQueries {
     CuratePipeline.report(annotated)
   }
 
+  /** Per-source content-overlap matrix from KMV sketches over CDC chunk
+    * hashes: one distributed sketch pass, then pairwise Jaccard on the
+    * collected k-samples (sources × k longs — tiny). Answers "which
+    * sources share content" without any pairwise shuffle.
+    */
+  private def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.CdcChunks
+    import graft.functions.KmvSketch
+    val chunked = docs(spark, sfDir)
+      .select(col("source"),
+        CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
+          maxLen = 256, maskBits = 5))
+    val sketches = chunked
+      .groupBy(col("source"))
+      .agg(KmvSketch.kmv_sample(col("hash")).as("sample"))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val pairs = for {
+      i <- sketches.indices
+      j <- (i + 1) until sketches.length
+    } yield (sketches(i)._1, sketches(j)._1,
+      KmvSketch.jaccardEstimate(sketches(i)._2, sketches(j)._2))
+    pairs.toSeq.toDF("source_a", "source_b", "est_jaccard")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
+    "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
     "dedup_minhash" -> minhashPairs _,

@@ -86,7 +86,37 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuffer, Long] {
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
+/** Same sketch, but finishing to the raw k-minimum sample so set
+  * operations can run on collected buffers (the KMV advantage over HLL).
+  */
+class KmvBufferAgg(k: Int) extends Aggregator[Long, KmvBuffer, Array[Long]] {
+  private val inner = new KmvSketch(k)
+  override def zero: KmvBuffer = inner.zero
+  override def reduce(b: KmvBuffer, h: Long): KmvBuffer = inner.reduce(b, h)
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = inner.merge(a, b)
+  override def finish(b: KmvBuffer): Array[Long] = b.values
+  override def bufferEncoder: Encoder[KmvBuffer] = Encoders.product[KmvBuffer]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object KmvSketch {
   /** Column function: `df.agg(kmv_distinct($"hash"))`. */
   def kmv_distinct(c: Column, k: Int = 1024): Column = udaf(new KmvSketch(k)).apply(c)
+
+  /** Column function returning the raw sorted k-minimum sample. */
+  def kmv_sample(c: Column, k: Int = 1024): Column = udaf(new KmvBufferAgg(k)).apply(c)
+
+  /** Jaccard estimate from two KMV samples (Bar-Yossef-style): take the k
+    * smallest of the union, count how many lie in both sketches. Exact
+    * when both sets had < k distinct values (the samples ARE the sets).
+    */
+  def jaccardEstimate(a: Array[Long], b: Array[Long], k: Int = 1024): Double = {
+    if (a.isEmpty && b.isEmpty) return 0.0
+    val setA = a.toSet
+    val setB = b.toSet
+    val union = (setA ++ setB).toArray.sorted.take(k)
+    if (union.isEmpty) 0.0
+    else union.count(v => setA.contains(v) && setB.contains(v)).toDouble / union.length
+  }
 }

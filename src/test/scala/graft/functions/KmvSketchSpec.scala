@@ -40,6 +40,25 @@ class KmvSketchSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("jaccard estimate from samples: exact below k, accurate above") {
+    import spark.implicits._
+    // sets A = [0, 30000), B = [15000, 45000): true jaccard = 15000/45000 = 1/3
+    val a = spark.range(0, 30000).select(xxhash64(col("id")).as("h"))
+      .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
+    val b = spark.range(15000, 45000).select(xxhash64(col("id")).as("h"))
+      .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
+    val est = KmvSketch.jaccardEstimate(a, b)
+    info(f"kmv jaccard estimate: $est%.3f (true 0.333)")
+    assert(math.abs(est - 1.0 / 3) < 0.06, s"est=$est")
+    // identical sets -> 1.0; disjoint small sets -> 0.0 exactly
+    assert(KmvSketch.jaccardEstimate(a, a) == 1.0)
+    val tiny1 = spark.range(0, 100).select(xxhash64(col("id")).as("h"))
+      .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
+    val tiny2 = spark.range(1000000, 1000100).select(xxhash64(col("id")).as("h"))
+      .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
+    assert(KmvSketch.jaccardEstimate(tiny1, tiny2) == 0.0)
+  }
+
   test("grouped aggregation works (one sketch per group)") {
     import spark.implicits._
     val df = spark.range(30000L)
