@@ -211,10 +211,14 @@ object Dedupe {
     // cached: consumed three times (sizes, shared-gram df, self-join) —
     // without it the text splitting/explosion re-runs per consumer.
     // null/empty grams (null or empty text) are dropped so degenerate docs
-    // never pair; the oracle filters the same way.
+    // never pair; the oracle filters the same way. Grams are hashed to
+    // longs immediately: every downstream shuffle/join/groupBy moves 8-byte
+    // keys instead of strings (collision odds over a corpus vocabulary are
+    // ~2^-64 per pair — immaterial next to the estimate's own semantics).
     val exploded = df
-      .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram"))
-      .filter(col("gram").isNotNull && col("gram") =!= "")
+      .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram_s"))
+      .filter(col("gram_s").isNotNull && col("gram_s") =!= "")
+      .select(col("id"), xxhash64(col("gram_s")).as("gram"))
       .cache()
     // ONE gram-frequency aggregate feeds both prunes: sizes come from the
     // freq-capped gram sets (full sets when uncapped); the self-join only
