@@ -203,22 +203,26 @@ object Dedupe {
       k: Int = 3,
       threshold: Double = 0.5,
       maxGramFreq: Long = Long.MaxValue): DataFrame = {
-    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val grams = when(size(words) >= k,
-      transform(sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", slice(words, i, lit(k)))))
-      .otherwise(array(concat_ws(" ", words)))
-    // cached: consumed three times (sizes, shared-gram df, self-join) —
-    // without it the text splitting/explosion re-runs per consumer.
-    // null/empty grams (null or empty text) are dropped so degenerate docs
-    // never pair; the oracle filters the same way. Grams are hashed to
-    // longs immediately: every downstream shuffle/join/groupBy moves 8-byte
-    // keys instead of strings (collision odds over a corpus vocabulary are
-    // ~2^-64 per pair — immaterial next to the estimate's own semantics).
-    val exploded = df
-      .select(col(idCol).cast("long").as("id"), explode(array_distinct(grams)).as("gram_s"))
-      .filter(col("gram_s").isNotNull && col("gram_s") =!= "")
-      .select(col("id"), xxhash64(col("gram_s")).as("gram"))
+    // Grams are IDENTIFIED BY HASH from the start: word array → per-word
+    // xxhash64 → k-gram hash combines k word hashes — no string slicing,
+    // concatenation, or string-distinct work per position. Gram-hash
+    // equality equals gram-string equality modulo 2^-64 collisions
+    // (immaterial); short docs (< k words) contribute one whole-text gram
+    // like the oracle's ELSE branch; null/empty docs contribute nothing.
+    val withGrams = df
+      .select(col(idCol).cast("long").as("id"),
+        filter(split(lower(col(textCol)), " "), w => w =!= "").as("words"))
+      .filter(col("words").isNotNull && size(col("words")) > 0)
+      .withColumn("wh", transform(col("words"), w => xxhash64(w)))
+      .withColumn("gram_hashes",
+        when(size(col("words")) >= k,
+          transform(sequence(lit(1), size(col("words")) - (k - 1)),
+            i => xxhash64((0 until k).map(j =>
+              element_at(col("wh"), i + lit(j))): _*)))
+          .otherwise(array(xxhash64(concat_ws(" ", col("words"))))))
+    // cached: consumed three times (sizes, shared-gram df, self-join)
+    val exploded = withGrams
+      .select(col("id"), explode(array_distinct(col("gram_hashes"))).as("gram"))
       .cache()
     // ONE gram-frequency aggregate feeds both prunes: sizes come from the
     // freq-capped gram sets (full sets when uncapped); the self-join only
