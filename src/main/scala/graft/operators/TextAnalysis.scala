@@ -44,7 +44,9 @@ object TextAnalysis {
     val nChars = length(text)
     val nTokens = tokenCountCol(text)
     val stopArr = array(Stopwords.toSeq.sorted.map(lit): _*)
-    val words = filter(split(lower(text), "\\s+"), w => w =!= "")
+    // literal single-space split: matches the DuckDB oracle's string_split
+    // exactly (regex \s+ would diverge on tabs/newlines) and skips regex cost
+    val words = filter(split(lower(text), " "), w => w =!= "")
     val stopRatio = when(size(words) > 0,
       size(filter(words, w => array_contains(stopArr, w))).cast("double") /
         size(words).cast("double")).otherwise(lit(0.0))
