@@ -284,12 +284,19 @@ object Queries {
     import spark.implicits._
     val chunks = sfChunks(spark, sfDir)
     val (total, exactUnique, _) = Estimator.stats(chunks)
-    val (_, approxUnique, approxBytes) = Estimator.statsApprox(chunks)
-    val kmvUnique = chunks
-      .agg(graft.functions.KmvSketch.kmv_distinct(col("hash")))
+    // one fused aggregate: HLL + KMV + totals share a single pass
+    val row = chunks
+      .agg(
+        coalesce(sum(col("size")), lit(0L)).as("t"),
+        approx_count_distinct(col("hash"), 0.01).as("hll"),
+        graft.functions.KmvSketch.kmv_distinct(col("hash")).as("kmv"),
+        count(lit(1)).as("occ"))
       .head()
-      .getLong(0)
-    Seq((total, exactUnique, approxUnique, kmvUnique, approxBytes,
+    val hll = row.getLong(1)
+    val kmv = row.getLong(2)
+    val occ = row.getLong(3)
+    val approxBytes = if (occ == 0) 0.0 else hll * (total.toDouble / occ)
+    Seq((total, exactUnique, hll, kmv, approxBytes,
       if (total == 0) 0.0 else approxBytes / total))
       .toDF("total_len", "chunk_bytes", "hll_unique_chunks", "kmv_unique_chunks",
         "approx_chunk_bytes", "approx_dedup_ratio")

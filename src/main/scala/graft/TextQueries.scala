@@ -131,6 +131,7 @@ object TextQueries {
         CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
           maxLen = 256, maskBits = 5))
     val sketches = chunked
+      .filter(col("source").isNotNull)
       .groupBy(col("source"))
       .agg(KmvSketch.kmv_sample(col("hash")).as("sample"))
       .collect()

@@ -107,15 +107,27 @@ object KmvSketch {
   /** Column function returning the raw sorted k-minimum sample. */
   def kmv_sample(c: Column, k: Int = 1024): Column = udaf(new KmvBufferAgg(k)).apply(c)
 
-  /** Jaccard estimate from two KMV samples (Bar-Yossef-style): take the k
-    * smallest of the union, count how many lie in both sketches. Exact
-    * when both sets had < k distinct values (the samples ARE the sets).
+  /** Jaccard estimate from two KMV samples built with the SAME k
+    * (Bar-Yossef-style). Saturation-aware: a saturated sample (length == k)
+    * only has membership information below its kth minimum, so the union is
+    * truncated at the smallest saturated sample's max before counting —
+    * using values beyond that would count unknowable members as absent and
+    * bias the estimate low. When neither sample is saturated the samples
+    * ARE the sets and the result is the exact Jaccard.
     */
   def jaccardEstimate(a: Array[Long], b: Array[Long], k: Int = 1024): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
+    if (a.isEmpty || b.isEmpty) return 0.0
     val setA = a.toSet
     val setB = b.toSet
-    val union = (setA ++ setB).toArray.sorted.take(k)
+    // unsigned-order threshold: min over saturated samples' last values
+    val thresholds =
+      (if (a.length >= k) Seq(a.last) else Seq.empty) ++
+        (if (b.length >= k) Seq(b.last) else Seq.empty)
+    val union0 = (setA ++ setB).toArray.sorted
+    val union =
+      if (thresholds.isEmpty) union0
+      else union0.filter(_ <= thresholds.min).take(k)
     if (union.isEmpty) 0.0
     else union.count(v => setA.contains(v) && setB.contains(v)).toDouble / union.length
   }

@@ -176,6 +176,22 @@ object Estimator {
     }
   }
 
+  /** Byte-ordered occurrence stream annotated with provenance — the
+    * canonical input for the strip visualizations (one cell per chunk
+    * OCCURRENCE, in file/byte order, with first_seen_in and uniqueness).
+    */
+  def annotatedOccurrences(chunks: Dataset[ChunkRow]): DataFrame = {
+    val perHash = chunks
+      .groupBy(col("hash"))
+      .agg(min(col("file_idx")).as("first_seen_in"),
+        countDistinct(col("file_idx")).as("n_files"))
+    chunks
+      .join(perHash, "hash")
+      .orderBy(col("file_idx"), col("chunk_idx"))
+      .select(col("file_idx"), col("first_seen_in"), col("size"),
+        (col("n_files") === 1).as("is_unique"))
+  }
+
   /** Provenance segment sequence (O2, reference src/store.rs:138-143): the
     * merged chunk stream in byte order mapped to first_seen_in — drives the
     * heat-map strip. The per-hash side is aggregated (small relative to

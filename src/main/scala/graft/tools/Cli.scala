@@ -136,14 +136,10 @@ object Cli {
       val spark = session()
       val files = rest.init
       val out = Paths.get(rest.last)
+      // byte-ordered occurrences: strips must render each file's chunks in
+      // file layout order, one cell per occurrence
       val matrixRows = Estimator
-        .merged(ChunkRelation.chunkFiles(spark, files))
-        .select(org.apache.spark.sql.functions.explode(
-          org.apache.spark.sql.functions.col("seen_in")).as("file_idx"),
-          org.apache.spark.sql.functions.col("first_seen_in"),
-          org.apache.spark.sql.functions.col("size"),
-          (org.apache.spark.sql.functions.size(
-            org.apache.spark.sql.functions.col("seen_in")) === 1).as("is_unique"))
+        .annotatedOccurrences(ChunkRelation.chunkFiles(spark, files))
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
         .toSeq

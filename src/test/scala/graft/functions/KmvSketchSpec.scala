@@ -59,6 +59,17 @@ class KmvSketchSpec extends SparkSpec {
     assert(KmvSketch.jaccardEstimate(tiny1, tiny2) == 0.0)
   }
 
+  test("jaccard on unsaturated samples is exact set jaccard") {
+    // below k the samples ARE the sets: {1,2} vs {1,2,9} -> 2/3 exactly
+    assert(KmvSketch.jaccardEstimate(Array(1L, 2L), Array(1L, 2L, 9L), k = 1024) == 2.0 / 3)
+    // saturated sample: membership unknown above its max; union truncates
+    val a = (1L to 10L).toArray // saturated at k=10
+    val b = Array(1L, 2L, 3L, 50L) // unsaturated
+    val est = KmvSketch.jaccardEstimate(a, b, k = 10)
+    // threshold = 10 -> union [1..10], shared {1,2,3} -> 0.3 (50 unknowable for a)
+    assert(est == 0.3, s"est=$est")
+  }
+
   test("grouped aggregation works (one sketch per group)") {
     import spark.implicits._
     val df = spark.range(30000L)
