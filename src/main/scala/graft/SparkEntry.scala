@@ -7,16 +7,26 @@ import graft.operators.Estimator
 object SparkEntry {
 
   /** Flagship query (the reference's `de dedup f1 f2 ...`, SURVEY §3.1):
-    * CDC-chunk the sf0.001 parquet tables, merge chunk streams by hash,
-    * and report per-group dedup estimation stats. Driver smoke-checks
-    * rows > 0.
+    * CDC-chunk sf0.001 parquet files, merge chunk streams by hash, report
+    * per-group dedup stats. Two groups in one grid job: `selfdup` lists
+    * lineitem twice (the reference's estimate(f,f) case — dedup ratio
+    * ≈ 0.5 shows the estimator finding every shared chunk) and `tables`
+    * spans three distinct tables (ratio ≈ 1.0: nothing shared). Driver
+    * smoke-checks rows > 0.
     */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
-    val paths = Seq(s"$dir/lineitem.parquet", s"$dir/orders.parquet", s"$dir/customer.parquet")
-    val r = Estimator.estimate(spark, paths, group = "sf0.001", format = "parquet")
-    spark.createDataset(Seq(r)).toDF()
+    val li = s"$dir/lineitem.parquet"
+    val grid = Estimator.estimateGrid(
+      spark,
+      Seq(
+        ("selfdup", "parquet", li),
+        ("selfdup", "parquet", li),
+        ("tables", "parquet", li),
+        ("tables", "parquet", s"$dir/orders.parquet"),
+        ("tables", "parquet", s"$dir/customer.parquet")))
+    spark.createDataset(grid).toDF()
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
