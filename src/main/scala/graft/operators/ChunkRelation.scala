@@ -24,6 +24,19 @@ final case class ChunkRowWithData(
     compressed: Long,
     data: Array[Byte])
 
+/** 128-bit chunk identity (two independent-seed xxh64 values) for the
+  * 1e9+-chunk regime where 64-bit birthday collisions become material
+  * (~0.4% at 100 TB / 64 KiB chunks — SURVEY §7.4-5). Dedup keys on
+  * (hash, hash2); collision odds drop to ~2^-128 scale.
+  */
+final case class ChunkRow128(
+    file_idx: Long,
+    chunk_idx: Long,
+    hash: Long,
+    hash2: Long,
+    size: Long,
+    compressed: Long)
+
 object ChunkRelation {
 
   /** Chunk a list of files into the occurrence relation.
@@ -92,6 +105,27 @@ object ChunkRelation {
     (smallDs.toSeq ++ largeDs).reduceOption(_ unionAll _)
       .getOrElse(spark.emptyDataset(implicitly[org.apache.spark.sql.Encoder[ChunkRow]](
         org.apache.spark.sql.Encoders.product[ChunkRow])))
+  }
+
+  /** 128-bit-identity variant of `chunkFiles` — the 100 TB configuration. */
+  def chunkFiles128(
+      spark: SparkSession,
+      paths: Seq[String],
+      params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow128] = {
+    import spark.implicits._
+    val indexed = paths.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+    val parallelism = math.max(1, math.min(indexed.size, spark.sparkContext.defaultParallelism))
+    spark
+      .createDataset(indexed)
+      .repartition(parallelism)
+      .flatMap { case (fileIdx, path) =>
+        openAndChunk(path, params).zipWithIndex.map { case (bytes, ci) =>
+          ChunkRow128(fileIdx, ci.toLong,
+            XXH64.hash(bytes, XXH64.DefaultSeed),
+            XXH64.hash(bytes, 0x5ECD5EED5ECD5EEDL), // independent second seed
+            bytes.length.toLong, Lz4Len(bytes).toLong)
+        }
+      }
   }
 
   /** As `chunkFiles` but retaining chunk payloads (reference `store_data`). */

@@ -65,6 +65,25 @@ object Estimator {
     (row.getLong(0), row.getLong(1), row.getLong(2))
   }
 
+  /** 128-bit-identity totals: dedup keyed on (hash, hash2) — use at the
+    * 1e9+-chunk scale where 64-bit birthday collisions would silently
+    * conflate distinct chunks (SURVEY §7.4-5).
+    */
+  def stats128(chunks: Dataset[ChunkRow128]): (Long, Long, Long) = {
+    val row = chunks
+      .groupBy(col("hash"), col("hash2"))
+      .agg(
+        first(col("size")).as("size"),
+        first(col("compressed")).as("compressed"),
+        sum(col("size")).as("occ_bytes"))
+      .agg(
+        coalesce(sum(col("occ_bytes")), lit(0L)).as("total"),
+        coalesce(sum(col("size")), lit(0L)).as("chunk_bytes"),
+        coalesce(sum(col("compressed")), lit(0L)).as("compressed_chunk_bytes"))
+      .head()
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
   /** Approximate estimate (the "approximate distinct" framing in
     * BASELINE.json, reserved as extension in SURVEY §2.4-A4): HLL++
     * `approx_count_distinct` over chunk hashes × mean chunk size. ONE

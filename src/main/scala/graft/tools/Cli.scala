@@ -31,6 +31,17 @@ object Cli {
   }
 
   def main(args: Array[String]): Unit = args.toList match {
+    case "dedup" :: "--wide" :: files if files.nonEmpty =>
+      // 128-bit chunk identity: the 1e9+-chunk configuration where 64-bit
+      // birthday collisions would silently conflate distinct chunks
+      val spark = session()
+      val (total, chunkBytes, compressed) =
+        Estimator.stats128(ChunkRelation.chunkFiles128(spark, files))
+      val ratio = if (total == 0) 0.0 else chunkBytes.toDouble / total
+      println(f"Deduplication ratio (128-bit ids): ${ratio * 100}%.1f%% " +
+        f"($chunkBytes%d/$total%d, compressed $compressed%d)")
+      spark.stop()
+
     case "dedup" :: files if files.nonEmpty =>
       val spark = session()
       val r = Estimator.estimate(spark, files)

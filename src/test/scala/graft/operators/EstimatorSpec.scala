@@ -110,6 +110,20 @@ class EstimatorSpec extends SparkSpec {
     assert(both.chunk_bytes < both.total_len * 0.6)
   }
 
+  test("128-bit identity agrees with 64-bit on collision-free data") {
+    val bytes = randomBytes(2 << 20, 31L)
+    val f1 = writeTemp("a.bin", bytes)
+    val f2 = writeTemp("b.bin", bytes)
+    val paths = Seq(f1.toString, f2.toString)
+    val (t64, c64, z64) = Estimator.stats(ChunkRelation.chunkFiles(spark, paths))
+    val (t128, c128, z128) = Estimator.stats128(ChunkRelation.chunkFiles128(spark, paths))
+    assert((t64, c64, z64) == ((t128, c128, z128)))
+    assert(c128 == bytes.length.toLong, "identical files share every 128-bit chunk id")
+    // the two hash lanes are genuinely independent values
+    val wide = ChunkRelation.chunkFiles128(spark, paths).head()
+    assert(wide.hash != wide.hash2)
+  }
+
   test("grid estimate: one result per (group, format) with correct numfiles") {
     val a = writeTemp("a.bin", randomBytes(512 << 10, 14L))
     val b = writeTemp("b.bin", randomBytes(512 << 10, 15L))
