@@ -181,7 +181,9 @@ object TextQueries {
         |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard,
+        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) AS containment_a,
+        |  CAST(n_common AS DOUBLE) / CAST(sb.n_grams AS DOUBLE) AS containment_b
         |FROM common
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b

@@ -241,13 +241,18 @@ object Dedupe {
       .join(joinable.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
+    // containment (|A∩B|/|A|) catches "B embeds A" pairs whose Jaccard is
+    // diluted by the larger doc — the asymmetric signal dedup policies use
     val result = common
       .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
+      .withColumn("containment_a", col("n_common").cast("double") / col("na").cast("double"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("nb").cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        col("containment_a"), col("containment_b"))
       .cache()
     result.count()
     exploded.unpersist()
@@ -350,6 +355,57 @@ object Dedupe {
     result.count()
     sigs.unpersist()
     result
+  }
+
+  // ------------------------------------------------- duplicate clustering
+
+  /** Connected components over near-dup pairs → (id, cluster_id) with
+    * cluster_id = min member id. Iterative min-label propagation: each
+    * round every vertex takes the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * clusters are dense, so diameter is tiny in practice; `maxIter`
+    * bounds pathological chains). Each round is one join+aggregate —
+    * the standard large-graph CC shape without any graph library.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected edge list, both directions
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges
+      .select(col("src").as("id"))
+      .distinct()
+      .withColumn("cluster_id", col("id"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "n_label"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("n_label")).as("neighbor_min"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      updated.count()
+      val changed = labels
+        .withColumnRenamed("cluster_id", "old_label")
+        .join(updated, "id")
+        .filter(col("old_label") =!= col("cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   // --------------------------------------------------- embedding near-dup

@@ -62,6 +62,26 @@ class DedupeSpec extends SparkSpec {
     assert(pruned.count() == 0)
   }
 
+  test("duplicateClusters: transitive chains collapse to the min-id cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedupe.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("ngram containment: embedded doc scores 1.0 toward its container") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = small + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val df = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val r = Dedupe.ngramJaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.1).head()
+    assert(r.getAs[Double]("containment_a") == 1.0, "small doc fully contained in big")
+    assert(r.getAs[Double]("containment_b") < 1.0)
+    assert(r.getAs[Double]("jaccard") < r.getAs[Double]("containment_a"))
+  }
+
   test("over-cap buckets degrade to star pairs around the min id, not to zero") {
     import spark.implicits._
     // 30 identical docs: clique would give C(30,2)=435 pairs
