@@ -77,9 +77,8 @@ object Queries {
   /** A5-shaped grid: aggregation keyed by a (group × format)-like pair. */
   private def q07GroupGrid(spark: SparkSession, sfDir: String): DataFrame =
     t(spark, sfDir, "events")
-      .groupBy(col("event_type"), col("user_id") % 10)
+      .groupBy(col("event_type"), (col("user_id") % 10).as("user_bucket"))
       .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("sum_value"))
-      .withColumnRenamed("(user_id % 10)", "user_bucket")
       .select(col("event_type"), col("user_bucket"), col("n"), col("sum_value"))
 
   /** A8: fixed-width histogram of order totals (integer bucket arithmetic —

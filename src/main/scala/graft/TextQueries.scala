@@ -141,7 +141,7 @@ object TextQueries {
       i <- sketches.indices
       j <- (i + 1) until sketches.length
     } yield (sketches(i)._1, sketches(j)._1,
-      KmvSketch.jaccardEstimate(sketches(i)._2, sketches(j)._2))
+      KmvSketch.jaccardEstimate(sketches(i)._2, sketches(j)._2, k = 1024))
     pairs.toSeq.toDF("source_a", "source_b", "est_jaccard")
   }
 

@@ -108,14 +108,17 @@ object KmvSketch {
   def kmv_sample(c: Column, k: Int = 1024): Column = udaf(new KmvBufferAgg(k)).apply(c)
 
   /** Jaccard estimate from two KMV samples built with the SAME k
-    * (Bar-Yossef-style). Saturation-aware: a saturated sample (length == k)
+    * (Bar-Yossef-style). `k` is required (no default): it must equal the k
+    * the samples were built with — a mismatched k silently mis-classifies
+    * saturation and biases the estimate with no error.
+    * Saturation-aware: a saturated sample (length == k)
     * only has membership information below its kth minimum, so the union is
     * truncated at the smallest saturated sample's max before counting —
     * using values beyond that would count unknowable members as absent and
     * bias the estimate low. When neither sample is saturated the samples
     * ARE the sets and the result is the exact Jaccard.
     */
-  def jaccardEstimate(a: Array[Long], b: Array[Long], k: Int = 1024): Double = {
+  def jaccardEstimate(a: Array[Long], b: Array[Long], k: Int): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0
     if (a.isEmpty || b.isEmpty) return 0.0
     val setA = a.toSet

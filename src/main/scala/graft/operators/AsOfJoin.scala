@@ -26,8 +26,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** Normalize a time column to a comparable long. Timestamps convert at
+    * MICROSECOND resolution via unix_micros — `cast("long")` would truncate
+    * to whole seconds, silently collapsing sub-second-distinct right rows
+    * into a nondeterministic window order. Numeric columns pass through
+    * (the caller owns their unit; both sides must agree).
+    */
+  private def timeAsLong(df: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.types._
+    df.select(c).schema.head.dataType match {
+      case TimestampType | TimestampNTZType | DateType => unix_micros(c.cast("timestamp"))
+      case _: NumericType => c.cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"asof time column must be numeric or timestamp/date, got ${dt.catalogString}")
+    }
+  }
+
   /** @param valueCols output name → right-side column to carry. Output
     * names must not collide with left columns (checked).
+    * Time resolution contract: timestamp/date inputs compare at
+    * microsecond resolution; numeric inputs compare as-is (same unit on
+    * both sides is the caller's contract).
     */
   def asof(
       left: DataFrame,
@@ -43,13 +62,13 @@ object AsOfJoin {
     }
     val probes = left
       .withColumn("__key", leftKey)
-      .withColumn("__t", leftTime.cast("long"))
+      .withColumn("__t", timeAsLong(left, leftTime))
       .withColumn("__is_probe", lit(1))
     // state is carried as ONE non-null struct per right row, so a matched
     // right row whose value column is null still wins over older state
     // (last(value, ignoreNulls) alone would skip it and return stale data)
     val state = right
-      .select(rightKey.as("__key"), rightTime.cast("long").as("__t"),
+      .select(rightKey.as("__key"), timeAsLong(right, rightTime).as("__t"),
         lit(0).as("__is_probe"),
         struct(valueCols.map { case (n, c) => c.as(n) }: _*).as("__state"))
     val unioned = probes.unionByName(state, allowMissingColumns = true)

@@ -99,7 +99,6 @@ object Dedupe {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = bands // rows per band = numHashes / bands
     val rowsPerBand = numHashes / bands
 
     val docs = df
@@ -413,6 +412,10 @@ object Dedupe {
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     * sign-bit signature buckets candidates, exact cosine verifies. Vectors
     * as Array[Float]; hyperplanes derived deterministically from a seed.
+    * `maxBucketSize` is the same skew guard as minhash/simhash: a hot
+    * signature bucket (e.g. a giant cluster of identical embeddings) would
+    * otherwise go quadratic; over-cap buckets degrade to star candidates
+    * around the bucket's min id.
     */
   def embeddingNearDups(
       df: DataFrame,
@@ -421,7 +424,8 @@ object Dedupe {
       dim: Int,
       planes: Int = 16,
       minCosine: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = 2000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hyper = Similarity.randomPlanes(planes, dim, seed)
@@ -433,11 +437,28 @@ object Dedupe {
       .toDF("id", "sig", "vec")
       .cache()
 
-    val result = sigs
+    val bucketSizes = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bucket_n"))
+    val capped = sigs.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"), Seq("sig"))
+    val cliquePairs = capped
       .as("l")
-      .join(sigs.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
+      .join(capped.as("r"), col("l.sig") === col("r.sig") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.vec").as("vec_a"), col("r.vec").as("vec_b"))
+    val hotMembers = sigs.join(
+      bucketSizes.filter(col("bucket_n") > maxBucketSize).drop("bucket_n"), Seq("sig"))
+    val hotCenters = hotMembers.groupBy(col("sig")).agg(min(col("id")).as("center_id"))
+    val starPairs = hotMembers
+      .join(hotCenters, Seq("sig"))
+      .filter(col("id") =!= col("center_id"))
+      .join(sigs.select(col("id").as("center_id"), col("vec").as("center_vec")), "center_id")
+      .select(col("center_id").as("id_a"), col("id").as("id_b"),
+        col("center_vec").as("vec_a"), col("vec").as("vec_b"))
+
+    val result = cliquePairs
+      .unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
       .as[(Long, Long, Array[Float], Array[Float])]
       .map { case (a, b, va, vb) => (a, b, Similarity.cosine(va, vb)) }
       .toDF("id_a", "id_b", "cosine")

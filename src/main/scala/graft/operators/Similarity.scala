@@ -111,9 +111,12 @@ object Similarity {
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
 
     // --- train coarse quantizer on a deterministic sample (driver-side:
-    // sampleSize × dim floats, tiny) ---
+    // sampleSize × dim floats, tiny). Ordering by a hash of the id gives an
+    // unbiased uniform sample and plans as TakeOrderedAndProject (per-
+    // partition top-k + driver merge), not a presorted-prefix of the id
+    // space, which would bias the quantizer toward old rows. ---
     val sample = base
-      .orderBy(col("id"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
       .limit(sampleSize)
       .as[(Long, Array[Float])]
       .collect()

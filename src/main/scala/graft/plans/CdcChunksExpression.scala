@@ -26,6 +26,14 @@ final case class CdcChunks(
     maskBits: Int)
   extends UnaryExpression with Generator with CodegenFallback {
 
+  // maskBits=0 would compute -1L << 64, which the JVM wraps to shift-by-0
+  // (mask = all ones → a boundary at every byte past minLen); >= 64 wraps
+  // similarly. Fail loudly instead of silently mis-chunking.
+  require(maskBits >= 1 && maskBits <= 63,
+    s"cdc_chunks maskBits must be in [1, 63], got $maskBits")
+  require(minLen >= 1 && maxLen >= minLen,
+    s"cdc_chunks needs 1 <= minLen <= maxLen, got minLen=$minLen maxLen=$maxLen")
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("chunk_idx", LongType, nullable = false),
     StructField("hash", LongType, nullable = false),
@@ -69,12 +77,33 @@ object CdcChunks {
       CdcChunks(org.apache.spark.sql.GraftBridge.expression(content),
         minLen, maxLen, maskBits))
 
+  /** SQL-surface builder: `cdc_chunks(content)` with default chunker
+    * params, or `cdc_chunks(content, minLen, maxLen, maskBits)` with
+    * integer literals. Anything else is a loud error — silently dropping
+    * extra arguments would leave SQL callers no way to know their params
+    * were ignored.
+    */
+  private[plans] def fromExprs(exprs: Seq[Expression]): CdcChunks = {
+    def lit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"cdc_chunks $name must be an integer literal, got $other")
+    }
+    exprs match {
+      case Seq(content) => CdcChunks(content, 8 * 1024, 128 * 1024, 16)
+      case Seq(content, minL, maxL, bits) =>
+        CdcChunks(content, lit(minL, "minLen"), lit(maxL, "maxLen"), lit(bits, "maskBits"))
+      case _ => throw new IllegalArgumentException(
+        "cdc_chunks takes (content) or (content, minLen, maxLen, maskBits), " +
+          s"got ${exprs.size} arguments")
+    }
+  }
+
   /** Register `cdc_chunks` for SQL (`LATERAL VIEW cdc_chunks(b)`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cdc_chunks",
-      exprs => CdcChunks(exprs.head, 8 * 1024, 128 * 1024, 16),
-      "built-in")
+      "cdc_chunks", fromExprs, "built-in")
 }
 
 /** Session-extension entry point: `--conf
@@ -90,6 +119,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CdcChunks].getCanonicalName, "cdc_chunks"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CdcChunks(exprs.head, 8 * 1024, 128 * 1024, 16)))
+        CdcChunks.fromExprs(exprs)))
   }
 }

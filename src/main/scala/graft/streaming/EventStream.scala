@@ -45,20 +45,27 @@ object EventStream {
         col("n"), col("sum_value"))
 
   /** Per-user sessionization: counts + value sums until an event-time gap
-    * closes the session. A processing-time timeout (gap-scaled, min 10 s)
-    * closes idle users' sessions and frees their state, so long-running
-    * streams don't accumulate state for churned users.
+    * closes the session. Idle sessions are closed by an EVENT-time timeout
+    * anchored to the watermark (timeout at lastTs + gap): a late event that
+    * is within the event-time gap still extends its session instead of
+    * double-counting against an already-emitted one (a processing-time
+    * timeout would close sessions on wall-clock, divorced from event time).
+    * The watermark delay doubles as the lateness bound.
     */
   def sessionize(
       events: Dataset[EventRow],
       gapNanos: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val timeoutMs = math.max(10000L, gapNanos / 1000000L)
-    events
+    val gapMs = math.max(1L, gapNanos / 1000000L)
+    val timed = withEventTime(events.toDF())
+      .withWatermark("event_time", s"$gapMs milliseconds")
+      .as[EventRow] // event_time rides along for the watermark; rows decode the same
+    timed
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
+            // watermark passed lastTs + gap: no in-gap event can still arrive
             val out = state.getOption
               .filter(_.count > 0)
               .map(s => SessionOut(userId, s.count, s.sumValue, s.lastTs))
@@ -76,7 +83,8 @@ object EventStream {
               cur = SessionState(cur.count + 1, cur.sumValue + e.value, e.ts)
             }
             state.update(cur)
-            if (!state.getOption.isEmpty) state.setTimeoutDuration(timeoutMs)
+            // close when event time (not wall clock) passes the gap
+            state.setTimeoutTimestamp(cur.lastTs / 1000000L + gapMs)
             closed.iterator
           }
         })

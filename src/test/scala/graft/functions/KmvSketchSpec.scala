@@ -47,16 +47,16 @@ class KmvSketchSpec extends SparkSpec {
       .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
     val b = spark.range(15000, 45000).select(xxhash64(col("id")).as("h"))
       .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
-    val est = KmvSketch.jaccardEstimate(a, b)
+    val est = KmvSketch.jaccardEstimate(a, b, k = 1024)
     info(f"kmv jaccard estimate: $est%.3f (true 0.333)")
     assert(math.abs(est - 1.0 / 3) < 0.06, s"est=$est")
     // identical sets -> 1.0; disjoint small sets -> 0.0 exactly
-    assert(KmvSketch.jaccardEstimate(a, a) == 1.0)
+    assert(KmvSketch.jaccardEstimate(a, a, k = 1024) == 1.0)
     val tiny1 = spark.range(0, 100).select(xxhash64(col("id")).as("h"))
       .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
     val tiny2 = spark.range(1000000, 1000100).select(xxhash64(col("id")).as("h"))
       .agg(KmvSketch.kmv_sample(col("h"))).head().getSeq[Long](0).toArray
-    assert(KmvSketch.jaccardEstimate(tiny1, tiny2) == 0.0)
+    assert(KmvSketch.jaccardEstimate(tiny1, tiny2, k = 1024) == 0.0)
   }
 
   test("jaccard on unsaturated samples is exact set jaccard") {
