@@ -25,11 +25,20 @@ object CuratePipeline {
     * near_dup. Returns the full annotated frame (filter on
     * `fate = 'kept'` for the surviving corpus).
     */
+  /** @param precomputedPairs optional near-dup pairs frame
+    * (id_a, id_b, ..., jaccard) computed over the FULL corpus (e.g. the
+    * catalog's shared `dedup_minhash` pass) — re-used instead of re-signing
+    * the corpus. Pairs are filtered to `jaccard >= nearDupThreshold` and to
+    * ids still alive after the earlier stages, which matches running
+    * MinHash on the alive subset (Jaccard is per-pair, corpus-independent;
+    * full-corpus candidate generation can only see MORE candidates).
+    */
   def curate(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      params: CurateParams = CurateParams()): DataFrame = {
+      params: CurateParams = CurateParams(),
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
     val quality = TextAnalysis.qualityScore(docs, textCol)
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
 
@@ -48,8 +57,16 @@ object CuratePipeline {
 
     // near-dups only among docs still alive after earlier stages
     val alive = exact.filter(!qualityFail && !langFail && !col("is_dup"))
-    val nearDupIds = Dedupe
-      .minhashPairs(alive, idCol, textCol, threshold = params.nearDupThreshold)
+    val pairs = precomputedPairs match {
+      case Some(p) =>
+        val aliveIds = alive.select(col(idCol).cast("long").as("__alive_id"))
+        p.filter(col("jaccard") >= params.nearDupThreshold)
+          .join(aliveIds.withColumnRenamed("__alive_id", "id_a"), Seq("id_a"), "left_semi")
+          .join(aliveIds.withColumnRenamed("__alive_id", "id_b"), Seq("id_b"), "left_semi")
+      case None =>
+        Dedupe.minhashPairs(alive, idCol, textCol, threshold = params.nearDupThreshold)
+    }
+    val nearDupIds = pairs
       .select(col("id_b").as("__near_dup_id"))
       .distinct()
 

@@ -56,18 +56,35 @@ object Dedupe {
 
   // --------------------------------------------------------------- minhash
 
-  /** MinHash signature: h_i = min over shingles of xxh64(shingle, seed=i).
-    * One narrow pass; `numHashes` u64 mins per doc.
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val MaxHashes = 256
+  // one affine permutation per signature slot: h_i(s) = a_i*s + b_i mod 2^64
+  // with odd a_i (a bijection on Z/2^64). Deterministic, seed-derived.
+  private val PermA: Array[Long] =
+    Array.tabulate(MaxHashes)(i => splitmix64(0xA11CE5EEDL + i.toLong) | 1L)
+  private val PermB: Array[Long] =
+    Array.tabulate(MaxHashes)(i => splitmix64(0xB0B5EED42L + i.toLong))
+
+  /** MinHash signature: h_i = min over shingles of the i-th affine
+    * permutation of the shingle hash — ONE xxh64 per shingle (paid in
+    * `wordShingles`) plus numHashes multiply-adds, instead of numHashes
+    * independent xxh64 calls (~64× less hashing on the hot path). Affine
+    * families are the standard cheap MinHash permutations (Broder'97
+    * universe-permutation approximated by 2-universal hashing).
     */
   def minhashSignature(shingles: Set[Long], numHashes: Int): Array[Long] = {
+    require(numHashes <= MaxHashes, s"numHashes must be <= $MaxHashes")
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val buf = new Array[Byte](8)
     shingles.foreach { s =>
-      var b = 0
-      while (b < 8) { buf(b) = (s >>> (8 * b)).toByte; b += 1 }
       var i = 0
       while (i < numHashes) {
-        val h = XXH64.hash(buf, i.toLong)
+        val h = PermA(i) * s + PermB(i)
         if (h < sig(i)) sig(i) = h
         i += 1
       }
