@@ -24,9 +24,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: exercise scan+shuffle+window+UDF code paths once, discarded
+    // NonFatal only: an OOM/fatally-broken JVM must abort, not proceed into
+    // the timed section and report bogus numbers
     for (w <- Seq("q01_pricing_summary", "q05_window_best", "dedup_exact"))
       SparkEntry.queries.get(w).foreach { fn =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
       }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -48,6 +48,25 @@ object Queries {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Oracle side-table persistence: queries over engine-computed relations
+    * (chunk streams, signatures) are verified by persisting the relation to
+    * parquet and letting the DuckDB oracle recompute the RELATIONAL half
+    * from the same rows. The result is derived from the read-back relation,
+    * so result == f(persisted) by construction. Paths are keyed by the sf
+    * basename; oracle SQL targets the driver's verification SF (sf0.01) by
+    * absolute path, exactly like rowgroup_profile's parquet_metadata oracle.
+    */
+  private[graft] def oracleSide(
+      spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame = {
+    val base = new java.io.File(sfDir).getName
+    val path = s"/root/repo/target/oracle/$base/$name"
+    df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  private[graft] def oracleSidePath(name: String): String =
+    s"/root/repo/target/oracle/sf0.01/$name/*.parquet"
+
   // ---------------------------------------------------------------- scans
 
   /** P1/P3/P4: projection + filter + cast, all pushed into the parquet scan
@@ -222,17 +241,23 @@ object Queries {
 
   // ------------------------------------------------------------- catalog
 
-  /** CDC estimate over the scale-factor directory's parquet files —
-    * rows-only check (the chunker has no SQL equivalent).
+  /** CDC estimate over the scale-factor directory's parquet files. The
+    * chunker itself has no SQL equivalent, so the chunk relations (default
+    * + xet params) are persisted as oracle side-tables and DuckDB verifies
+    * the relational half — merge + totals + ratios (reference semantics:
+    * src/store.rs:114-136).
     */
   private def cdcEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val paths = Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")
-    val chunks = sfChunks(spark, sfDir)
+    val chunks = oracleSide(spark, sfDir, "chunks_default",
+      sfChunks(spark, sfDir).toDF()).as[ChunkRow]
     val (total, chunkBytes, compressedBytes) = Estimator.stats(chunks)
     // xet pass is consumed exactly once — chunk directly, don't cache
-    val xetBytes = Estimator.uniqueBytes(
-      ChunkRelation.chunkFiles(spark, paths, graft.cdc.ChunkerParams.Xet))
+    val xet = oracleSide(spark, sfDir, "chunks_xet",
+      ChunkRelation.chunkFiles(spark, paths, graft.cdc.ChunkerParams.Xet).toDF())
+      .as[ChunkRow]
+    val xetBytes = Estimator.uniqueBytes(xet)
     val r = EstimationResult("sf", "parquet", paths.size.toLong, total, chunkBytes,
       compressedBytes, if (total == 0) 0.0 else chunkBytes.toDouble / total,
       xetBytes, if (total == 0) 0.0 else xetBytes.toDouble / total)
@@ -320,8 +345,11 @@ object Queries {
     * viz-backing shape (reference de/__init__.py:109-137).
     */
   private def chunkMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val merged = Estimator.merged(
-      sfChunks(spark, sfDir, tables = Seq("lineitem", "orders", "customer")))
+    import spark.implicits._
+    val chunks = oracleSide(spark, sfDir, "chunks3",
+      sfChunks(spark, sfDir, tables = Seq("lineitem", "orders", "customer")).toDF())
+      .as[ChunkRow]
+    val merged = Estimator.merged(chunks)
     merged
       .select(col("hash"), col("size"), col("first_seen_in"),
         size(col("seen_in")).as("n_files"), explode(col("seen_in")).as("file_idx"))
@@ -444,6 +472,35 @@ object Queries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "cdc_estimate" ->
+      s"""WITH per AS (
+        |  SELECT hash, MIN(size) AS size, MIN(compressed) AS compressed,
+        |    SUM(size) AS occ_bytes
+        |  FROM read_parquet('${oracleSidePath("chunks_default")}') GROUP BY hash),
+        |tot AS (
+        |  SELECT CAST(COALESCE(SUM(occ_bytes), 0) AS BIGINT) AS total_len,
+        |    CAST(COALESCE(SUM(size), 0) AS BIGINT) AS chunk_bytes,
+        |    CAST(COALESCE(SUM(compressed), 0) AS BIGINT) AS compressed_chunk_bytes
+        |  FROM per),
+        |x AS (
+        |  SELECT CAST(COALESCE(SUM(size), 0) AS BIGINT) AS xet_bytes FROM (
+        |    SELECT hash, MIN(size) AS size
+        |    FROM read_parquet('${oracleSidePath("chunks_xet")}') GROUP BY hash))
+        |SELECT 'sf' AS "group", 'parquet' AS format, CAST(2 AS BIGINT) AS numfiles,
+        |  total_len, chunk_bytes, compressed_chunk_bytes,
+        |  CAST(chunk_bytes AS DOUBLE) / CAST(total_len AS DOUBLE) AS dedup_ratio,
+        |  xet_bytes,
+        |  CAST(xet_bytes AS DOUBLE) / CAST(total_len AS DOUBLE) AS xet_dedup_ratio
+        |FROM tot, x""".stripMargin,
+    "chunk_matrix" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks3")}')),
+        |m AS (
+        |  SELECT hash, MIN(file_idx) AS first_seen_in, MIN(size) AS size,
+        |    COUNT(DISTINCT file_idx) AS n_files
+        |  FROM c GROUP BY hash)
+        |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
+        |  (m.n_files = 1) AS is_unique
+        |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
     "rowgroup_profile" ->
       """SELECT row_group_id AS row_group, path_in_schema AS column_name,
         |  CAST(num_values AS BIGINT) AS num_values,

@@ -92,10 +92,12 @@ object TextQueries {
     */
   private def docCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.plans.CdcChunks
-    val chunked = docs(spark, sfDir)
-      .select(col("doc_id"), col("source"),
-        CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
-          maxLen = 256, maskBits = 5))
+    val chunked = Queries.oracleSide(spark, sfDir, "doc_chunks",
+      docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
+            maxLen = 256, maskBits = 5))
+        .select(col("source"), col("hash"), col("size")))
     chunked
       .groupBy(col("source"), col("hash"))
       .agg(first(col("size")).as("size"), sum(col("size")).as("occ_bytes"))
@@ -130,8 +132,14 @@ object TextQueries {
       .select(col("source"),
         CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
           maxLen = 256, maskBits = 5))
+    // pre-aggregate to DISTINCT (source, hash) before sketching: KMV is a
+    // set sketch (duplicates are no-ops), but each occurrence row used to
+    // pay a full Aggregator encode/decode through the udaf() bridge —
+    // the relational distinct collapses duplicates map-side in codegen,
+    // leaving the bridge ~occurrence/distinct-factor fewer rows to touch
     val sketches = chunked
       .filter(col("source").isNotNull)
+      .select(col("source"), col("hash")).distinct()
       .groupBy(col("source"))
       .agg(KmvSketch.kmv_sample(col("hash")).as("sample"))
       .collect()
@@ -164,6 +172,15 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_cdc" ->
+      s"""WITH per AS (
+        |  SELECT source, hash, MIN(size) AS size, SUM(size) AS occ_bytes
+        |  FROM read_parquet('${Queries.oracleSidePath("doc_chunks")}')
+        |  GROUP BY source, hash)
+        |SELECT source, CAST(SUM(occ_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(size) AS BIGINT) AS unique_bytes,
+        |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ_bytes) AS DOUBLE) AS dedup_ratio
+        |FROM per GROUP BY source""".stripMargin,
     "dedup_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words

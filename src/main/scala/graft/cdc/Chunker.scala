@@ -123,6 +123,43 @@ object Chunker {
   def chunk(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[Array[Byte]] =
     new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).toVector
 
+  /** Per-chunk (hash, size, compressedSize) over an in-memory payload in a
+    * SINGLE pass with zero chunk copies: boundary scan + offset-based
+    * xxh64/lz4 directly on the source array. This is the hot kernel for
+    * in-table payloads (cdc_chunks generator, chunkColumn) where the
+    * streaming ChunkIterator's per-chunk ByteArrayOutputStream + copy would
+    * dominate at small chunk sizes (maskBits=5 ⇒ ~32 B chunks).
+    * Boundary semantics are identical to ChunkIterator (gear state resets
+    * at each boundary; ChunkerSpec cross-checks the two paths).
+    */
+  def chunkStats(bytes: Array[Byte], params: ChunkerParams): Iterator[(Long, Int, Int)] = {
+    if (bytes == null || bytes.isEmpty) Iterator.empty
+    else new Iterator[(Long, Int, Int)] {
+      private val table = Gear.table(params.tableSeed)
+      private var start = 0
+      override def hasNext: Boolean = start < bytes.length
+      override def next(): (Long, Int, Int) = {
+        val n = bytes.length
+        var h = 0L
+        var i = start
+        var end = -1
+        while (end < 0 && i < n) {
+          h = (h << 1) + table(bytes(i) & 0xff)
+          i += 1
+          val curLen = i - start
+          if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
+            (params.enforceMax && curLen >= params.maxLen)) end = i
+        }
+        if (end < 0) end = n
+        val len = end - start
+        val out = (XXH64.hash(bytes, start, len, XXH64.DefaultSeed), len,
+          Lz4Len(bytes, start, len))
+        start = end
+        out
+      }
+    }
+  }
+
   /** Boundary offsets+lengths without copying chunk payloads. */
   def boundaries(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[(Int, Int)] = {
     val table = Gear.table(params.tableSeed)

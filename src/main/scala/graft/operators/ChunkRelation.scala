@@ -163,10 +163,9 @@ object ChunkRelation {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, content) =>
         val bytes = if (content == null) Array.emptyByteArray else content
-        new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).zipWithIndex.map {
-          case (b, ci) =>
-            ChunkRow(id, ci.toLong, XXH64.hash(b, XXH64.DefaultSeed), b.length.toLong,
-              Lz4Len(b).toLong)
+        graft.cdc.Chunker.chunkStats(bytes, params).zipWithIndex.map {
+          case ((hash, size, compressed), ci) =>
+            ChunkRow(id, ci.toLong, hash, size.toLong, compressed.toLong)
         }
       }
   }

@@ -27,11 +27,17 @@ object CuratePipeline {
     */
   /** @param precomputedPairs optional near-dup pairs frame
     * (id_a, id_b, ..., jaccard) computed over the FULL corpus (e.g. the
-    * catalog's shared `dedup_minhash` pass) — re-used instead of re-signing
+    * catalog's shared `dedup_ngram` pass) — re-used instead of re-signing
     * the corpus. Pairs are filtered to `jaccard >= nearDupThreshold` and to
-    * ids still alive after the earlier stages, which matches running
-    * MinHash on the alive subset (Jaccard is per-pair, corpus-independent;
-    * full-corpus candidate generation can only see MORE candidates).
+    * ids still alive after the earlier stages. With exact pair generation
+    * (ngram join) this equals running it on the alive subset (Jaccard is
+    * per-pair, corpus-independent; full-corpus candidates are a superset).
+    * CAVEAT with capped-LSH pairs (minhash/simhash star buckets): over-cap
+    * buckets emit only star pairs around the bucket's min id, so if that
+    * center doc dies in an earlier stage, its star partners lose their
+    * only candidate edge — the precomputed path can then have LOWER recall
+    * than re-running LSH on the alive subset. Prefer exact pairs here, or
+    * accept the (bounded, hot-bucket-only) recall loss.
     */
   def curate(
       docs: DataFrame,
@@ -59,6 +65,19 @@ object CuratePipeline {
     val alive = exact.filter(!qualityFail && !langFail && !col("is_dup"))
     val pairs = precomputedPairs match {
       case Some(p) =>
+        // pairs carry LONG ids; a non-numeric id column would cast to null,
+        // match nothing in the semi-joins, and silently disable near-dup
+        // removal — fail loudly instead
+        {
+          import org.apache.spark.sql.types._
+          val ok = docs.schema(idCol).dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _ => false
+          }
+          require(ok,
+            s"precomputedPairs requires an integral id column; '$idCol' is " +
+              docs.schema(idCol).dataType.catalogString)
+        }
         val aliveIds = alive.select(col(idCol).cast("long").as("__alive_id"))
         p.filter(col("jaccard") >= params.nearDupThreshold)
           .join(aliveIds.withColumnRenamed("__alive_id", "id_a"), Seq("id_a"), "left_semi")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
-import graft.cdc.{ChunkIterator, ChunkerParams, Lz4Len, XXH64}
+import graft.cdc.ChunkerParams
 
 /** `cdc_chunks(content BINARY)` — a Catalyst Generator (table-valued
   * expression): one input blob → N chunk rows
@@ -54,10 +54,12 @@ final case class CdcChunks(
     val bytes = child.eval(input).asInstanceOf[Array[Byte]]
     if (bytes == null || bytes.isEmpty) Iterator.empty
     else {
-      new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).zipWithIndex.map {
-        case (chunk, i) =>
-          InternalRow(i.toLong, XXH64.hash(chunk, XXH64.DefaultSeed),
-            chunk.length.toLong, Lz4Len(chunk).toLong)
+      // single-pass zero-copy kernel: for in-table payloads the streaming
+      // ChunkIterator's per-chunk stream+copy machinery dominated at small
+      // chunk sizes; Chunker.chunkStats hashes/measures in place
+      graft.cdc.Chunker.chunkStats(bytes, params).zipWithIndex.map {
+        case ((hash, size, compressed), i) =>
+          InternalRow(i.toLong, hash, size.toLong, compressed.toLong)
       }
     }
   }
@@ -86,7 +88,14 @@ object CdcChunks {
   private[plans] def fromExprs(exprs: Seq[Expression]): CdcChunks = {
     def lit(e: Expression, name: String): Int = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) => v.toInt
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, LongType) =>
+        // toInt would silently wrap (2^33 -> 0) before the range checks;
+        // out-of-Int-range params must fail as loudly as any other bad param
+        try Math.toIntExact(v)
+        catch {
+          case _: ArithmeticException => throw new IllegalArgumentException(
+            s"cdc_chunks $name must fit in a 32-bit int, got $v")
+        }
       case other => throw new IllegalArgumentException(
         s"cdc_chunks $name must be an integer literal, got $other")
     }

@@ -80,7 +80,12 @@ object EventStream {
                 closed += SessionOut(userId, cur.count, cur.sumValue, cur.lastTs)
                 cur = SessionState(0L, 0.0, Long.MinValue)
               }
-              cur = SessionState(cur.count + 1, cur.sumValue + e.value, e.ts)
+              // max, not overwrite: a late-but-in-watermark event older than
+              // lastTs must not regress the session clock (a regressed clock
+              // would split spuriously on the next event and mis-stamp
+              // closed_at); the gap check above compares against the true max
+              cur = SessionState(cur.count + 1, cur.sumValue + e.value,
+                math.max(cur.lastTs, e.ts))
             }
             state.update(cur)
             // close when event time (not wall clock) passes the gap

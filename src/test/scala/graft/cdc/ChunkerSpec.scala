@@ -105,6 +105,27 @@ class ChunkerSpec extends AnyFunSuite {
 
   test("empty input produces no chunks") {
     assert(Chunker.chunk(Array.emptyByteArray).isEmpty)
+    assert(Chunker.chunkStats(Array.emptyByteArray, ChunkerParams.Default).isEmpty)
+    assert(Chunker.chunkStats(null, ChunkerParams.Default).isEmpty)
+  }
+
+  test("chunkStats matches the streaming ChunkIterator path exactly") {
+    // the zero-copy kernel and the streaming iterator must agree
+    // (hash, size, compressed) for every chunk, at big and tiny chunk params
+    for {
+      params <- Seq(ChunkerParams.Default,
+        ChunkerParams(mask = -1L << (64 - 5), minLen = 16, maxLen = 256),
+        ChunkerParams(minLen = 64, maxLen = 1024, enforceMax = false))
+      seed <- Seq(11L, 12L)
+    } {
+      val data = randomBytes(300000 + seed.toInt, seed)
+      val streamed = new ChunkIterator(
+        new java.io.ByteArrayInputStream(data), params, bufSize = 8192)
+        .map(c => (XXH64.hash(c, XXH64.DefaultSeed), c.length, Lz4Len(c)))
+        .toVector
+      val stats = Chunker.chunkStats(data, params).toVector
+      assert(stats == streamed, s"mismatch for $params")
+    }
   }
 
   test("lz4 length is positive and compresses repetitive data well") {
