@@ -283,7 +283,8 @@ object Queries {
     val results = CompareFormats.compareTables(
       spark, grouped,
       Seq(TableFormat.ParquetFormat("none"), TableFormat.ParquetFormat("snappy")), dir,
-      sanityCheck = false)
+      sanityCheck = false,
+      sideSink = Some((name, df) => oracleSide(spark, sfDir, name, df)))
     spark.createDataset(results).toDF()
   }
 
@@ -501,6 +502,31 @@ object Queries {
         |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
         |  (m.n_files = 1) AS is_unique
         |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
+    "synthetic_grid" ->
+      s"""WITH nf AS (
+        |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles
+        |  FROM read_parquet('${oracleSidePath("grid_tags")}') GROUP BY 1, 2),
+        |per AS (
+        |  SELECT "group", format, hash, MIN(size) AS size,
+        |    MIN(compressed) AS compressed, SUM(size) AS occ_bytes
+        |  FROM read_parquet('${oracleSidePath("grid_chunks_default")}')
+        |  GROUP BY 1, 2, 3),
+        |mm AS (
+        |  SELECT "group", format, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+        |    CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+        |    CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+        |  FROM per GROUP BY 1, 2),
+        |x AS (
+        |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
+        |    SELECT "group", format, hash, MIN(size) AS size
+        |    FROM read_parquet('${oracleSidePath("grid_chunks_xet")}')
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
+        |  mm.compressed_chunk_bytes,
+        |  CAST(mm.chunk_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS dedup_ratio,
+        |  x.xet_bytes,
+        |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
+        |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin,
     "rowgroup_profile" ->
       """SELECT row_group_id AS row_group, path_in_schema AS column_name,
         |  CAST(num_values AS BIGINT) AS num_values,

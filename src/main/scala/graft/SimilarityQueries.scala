@@ -57,15 +57,60 @@ object SimilarityQueries {
       .select(col("vec_id"), col("dot_scaled"))
   }
 
+  /** Exact all-pairs near-duplicate baseline in pure integer arithmetic:
+    * quantize each embedding to floor(x*1000 + 0.5) BIGINTs, then emit
+    * pairs with cosine >= 0.3 via the cross-multiplied integer inequality
+    * 100·dot² >= 9·‖a‖²·‖b‖² (dot > 0) — no float division or sqrt, so the
+    * DuckDB oracle is cell-exact. This is the oracle/recall baseline for
+    * `emb_neardup` (whose LSH candidates are the 100 TB scale path); the
+    * all-pairs join is only viable at catalog scale and says so.
+    */
+  private def embNearDupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = emb(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("qv"))
+    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot_scaled",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("norm2_a",
+        aggregate(transform(col("qa"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .withColumn("norm2_b",
+        aggregate(transform(col("qb"), x => x * x), lit(0L), (acc, x) => acc + x))
+      .filter(col("dot_scaled") > 0 &&
+        lit(100L) * col("dot_scaled") * col("dot_scaled") >=
+          lit(9L) * col("norm2_a") * col("norm2_b"))
+      .select(col("id_a"), col("id_b"), col("dot_scaled"),
+        col("norm2_a"), col("norm2_b"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "emb_neardup" -> nearDups _,
+    "emb_neardup_exact" -> embNearDupExact _,
     "emb_dims" -> embDims _,
     "ann_dot_exact" -> annDotExact _
   )
 
   val oracles: Map[String, String] = Map(
+    "emb_neardup_exact" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot_scaled,
+        |    CAST(list_sum(list_transform(a.qv, x -> x * x)) AS BIGINT) AS norm2_a,
+        |    CAST(list_sum(list_transform(b.qv, x -> x * x)) AS BIGINT) AS norm2_b
+        |  FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, dot_scaled, norm2_a, norm2_b
+        |FROM p
+        |WHERE dot_scaled > 0
+        |  AND 100 * dot_scaled * dot_scaled >= 9 * norm2_a * norm2_b""".stripMargin,
     "emb_dims" ->
       """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, COUNT(*) AS n_vectors
         |FROM embeddings GROUP BY label, len(embedding)""".stripMargin,

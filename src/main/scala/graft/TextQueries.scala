@@ -77,14 +77,36 @@ object TextQueries {
         col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
 
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3)
+    Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3,
+      sigSink = df => Queries.oracleSide(spark, sfDir, "minhash_sigs", df))
 
   private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3)
+    Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3,
+      sigSink = df => Queries.oracleSide(spark, sfDir, "simhash_sigs", df))
+
+  /** The exact ngram-Jaccard pair relation is consumed by THREE catalog
+    * queries (dedup_ngram, dedup_clusters, pipeline_curate) — compute it
+    * once per (session, sf dir) and share the cached result, the same
+    * sharing discipline as Queries.sfChunks. ngramJaccardPairs caches and
+    * materializes internally, so reuse is a cheap cached-scan.
+    */
+  private val ngramPairsCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def sharedNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairsCache.getOrElseUpdate(spark.sparkContext.applicationId + sfDir,
+      Dedupe.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", k = 3,
+        threshold = 0.3))
 
   private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    Dedupe.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", k = 3,
-      threshold = 0.3)
+    sharedNgramPairs(spark, sfDir)
+
+  /** Duplicate clustering (connected components, min-id labels) over the
+    * exact ngram pair relation — deterministic input, so the DuckDB oracle
+    * re-derives the components with a recursive transitive-closure CTE.
+    */
+  private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
 
   /** CDC over in-table payloads via the custom Catalyst Generator
     * expression: chunk each document's UTF-8 bytes (small chunk params for
@@ -109,13 +131,18 @@ object TextQueries {
   }
 
   /** Composed curation pipeline over documents: quality → lang → exact
-    * dedup → MinHash near-dedup, with per-(source, fate) accounting.
+    * dedup → near-dedup, with per-(source, fate) accounting. The near-dup
+    * stage REUSES the shared exact ngram pair relation (precomputedPairs)
+    * instead of re-signing the corpus — one pair pass serves dedup_ngram,
+    * dedup_clusters, and this pipeline; exact pairs also make the whole
+    * pipeline SQL-expressible, so it carries a full end-to-end oracle.
     */
   private def curate(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.CuratePipeline
     val annotated = CuratePipeline.curate(
       docs(spark, sfDir), "doc_id", "text",
-      CuratePipeline.CurateParams(minTokens = 20, nearDupThreshold = 0.8))
+      CuratePipeline.CurateParams(minTokens = 20, nearDupThreshold = 0.8),
+      precomputedPairs = Some(sharedNgramPairs(spark, sfDir)))
     CuratePipeline.report(annotated)
   }
 
@@ -136,10 +163,15 @@ object TextQueries {
     // set sketch (duplicates are no-ops), but each occurrence row used to
     // pay a full Aggregator encode/decode through the udaf() bridge —
     // the relational distinct collapses duplicates map-side in codegen,
-    // leaving the bridge ~occurrence/distinct-factor fewer rows to touch
-    val sketches = chunked
-      .filter(col("source").isNotNull)
-      .select(col("source"), col("hash")).distinct()
+    // leaving the bridge ~occurrence/distinct-factor fewer rows to touch.
+    // The distinct relation doubles as the oracle side-table: DuckDB
+    // re-derives the KMV samples (1024 smallest in unsigned order) and the
+    // saturation-aware Jaccard estimate from the same rows.
+    val distinctPairs = Queries.oracleSide(spark, sfDir, "source_chunk_hashes",
+      chunked
+        .filter(col("source").isNotNull)
+        .select(col("source"), col("hash")).distinct())
+    val sketches = distinctPairs
       .groupBy(col("source"))
       .agg(KmvSketch.kmv_sample(col("hash")).as("sample"))
       .collect()
@@ -161,6 +193,7 @@ object TextQueries {
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
+    "dedup_clusters" -> dedupClusters _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -170,6 +203,36 @@ object TextQueries {
     "doc_fingerprint" -> docFingerprint _,
     "doc_cdc" -> docCdc _
   )
+
+  /** Shared CTE block deriving the exact ngram-Jaccard pair relation
+    * (threshold 0.3) — the SQL twin of `sharedNgramPairs`, reused by the
+    * dedup_ngram / dedup_clusters / pipeline_curate oracles.
+    */
+  private val NgramCtes: String =
+    """w AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, UNNEST(list_distinct(
+      |    CASE WHEN len(words) >= 3
+      |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+      |      ELSE [array_to_string(words, ' ')] END)) AS gram
+      |  FROM w),
+      |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ngram_pairs AS (
+      |  SELECT id_a, id_b,
+      |    CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard,
+      |    CAST(n_common AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) AS containment_a,
+      |    CAST(n_common AS DOUBLE) / CAST(sb.n_grams AS DOUBLE) AS containment_b
+      |  FROM common
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "doc_cdc" ->
@@ -182,29 +245,134 @@ object TextQueries {
         |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ_bytes) AS DOUBLE) AS dedup_ratio
         |FROM per GROUP BY source""".stripMargin,
     "dedup_ngram" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      s"""WITH $NgramCtes
+        |SELECT id_a, id_b, jaccard, containment_a, containment_b
+        |FROM ngram_pairs""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $NgramCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ngram_pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM ngram_pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "pipeline_curate" ->
+      s"""WITH $NgramCtes,
+        |q AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+        |    md5(text) AS fp
         |  FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, UNNEST(list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
-        |      ELSE [array_to_string(words, ' ')] END)) AS gram
-        |  FROM w),
-        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) AS jaccard,
-        |  CAST(n_common AS DOUBLE) / CAST(sa.n_grams AS DOUBLE) AS containment_a,
-        |  CAST(n_common AS DOUBLE) / CAST(sb.n_grams AS DOUBLE) AS containment_b
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3""".stripMargin,
+        |e AS (
+        |  SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM q),
+        |f AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    (text IS NULL OR n_tokens < 20) AS quality_fail,
+        |    (doc_id <> canonical_id) AS is_dup
+        |  FROM e),
+        |alive AS (SELECT doc_id FROM f WHERE NOT quality_fail AND NOT is_dup),
+        |nd AS (
+        |  SELECT DISTINCT id_b FROM ngram_pairs
+        |  WHERE jaccard >= 0.8
+        |    AND id_a IN (SELECT doc_id FROM alive)
+        |    AND id_b IN (SELECT doc_id FROM alive)),
+        |fates AS (
+        |  SELECT source,
+        |    CASE WHEN quality_fail THEN 'quality'
+        |         WHEN is_dup THEN 'exact_dup'
+        |         WHEN doc_id IN (SELECT id_b FROM nd) THEN 'near_dup'
+        |         ELSE 'kept' END AS fate,
+        |    n_tokens
+        |  FROM f)
+        |SELECT source, fate, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        |FROM fates GROUP BY source, fate""".stripMargin,
+    "lang_id" ->
+      """WITH wq AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR text = '' THEN NULL
+        |         ELSE list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')[1:200] END AS words
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, words,
+        |    len(list_filter(words, w -> w IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
+        |    len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |    len(list_filter(words, w -> w IN ('le','la','les','et','est','une','dans','pour'))) AS s_fr,
+        |    len(list_filter(words, w -> w IN ('el','la','los','las','es','una','por','para'))) AS s_es,
+        |    len(list_filter(words, w -> w IN ('il','la','che','di','non','per','una','sono'))) AS s_it
+        |  FROM wq)
+        |SELECT doc_id, lang,
+        |  CASE WHEN words IS NULL THEN 'und'
+        |       WHEN regexp_matches(array_to_string(words, ' '), '[一-鿿]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+        |       WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'it'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("minhash_sigs")}')),
+        |bands AS (
+        |  SELECT id, b, sig[b*4+1:b*4+4] AS slice
+        |  FROM s, (SELECT UNNEST(range(0, 16)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+        |v AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 64.0 AS est_jaccard,
+        |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |    len(sa.shingles) AS la, len(sb.shingles) AS lb
+        |  FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b)
+        |SELECT id_a, id_b, est_jaccard,
+        |  CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard
+        |FROM v
+        |WHERE la + lb - inter > 0
+        |  AND CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.3""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("simhash_sigs")}'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    "source_similarity" ->
+      s"""WITH o AS (
+        |  SELECT DISTINCT source, xor(hash, -9223372036854775807 - 1) AS o
+        |  FROM read_parquet('${Queries.oracleSidePath("source_chunk_hashes")}')),
+        |r AS (
+        |  SELECT source, o,
+        |    row_number() OVER (PARTITION BY source ORDER BY o) AS rn
+        |  FROM o),
+        |samp AS (SELECT source, o FROM r WHERE rn <= 1024),
+        |info AS (SELECT source, COUNT(*) AS n, MAX(o) AS mx FROM samp GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS source_a, b.source AS source_b
+        |  FROM info a JOIN info b ON a.source < b.source),
+        |u AS (
+        |  SELECT p.source_a, p.source_b, s.o,
+        |    MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+        |    MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p JOIN samp s ON s.source IN (p.source_a, p.source_b)
+        |  GROUP BY p.source_a, p.source_b, s.o),
+        |thr AS (
+        |  SELECT p.source_a, p.source_b,
+        |    MIN(CASE WHEN i.n >= 1024 THEN i.mx END) AS t
+        |  FROM pairs p JOIN info i ON i.source IN (p.source_a, p.source_b)
+        |  GROUP BY p.source_a, p.source_b),
+        |uf AS (
+        |  SELECT u.source_a, u.source_b, u.in_a, u.in_b,
+        |    row_number() OVER (PARTITION BY u.source_a, u.source_b ORDER BY u.o) AS rn
+        |  FROM u JOIN thr ON thr.source_a = u.source_a AND thr.source_b = u.source_b
+        |  WHERE thr.t IS NULL OR u.o <= thr.t)
+        |SELECT source_a, source_b,
+        |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS est_jaccard
+        |FROM uf WHERE rn <= 1024 GROUP BY source_a, source_b""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

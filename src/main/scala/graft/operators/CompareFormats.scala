@@ -25,7 +25,8 @@ object CompareFormats {
       formats: Seq[TableFormat],
       directory: Path,
       params: ChunkerParams = ChunkerParams.Default,
-      sanityCheck: Boolean = true): Seq[EstimationResult] = {
+      sanityCheck: Boolean = true,
+      sideSink: Option[(String, DataFrame) => DataFrame] = None): Seq[EstimationResult] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -44,7 +45,7 @@ object CompareFormats {
       }
     }
     val files = Await.result(Future.sequence(futures), Duration.Inf).flatten
-    Estimator.estimateGrid(spark, files, params)
+    Estimator.estimateGrid(spark, files, params, sideSink = sideSink)
   }
 
   private def verifyWrite(

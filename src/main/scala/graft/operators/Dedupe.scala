@@ -104,6 +104,13 @@ object Dedupe {
     *   duplicate clusters, whose docs collide in ALL bands, still surface
     *   through their canonical member instead of vanishing.
     */
+  /** @param sigSink optional hook applied to the signature relation
+    *   (id, shingles, sig) before use — the catalog passes a
+    *   persist-and-read-back function here so the DuckDB oracle can
+    *   recompute banding/est/jaccard from the exact signatures this run
+    *   used (band-bucket equality == signature-slice equality modulo
+    *   xxh64 bucket-key collisions, so the oracle joins on slices).
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -112,20 +119,21 @@ object Dedupe {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      sigSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val docs = df
+    val docs = sigSink(df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sh = wordShingles(text, shingleK)
         (id, sh.toArray.sorted, minhashSignature(sh, numHashes))
       }
-      .toDF("id", "shingles", "sig")
+      .toDF("id", "shingles", "sig"))
       .cache()
 
     // band → bucket key = hash of the band's signature slice
@@ -306,22 +314,27 @@ object Dedupe {
     * via pigeonhole block match: with 4 blocks of 16 bits, any pair at
     * hamming ≤ 3 agrees on ≥ 1 whole block — full recall, no n² join.
     */
+  /** @param sigSink see minhashPairs — persists (id, sig) for the oracle;
+    *   pigeonhole block-match has FULL recall at hamming <= maxDistance, so
+    *   the oracle is simply all pairs with bit_count(xor) <= maxDistance.
+    */
   def simhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxDistance: Int = 3,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      sigSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val blocks = maxDistance + 1
     val bits = 64 / blocks
 
-    val sigs = df
+    val sigs = sigSink(df
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) => (id, simhash(text)) }
-      .toDF("id", "sig")
+      .toDF("id", "sig"))
       .cache()
 
     val blocked = sigs

@@ -148,37 +148,47 @@ object Estimator {
     * per-cell jobs (SURVEY §2.4-A5).
     * Input: (group, format, path) triples. Xet pass is a second single job.
     */
+  /** @param sideSink optional (name, df) => df persist-and-read-back hook:
+    *   when set, the tag table and both tagged chunk relations flow through
+    *   it before aggregation, so an external oracle (DuckDB) can recompute
+    *   the grid roll-up from the exact rows this run aggregated.
+    */
   def estimateGrid(
       spark: SparkSession,
       files: Seq[(String, String, String)],
       params: ChunkerParams = ChunkerParams.Default,
-      xetParams: ChunkerParams = ChunkerParams.Xet): Seq[EstimationResult] = {
+      xetParams: ChunkerParams = ChunkerParams.Xet,
+      sideSink: Option[(String, DataFrame) => DataFrame] = None): Seq[EstimationResult] = {
     import spark.implicits._
     if (files.isEmpty) return Seq.empty
     val tags = files.zipWithIndex.map { case ((g, f, _), i) => (i.toLong, g, f) }
-    val tagDf = spark.createDataset(tags).toDF("file_idx", "group", "format")
+    val tagDf0 = spark.createDataset(tags).toDF("file_idx", "group", "format")
+    val tagDf = sideSink.map(f => f("grid_tags", tagDf0)).getOrElse(tagDf0)
     val numFiles = files
       .groupBy { case (g, f, _) => (g, f) }
       .map { case ((g, f), fs) => ((g, f), fs.size.toLong) }
 
-    def cellStats(paths: Seq[String], p: ChunkerParams): DataFrame =
-      ChunkRelation
+    def cellStats(paths: Seq[String], p: ChunkerParams, sinkName: String): DataFrame = {
+      val tagged0 = ChunkRelation
         .chunkFiles(spark, paths, p)
         .join(broadcast(tagDf), "file_idx")
+      val tagged = sideSink.map(f => f(sinkName, tagged0)).getOrElse(tagged0)
+      tagged
         .groupBy(col("group"), col("format"), col("hash"))
         .agg(first(col("size")).as("size"), first(col("compressed")).as("compressed"),
           sum(col("size")).as("occ_bytes"))
         .groupBy(col("group"), col("format"))
         .agg(sum(col("occ_bytes")).as("total"), sum(col("size")).as("chunk_bytes"),
           sum(col("compressed")).as("compressed_chunk_bytes"))
+    }
 
     val paths = files.map(_._3)
-    val main = cellStats(paths, params)
+    val main = cellStats(paths, params, "grid_chunks_default")
       .as[(String, String, Long, Long, Long)]
       .collect()
       .map { case (g, f, t, cb, cc) => ((g, f), (t, cb, cc)) }
       .toMap
-    val xet = cellStats(paths, xetParams)
+    val xet = cellStats(paths, xetParams, "grid_chunks_xet")
       .as[(String, String, Long, Long, Long)]
       .collect()
       .map { case (g, f, _, cb, _) => ((g, f), cb) }
