@@ -288,6 +288,47 @@ object Queries {
     spark.createDataset(results).toDF()
   }
 
+  /** Logical-CDC writer mode (SURVEY §7.1(b)): the reference's CDC-aware
+    * parquet writer aligns page boundaries with content-defined chunks; we
+    * reproduce its EFFECT at read time by chunking the uncompressed
+    * column-chunk page streams (LogicalCdc) and comparing against chunking
+    * the physical file bytes. Direction mirrors the reference's
+    * inserted-rows study (notebooks/parquet-cdc.md §5, 95% → 53%):
+    * snappy-compressed page framing destroys physical-byte dedup after a
+    * row insert, while the logical value stream re-synchronizes.
+    */
+  private def cdcLogical(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.synthetic.{DType, DataGenerator, EditPoints}
+    import graft.sources.{LogicalCdc, TableFormat}
+    val gen = new DataGenerator(
+      DType.parseSchema("""{"a": "int", "b": "str", "c": ["int"]}"""), 7L)
+    val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(4),
+      200, assertCounts = false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-logical")
+    // PLAIN encoding (no dictionary): a mid-file insert must not renumber
+    // dictionary ids for later-first-seen values, or the logical stream
+    // diverges after the edit for reasons unrelated to the edit itself
+    val fmt = TableFormat.ParquetFormat("gzip", useDictionary = false)
+    val files = Seq("original", "inserted")
+      .flatMap(v => fmt.write(tables(v), dir, "cdc", v))
+    val params = graft.cdc.ChunkerParams(
+      mask = -1L << (64 - 9), minLen = 64, maxLen = 16 * 1024)
+    val physical = oracleSide(spark, sfDir, "logical_phys_chunks",
+      ChunkRelation.chunkFiles(spark, files, params).toDF())
+    val logical = oracleSide(spark, sfDir, "logical_page_chunks",
+      LogicalCdc.chunkColumns(spark, files, params).toDF())
+    def rollup(df: DataFrame, mode: String): DataFrame =
+      df.groupBy(col("hash"))
+        .agg(first(col("size")).as("size"), sum(col("size")).as("occ_bytes"))
+        .agg(coalesce(sum(col("occ_bytes")), lit(0L)).as("total_len"),
+          coalesce(sum(col("size")), lit(0L)).as("chunk_bytes"))
+        .withColumn("mode", lit(mode))
+        .withColumn("dedup_ratio",
+          col("chunk_bytes").cast("double") / col("total_len").cast("double"))
+        .select(col("mode"), col("total_len"), col("chunk_bytes"), col("dedup_ratio"))
+    rollup(physical, "physical").unionByName(rollup(logical, "logical"))
+  }
+
   /** S9+A8: parquet page-size profile of the sf directory's lineitem. */
   private def pageProfile(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.PageProfiler.pageSizeHistogram(
@@ -391,6 +432,7 @@ object Queries {
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
     "cdc_estimate" -> (cdcEstimate _),
+    "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
     "page_profile" -> (pageProfile _),
     "rowgroup_profile" -> (rowgroupProfile _),
@@ -502,6 +544,22 @@ object Queries {
         |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
         |  (m.n_files = 1) AS is_unique
         |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
+    "cdc_logical" ->
+      s"""WITH ph AS (
+        |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
+        |  FROM read_parquet('${oracleSidePath("logical_phys_chunks")}') GROUP BY hash),
+        |lg AS (
+        |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
+        |  FROM read_parquet('${oracleSidePath("logical_page_chunks")}') GROUP BY hash)
+        |SELECT 'physical' AS mode, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+        |  CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+        |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ_bytes) AS DOUBLE) AS dedup_ratio
+        |FROM ph
+        |UNION ALL
+        |SELECT 'logical' AS mode, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+        |  CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+        |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ_bytes) AS DOUBLE) AS dedup_ratio
+        |FROM lg""".stripMargin,
     "synthetic_grid" ->
       s"""WITH nf AS (
         |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles

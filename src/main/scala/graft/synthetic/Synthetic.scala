@@ -211,15 +211,32 @@ final class DataGenerator(schema: Seq[(String, DType)], seed: Long = 42L) {
       }.toSeq: _*)
   }
 
-  /** Dense renumber by current sort_key, dropping it (row_number is a
-    * narrow window over a global sort — fine at generator scales; at PB
-    * scale use zipWithIndex-style partition offsets).
+  /** Dense renumber by the (sort_key, id) total order, dropping sort_key.
+    * Partition-safe: range-partition on the order, sort within partitions,
+    * then assign ids via zipWithIndex (per-partition offsets under the
+    * hood) — no single-partition global window, so the renumber
+    * parallelizes across the cluster instead of serializing the whole
+    * variant through one task. Output ids are a pure function of the total
+    * order (the tiebreaking old id makes it unique), so the result is
+    * identical under any partitioning.
     */
   private def renumber(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     val dataCols = df.columns.filter(c => c != "id" && c != "sort_key")
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("sort_key"), col("id"))
-    df.withColumn("new_id", row_number().over(w).cast("long") - 1)
-      .select((col("new_id").as("id") +: dataCols.map(col)).toSeq: _*)
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val sorted = df
+      .select((col("sort_key") +: col("id") +: dataCols.map(col)).toSeq: _*)
+      .repartitionByRange(parts, col("sort_key"), col("id"))
+      .sortWithinPartitions(col("sort_key"), col("id"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        dataCols.map(c => sorted.schema(c)))
+    val renumbered = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      org.apache.spark.sql.Row.fromSeq(
+        idx +: dataCols.indices.map(i => row.get(i + 2)))
+    }
+    spark.createDataFrame(renumbered, outSchema)
   }
 
   /** G6 generate_synthetic_tables: original + standard edit variants
