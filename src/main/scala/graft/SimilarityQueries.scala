@@ -66,24 +66,44 @@ object SimilarityQueries {
     * all-pairs join is only viable at catalog scale and says so.
     */
   private def embNearDupExact(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = emb(spark, sfDir).select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("qv"))
-    val a = q.select(col("vec_id").as("id_a"), col("qv").as("qa"))
-    val b = q.select(col("vec_id").as("id_b"), col("qv").as("qb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot_scaled",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
-      .withColumn("norm2_a",
-        aggregate(transform(col("qa"), x => x * x), lit(0L), (acc, x) => acc + x))
-      .withColumn("norm2_b",
-        aggregate(transform(col("qb"), x => x * x), lit(0L), (acc, x) => acc + x))
-      .filter(col("dot_scaled") > 0 &&
-        lit(100L) * col("dot_scaled") * col("dot_scaled") >=
-          lit(9L) * col("norm2_a") * col("norm2_b"))
-      .select(col("id_a"), col("id_b"), col("dot_scaled"),
-        col("norm2_a"), col("norm2_b"))
+    import spark.implicits._
+    // broadcast the quantized corpus and run the O(n²) dot products as
+    // primitive-array loops, one task per left row stripe — 2M pairs of
+    // 64-long dots is ~0.1 s of ALU, but would cost minutes as a
+    // nested-loop JOIN decoding two array columns per pair. The corpus
+    // collect is the op's documented scale bound (this is the exact
+    // baseline; emb_neardup's LSH is the 100 TB path).
+    val data = emb(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")).as("qv"))
+      .as[(Long, Array[Long])]
+      .collect()
+      .sortBy(_._1)
+    val norms = data.map { case (_, qv) =>
+      var s = 0L; var i = 0
+      while (i < qv.length) { s += qv(i) * qv(i); i += 1 }
+      s
+    }
+    val bc = spark.sparkContext.broadcast((data, norms))
+    spark
+      .createDataset(data.indices.toSeq)
+      .repartition(math.max(1, spark.sparkContext.defaultParallelism))
+      .flatMap { i =>
+        val (d, n2) = bc.value
+        val (idA, qa) = d(i)
+        val na = n2(i)
+        ((i + 1) until d.length).iterator.flatMap { j =>
+          val (idB, qb) = d(j)
+          var dot = 0L
+          var k = 0
+          while (k < qa.length) { dot += qa(k) * qb(k); k += 1 }
+          if (dot > 0 && 100L * dot * dot >= 9L * na * n2(j))
+            Some((idA, idB, dot, na, n2(j)))
+          else None
+        }
+      }
+      .toDF("id_a", "id_b", "dot_scaled", "norm2_a", "norm2_b")
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

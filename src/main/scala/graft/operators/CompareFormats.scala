@@ -104,6 +104,78 @@ object CompareFormats {
     sb.result()
   }
 
+  /** Self-contained HTML grouped-bar report (the reference's plotly grouped
+    * bars, de/display.py:91-137, without the plotly dependency): one group
+    * per section, one bar per format, bar length = dedup ratio. Colors
+    * follow the FORMAT (entity) in a fixed assignment, not its rank within
+    * a group; every bar carries a visible value label plus a tooltip with
+    * the byte totals and xet ratio; light/dark via CSS custom properties.
+    */
+  def barReportHtml(results: Seq[EstimationResult]): String = {
+    // categorical palette (validated order; light/dark steps per surface)
+    val light = Seq("#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4",
+      "#008300", "#4a3aa7", "#e34948")
+    val dark = Seq("#3987e5", "#d95926", "#199e70", "#c98500", "#d55181",
+      "#008300", "#9085e9", "#e66767")
+    val formats = results.map(_.format).distinct.sorted
+    // color follows the format across all groups; >8 formats fold to gray
+    // (labels still identify them) rather than cycling hues
+    val slot = formats.zipWithIndex.toMap
+    def vars(cols: Seq[String]): String =
+      formats.map(f => slot(f) match {
+        case i if i < cols.size => s"--s$i:${cols(i)};"
+        case i => s"--s$i:#8a8984;"
+      }).mkString
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\"", "&quot;")
+    val sb = new StringBuilder
+    sb.append(
+      s"""<!doctype html><html><head><meta charset="utf-8"><style>
+         |.viz{color-scheme:light;--surface:#fcfcfb;--ink:#0b0b0b;--ink2:#52514e;
+         |  --grid:#e7e6e2;${vars(light)}
+         |  background:var(--surface);color:var(--ink);
+         |  font:13px/1.4 system-ui,sans-serif;padding:16px;max-width:720px}
+         |@media (prefers-color-scheme:dark){.viz{color-scheme:dark;
+         |  --surface:#1a1a19;--ink:#ffffff;--ink2:#c3c2b7;--grid:#383835;${vars(dark)}}}
+         |.viz h2{font-size:15px;margin:14px 0 6px}
+         |.viz .legend{display:flex;gap:14px;flex-wrap:wrap;margin:6px 0 10px;color:var(--ink2)}
+         |.viz .legend span{display:inline-flex;align-items:center;gap:5px}
+         |.viz .sw{width:10px;height:10px;border-radius:2px;display:inline-block}
+         |.viz .row{display:grid;grid-template-columns:170px 1fr 52px;
+         |  align-items:center;gap:8px;margin:2px 0}
+         |.viz .lbl{color:var(--ink2);text-align:right;overflow:hidden;
+         |  text-overflow:ellipsis;white-space:nowrap}
+         |.viz .track{position:relative;height:14px;
+         |  background:linear-gradient(to right,var(--grid) 1px,transparent 1px);
+         |  background-size:25% 100%}
+         |.viz .bar{height:14px;border-radius:0 4px 4px 0;display:inline-block;
+         |  vertical-align:top}
+         |.viz .val{color:var(--ink);font-variant-numeric:tabular-nums}
+         |</style></head><body><div class="viz">
+         |<h1 style="font-size:17px;margin:0">Dedup ratio by group and format</h1>
+         |<div class="legend">""".stripMargin)
+    formats.foreach { f =>
+      sb.append(s"""<span><span class="sw" style="background:var(--s${slot(f)})"></span>${esc(f)}</span>""")
+    }
+    sb.append("</div>")
+    results.groupBy(_.group).toSeq.sortBy(_._1).foreach { case (group, rs) =>
+      sb.append(s"<h2>${esc(group)}</h2>")
+      rs.sortBy(_.format).foreach { r =>
+        val pct = r.dedup_ratio * 100
+        val tip = f"${esc(r.format)}: ${r.chunk_bytes}%d of ${r.total_len}%d bytes " +
+          f"unique (${pct}%.1f%%); xet ${r.xet_dedup_ratio * 100}%.1f%%; ${r.numfiles}%d files"
+        sb.append(
+          f"""<div class="row"><div class="lbl">${esc(r.format)}</div>
+             |<div class="track" title="$tip%s"><span class="bar"
+             |  style="width:${math.min(100.0, pct)}%.2f%%;background:var(--s${slot(r.format)}%d)"></span></div><span
+             |  class="val">$pct%.1f%%</span></div>""".stripMargin)
+      }
+    }
+    sb.append("</div></body></html>")
+    sb.result()
+  }
+
   /** Plain-text report table (the reference's rich table, de/display.py:32-88,
     * sans colors): sections per group, best dedup ratio starred, humanized
     * sizes, ratio bar.

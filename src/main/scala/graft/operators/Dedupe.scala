@@ -410,26 +410,26 @@ object Dedupe {
       .withColumn("cluster_id", col("id"))
     var iter = 0
     var converged = false
+    var toRelease: Option[DataFrame] = None
     while (iter < maxIter && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("cluster_id", "n_label"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("n_label")).as("neighbor_min"))
+      // carry the old label through the update so materialization and the
+      // convergence check share ONE action (the per-iteration fixed cost
+      // is Spark job overhead, not data)
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .cache()
-      updated.count()
-      val changed = labels
-        .withColumnRenamed("cluster_id", "old_label")
-        .join(updated, "id")
-        .filter(col("old_label") =!= col("cluster_id"))
-        .count()
-      labels.unpersist()
-      labels = updated
+      val changed = updated.filter(col("old_label") =!= col("cluster_id")).count()
+      toRelease.foreach(_.unpersist())
+      toRelease = Some(updated)
+      labels = updated.select(col("id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }

@@ -34,6 +34,15 @@ import graft.cdc.{ChunkerParams, Gear, Lz4Len, XXH64}
   */
 object DistributedChunker {
 
+  /** Driver-memory guardrail for phase 2: candidates are ~8 bytes each and
+    * E[count] = fileLen / 2^maskBits, so the default cap (1e8 ≈ 800 MB of
+    * longs) is far beyond any sane configuration — at the default 64 KiB
+    * mask it corresponds to a ~6 PB single file. Hitting it means the mask
+    * is far too fine for the file size; fail with the fix spelled out
+    * rather than OOMing the driver mid-collect.
+    */
+  val MaxCollectedCandidates: Long = 100000000L
+
   def chunkLargeFile(
       spark: SparkSession,
       path: String,
@@ -47,6 +56,13 @@ object DistributedChunker {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(new org.apache.hadoop.conf.Configuration()).getFileStatus(p).getLen
     }
+    val maskBits = java.lang.Long.bitCount(params.mask)
+    val expectedCandidates = fileLen >> math.min(62, maskBits)
+    require(expectedCandidates <= MaxCollectedCandidates,
+      s"DistributedChunker would collect ~$expectedCandidates boundary " +
+        s"candidates for $path ($fileLen bytes at $maskBits mask bits) — " +
+        s"beyond the $MaxCollectedCandidates driver cap. Use a coarser mask " +
+        "(fewer candidates per byte) or split the file upstream.")
 
     // --- phase 1: candidate cut positions, parallel over splits ---
     val splits = (0L until fileLen by splitBytes).map(s => (s, math.min(s + splitBytes, fileLen)))
@@ -58,6 +74,9 @@ object DistributedChunker {
       }
       .collect()
       .sorted
+    require(candidates.length <= MaxCollectedCandidates,
+      s"collected ${candidates.length} candidates for $path — data is far " +
+        "denser in boundaries than the mask predicts; use a coarser mask")
 
     // --- phase 2: resolve boundaries (sequential walk over sparse longs) ---
     val bounds = resolveBoundaries(candidates, fileLen, params)

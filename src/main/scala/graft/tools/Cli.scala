@@ -72,6 +72,9 @@ object Cli {
         spark, tables, TableFormat.defaultGrid(withJson = true), outDir)
       println(CompareFormats.formatReport(results))
       println(CompareFormats.formatMarkdown(results))
+      val report = outDir.resolve("report.html")
+      Files.writeString(report, CompareFormats.barReportHtml(results))
+      println(s"wrote $report")
       spark.stop()
 
     case "synthetic" :: schemaJson :: rest =>
@@ -88,6 +91,9 @@ object Cli {
       val results = CompareFormats.compareTables(
         spark, grouped, TableFormat.defaultGrid(), outDir)
       println(CompareFormats.formatReport(results))
+      val report = outDir.resolve("report.html")
+      Files.writeString(report, CompareFormats.barReportHtml(results))
+      println(s"wrote $report")
       spark.stop()
 
     case "rewrite" :: files if files.nonEmpty =>
@@ -162,14 +168,24 @@ object Cli {
       val spark = session()
       val files = rest.init
       val out = Paths.get(rest.last)
+      // reference writes one PNG per input file plus the merged strip
+      // (src/lib.rs:21-29); per-file strips come from the same collected
+      // segment sequence, sliced by file_idx — one distributed pass total
       val segs = Estimator
         .segments(ChunkRelation.chunkFiles(spark, files))
-        .select("first_seen_in", "size")
+        .select("file_idx", "first_seen_in", "size")
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSeq
-      Viz.provenancePng(segs, out)
+      Viz.provenancePng(segs.map(s => (s._2, s._3)), out)
       println(s"wrote $out (${segs.size} chunks)")
+      val stem = out.toString.stripSuffix(".png")
+      files.indices.foreach { i =>
+        val fileSegs = segs.filter(_._1 == i.toLong).map(s => (s._2, s._3))
+        val fileOut = Paths.get(s"$stem-$i.png")
+        Viz.provenancePng(fileSegs, fileOut)
+        println(s"wrote $fileOut (${fileSegs.size} chunks)")
+      }
       spark.stop()
 
     case other =>

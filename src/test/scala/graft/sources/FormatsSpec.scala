@@ -83,6 +83,12 @@ class FormatsSpec extends SparkSpec {
     assert(report.contains("appended") && report.contains("parquet-none"))
     val md = CompareFormats.formatMarkdown(results)
     assert(md.startsWith("| group |") && md.contains("**"))
+    val html = CompareFormats.barReportHtml(results)
+    assert(html.contains("<h2>appended</h2>") && html.contains("<h2>updated</h2>"))
+    assert(html.contains("parquet-none") && html.contains("class=\"bar\""))
+    // one bar per result row, legend present, dark-mode block present
+    assert(html.sliding(11).count(_ == "class=\"bar\"") == results.size)
+    assert(html.contains("class=\"legend\"") && html.contains("prefers-color-scheme:dark"))
   }
 
   test("provenance png renders without error") {
