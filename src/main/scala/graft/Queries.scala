@@ -329,11 +329,17 @@ object Queries {
     rollup(physical, "physical").unionByName(rollup(logical, "logical"))
   }
 
-  /** S9+A8: parquet page-size profile of the sf directory's lineitem. */
-  private def pageProfile(spark: SparkSession, sfDir: String): DataFrame =
-    graft.sources.PageProfiler.pageSizeHistogram(
+  /** S9+A8: parquet page-size profile of the sf directory's lineitem.
+    * DuckDB has no page-level metadata function, so the per-page relation
+    * persists as a side table and the oracle recomputes the histogram
+    * binning (the relational half) from the same page rows.
+    */
+  private def pageProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = oracleSide(spark, sfDir, "page_stats",
       graft.sources.PageProfiler.pageStats(
         spark, Seq(s"$sfDir/lineitem.parquet", s"$sfDir/orders.parquet")))
+    graft.sources.PageProfiler.pageSizeHistogram(stats)
+  }
 
   /** S9 footer profile with a DuckDB parquet_metadata() oracle: per
     * (row_group, column) value counts and chunk sizes of the sf lineitem.
@@ -348,7 +354,8 @@ object Queries {
     */
   private def cdcEstimateApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val chunks = sfChunks(spark, sfDir)
+    val chunks = oracleSide(spark, sfDir, "chunks_approx",
+      sfChunks(spark, sfDir).toDF()).as[ChunkRow]
     val (total, exactUnique, _) = Estimator.stats(chunks)
     // one fused aggregate: HLL + KMV + totals share a single pass
     val row = chunks
@@ -401,16 +408,24 @@ object Queries {
   }
 
   /** Multimodal: JSON-blob corpus from documents → stub decode + real
-    * byte-histogram features → per-channel roll-up.
+    * byte-histogram features → per-channel roll-up. The blob relation and
+    * the per-blob enrichment persist as side tables: the oracle recomputes
+    * n_bytes/thumb_bytes INDEPENDENTLY from the raw blob bytes
+    * (octet_length / LEAST(·, target)) and the roll-up from the per-blob
+    * rows; only `channels` (stub decode, hash-derived) is taken on trust.
     */
   private def mmEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    val blobs = Multimodal.blobsFromTable(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
+    val blobs = oracleSide(spark, sfDir, "mm_blobs",
+      Multimodal.blobsFromTable(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))
     val thumbs = Multimodal.resize(blobs, "blob_id", "content", targetBytes = 256)
       .select(col("blob_id"), length(col("thumb")).cast("long").as("thumb_bytes"))
-    Multimodal
-      .enrich(blobs, "blob_id", "content")
-      .join(thumbs, "blob_id")
+    val perBlob = oracleSide(spark, sfDir, "mm_enriched",
+      Multimodal
+        .enrich(blobs, "blob_id", "content")
+        .join(thumbs, "blob_id")
+        .select(col("blob_id"), col("n_bytes"), col("channels"), col("thumb_bytes")))
+    perBlob
       .groupBy(col("channels"))
       .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("sum_bytes"),
         sum(col("thumb_bytes")).as("sum_thumb_bytes"))
@@ -544,6 +559,45 @@ object Queries {
         |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
         |  (m.n_files = 1) AS is_unique
         |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
+    // NOTE: valid at the driver's verification SF (sf0.01), where distinct
+    // chunk cardinality (~25) is far below both 1/rsd² and the KMV k, so
+    // Spark's HLL++ and the KMV sketch are provably exact and equal to
+    // COUNT(DISTINCT hash). At sketch-saturating scales this oracle would
+    // not hold — which is the point of the sketches.
+    "cdc_estimate_approx" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks_approx")}')),
+        |per AS (SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
+        |        FROM c GROUP BY hash),
+        |t AS (SELECT CAST(COALESCE(SUM(occ_bytes), 0) AS BIGINT) AS total_len,
+        |        CAST(COALESCE(SUM(size), 0) AS BIGINT) AS chunk_bytes FROM per),
+        |u AS (SELECT CAST(COUNT(DISTINCT hash) AS BIGINT) AS uniq,
+        |        CAST(COUNT(*) AS BIGINT) AS occ FROM c)
+        |SELECT t.total_len, t.chunk_bytes,
+        |  u.uniq AS hll_unique_chunks, u.uniq AS kmv_unique_chunks,
+        |  CAST(u.uniq AS DOUBLE) * (CAST(t.total_len AS DOUBLE) / CAST(u.occ AS DOUBLE))
+        |    AS approx_chunk_bytes,
+        |  CAST(u.uniq AS DOUBLE) * (CAST(t.total_len AS DOUBLE) / CAST(u.occ AS DOUBLE))
+        |    / CAST(t.total_len AS DOUBLE) AS approx_dedup_ratio
+        |FROM t, u""".stripMargin,
+    "page_profile" ->
+      s"""SELECT CAST(FLOOR(uncompressed_bytes / 4096.0) AS BIGINT) AS bucket,
+        |  CAST(FLOOR(uncompressed_bytes / 4096.0) AS BIGINT) * 4096 AS bucket_lo_bytes,
+        |  COUNT(*) AS n_pages
+        |FROM read_parquet('${oracleSidePath("page_stats")}')
+        |WHERE page_type = 'data'
+        |GROUP BY 1, 2""".stripMargin,
+    "mm_enrich" ->
+      s"""WITH b AS (SELECT * FROM read_parquet('${oracleSidePath("mm_blobs")}')),
+        |e AS (SELECT * FROM read_parquet('${oracleSidePath("mm_enriched")}')),
+        |chk AS (
+        |  SELECT e.blob_id, e.channels,
+        |    CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
+        |    CAST(LEAST(octet_length(b.content), 256) AS BIGINT) AS thumb_bytes
+        |  FROM e JOIN b USING (blob_id))
+        |SELECT channels, COUNT(*) AS n_blobs,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(SUM(thumb_bytes) AS BIGINT) AS sum_thumb_bytes
+        |FROM chk GROUP BY channels""".stripMargin,
     "cdc_logical" ->
       s"""WITH ph AS (
         |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes

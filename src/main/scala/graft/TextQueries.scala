@@ -290,6 +290,63 @@ object TextQueries {
         |SELECT source, fate, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         |FROM fates GROUP BY source, fate""".stripMargin,
+    // Winnowing (Schleimer'03) replayed in SQL: the k=8 rolling hash with
+    // Long wraparound equals the direct polynomial Σ c_j·257^(7-j) mod 2^64
+    // (computed in HUGEINT, mapped back to signed BIGINT); the monotonic-
+    // deque sliding minimum (ties → rightmost) equals MIN over a composite
+    // key (order-preserving unsigned hash) · 2^32 + (2^32-1 − position),
+    // recorded whenever the minimum's POSITION changes (classic winnowing).
+    "doc_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
+        |pos AS (
+        |  SELECT doc_id, s, UNNEST(range(1, len(s) - 8 + 2)) AS i
+        |  FROM d WHERE s IS NOT NULL AND len(s) >= 8),
+        |hh AS (
+        |  SELECT doc_id, i,
+        |    (CAST(ord(substr(s, i+0, 1)) AS HUGEINT) * 74051159531521793 +
+        |     CAST(ord(substr(s, i+1, 1)) AS HUGEINT) * 288136807515649 +
+        |     CAST(ord(substr(s, i+2, 1)) AS HUGEINT) * 1121154893057 +
+        |     CAST(ord(substr(s, i+3, 1)) AS HUGEINT) * 4362470401 +
+        |     CAST(ord(substr(s, i+4, 1)) AS HUGEINT) * 16974593 +
+        |     CAST(ord(substr(s, i+5, 1)) AS HUGEINT) * 66049 +
+        |     CAST(ord(substr(s, i+6, 1)) AS HUGEINT) * 257 +
+        |     CAST(ord(substr(s, i+7, 1)) AS HUGEINT))
+        |      % 18446744073709551616 AS hu_raw
+        |  FROM pos),
+        |h AS (
+        |  SELECT doc_id, i,
+        |    CAST(CASE WHEN hu_raw >= 9223372036854775808
+        |         THEN hu_raw - 18446744073709551616 ELSE hu_raw END AS BIGINT) AS h,
+        |    ((hu_raw + 9223372036854775808) % 18446744073709551616) * 4294967296
+        |      + (4294967295 - i) AS key
+        |  FROM hh),
+        |mn AS (
+        |  SELECT doc_id, i, h,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mkey,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM h),
+        |win AS (
+        |  SELECT doc_id, i,
+        |    (mkey // 4294967296 + 9223372036854775808) % 18446744073709551616 AS mh_u,
+        |    4294967295 - (mkey % 4294967296) AS mpos,
+        |    LAG(4294967295 - (mkey % 4294967296)) OVER (PARTITION BY doc_id ORDER BY i) AS prev_mpos,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+        |  FROM mn WHERE n > 16 AND i >= 16),
+        |rec AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN mh_u >= 9223372036854775808
+        |         THEN mh_u - 18446744073709551616 ELSE mh_u END AS BIGINT) AS fp
+        |  FROM win WHERE rn = 1 OR mpos <> prev_mpos
+        |  UNION ALL
+        |  SELECT h.doc_id, MIN(h.h) AS fp
+        |  FROM h JOIN (SELECT DISTINCT doc_id FROM mn WHERE n <= 16) sm USING (doc_id)
+        |  GROUP BY h.doc_id)
+        |SELECT doc_id, CAST(COUNT(DISTINCT fp) AS INT) AS n_fingerprints,
+        |  MIN(fp) AS min_fingerprint
+        |FROM rec GROUP BY doc_id
+        |UNION ALL
+        |SELECT doc_id, 0, NULL FROM d WHERE s IS NULL OR len(s) < 8""".stripMargin,
     "lang_id" ->
       """WITH wq AS (
         |  SELECT doc_id, lang,
