@@ -56,13 +56,39 @@ object Queries {
     * basename; oracle SQL targets the driver's verification SF (sf0.01) by
     * absolute path, exactly like rowgroup_profile's parquet_metadata oracle.
     */
+  /** Side-table persistence is VERIFICATION machinery: only Verify (and
+    * anyone exporting GRAFT_ORACLE_SIDETABLES=1) pays the write+read; Bench
+    * and library callers get the frame back untouched, so bench numbers
+    * time the queries, not the correctness harness, and no hardcoded path
+    * is touched outside verification runs.
+    */
+  private[graft] val SideTableProp = "graft.oracle.sidetables"
+
+  private[graft] def sideTablesEnabled: Boolean =
+    sys.props.get(SideTableProp).contains("1") ||
+      sys.env.get("GRAFT_ORACLE_SIDETABLES").contains("1")
+
   private[graft] def oracleSide(
-      spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame = {
-    val base = new java.io.File(sfDir).getName
-    val path = s"/root/repo/target/oracle/$base/$name"
-    df.write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+      spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame =
+    if (!sideTablesEnabled) df
+    else {
+      val base = new java.io.File(sfDir).getName
+      val path = s"/root/repo/target/oracle/$base/$name"
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+
+  /** Best-effort recursive cleanup of a scratch dir at JVM exit. */
+  private[graft] def cleanupOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        if (java.nio.file.Files.exists(dir)) {
+          val s = java.nio.file.Files.walk(dir)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally s.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }))
 
   private[graft] def oracleSidePath(name: String): String =
     s"/root/repo/target/oracle/sf0.01/$name/*.parquet"
@@ -277,6 +303,7 @@ object Queries {
     val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(2), 100,
       assertCounts = false)
     val dir = java.nio.file.Files.createTempDirectory("graft-grid")
+    cleanupOnExit(dir)
     val grouped = Seq("deleted", "inserted", "appended", "updated").map { v =>
       v -> Map("original" -> tables("original"), v -> tables(v))
     }.toMap
@@ -305,6 +332,7 @@ object Queries {
     val tables = gen.generateSyntheticTables(spark, 20000L, EditPoints.linspace(4),
       200, assertCounts = false)
     val dir = java.nio.file.Files.createTempDirectory("graft-logical")
+    cleanupOnExit(dir)
     // PLAIN encoding (no dictionary): a mid-file insert must not renumber
     // dictionary ids for later-first-seen values, or the logical stream
     // diverges after the edit for reasons unrelated to the edit itself
@@ -354,7 +382,9 @@ object Queries {
     */
   private def cdcEstimateApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val chunks = oracleSide(spark, sfDir, "chunks_approx",
+    // same cached relation as cdc_estimate — share its side table rather
+    // than persisting a second byte-identical copy
+    val chunks = oracleSide(spark, sfDir, "chunks_default",
       sfChunks(spark, sfDir).toDF()).as[ChunkRow]
     val (total, exactUnique, _) = Estimator.stats(chunks)
     // one fused aggregate: HLL + KMV + totals share a single pass
@@ -565,7 +595,7 @@ object Queries {
     // COUNT(DISTINCT hash). At sketch-saturating scales this oracle would
     // not hold — which is the point of the sketches.
     "cdc_estimate_approx" ->
-      s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks_approx")}')),
+      s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks_default")}')),
         |per AS (SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
         |        FROM c GROUP BY hash),
         |t AS (SELECT CAST(COALESCE(SUM(occ_bytes), 0) AS BIGINT) AS total_len,

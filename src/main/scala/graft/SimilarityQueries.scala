@@ -80,6 +80,15 @@ object SimilarityQueries {
       .as[(Long, Array[Long])]
       .collect()
       .sortBy(_._1)
+    // overflow safety for the 100·dot² >= 9·na·nb inequality: with
+    // |q| <= 2000 and dim 64, 100·dot² <= 6.6e18 < Long.MaxValue. Beyond
+    // that the Scala side would wrap silently while the DuckDB oracle
+    // (HUGEINT) errors loudly — fail loudly on BOTH sides instead.
+    val maxAbs = data.iterator.flatMap(_._2.iterator)
+      .foldLeft(0L)((m, v) => math.max(m, math.abs(v)))
+    require(maxAbs <= 2000L,
+      s"quantized embedding component $maxAbs exceeds the overflow-safe " +
+        "bound 2000 (embeddings must be within [-2, 2] at scale 1000)")
     val norms = data.map { case (_, qv) =>
       var s = 0L; var i = 0
       while (i < qv.length) { s += qv(i) * qv(i); i += 1 }

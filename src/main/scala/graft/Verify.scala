@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // verification runs persist oracle side-tables (chunk relations, LSH
+    // signatures, ...) that the DuckDB oracle SQL reads back
+    System.setProperty(Queries.SideTableProp, "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

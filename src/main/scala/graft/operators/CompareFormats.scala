@@ -129,6 +129,11 @@ object CompareFormats {
     def esc(s: String): String =
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
         .replace("\"", "&quot;")
+    // machine-consumed numbers (CSS widths) and report values must be
+    // locale-invariant: the f interpolator uses the JVM default locale,
+    // which under comma-decimal locales emits CSS browsers discard
+    def num1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    def num2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val sb = new StringBuilder
     sb.append(
       s"""<!doctype html><html><head><meta charset="utf-8"><style>
@@ -163,13 +168,14 @@ object CompareFormats {
       sb.append(s"<h2>${esc(group)}</h2>")
       rs.sortBy(_.format).foreach { r =>
         val pct = r.dedup_ratio * 100
-        val tip = f"${esc(r.format)}: ${r.chunk_bytes}%d of ${r.total_len}%d bytes " +
-          f"unique (${pct}%.1f%%); xet ${r.xet_dedup_ratio * 100}%.1f%%; ${r.numfiles}%d files"
+        val tip = s"${esc(r.format)}: ${r.chunk_bytes} of ${r.total_len} bytes " +
+          s"unique (${num1(pct)}%); xet ${num1(r.xet_dedup_ratio * 100)}%; " +
+          s"${r.numfiles} files"
         sb.append(
-          f"""<div class="row"><div class="lbl">${esc(r.format)}</div>
-             |<div class="track" title="$tip%s"><span class="bar"
-             |  style="width:${math.min(100.0, pct)}%.2f%%;background:var(--s${slot(r.format)}%d)"></span></div><span
-             |  class="val">$pct%.1f%%</span></div>""".stripMargin)
+          s"""<div class="row"><div class="lbl">${esc(r.format)}</div>
+             |<div class="track" title="$tip"><span class="bar"
+             |  style="width:${num2(math.min(100.0, pct))}%;background:var(--s${slot(r.format)})"></span></div><span
+             |  class="val">${num1(pct)}%</span></div>""".stripMargin)
       }
     }
     sb.append("</div></body></html>")

@@ -65,18 +65,26 @@ object CuratePipeline {
     val alive = exact.filter(!qualityFail && !langFail && !col("is_dup"))
     val pairs = precomputedPairs match {
       case Some(p) =>
-        // pairs carry LONG ids; a non-numeric id column would cast to null,
-        // match nothing in the semi-joins, and silently disable near-dup
-        // removal — fail loudly instead
+        // pairs carry LONG ids; an id value that does not cast to long
+        // would become null, match nothing in the semi-joins, and silently
+        // disable near-dup removal — fail loudly instead. Integral columns
+        // are safe by construction; other types (numeric strings, decimals)
+        // get a one-off cast-null check.
         {
           import org.apache.spark.sql.types._
-          val ok = docs.schema(idCol).dataType match {
+          val integral = docs.schema(idCol).dataType match {
             case ByteType | ShortType | IntegerType | LongType => true
             case _ => false
           }
-          require(ok,
-            s"precomputedPairs requires an integral id column; '$idCol' is " +
-              docs.schema(idCol).dataType.catalogString)
+          if (!integral) {
+            val bad = docs
+              .filter(col(idCol).isNotNull && col(idCol).cast("long").isNull)
+              .limit(1).count()
+            require(bad == 0,
+              s"precomputedPairs needs ids castable to long; column '$idCol' " +
+                s"(${docs.schema(idCol).dataType.catalogString}) has values " +
+                "that cast to null")
+          }
         }
         val aliveIds = alive.select(col(idCol).cast("long").as("__alive_id"))
         p.filter(col("jaccard") >= params.nearDupThreshold)

@@ -110,6 +110,10 @@ object Dedupe {
     *   recompute banding/est/jaccard from the exact signatures this run
     *   used (band-bucket equality == signature-slice equality modulo
     *   xxh64 bucket-key collisions, so the oracle joins on slices).
+    *   PRECONDITION for that parity: no band bucket exceeds
+    *   `maxBucketSize` — over-cap buckets degrade to star pairs, which a
+    *   plain slice-equality oracle does not model. Holds trivially at the
+    *   driver's verification SF (bucket size is bounded by corpus size).
     */
   def minhashPairs(
       df: DataFrame,
@@ -316,7 +320,10 @@ object Dedupe {
     */
   /** @param sigSink see minhashPairs — persists (id, sig) for the oracle;
     *   pigeonhole block-match has FULL recall at hamming <= maxDistance, so
-    *   the oracle is simply all pairs with bit_count(xor) <= maxDistance.
+    *   the oracle is simply all pairs with bit_count(xor) <= maxDistance —
+    *   PROVIDED no block bucket exceeds `maxBucketSize` (over-cap buckets
+    *   degrade to star pairs the all-pairs SQL does not model; holds at
+    *   the verification SF where the corpus is smaller than the cap).
     */
   def simhashPairs(
       df: DataFrame,
