@@ -37,22 +37,26 @@ object LogicalCdc {
       paths: Seq[String],
       params: ChunkerParams = ChunkerParams.Default): Dataset[ChunkRow] = {
     import spark.implicits._
-    // enumerate (file, column) tasks from the footers — cheap, driver-side
-    val tasks: Seq[(Long, String, String, Int)] = paths.zipWithIndex.flatMap {
-      case (path, fi) =>
+    val parallelism =
+      math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    // (file, column) task enumeration reads footers DISTRIBUTED (one
+    // footer per file task — a driver-side loop would serialize at
+    // million-file scale), then reshuffles so column tasks spread evenly
+    // even when a few files dominate the column count
+    val tasks = spark
+      .createDataset(paths.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+      .repartition(parallelism)
+      .flatMap { case (fi, path) =>
         val reader = open(path)
         try {
           val cols = reader.getFooter.getFileMetaData.getSchema.getColumns
           (0 until cols.size()).map { ci =>
-            (fi.toLong, path, cols.get(ci).getPath.mkString("\u0000"), ci)
-          }
+            (fi, path, cols.get(ci).getPath.mkString("\u0000"), ci)
+          }.toVector
         } finally reader.close()
-    }
-    val parallelism =
-      math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
-    spark
-      .createDataset(tasks)
-      .repartition(parallelism)
+      }
+    tasks
+      .repartition(math.max(parallelism, spark.sparkContext.defaultParallelism))
       .flatMap { case (fileIdx, path, colKey, colIdx) =>
         chunkOneColumn(path, colKey.split("\u0000").toSeq, params).zipWithIndex.map {
           case ((hash, size, compressed), i) =>
