@@ -199,6 +199,64 @@ object Queries {
       .select(col("p_partkey"), col("p_brand"), col("p_size"))
   }
 
+  /** Bucketed co-located join — the 100 TB fact-fact join technique: both
+    * sides written bucketed+sorted on the join key (8 buckets here; sized
+    * to cluster cores at scale), so the sort-merge join reads co-located
+    * buckets with NO shuffle exchange on either side (asserted by
+    * QueriesPlanSpec). Results are bucketing-invariant, so the oracle is
+    * the plain SQL join; the `merge` hint keeps the demonstration honest
+    * where a dim-sized side would otherwise broadcast.
+    */
+  private val bucketedReady =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private[graft] def bucketedPair(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val (liTbl, ordTbl) = (s"graft_li_b$tag", s"graft_ord_b$tag")
+    bucketedReady.getOrElseUpdate(spark.sparkContext.applicationId + sfDir, {
+      // the in-memory catalog is per-session but the warehouse dir is not:
+      // a fresh session with a stale location would hit
+      // LOCATION_ALREADY_EXISTS, so drop both catalog entry and location
+      def fresh(name: String)(write: => Unit): Unit = {
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = java.net.URI.create(
+          spark.conf.get("spark.sql.warehouse.dir")).getPath
+        val loc = java.nio.file.Paths.get(wh, name)
+        if (java.nio.file.Files.exists(loc)) {
+          val s = java.nio.file.Files.walk(loc)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally s.close()
+        }
+        write
+      }
+      fresh(liTbl) {
+        t(spark, sfDir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable(liTbl)
+      }
+      fresh(ordTbl) {
+        t(spark, sfDir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable(ordTbl)
+      }
+      true
+    })
+    (spark.table(liTbl), spark.table(ordTbl))
+  }
+
+  private def q15BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (li, orders) = bucketedPair(spark, sfDir)
+    li.hint("merge")
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_lineitems"))
+  }
+
   // ------------------------------------------------------ order / windows
 
   /** O4/top-k: top 10 orders by total price with a unique tiebreaker. */
@@ -476,6 +534,7 @@ object Queries {
     "q12_event_seq" -> q12EventSeq _,
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
+    "q15_bucketed_join" -> q15BucketedJoin _,
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
@@ -548,6 +607,12 @@ object Queries {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q15_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q13_asof_join" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
