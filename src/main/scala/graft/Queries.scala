@@ -477,6 +477,31 @@ object Queries {
         col("sum_value"))
   }
 
+  /** Stateful sessionization surfaced as a catalog query: the
+    * flatMapGroupsWithState operator run in BATCH mode, where the
+    * semantics are deterministic — a session appears iff a LATER event of
+    * the same user closed it by exceeding the gap (the per-user final
+    * session stays in state). That is exactly classic SQL sessionization
+    * (gap-flag cumulative sum) minus each user's last session, so the
+    * DuckDB oracle is cell-exact. Output sticks to integer-exact columns
+    * (counts + closed_at nanos); float value sums would be
+    * accumulation-order-dependent across engines.
+    */
+  private def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.EventStream
+    val events = t(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[EventStream.EventRow]
+    EventStream.sessionize(events, gapNanos = 30L * 60 * 1000000000L)
+      .toDF()
+      // DuckDB reads the nanos parquet timestamps at µs precision, so the
+      // comparison surface truncates to µs (integer div — ts is positive)
+      .select(col("user_id"), col("n_events"),
+        expr("closed_at div 1000").as("closed_at_us"))
+  }
+
   /** A6 per-doc chunk presence matrix: explode the merged relation's
     * seen_in to (hash, doc) membership with uniqueness flags — the
     * viz-backing shape (reference de/__init__.py:109-137).
@@ -542,6 +567,7 @@ object Queries {
     "rowgroup_profile" -> (rowgroupProfile _),
     "cdc_estimate_approx" -> (cdcEstimateApprox _),
     "stream_window" -> (streamWindow _),
+    "stream_sessions" -> (streamSessions _),
     "mm_enrich" -> (mmEnrich _),
     "chunk_matrix" -> (chunkMatrix _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
@@ -625,6 +651,26 @@ object Queries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, tns,
+        |    CASE WHEN tns - LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
+        |              > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (
+        |  SELECT user_id, tns,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM s),
+        |agg AS (
+        |  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(MAX(tns) // 1000 AS BIGINT) AS closed_at_us
+        |  FROM g GROUP BY user_id, sess),
+        |lastx AS (SELECT user_id, MAX(sess) AS last_sess FROM agg GROUP BY user_id)
+        |SELECT a.user_id, a.n_events, a.closed_at_us
+        |FROM agg a JOIN lastx l USING (user_id) WHERE a.sess < l.last_sess""".stripMargin,
     "cdc_estimate" ->
       s"""WITH per AS (
         |  SELECT hash, MIN(size) AS size, MIN(compressed) AS compressed,
