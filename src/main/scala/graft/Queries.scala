@@ -477,6 +477,33 @@ object Queries {
         col("sum_value"))
   }
 
+  /** Interval (range) join via the binned decomposition (RangeJoin): each
+    * purchase event anchors a 24-hour follow-up window; every event of the
+    * same user inside [anchor, anchor+24h] matches — the attribution-
+    * window shape. Bin width = the interval length, so each interval
+    * explodes to ≤ 2 bins and the join is one hash shuffle on (key, bin);
+    * the naive plan would be a nested loop. Verified against DuckDB's
+    * plain BETWEEN join.
+    */
+  private def q16IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val events = t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("t_us"))
+    val anchors = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("t_us").as("start_us"))
+      .withColumn("end_us", col("start_us") + dayUs)
+    RangeJoin
+      .intervalJoin(events, anchors,
+        leftKey = col("user_id"), rightKey = col("a_user"),
+        leftTime = col("t_us"), rightStart = col("start_us"),
+        rightEnd = col("end_us"), binWidth = dayUs)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_matches"),
+        countDistinct(col("event_id")).as("n_events"))
+  }
+
   /** Stateful sessionization surfaced as a catalog query: the
     * flatMapGroupsWithState operator run in BATCH mode, where the
     * semantics are deterministic — a session appears iff a LATER event of
@@ -560,6 +587,7 @@ object Queries {
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
     "q15_bucketed_join" -> q15BucketedJoin _,
+    "q16_interval_join" -> q16IntervalJoin _,
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
@@ -651,6 +679,16 @@ object Queries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q16_interval_join" ->
+      """SELECT e.event_type, COUNT(*) AS n_matches,
+        |  COUNT(DISTINCT e.event_id) AS n_events
+        |FROM events e JOIN (
+        |  SELECT user_id, epoch_us(ts) AS start_us
+        |  FROM events WHERE event_type = 'purchase') a
+        |  ON e.user_id = a.user_id
+        |  AND epoch_us(e.ts) >= a.start_us
+        |  AND epoch_us(e.ts) <= a.start_us + 86400000000
+        |GROUP BY e.event_type""".stripMargin,
     "stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact interval (range) join — a join type Spark has no native operator
+  * for: `left.t BETWEEN right.start AND right.end` (plus an equi-key).
+  * Naively this plans as a broadcast-nested-loop or a shuffled
+  * filter-after-cartesian; the scale-correct shape is BIN BUCKETING
+  * (the standard banded/binned range-join decomposition): pick a bin
+  * width, explode each right interval to the bins it overlaps, map each
+  * left point to its bin, equi-join on (key, bin), then apply the exact
+  * BETWEEN as a post-filter. Every matching pair shares the point's bin,
+  * so the result is exact; the join is a plain hash shuffle on (key, bin).
+  *
+  * Bin-width choice: ≈ the typical interval length. Cost scales with
+  * Σ (interval_len / binWidth + 1) exploded rows and with per-(key, bin)
+  * fanout — same tuning story as any banded join.
+  */
+object RangeJoin {
+
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: Column,
+      rightKey: Column,
+      leftTime: Column,
+      rightStart: Column,
+      rightEnd: Column,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val l = left
+      .withColumn("__t", leftTime.cast("long"))
+      .withColumn("__lk", leftKey.cast("long"))
+      .withColumn("__bin", floor(col("__t") / binWidth).cast("long"))
+      .as("l")
+    val r = right
+      .withColumn("__s", rightStart.cast("long"))
+      .withColumn("__e", rightEnd.cast("long"))
+      .filter(col("__s") <= col("__e"))
+      .withColumn("__rk", rightKey.cast("long"))
+      .withColumn("__bin",
+        explode(sequence(floor(col("__s") / binWidth).cast("long"),
+          floor(col("__e") / binWidth).cast("long"))))
+      .as("r")
+    l.join(r,
+        col("l.__lk") === col("r.__rk") && col("l.__bin") === col("r.__bin"))
+      .filter(col("l.__t") >= col("r.__s") && col("l.__t") <= col("r.__e"))
+      .drop("__t", "__lk", "__bin", "__s", "__e", "__rk")
+  }
+}
