@@ -212,9 +212,15 @@ object Queries {
 
   private[graft] def bucketedPair(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val tag = math.abs(sfDir.hashCode).toString
+    // table tag: hex of a 64-bit hash (collision-safe where String.hashCode
+    // is not, and never a negative/hyphenated identifier)
+    val tag = java.lang.Long.toHexString(
+      graft.cdc.XXH64.hash(sfDir.getBytes("UTF-8"), 42L))
     val (liTbl, ordTbl) = (s"graft_li_b$tag", s"graft_ord_b$tag")
-    bucketedReady.getOrElseUpdate(spark.sparkContext.applicationId + sfDir, {
+    // keyed by SESSION identity, not applicationId: saveAsTable registers
+    // in the session-local catalog, so a sibling session must re-register
+    bucketedReady.getOrElseUpdate(
+      System.identityHashCode(spark).toString + sfDir, {
       // the in-memory catalog is per-session but the warehouse dir is not:
       // a fresh session with a stale location would hit
       // LOCATION_ALREADY_EXISTS, so drop both catalog entry and location

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  private val Reserved = Seq("__t", "__lk", "__bin", "__s", "__e", "__rk")
+
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -29,16 +31,22 @@ object RangeJoin {
       rightEnd: Column,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // fail fast rather than silently overwriting + dropping a caller column
+    (left.columns ++ right.columns).find(Reserved.contains).foreach(c =>
+      throw new IllegalArgumentException(
+        s"input column '$c' collides with intervalJoin's internal columns"))
     val l = left
+      // keys keep their RAW type: casting to long would truncate fractional
+      // keys into false cross-key matches and null out string keys
+      .withColumn("__lk", leftKey)
       .withColumn("__t", leftTime.cast("long"))
-      .withColumn("__lk", leftKey.cast("long"))
       .withColumn("__bin", floor(col("__t") / binWidth).cast("long"))
       .as("l")
     val r = right
+      .withColumn("__rk", rightKey)
       .withColumn("__s", rightStart.cast("long"))
       .withColumn("__e", rightEnd.cast("long"))
       .filter(col("__s") <= col("__e"))
-      .withColumn("__rk", rightKey.cast("long"))
       .withColumn("__bin",
         explode(sequence(floor(col("__s") / binWidth).cast("long"),
           floor(col("__e") / binWidth).cast("long"))))

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object SaltedJoin {
 
+  // right/full outer joins are NOT salt-safe: an unmatched dim row would
+  // surface once per salt replica instead of once
+  private val SaltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedEquiJoin(
       facts: DataFrame,
       dims: DataFrame,
@@ -28,6 +34,13 @@ object SaltedJoin {
       buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets >= 1, "buckets must be >= 1")
+    require(SaltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"join type '$joinType' is not salt-safe: unmatched dim rows would be " +
+        s"replicated once per salt bucket; use one of $SaltSafeJoinTypes")
+    (facts.columns ++ dims.columns)
+      .find(Seq("__fk", "__dk", "__salt").contains).foreach(c =>
+        throw new IllegalArgumentException(
+          s"input column '$c' collides with saltedEquiJoin's internal columns"))
     val salted = facts
       .withColumn("__fk", factKey)
       .withColumn("__salt", pmod(xxhash64(saltSource), lit(buckets.toLong)))

@@ -56,7 +56,9 @@ object LogicalCdc {
         } finally reader.close()
       }
     tasks
-      .repartition(math.max(parallelism, spark.sparkContext.defaultParallelism))
+      // full cluster width for the chunking stage: column tasks usually
+      // outnumber files, and empty partitions cost nothing next to the scan
+      .repartition(spark.sparkContext.defaultParallelism)
       .flatMap { case (fileIdx, path, colKey, colIdx) =>
         chunkOneColumn(path, colKey.split("\u0000").toSeq, params).zipWithIndex.map {
           case ((hash, size, compressed), i) =>

@@ -153,10 +153,12 @@ object Cli {
       val spark = session()
       val files = rest.init
       val out = Paths.get(rest.last)
+      // ONE distributed chunking pass feeds both renderings
+      val chunks = ChunkRelation.chunkFiles(spark, files).cache()
       // byte-ordered occurrences: strips must render each file's chunks in
       // file layout order, one cell per occurrence
       val matrixRows = Estimator
-        .annotatedOccurrences(ChunkRelation.chunkFiles(spark, files))
+        .annotatedOccurrences(chunks)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
         .toSeq
@@ -164,10 +166,11 @@ object Cli {
       println(s"wrote $out (${matrixRows.size} chunk cells)")
       // the reference's aligned multi-doc diff (absent chunks at 0.15)
       val segs = Estimator
-        .segments(ChunkRelation.chunkFiles(spark, files))
+        .segments(chunks)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
         .toSeq
+      chunks.unpersist()
       val alignedOut = Paths.get(out.toString.stripSuffix(".html") + "-aligned.html")
       Files.writeString(alignedOut, Viz.stripDiffHtmlAligned(segs))
       println(s"wrote $alignedOut")

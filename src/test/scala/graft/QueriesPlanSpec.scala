@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 class QueriesPlanSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  private val sfDir = sf()
 
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // finalize AQE so the executed plan is the real one

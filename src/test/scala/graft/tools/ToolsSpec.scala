@@ -69,9 +69,10 @@ class ToolsSpec extends SparkSpec {
     assert(html.sliding(12).count(_ == "opacity:0.15") == 2)
     assert(html.sliding(11).count(_ == "opacity:0.5") == 2)
     assert(html.sliding(11).count(_ == "opacity:1.0") == 2)
-    // every strip renders the full merged sequence: 3 cells per file
-    assert(html.sliding(11).count(_ == "width:") == 0 ||
-      html.split("display:flex").length == 3)
+    // every strip renders the full merged sequence: two strips, 3 cells
+    // each (so 6 width-styled cells total)
+    assert(html.split("display:flex").length == 3)
+    assert(html.sliding("width:".length).count(_ == "width:") == 6)
   }
 
   test("ordered chunk dump with payloads (reference store_data path)") {
