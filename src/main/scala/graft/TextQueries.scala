@@ -52,6 +52,26 @@ object TextQueries {
           greatest(nChars, lit(1)).cast("double")).as("punct_ratio"))
   }
 
+  /** Bounded-memory token heavy hitters (Misra-Gries sketch): the
+    * vocabulary/stopword pass without shuffling the raw token stream. The
+    * documents vocabulary (31 distinct words) sits far under the sketch
+    * capacity, so counts are EXACT (decs = 0) and the oracle is the plain
+    * SQL top-20 word count.
+    */
+  private def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.HeavyHitters
+    val words = docs(spark, sfDir)
+      .select(explode(filter(split(lower(col("text")), " "), w => w =!= ""))
+        .as("word"))
+    words
+      .agg(HeavyHitters.heavy_hitters(col("word"), capacity = 1024).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e._1").as("word"), col("e._2").as("est_count"),
+        col("e._3").as("max_undercount"))
+      .orderBy(col("est_count").desc, col("word").asc)
+      .limit(20)
+  }
+
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .groupBy(col("lang"), col("source"))
@@ -198,6 +218,7 @@ object TextQueries {
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
+    "text_heavy_hitters" -> textHeavyHitters _,
     "text_quality_full" -> qualityFull _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
@@ -470,6 +491,13 @@ object TextQueries {
         |FROM (SELECT doc_id, text,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |      FROM documents)""".stripMargin,
+    "text_heavy_hitters" ->
+      """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
+        |  CAST(0 AS BIGINT) AS max_undercount
+        |FROM (SELECT UNNEST(list_filter(string_split(lower(text), ' '),
+        |        x -> x <> '')) AS w
+        |      FROM documents)
+        |GROUP BY w ORDER BY est_count DESC, word ASC LIMIT 20""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
