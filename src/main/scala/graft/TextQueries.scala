@@ -205,8 +205,19 @@ object TextQueries {
     pairs.toSeq.toDF("source_a", "source_b", "est_jaccard")
   }
 
+  /** Deterministic 10% holdout split over documents — per-(source, split)
+    * accounting. Split membership is a pure function of doc_id (md5
+    * threshold), so the oracle replays it exactly in SQL.
+    */
+  private def docSplit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling
+      .hashSplit(docs(spark, sfDir), col("doc_id"), holdoutPct = 10)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
+    "doc_split" -> docSplit _,
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -491,6 +502,12 @@ object TextQueries {
         |FROM (SELECT doc_id, text,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |      FROM documents)""".stripMargin,
+    "doc_split" ->
+      """SELECT source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        |       THEN 'holdout' ELSE 'train' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
         |  CAST(0 AS BIGINT) AS max_undercount
