@@ -13,28 +13,40 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 4-hex-digit threshold: floor(pct/100 · 16^4), zero-padded. */
+  /** 4-hex-digit threshold: floor(pct/100 · 16^4), zero-padded. Only
+    * meaningful for pct < 100 (pct=100 would need the 5-char "10000",
+    * which compares WRONGLY against 4-char prefixes — hashSplit
+    * special-cases it instead).
+    */
   private[operators] def thresholdHex(pct: Int): String = {
-    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    require(pct >= 0 && pct < 100, s"thresholdHex needs pct in [0,100), got $pct")
     f"${(pct.toLong * 65536L) / 100L}%04x"
   }
 
   /** Annotate rows with a deterministic split label: `holdout` with
-    * probability ≈ holdoutPct/100 (exactly floor(pct·65536/100)/65536),
-    * else `train`.
+    * probability ≈ holdoutPct/100 (exactly floor(pct·65536/100)/65536;
+    * pct=100 ⇒ every row), else `train`.
     */
   def hashSplit(
       df: DataFrame,
       keyCol: Column,
       holdoutPct: Int,
-      splitCol: String = "split"): DataFrame =
-    df.withColumn(splitCol,
-      when(substring(md5(keyCol.cast("string").cast("binary")), 1, 4)
-        < lit(thresholdHex(holdoutPct)), "holdout").otherwise("train"))
+      splitCol: String = "split"): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100,
+      s"holdoutPct must be in [0,100], got $holdoutPct")
+    val inHoldout =
+      if (holdoutPct == 100) lit(true)
+      else substring(md5(keyCol.cast("string").cast("binary")), 1, 4) <
+        lit(thresholdHex(holdoutPct))
+    df.withColumn(splitCol, when(inHoldout, "holdout").otherwise("train"))
+  }
 
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */
-  def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame =
-    hashSplit(df, keyCol, pct, "__split")
-      .filter(col("__split") === "holdout")
-      .drop("__split")
+  def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame = {
+    require(!df.columns.contains("__graft_split"),
+      "input already has a __graft_split column")
+    hashSplit(df, keyCol, pct, "__graft_split")
+      .filter(col("__graft_split") === "holdout")
+      .drop("__graft_split")
+  }
 }

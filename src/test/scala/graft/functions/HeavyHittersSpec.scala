@@ -43,6 +43,23 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("decrement debt survives merging with an emptied buffer") {
+    // capacity=1: stream [x, y] decrements x away entirely (used=0, decs=1);
+    // merging that with a buffer holding (x, 5, decs=0) must NOT claim
+    // exactness — est ∈ [true-decs, true] requires decs >= 1 in the output
+    val agg = new HeavyHittersAgg(1)
+    val emptied = agg.reduce(agg.reduce(agg.zero, "x"), "y")
+    assert(emptied.used == 0 && emptied.decs == 1L)
+    val other = (1 to 5).foldLeft(agg.zero)((b, _) => agg.reduce(b, "x"))
+    for (merged <- Seq(agg.merge(emptied, other), agg.merge(other, emptied))) {
+      val out = agg.finish(merged)
+      assert(out.length == 1)
+      val (k, est, decs) = out.head
+      assert(k == "x" && est == 5L && decs == 1L,
+        s"got ($k, $est, $decs) — exactness claim would be wrong")
+    }
+  }
+
   test("null tokens are ignored") {
     import spark.implicits._
     val rows = Seq(Some("x"), None, Some("x"), None).toDF("t")

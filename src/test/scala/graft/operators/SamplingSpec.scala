@@ -33,6 +33,9 @@ class SamplingSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Sampling.hashSplit(df, col("id"), 101))
     assert(Sampling.thresholdHex(10) == "1999")
     assert(Sampling.thresholdHex(0) == "0000")
-    assert(Sampling.thresholdHex(100) == "10000")
+    // boundary percentages behave, not just format: 100 keeps everything
+    // (the naive 5-char "10000" threshold would keep ~6%), 0 keeps nothing
+    assert(Sampling.hashSample(df, col("id"), 100).count() == 1000L)
+    assert(Sampling.hashSample(df, col("id"), 0).count() == 0L)
   }
 }
