@@ -68,12 +68,22 @@ object Queries {
     sys.props.get(SideTableProp).contains("1") ||
       sys.env.get("GRAFT_ORACLE_SIDETABLES").contains("1")
 
+  /** One configurable root for BOTH the side-table writes and the oracle
+    * SQL's reads, so they can never diverge. Overridable via
+    * -Dgraft.oracle.root / GRAFT_ORACLE_ROOT; defaults to this checkout's
+    * target/oracle (absolute, so DuckDB run from any cwd resolves it).
+    */
+  private[graft] def oracleRoot: String =
+    sys.props.get("graft.oracle.root")
+      .orElse(sys.env.get("GRAFT_ORACLE_ROOT"))
+      .getOrElse(new java.io.File("target/oracle").getAbsolutePath)
+
   private[graft] def oracleSide(
       spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame =
     if (!sideTablesEnabled) df
     else {
       val base = new java.io.File(sfDir).getName
-      val path = s"/root/repo/target/oracle/$base/$name"
+      val path = s"$oracleRoot/$base/$name"
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
@@ -90,8 +100,25 @@ object Queries {
         }
       } catch { case scala.util.control.NonFatal(_) => () }))
 
-  private[graft] def oracleSidePath(name: String): String =
-    s"/root/repo/target/oracle/sf0.01/$name/*.parquet"
+  /** Read path baked into the dumped oracle SQL. The sf basename comes
+    * from the same property Verify sets from its actual sfDir argument
+    * (default sf0.01 = the driver's verification scale), so the SQL always
+    * reads what this run's oracleSide wrote.
+    */
+  private[graft] val SfBaseProp = "graft.oracle.sfbase"
+
+  /** Full sfDir for oracles that read the TESTDATA parquet directly
+    * (parquet_metadata, file-level stats) — same Verify-set contract.
+    */
+  private[graft] val SfDirProp = "graft.oracle.sfdir"
+
+  private[graft] def oracleSidePath(name: String): String = {
+    val base = sys.props.getOrElse(SfBaseProp, "sf0.01")
+    s"$oracleRoot/$base/$name/*.parquet"
+  }
+
+  private[graft] def oracleSfDir: String =
+    sys.props.getOrElse(SfDirProp, "/root/testdata/sf0.01")
 
   // ---------------------------------------------------------------- scans
 
@@ -606,7 +633,10 @@ object Queries {
     "chunk_matrix" -> (chunkMatrix _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
+  // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
+  // the defaults before main() runs
+  def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -825,10 +855,10 @@ object Queries {
         |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
         |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin,
     "rowgroup_profile" ->
-      """SELECT row_group_id AS row_group, path_in_schema AS column_name,
+      s"""SELECT row_group_id AS row_group, path_in_schema AS column_name,
         |  CAST(num_values AS BIGINT) AS num_values,
         |  CAST(total_compressed_size AS BIGINT) AS total_compressed_size,
         |  CAST(total_uncompressed_size AS BIGINT) AS total_uncompressed_size
-        |FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')""".stripMargin
+        |FROM parquet_metadata('$oracleSfDir/lineitem.parquet')""".stripMargin
   ) ++ TextQueries.oracles ++ SimilarityQueries.oracles
 }

@@ -124,7 +124,10 @@ object SimilarityQueries {
     "ann_dot_exact" -> annDotExact _
   )
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
+  // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
+  // the defaults before main() runs
+  def oracles: Map[String, String] = Map(
     "emb_neardup_exact" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -266,7 +266,10 @@ object TextQueries {
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
+  // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
+  // the defaults before main() runs
+  def oracles: Map[String, String] = Map(
     "doc_cdc" ->
       s"""WITH per AS (
         |  SELECT source, hash, MIN(size) AS size, SUM(size) AS occ_bytes

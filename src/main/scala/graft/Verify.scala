@@ -9,6 +9,10 @@ object Verify {
     // verification runs persist oracle side-tables (chunk relations, LSH
     // signatures, ...) that the DuckDB oracle SQL reads back
     System.setProperty(Queries.SideTableProp, "1")
+    // the dumped oracle SQL reads the side-tables written for THIS sfDir
+    System.setProperty(Queries.SfBaseProp, new java.io.File(sfDir).getName)
+    System.setProperty(Queries.SfDirProp,
+      new java.io.File(sfDir).getAbsolutePath)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

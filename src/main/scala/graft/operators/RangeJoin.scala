@@ -21,6 +21,17 @@ object RangeJoin {
 
   private val Reserved = Seq("__t", "__lk", "__bin", "__s", "__e", "__rk")
 
+  /** Floor-division bin in pure LONG arithmetic. Spark's `/` is Divide
+    * (double): above 2^53 the long→double conversion loses units and a
+    * point near a bin edge can land in the adjacent bin — the exact
+    * BETWEEN post-filter only removes false positives, it cannot recover
+    * a pair whose bins never matched. `pmod` gives the nonnegative
+    * remainder, so `t - pmod(t, w)` is the exact floor multiple and the
+    * integral divide (`div`) is exact with no rounding mode in play.
+    */
+  private def binOf(t: Column, binWidth: Long): Column =
+    call_function("div", t - pmod(t, lit(binWidth)), lit(binWidth))
+
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -40,7 +51,7 @@ object RangeJoin {
       // keys into false cross-key matches and null out string keys
       .withColumn("__lk", leftKey)
       .withColumn("__t", leftTime.cast("long"))
-      .withColumn("__bin", floor(col("__t") / binWidth).cast("long"))
+      .withColumn("__bin", binOf(col("__t"), binWidth))
       .as("l")
     val r = right
       .withColumn("__rk", rightKey)
@@ -48,8 +59,8 @@ object RangeJoin {
       .withColumn("__e", rightEnd.cast("long"))
       .filter(col("__s") <= col("__e"))
       .withColumn("__bin",
-        explode(sequence(floor(col("__s") / binWidth).cast("long"),
-          floor(col("__e") / binWidth).cast("long"))))
+        explode(sequence(binOf(col("__s"), binWidth),
+          binOf(col("__e"), binWidth))))
       .as("r")
     l.join(r,
         col("l.__lk") === col("r.__rk") && col("l.__bin") === col("r.__bin"))

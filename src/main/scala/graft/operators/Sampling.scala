@@ -26,6 +26,12 @@ object Sampling {
   /** Annotate rows with a deterministic split label: `holdout` with
     * probability ≈ holdoutPct/100 (exactly floor(pct·65536/100)/65536;
     * pct=100 ⇒ every row), else `train`.
+    *
+    * NULL keys fail loudly. The contract is "membership is a pure function
+    * of the key", and md5(null) = null would otherwise fall through
+    * `when().otherwise()` into `train` silently — a row with no identity
+    * has no well-defined split, and at corpus scale a silent default turns
+    * an upstream extraction bug into train-set leakage.
     */
   def hashSplit(
       df: DataFrame,
@@ -34,11 +40,17 @@ object Sampling {
       splitCol: String = "split"): DataFrame = {
     require(holdoutPct >= 0 && holdoutPct <= 100,
       s"holdoutPct must be in [0,100], got $holdoutPct")
+    val guardedKey = when(keyCol.isNull,
+        raise_error(lit("hashSplit: null split key — membership must be a " +
+          "pure function of a non-null key")))
+      .otherwise(keyCol.cast("string"))
     val inHoldout =
       if (holdoutPct == 100) lit(true)
-      else substring(md5(keyCol.cast("string").cast("binary")), 1, 4) <
+      else substring(md5(guardedKey.cast("binary")), 1, 4) <
         lit(thresholdHex(holdoutPct))
-    df.withColumn(splitCol, when(inHoldout, "holdout").otherwise("train"))
+    // pct=100 bypasses the hash, not the null guard
+    df.withColumn(splitCol,
+      when(guardedKey.isNotNull && inHoldout, "holdout").otherwise("train"))
   }
 
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */

@@ -49,18 +49,19 @@ object LogicalCdc {
       .flatMap { case (fi, path) =>
         val reader = open(path)
         try {
-          val cols = reader.getFooter.getFileMetaData.getSchema.getColumns
-          (0 until cols.size()).map { ci =>
-            (fi, path, cols.get(ci).getPath.mkString("\u0000"), ci)
-          }.toVector
+          val n = reader.getFooter.getFileMetaData.getSchema.getColumns.size()
+          (0 until n).map(ci => (fi, path, ci)).toVector
         } finally reader.close()
       }
     tasks
       // full cluster width for the chunking stage: column tasks usually
       // outnumber files, and empty partitions cost nothing next to the scan
       .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { case (fileIdx, path, colKey, colIdx) =>
-        chunkOneColumn(path, colKey.split("\u0000").toSeq, params).zipWithIndex.map {
+      .flatMap { case (fileIdx, path, colIdx) =>
+        // the column ORDINAL from the enumeration stage identifies the leaf
+        // (footer column order is deterministic for a given file), so the
+        // chunking task skips the name-based footer re-scan
+        chunkOneColumn(path, colIdx, params).zipWithIndex.map {
           case ((hash, size, compressed), i) =>
             ChunkRow(fileIdx, (colIdx.toLong << ColIdxShift) | i.toLong,
               hash, size.toLong, compressed.toLong)
@@ -79,22 +80,16 @@ object LogicalCdc {
     */
   private def chunkOneColumn(
       path: String,
-      colPath: Seq[String],
+      colIdx: Int,
       params: ChunkerParams): Iterator[(Long, Int, Int)] = {
     import org.apache.parquet.column.page.{DataPage, DataPageV1, DataPageV2}
     val reader = open(path)
     val schema = reader.getFooter.getFileMetaData.getSchema
-    val cd = {
-      val cols = schema.getColumns
-      (0 until cols.size()).map(cols.get)
-        .find(c => c.getPath.toSeq == colPath)
-        .getOrElse(throw new IllegalArgumentException(
-          s"column ${colPath.mkString(".")} not in $path"))
-    }
+    val cd = schema.getColumns.get(colIdx)
     // project to the column's top-level field: parquet then reads only that
     // subtree's bytes (sibling leaves of a shared struct are the only waste)
     reader.setRequestedSchema(new org.apache.parquet.schema.MessageType(
-      schema.getName, schema.getType(Seq(colPath.head): _*)))
+      schema.getName, schema.getType(Seq(cd.getPath()(0)): _*)))
 
     def pageBytes(p: DataPage): Array[Byte] = p.accept(
       new DataPage.Visitor[Array[Byte]] {
@@ -104,8 +99,20 @@ object LogicalCdc {
             v2.getRepetitionLevels, v2.getDefinitionLevels, v2.getData).toByteArray
       })
 
-    // lazy payload stream across row groups; reader closes on exhaustion
+    // the reader must close on EVERY exit path: exhaustion (the common
+    // case), an exception mid-chunking, and a consumer that stops early
+    // (task kill / limit) — the last via the task-completion listener,
+    // Spark's idiom for non-closeable iterator resources in executors
     var closed = false
+    def closeOnce(): Unit = if (!closed) {
+      closed = true
+      try reader.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+
+    // lazy payload stream across row groups
     val payloads: Iterator[Array[Byte]] =
       Iterator
         .continually(reader.readNextRowGroup())
@@ -119,14 +126,22 @@ object LogicalCdc {
     val en = new java.util.Enumeration[java.io.InputStream] {
       override def hasMoreElements: Boolean = {
         val h = payloads.hasNext
-        if (!h && !closed) { closed = true; reader.close() }
+        if (!h) closeOnce()
         h
       }
       override def nextElement(): java.io.InputStream =
         new java.io.ByteArrayInputStream(payloads.next())
     }
-    new ChunkIterator(new java.io.SequenceInputStream(en), params)
+    val chunks = new ChunkIterator(new java.io.SequenceInputStream(en), params)
       .map(c => (graft.cdc.XXH64.hash(c, graft.cdc.XXH64.DefaultSeed), c.length,
         graft.cdc.Lz4Len(c)))
+    new Iterator[(Long, Int, Int)] {
+      override def hasNext: Boolean =
+        try chunks.hasNext
+        catch { case t: Throwable => closeOnce(); throw t }
+      override def next(): (Long, Int, Int) =
+        try chunks.next()
+        catch { case t: Throwable => closeOnce(); throw t }
+    }
   }
 }

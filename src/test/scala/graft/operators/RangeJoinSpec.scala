@@ -29,6 +29,25 @@ class RangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("bins are exact above 2^53 (epoch-nanos territory)") {
+    import spark.implicits._
+    // 2^60-ish timestamps: double arithmetic loses ~128-unit granularity
+    // here, so a float bin computation drops pairs near bin edges
+    val base = 1L << 60
+    val points = Seq(
+      (1L, 1L, base + 999L),   // just below an interval start
+      (2L, 1L, base + 1000L),  // exactly at the start (bin edge region)
+      (3L, 1L, base + 1500L),
+      (4L, 1L, base + 2001L))  // just past the end
+      .toDF("pid", "k", "t")
+    val intervals = Seq((10L, 1L, base + 1000L, base + 2000L))
+      .toDF("iid", "k2", "s", "e")
+    val out = RangeJoin.intervalJoin(points, intervals,
+        col("k"), col("k2"), col("t"), col("s"), col("e"), binWidth = 1000L)
+      .select("pid").as[Long].collect().toSet
+    assert(out == Set(2L, 3L))
+  }
+
   test("empty and degenerate intervals") {
     import spark.implicits._
     val points = Seq((1L, 1L, 100L)).toDF("pid", "k", "t")

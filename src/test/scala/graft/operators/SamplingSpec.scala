@@ -38,4 +38,20 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(df, col("id"), 100).count() == 1000L)
     assert(Sampling.hashSample(df, col("id"), 0).count() == 0L)
   }
+
+  test("null split keys fail loudly instead of silently landing in train") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    for (pct <- Seq(10, 100)) {
+      val e = intercept[Exception] {
+        Sampling.hashSplit(df, col("id"), pct).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("null split key")), s"pct=$pct: $e")
+    }
+    // non-null rows are unaffected
+    val ok = Sampling.hashSplit(df.filter(col("id").isNotNull), col("id"), 10)
+    assert(ok.count() == 2L)
+  }
 }
