@@ -231,49 +231,87 @@ object Dedupe {
       k: Int = 3,
       threshold: Double = 0.5,
       maxGramFreq: Long = Long.MaxValue): DataFrame = {
-    // Grams are IDENTIFIED BY HASH from the start: word array → per-word
-    // xxhash64 → k-gram hash combines k word hashes — no string slicing,
-    // concatenation, or string-distinct work per position. Gram-hash
-    // equality equals gram-string equality modulo 2^-64 collisions
-    // (immaterial); short docs (< k words) contribute one whole-text gram
-    // like the oracle's ELSE branch; null/empty docs contribute nothing.
-    val withGrams = df
-      .select(col(idCol).cast("long").as("id"),
-        filter(split(lower(col(textCol)), " "), w => w =!= "").as("words"))
-      .filter(col("words").isNotNull && size(col("words")) > 0)
-      .withColumn("wh", transform(col("words"), w => xxhash64(w)))
-      .withColumn("gram_hashes",
-        when(size(col("words")) >= k,
-          transform(sequence(lit(1), size(col("words")) - (k - 1)),
-            i => xxhash64((0 until k).map(j =>
-              element_at(col("wh"), i + lit(j))): _*)))
-          .otherwise(array(xxhash64(concat_ws(" ", col("words"))))))
-    // cached: consumed three times (sizes, shared-gram df, self-join)
-    val exploded = withGrams
-      .select(col("id"), explode(array_distinct(col("gram_hashes"))).as("gram"))
-      .cache()
-    // ONE gram-frequency aggregate feeds both prunes: sizes come from the
-    // freq-capped gram sets (full sets when uncapped); the self-join only
-    // needs grams shared by >= 2 docs (df=1 grams cannot form pairs)
-    val gramDf = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-    val sizesSource =
-      if (maxGramFreq == Long.MaxValue) exploded
-      else exploded.join(
-        gramDf.filter(col("gram_df") <= maxGramFreq).select(col("gram")), "gram")
-    val sizes = sizesSource.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
-    val joinable = exploded.join(
-      gramDf.filter(col("gram_df") >= 2 && col("gram_df") <= maxGramFreq)
-        .select(col("gram")), "gram")
-    val common = joinable
-      .as("l")
-      .join(joinable.as("r"), col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+    // Grams are IDENTIFIED BY HASH from the start: each distinct word
+    // k-gram string hashes to one xxh64 value — hash equality equals
+    // gram-string equality modulo 2^-64 collisions (immaterial); short
+    // docs (< k words) contribute one whole-text gram like the oracle's
+    // ELSE branch; null/empty docs contribute nothing.
+    //
+    // The gram pass is a TYPED KERNEL (flatMap), not a column-expression
+    // chain, deliberately: the equivalent higher-order-function expression
+    // (split → transform(xxhash64) → transform(sequence…) → array_distinct
+    // → explode) is a pathological citizen — InferFiltersFromGenerate +
+    // predicate pushdown inline the whole thing into an inferred
+    // `size(g)>0` filter (3× per-row evaluation, measured 4× slower), and
+    // its generated code takes seconds to janino-compile per executor. The
+    // kernel is one tight loop per document, no Generate node at all.
+    //
+    // TWO shuffles total, the minimum for this op:
+    //   1. groupBy(gram) gathers each gram's (id, n_grams) member list —
+    //      the inverted index. Set size travels WITH the doc id, so no
+    //      separate sizes aggregate and no final size joins.
+    //   2. groupBy(id_a, id_b) counts shared grams per candidate pair
+    //      (candidates emitted by a narrow double-explode of each bucket —
+    //      the same |bucket|² work the classic self-join does, without
+    //      re-shuffling the exploded relation).
+    // `maxGramFreq` drops over-hot buckets (stopword-like grams, each
+    // contributing df² candidates) before the quadratic step; n_grams stays
+    // the FULL distinct-gram count, so a capped run still estimates true
+    // Jaccard and only loses pairs whose entire overlap is hot grams.
+    val session = df.sparkSession
+    import session.implicits._
+    val gsets = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+          if (words.length == 0) Iterator.empty
+          else {
+            val grams = new java.util.HashSet[java.lang.Long]()
+            if (words.length >= k) {
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              while (i + k <= words.length) {
+                sb.setLength(0)
+                var j = 0
+                while (j < k) {
+                  if (j > 0) sb.append(' ')
+                  sb.append(words(i + j))
+                  j += 1
+                }
+                grams.add(XXH64.hash(
+                  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
+                i += 1
+              }
+            } else {
+              grams.add(XXH64.hash(
+                words.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
+            }
+            val n = grams.size
+            val out = new Array[(Long, Int, Long)](n)
+            val it = grams.iterator(); var i = 0
+            while (it.hasNext) { out(i) = (id, n, it.next().longValue); i += 1 }
+            out.iterator
+          }
+        }
+      }
+      .toDF("id", "n_grams", "gram")
+    val buckets = gsets
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("id"), col("n_grams"))).as("members"))
+      .filter(size(col("members")).between(2, math.min(maxGramFreq, Int.MaxValue)))
+    val candidates = buckets
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a.id") < col("b.id"))
     // containment (|A∩B|/|A|) catches "B embeds A" pairs whose Jaccard is
     // diluted by the larger doc — the asymmetric signal dedup policies use
-    val result = common
-      .join(sizes.select(col("id").as("id_a"), col("n_grams").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_grams").as("nb")), "id_b")
+    val result = candidates
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"),
+        first(col("a.n_grams")).as("na"), first(col("b.n_grams")).as("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .withColumn("containment_a", col("n_common").cast("double") / col("na").cast("double"))
@@ -283,7 +321,6 @@ object Dedupe {
         col("containment_a"), col("containment_b"))
       .cache()
     result.count()
-    exploded.unpersist()
     result
   }
 
@@ -403,7 +440,10 @@ object Dedupe {
     * bounds pathological chains). Each round is one join+aggregate —
     * the standard large-graph CC shape without any graph library.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      singleTaskEdgeCap: Long = 4L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs
@@ -411,6 +451,43 @@ object Dedupe {
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .cache()
+    // RUNTIME-ADAPTIVE strategy pick (same spirit as AQE's broadcast
+    // decision): near-dup edge sets are tiny relative to the corpus —
+    // O(duplicate pairs), not O(rows) — so after the distinct we know
+    // |edges| and can run path-compressed union-find in ONE task instead
+    // of O(diameter) join+agg rounds (each round is a full Spark job;
+    // on small graphs the rounds are pure scheduling overhead). Above
+    // the cap — a genuinely huge duplicate graph — fall through to the
+    // distributed min-label iteration, which scales arbitrarily.
+    val edgeCount = edges.count()
+    if (edgeCount <= singleTaskEdgeCap) {
+      import spark.implicits._
+      val out = edges.select(col("src"), col("dst")).as[(Long, Long)]
+        .repartition(1)
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x // path compression
+            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          it.foreach { case (a, b) =>
+            if (!parent.containsKey(a)) parent.put(a, a)
+            if (!parent.containsKey(b)) parent.put(b, b)
+            val ra = find(a); val rb = find(b)
+            // union by min keeps the label = min member id invariant
+            if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+          }
+          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          parent.keySet().forEach(id => res += ((id, find(id))))
+          res.iterator
+        }
+        .toDF("id", "cluster_id")
+      edges.unpersist()
+      return out
+    }
     var labels = edges
       .select(col("src").as("id"))
       .distinct()
@@ -427,12 +504,16 @@ object Dedupe {
       // carry the old label through the update so materialization and the
       // convergence check share ONE action (the per-iteration fixed cost
       // is Spark job overhead, not data)
+      // localCheckpoint (not cache): TRUNCATES lineage, so the logical
+      // plan stays O(1) across rounds — with cache the plan nests one
+      // level per iteration and long chains (high diameter) blow the
+      // driver's heap just building plan strings
       val updated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint(true)
       val changed = updated.filter(col("old_label") =!= col("cluster_id")).count()
       toRelease.foreach(_.unpersist())
       toRelease = Some(updated)

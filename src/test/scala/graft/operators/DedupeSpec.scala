@@ -71,6 +71,26 @@ class DedupeSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: union-find and distributed min-label paths agree") {
+    import spark.implicits._
+    // random graph with chains, a clique, and isolated pairs; long chain
+    // exercises multi-round convergence on the distributed path
+    val rng = new scala.util.Random(11)
+    val chain = (0 until 12).map(i => (i.toLong, i.toLong + 1))
+    val clique = for (a <- 100 until 106; b <- (a + 1) until 106)
+      yield (a.toLong, b.toLong)
+    val random = (0 until 40).map(_ =>
+      (200L + rng.nextInt(30), 200L + rng.nextInt(30))).filter(p => p._1 != p._2)
+    val pairs = (chain ++ clique ++ random).toDF("id_a", "id_b")
+    def run(cap: Long): Map[Long, Long] =
+      Dedupe.duplicateClusters(pairs, maxIter = 30, singleTaskEdgeCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val small = run(Long.MaxValue) // union-find path
+    val dist = run(0L)             // forced distributed iteration
+    assert(small == dist)
+    assert(small(12L) == 0L, "chain end reaches min label")
+  }
+
   test("ngram containment: embedded doc scores 1.0 toward its container") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon zeta"
