@@ -215,9 +215,47 @@ object TextQueries {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Gopher-style quality rules per document (word-count bounds, mean word
+    * length, repetition, lexical diversity) — every metric and flag column
+    * is integer-derived, so the oracle is cell-exact.
+    */
+  private def textGopher(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.gopherFlags(docs(spark, sfDir))
+      .select(col("doc_id"), col("word_count"), col("mean_word_len"),
+        col("top_word_ratio"), col("distinct_ratio"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_repetition"), col("r_diversity"),
+        col("quality_pass"))
+
+  /** Stratified corpus rebalance: keep 100% of src0, 50% of src1, 25% of
+    * src2, 10% elsewhere — per-(source, kept) accounting. Membership is a
+    * pure function of (doc_id, source rate), replayed exactly in SQL.
+    */
+  private def docStratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling
+      .stratifiedHashSample(docs(spark, sfDir), col("doc_id"), col("source"),
+        Map("src0" -> 100, "src1" -> 50, "src2" -> 25), defaultPct = 10)
+      .groupBy(col("source"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Benchmark decontamination: flag documents sharing word 3-grams with a
+    * deterministic held-out "benchmark" slice (doc_id % 97 == 0). The
+    * benchmark gram set broadcasts; per-doc hit counts are one shuffle.
+    */
+  private def docDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.operators.Decontaminate
+      .report(d, "doc_id", "text", d.filter(col("doc_id") % 97 === 0), "text",
+        k = 3, minHits = 1L)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_contaminated"),
+        col("contamination_ratio"), col("is_contaminated"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
+    "text_gopher" -> textGopher _,
+    "doc_stratified" -> docStratified _,
+    "doc_decontam" -> docDecontam _,
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -270,6 +308,58 @@ object TextQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "text_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(words) AS wc,
+        |    CAST(COALESCE(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
+        |      / greatest(len(words), 1) AS mean_word_len,
+        |    CAST(COALESCE(list_max(list_transform(list_distinct(words),
+        |        w -> len(list_filter(words, x -> x = w)))), 0) AS DOUBLE)
+        |      / greatest(len(words), 1) AS top_word_ratio,
+        |    CAST(len(list_distinct(words)) AS DOUBLE)
+        |      / greatest(len(words), 1) AS distinct_ratio
+        |  FROM w)
+        |SELECT doc_id, CAST(wc AS BIGINT) AS word_count, mean_word_len,
+        |  top_word_ratio, distinct_ratio,
+        |  wc BETWEEN 20 AND 80 AS r_word_count,
+        |  mean_word_len BETWEEN 2.0 AND 12.0 AS r_mean_word_len,
+        |  top_word_ratio <= 0.12 AS r_repetition,
+        |  distinct_ratio >= 0.4 AS r_diversity,
+        |  (wc BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 2.0 AND 12.0)
+        |    AND (top_word_ratio <= 0.12) AND (distinct_ratio >= 0.4) AS quality_pass
+        |FROM m""".stripMargin,
+    "doc_stratified" ->
+      """SELECT source,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |    CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |      WHEN 'src2' THEN '4000' ELSE '1999' END AS kept,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "doc_decontam" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+        |      ELSE [array_to_string(words, ' ')] END)) AS gram
+        |  FROM w),
+        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        |hits AS (
+        |  SELECT g.doc_id, COUNT(*) AS nc FROM g JOIN bench USING (gram)
+        |  GROUP BY g.doc_id)
+        |SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.nc, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(COALESCE(h.nc, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+        |    AS contamination_ratio,
+        |  COALESCE(h.nc, 0) >= 1 AS is_contaminated
+        |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "doc_cdc" ->
       s"""WITH per AS (
         |  SELECT source, hash, MIN(size) AS size, SUM(size) AS occ_bytes

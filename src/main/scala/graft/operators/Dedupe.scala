@@ -224,6 +224,46 @@ object Dedupe {
     * (each contributes df² pair-occurrences) — same skew rationale as the
     * LSH bucket cap. Default ∞ keeps oracle parity; set it at scale.
     */
+  /** Distinct word k-gram hashes of one document — the shared gram kernel
+    * (ngram Jaccard, decontamination). Lowercased single-space split;
+    * < k words degrade to one whole-text gram (the SQL oracles' ELSE
+    * branch); null/empty → empty. Hash identity == gram-string identity
+    * modulo xxh64 collisions.
+    */
+  def wordGramHashes(text: String, k: Int): Array[Long] = {
+    if (text == null) Array.emptyLongArray
+    else {
+      val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      if (words.length == 0) Array.emptyLongArray
+      else {
+        val grams = new java.util.HashSet[java.lang.Long]()
+        if (words.length >= k) {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + k <= words.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < k) {
+              if (j > 0) sb.append(' ')
+              sb.append(words(i + j))
+              j += 1
+            }
+            grams.add(XXH64.hash(
+              sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
+            i += 1
+          }
+        } else {
+          grams.add(XXH64.hash(
+            words.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
+        }
+        val out = new Array[Long](grams.size)
+        val it = grams.iterator(); var i = 0
+        while (it.hasNext) { out(i) = it.next().longValue; i += 1 }
+        out
+      }
+    }
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -264,38 +304,9 @@ object Dedupe {
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        if (text == null) Iterator.empty
-        else {
-          val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
-          if (words.length == 0) Iterator.empty
-          else {
-            val grams = new java.util.HashSet[java.lang.Long]()
-            if (words.length >= k) {
-              val sb = new java.lang.StringBuilder
-              var i = 0
-              while (i + k <= words.length) {
-                sb.setLength(0)
-                var j = 0
-                while (j < k) {
-                  if (j > 0) sb.append(' ')
-                  sb.append(words(i + j))
-                  j += 1
-                }
-                grams.add(XXH64.hash(
-                  sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
-                i += 1
-              }
-            } else {
-              grams.add(XXH64.hash(
-                words.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L))
-            }
-            val n = grams.size
-            val out = new Array[(Long, Int, Long)](n)
-            val it = grams.iterator(); var i = 0
-            while (it.hasNext) { out(i) = (id, n, it.next().longValue); i += 1 }
-            out.iterator
-          }
-        }
+        val grams = wordGramHashes(text, k)
+        val n = grams.length
+        grams.iterator.map(g => (id, n, g))
       }
       .toDF("id", "n_grams", "gram")
     val buckets = gsets

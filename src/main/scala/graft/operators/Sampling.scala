@@ -53,6 +53,42 @@ object Sampling {
       when(guardedKey.isNotNull && inHoldout, "holdout").otherwise("train"))
   }
 
+  /** Per-stratum deterministic sampling — the "rebalance sources" primitive
+    * of corpus curation (e.g. keep 100% of books, 10% of common-crawl).
+    * Same md5-prefix membership as [[hashSplit]], with the threshold chosen
+    * per stratum via a CASE over `strataCol`; membership stays a pure
+    * function of (key, stratum rate), so the sample is stable across runs
+    * and incremental re-runs, and the whole predicate is one codegen'd
+    * column expression (no shuffle, no UDF) with an exact SQL mirror.
+    *
+    * pct=100 strata use the sentinel threshold "g": every md5 prefix is
+    * [0-9a-f]{4}, and "g" sorts after all of them, so the comparison is
+    * uniformly true without a special-cased branch shape.
+    *
+    * Null keys fail loudly (same contract and rationale as [[hashSplit]]).
+    * Null/unlisted strata use `defaultPct`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame,
+      keyCol: Column,
+      strataCol: Column,
+      pctByStratum: Map[String, Int],
+      defaultPct: Int = 0,
+      keepCol: String = "kept"): DataFrame = {
+    (defaultPct :: pctByStratum.values.toList).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be in [0,100], got $p"))
+    def thr(pct: Int): String = if (pct == 100) "g" else thresholdHex(pct)
+    val guardedKey = when(keyCol.isNull,
+        raise_error(lit("stratifiedHashSample: null sample key — membership " +
+          "must be a pure function of a non-null key")))
+      .otherwise(keyCol.cast("string"))
+    val threshold = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultPct))) {
+      case (acc, (stratum, pct)) => when(strataCol === stratum, thr(pct)).otherwise(acc)
+    }
+    df.withColumn(keepCol,
+      substring(md5(guardedKey.cast("binary")), 1, 4) < threshold)
+  }
+
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame = {
     require(!df.columns.contains("__graft_split"),

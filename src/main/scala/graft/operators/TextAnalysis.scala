@@ -141,4 +141,52 @@ object TextAnalysis {
   private val fingerprintUdf = udf { (text: String) => winnow(text, 8, 16) }
 
   def fingerprint(text: Column): Column = fingerprintUdf(text)
+
+  /** Gopher-style per-document quality rules (public method: the
+    * repetition/length/ratio filters of Rae et al. 2021 "Scaling Language
+    * Models: ... Gopher", Appendix A — re-parameterized): word-count
+    * bounds, mean-word-length bounds, within-document repetition via the
+    * top-word ratio, and lexical diversity via the distinct-word ratio.
+    *
+    * All pure column expressions over one split-words array — per-row,
+    * no shuffle, whole-stage codegen, exact DuckDB list-function mirror.
+    * The top-word ratio is O(words × distinct words) per row — fine for
+    * document-sized payloads; a corpus with book-length rows should
+    * switch to a kernel like [[Dedupe.wordGramHashes]]'s.
+    *
+    * Ratios divide exact integers, so cross-engine doubles are
+    * bit-identical (same IEEE operands), making every column oracled.
+    */
+  def gopherFlags(
+      df: DataFrame,
+      textCol: String = "text",
+      minWords: Int = 20,
+      maxWords: Int = 80,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 12.0,
+      maxTopWordRatio: Double = 0.12,
+      minDistinctRatio: Double = 0.4): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val wc = size(words)
+    // greatest(wc,1) + coalesce keep empty/null docs at ratio 0 (all-false
+    // rules) instead of null-poisoning quality_pass
+    val safeWc = greatest(wc, lit(1)).cast("double")
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / safeWc
+    val topFreq = coalesce(array_max(transform(array_distinct(words),
+      w => size(filter(words, x => x === w)))), lit(0))
+    val distinctRatio = size(array_distinct(words)).cast("double") / safeWc
+    df.withColumn("word_count", wc.cast("long"))
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("top_word_ratio", topFreq.cast("double") / safeWc)
+      .withColumn("distinct_ratio", distinctRatio)
+      .withColumn("r_word_count", wc.between(minWords, maxWords))
+      .withColumn("r_mean_word_len",
+        col("mean_word_len").between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("r_repetition", col("top_word_ratio") <= maxTopWordRatio)
+      .withColumn("r_diversity", col("distinct_ratio") >= minDistinctRatio)
+      .withColumn("quality_pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_repetition") && col("r_diversity"))
+  }
 }

@@ -39,6 +39,49 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(df, col("id"), 0).count() == 0L)
   }
 
+  test("stratifiedHashSample: per-stratum rates, determinism, sentinel 100/0") {
+    import spark.implicits._
+    val df = spark.range(30000)
+      .select(col("id"), (col("id") % 3).cast("string").as("s"))
+      .withColumn("s", concat(lit("src"), col("s")))
+    val out = Sampling.stratifiedHashSample(df, col("id"), col("s"),
+      Map("src0" -> 100, "src1" -> 25, "src2" -> 0), defaultPct = 10)
+    val rates = out.groupBy("s").agg(
+        avg(col("kept").cast("double")).as("rate"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("src0") == 1.0, "pct=100 keeps everything")
+    assert(rates("src2") == 0.0, "pct=0 keeps nothing")
+    assert(rates("src1") > 0.22 && rates("src1") < 0.28, s"src1=${rates("src1")}")
+    // unlisted stratum → defaultPct
+    val other = Sampling.stratifiedHashSample(
+      spark.range(10000).select(col("id"), lit("srcX").as("s")),
+      col("id"), col("s"), Map("src0" -> 100), defaultPct = 10)
+    val r = other.filter(col("kept")).count().toDouble / 10000
+    assert(r > 0.08 && r < 0.12, s"default rate=$r")
+    // same key ⇒ same membership regardless of corpus around it
+    val a = Sampling.stratifiedHashSample(df.filter(col("id") < 1000),
+        col("id"), col("s"), Map("src1" -> 25), defaultPct = 10)
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedHashSample(df, col("id"), col("s"),
+        Map("src1" -> 25), defaultPct = 10)
+      .filter(col("kept") && col("id") < 1000).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("stratifiedHashSample rejects nulls and bad pcts") {
+    import spark.implicits._
+    val df = Seq((Some(1L), "a"), (None, "a")).toDF("id", "s")
+    val e = intercept[Exception] {
+      Sampling.stratifiedHashSample(df, col("id"), col("s"), Map("a" -> 50)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null sample key")))
+    assertThrows[IllegalArgumentException] {
+      Sampling.stratifiedHashSample(df, col("id"), col("s"), Map("a" -> 101))
+    }
+  }
+
   test("null split keys fail loudly instead of silently landing in train") {
     import spark.implicits._
     val df = Seq(Some(1L), None, Some(3L)).toDF("id")

@@ -71,4 +71,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap > 0.5, s"overlap=$overlap")
     assert(fps(0) != fps(2))
   }
+
+  test("gopherFlags: metrics exact, rules catch repetition and length") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.fill(30)("word").mkString(" ")),        // pure repetition
+      (2L, (1 to 30).map(i => s"w$i").mkString(" ")),    // fully diverse
+      (3L, "too short"),                                 // under min words
+      (4L, "")                                           // empty
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherFlags(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("word_count") == 30L)
+    assert(r(1L).getAs[Double]("top_word_ratio") == 1.0)
+    assert(r(1L).getAs[Double]("distinct_ratio") == 1.0 / 30)
+    assert(!r(1L).getAs[Boolean]("r_repetition"))
+    assert(!r(1L).getAs[Boolean]("quality_pass"))
+    assert(r(2L).getAs[Double]("distinct_ratio") == 1.0)
+    assert(r(2L).getAs[Boolean]("r_diversity"))
+    assert(r(2L).getAs[Boolean]("quality_pass"))
+    assert(!r(3L).getAs[Boolean]("r_word_count"))
+    assert(!r(3L).getAs[Boolean]("quality_pass"))
+    // empty doc: ratios 0, every rule false — never null-poisoned
+    assert(r(4L).getAs[Long]("word_count") == 0L)
+    assert(r(4L).getAs[Double]("top_word_ratio") == 0.0)
+    assert(!r(4L).getAs[Boolean]("quality_pass"))
+  }
 }
