@@ -22,7 +22,8 @@ object SimilarityQueries {
 
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
-      planes = 8, minCosine = 0.3)
+      planes = 8, minCosine = 0.3,
+      sigSink = df => Queries.oracleSide(spark, sfDir, "emb_sigs", df))
 
   /** Oracle-able projection of the embedding table: dimensions + label
     * counts (integer-only — DuckDB len(list) parity).
@@ -124,10 +125,56 @@ object SimilarityQueries {
     "ann_dot_exact" -> annDotExact _
   )
 
+  /** Sequential-double cosine between two FLOAT[] columns `a` and `b` —
+    * the SQL twin of Similarity.cosine: per-element float→double casts,
+    * left-to-right list_sum accumulation, sqrt norms, zero-norm → 0.
+    * DuckDB's list_sum over list_transform accumulates in list order, so
+    * the doubles are BIT-IDENTICAL to the Scala kernel's (verified
+    * empirically over full corpora) — which is what lets float cosine
+    * queries carry cell-exact oracles without quantization.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN
+       |  sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+       |  OR sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+       |THEN CAST(0 AS DOUBLE)
+       |ELSE
+       |  list_sum(list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |END""".stripMargin
+
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH c AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7) AND b.vec_id <> a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM c)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "emb_neardup" ->
+      s"""WITH s AS (
+        |  SELECT id, sig FROM read_parquet('${Queries.oracleSidePath("emb_sigs")}')),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM s a JOIN s b ON a.sig = b.sig AND a.id < b.id),
+        |c AS (
+        |  SELECT id_a, id_b,
+        |    ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+        |  FROM p
+        |  JOIN embeddings ea ON ea.vec_id = id_a
+        |  JOIN embeddings eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.3""".stripMargin,
     "emb_neardup_exact" ->
       """WITH q AS (
         |  SELECT vec_id, list_transform(embedding,

@@ -546,6 +546,14 @@ object Dedupe {
     * otherwise go quadratic; over-cap buckets degrade to star candidates
     * around the bucket's min id.
     */
+  /** @param sigSink optional hook applied to the (id, sig) signature
+    *   relation before use — the catalog passes a persist-and-read-back
+    *   function so the DuckDB oracle can recompute bucket collisions from
+    *   the exact signatures this run used, then verify cosine from the
+    *   embeddings table in the same sequential-double arithmetic. Same
+    *   bucket-cap precondition as minhash/simhash: over-cap buckets
+    *   degrade to star pairs a plain sig-equality oracle does not model.
+    */
   def embeddingNearDups(
       df: DataFrame,
       idCol: String,
@@ -554,16 +562,17 @@ object Dedupe {
       planes: Int = 16,
       minCosine: Double = 0.95,
       seed: Long = 42L,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      sigSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hyper = Similarity.randomPlanes(planes, dim, seed)
 
-    val sigs = df
+    val sigs = sigSink(df
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .as[(Long, Array[Float])]
       .map { case (id, v) => (id, Similarity.planeSignature(v, hyper), v) }
-      .toDF("id", "sig", "vec")
+      .toDF("id", "sig", "vec"))
       .cache()
 
     val bucketSizes = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bucket_n"))
