@@ -18,7 +18,9 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(emb(spark, sfDir), "vec_id", "embedding", QueryIds, k = 5)
 
   private def annIvf(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.ivfTopK(emb(spark, sfDir), "vec_id", "embedding", QueryIds, k = 5)
+    Similarity.ivfTopK(emb(spark, sfDir), "vec_id", "embedding", QueryIds, k = 5,
+      assignSink = df => Queries.oracleSide(spark, sfDir, "ivf_assign", df),
+      probeSink = df => Queries.oracleSide(spark, sfDir, "ivf_probes", df))
 
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
@@ -155,6 +157,27 @@ object SimilarityQueries {
         |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
         |  FROM embeddings a JOIN embeddings b
         |    ON a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7) AND b.vec_id <> a.vec_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM c)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH a AS (
+        |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("ivf_assign")}')),
+        |p AS (
+        |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("ivf_probes")}')),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, a.id AS neighbor_id
+        |  FROM p JOIN a USING (bucket) WHERE a.id <> p.query_id),
+        |c AS (
+        |  SELECT query_id, neighbor_id,
+        |    ${cosineSql("eq.embedding", "en.embedding")} AS cosine
+        |  FROM cand
+        |  JOIN embeddings eq ON eq.vec_id = query_id
+        |  JOIN embeddings en ON en.vec_id = neighbor_id),
         |r AS (
         |  SELECT query_id, neighbor_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

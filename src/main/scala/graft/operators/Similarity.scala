@@ -96,6 +96,14 @@ object Similarity {
     * each query probes its `nprobe` nearest centroids' buckets only.
     * Returns the same schema as bruteForceTopK; recall < 1 by design.
     */
+  /** @param assignSink / probeSink optional hooks applied to the
+    *   (bucket, id, vec) assignment and (query_id, bucket) probe relations
+    *   before use — the catalog passes persist-and-read-back functions so
+    *   the DuckDB oracle re-derives everything DOWNSTREAM of the trained
+    *   quantizer (candidate restriction, cosine, top-k ranking) from the
+    *   exact assignments/probes this run used. The quantizer itself is
+    *   engine-computed data, like the LSH signatures of the dedup ops.
+    */
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -105,7 +113,9 @@ object Similarity {
       numCentroids: Int = 16,
       nprobe: Int = 4,
       sampleSize: Int = 2000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      assignSink: DataFrame => DataFrame = identity,
+      probeSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
@@ -132,10 +142,10 @@ object Similarity {
         .map(_._1)
         .toSeq
 
-    val assigned = base
+    val assigned = assignSink(base
       .as[(Long, Array[Float])]
       .map { case (id, v) => (nearest(v, 1).head, id, v) }
-      .toDF("bucket", "id", "vec")
+      .toDF("bucket", "id", "vec"))
 
     val queries = base
       .filter(col("id").isin(queryIds: _*))
@@ -145,7 +155,8 @@ object Similarity {
       nearest(qv, nprobe).map(b => (qid, b))
     }
     val bcQueries = spark.sparkContext.broadcast(queries.toMap)
-    val probesDf = spark.createDataset(probes.toSeq).toDF("query_id", "bucket")
+    val probesDf =
+      probeSink(spark.createDataset(probes.toSeq).toDF("query_id", "bucket"))
 
     val scored = assigned
       .join(broadcast(probesDf), "bucket")
