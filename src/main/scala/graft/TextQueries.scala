@@ -250,12 +250,34 @@ object TextQueries {
         col("contamination_ratio"), col("is_contaminated"))
   }
 
+  /** Top characteristic terms per source by TF-ICF (division-only idf
+    * weight for bit-exact cross-engine scores).
+    */
+  private def textTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.topTermsPerGroup(docs(spark, sfDir), "source", "text", topK = 5)
+
+  /** Token-stream sequence packing over documents ordered by doc_id —
+    * global ordered prefix-sum via the two-pass partition-offset shape
+    * (no single-partition window), verified against a SQL window cumsum.
+    */
+  private def docPack(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Packing
+      .tokenStreamPack(
+        docs(spark, sfDir)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens")),
+        "doc_id", col("n_tokens"), windowSize = 512L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_offset"),
+        col("pack_id"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
     "text_gopher" -> textGopher _,
     "doc_stratified" -> docStratified _,
     "doc_decontam" -> docDecontam _,
+    "text_top_terms" -> textTopTerms _,
+    "doc_pack" -> docPack _,
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -308,6 +330,36 @@ object TextQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "text_top_terms" ->
+      """WITH w AS (
+        |  SELECT source, UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT source, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        |cf AS (SELECT word, COUNT(*) AS cf FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT source) AS ng FROM documents),
+        |s AS (
+        |  SELECT tf.source, tf.word, tf.tf, cf.cf,
+        |    CAST(tf.tf * n.ng AS DOUBLE) / CAST(cf.cf AS DOUBLE) AS score
+        |  FROM tf JOIN cf USING (word) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY score DESC, word ASC) AS rank FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, word, tf, cf, score
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "doc_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS pack_id
+        |FROM c""".stripMargin,
     "text_gopher" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words

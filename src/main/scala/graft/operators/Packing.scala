@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data step that concatenates documents
+  * into fixed-size context windows (N tokens per training sequence). The
+  * core primitive is a GLOBAL ORDERED PREFIX-SUM of token counts, which
+  * naive Spark writes as `Window.orderBy(id)` with no partitioning — the
+  * "moving all data to a single partition" anti-pattern that serializes
+  * the corpus through one task. This implementation is the two-pass
+  * distributed shape that scales:
+  *
+  *   1. range-repartition by id + sort within partitions (one shuffle;
+  *      partition i holds strictly smaller ids than partition i+1);
+  *   2. per-partition token sums → driver (numPartitions longs — KB, not
+  *      data) → exclusive partition offsets broadcast back;
+  *   3. narrow mapPartitions pass emits each document's global token
+  *      start offset (partition offset + running local sum).
+  *
+  * Every document is assigned pack_id = start_offset / windowSize: the
+  * pack containing its first token in the concatenated stream (documents
+  * straddling a window boundary belong to the pack they start in — the
+  * greedy stream-split contract, stated so the SQL oracle can replay it
+  * as a window cumsum).
+  */
+object Packing {
+
+  /** @return (id, n_tokens, start_offset, pack_id), one row per input row,
+    *         ordered semantics keyed on ascending `idCol`.
+    */
+  def tokenStreamPack(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      windowSize: Long): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // null token counts → 0 (a document with unknown length must not
+    // poison every later offset); ids must be non-null by contract
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+      .as[(Long, Long)]
+
+    // pass 1: per-partition totals, indexed by partition id. collect() is
+    // numPartitions rows — bounded by cluster width, not data size.
+    val partSums = base
+      .mapPartitions { it =>
+        var s = 0L; var n = 0L
+        it.foreach { case (_, t) => s += t; n += 1 }
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(), s, n))
+      }
+      .collect()
+      .sortBy(_._1)
+    val offsets = new Array[Long](partSums.length + 1)
+    partSums.foreach { case (pid, s, _) =>
+      require(pid < partSums.length, s"non-contiguous partition id $pid")
+      offsets(pid + 1) = s
+    }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    // pass 2: narrow — global start = partition offset + local running sum
+    base
+      .mapPartitions { it =>
+        var running = bcOffsets.value(org.apache.spark.TaskContext.getPartitionId())
+        it.map { case (id, t) =>
+          val start = running
+          running += t
+          (id, t, start)
+        }
+      }
+      .toDF("id", "n_tokens", "start_offset")
+      .withColumn("pack_id",
+        call_function("div", col("start_offset"), lit(windowSize)))
+  }
+}

@@ -142,6 +142,46 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = fingerprintUdf(text)
 
+  /** Top characteristic terms per group (source/domain) by TF-ICF: term
+    * frequency within the group × inverse collection frequency (number of
+    * groups containing the term). The idf-style weight uses PURE DIVISION
+    * of exact integers — score = (tf · n_groups) / cf — instead of a
+    * logarithm: IEEE division is correctly rounded and therefore
+    * bit-identical across engines, while ln() is not, and the ranking it
+    * induces is the same monotone family. Relational end-to-end (explode →
+    * two aggregates → window top-k), so the oracle replays it exactly.
+    *
+    * Scale: the exploded (group, word) relation is the cost — one shuffle
+    * keyed by (group, word), then a word-keyed aggregate over the already-
+    * aggregated distinct (group, word) pairs (vocabulary-sized), then a
+    * per-group window. For vocabulary-bounded corpora this is cheap; for
+    * open vocabularies cap with [[HeavyHitters]] first.
+    */
+  def topTermsPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String = "text",
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val exploded = df
+      .select(col(groupCol).as("grp"), explode(words).as("word"))
+    val tf = exploded.groupBy(col("grp"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("cf")) // groups containing the word
+    val nGroups = df.select(col(groupCol)).distinct().count()
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(cf, "word")
+      .withColumn("score",
+        (col("tf") * lit(nGroups)).cast("double") / col("cf").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("grp").as(groupCol), col("rank"), col("word"),
+        col("tf"), col("cf"), col("score"))
+  }
+
   /** Gopher-style per-document quality rules (public method: the
     * repetition/length/ratio filters of Rae et al. 2021 "Scaling Language
     * Models: ... Gopher", Appendix A — re-parameterized): word-count

@@ -72,6 +72,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("topTermsPerGroup ranks group-characteristic terms above shared ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "apple apple apple shared", "g1"),
+      (2L, "apple shared shared", "g1"),
+      (3L, "banana banana shared", "g2"),
+      (4L, "banana shared cherry", "g2")
+    ).toDF("doc_id", "text", "src")
+    val r = TextAnalysis.topTermsPerGroup(df, "src", "text", topK = 2)
+      .collect().map(x => (x.getString(0), x.getLong(1)) ->
+        (x.getString(2), x.getLong(3), x.getLong(4), x.getDouble(5))).toMap
+    // g1: apple tf=4 cf=1 score=4*2/1=8; shared tf=3 cf=2 score=3
+    assert(r(("g1", 1L)) == (("apple", 4L, 1L, 8.0)))
+    assert(r(("g1", 2L)) == (("shared", 3L, 2L, 3.0)))
+    // g2: banana tf=3 cf=1 score=6; cherry tf=1 cf=1 (2.0) ties with
+    // shared tf=2 cf=2 (2.0) and wins the word-asc tiebreak
+    assert(r(("g2", 1L)) == (("banana", 3L, 1L, 6.0)))
+    assert(r(("g2", 2L)) == (("cherry", 1L, 1L, 2.0)))
+  }
+
   test("gopherFlags: metrics exact, rules catch repetition and length") {
     import spark.implicits._
     val df = Seq(
