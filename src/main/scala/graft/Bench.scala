@@ -31,6 +31,22 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    // code-path warmup on a TINY in-session dataset (never the sf data —
+    // that would pre-fill the catalog's shared caches and move real work
+    // out of the timed section): JITs the typed-kernel encoders,
+    // collect_list aggregate, and union-find/window paths the dedup
+    // family compiles on first use. On a real cluster these compile once
+    // per executor and never appear in steady-state numbers.
+    try {
+      import spark.implicits._
+      val tiny = (0L until 64L)
+        .map(i => (i, s"warm doc $i shares words with doc ${i / 2}"))
+        .toDF("doc_id", "text")
+      val pairs = graft.operators.Dedupe.ngramJaccardPairs(
+        tiny, "doc_id", "text", k = 3, threshold = 0.1)
+      graft.operators.Dedupe.duplicateClusters(pairs).count()
+      pairs.unpersist()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
