@@ -270,6 +270,17 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("start_offset"),
         col("pack_id"))
 
+  /** CCNet/RefinedWeb-style passage boilerplate removal over documents:
+    * 10-word passages duplicated across >1 documents are dropped, clean
+    * text reassembled in order. Relational end-to-end → cell-exact oracle.
+    */
+  private def docBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Boilerplate
+      .removeBoilerplate(docs(spark, sfDir), "doc_id", "text",
+        width = 10, maxDocFreq = 1L)
+      .select(col("id").as("doc_id"), col("n_passages"), col("n_boilerplate"),
+        col("boilerplate_ratio"), col("clean_text"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
@@ -278,6 +289,7 @@ object TextQueries {
     "doc_decontam" -> docDecontam _,
     "text_top_terms" -> textTopTerms _,
     "doc_pack" -> docPack _,
+    "doc_boilerplate" -> docBoilerplate _,
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
@@ -330,6 +342,24 @@ object TextQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "doc_boilerplate" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(words[i*10+1 : i*10+10], ' ') AS ptext
+        |  FROM w, UNNEST(range(0, CAST(ceil(len(words) / 10.0) AS BIGINT))) t(i)
+        |  WHERE len(words) > 0),
+        |pdf AS (SELECT ptext, COUNT(DISTINCT doc_id) AS pdf FROM p GROUP BY ptext)
+        |SELECT p.doc_id, COUNT(*) AS n_passages,
+        |  CAST(SUM(CASE WHEN pdf.pdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |  CAST(SUM(CASE WHEN pdf.pdf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        |    AS boilerplate_ratio,
+        |  COALESCE(string_agg(CASE WHEN pdf.pdf <= 1 THEN p.ptext END, ' '
+        |    ORDER BY p.pos), '') AS clean_text
+        |FROM p JOIN pdf USING (ptext)
+        |GROUP BY p.doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH w AS (
         |  SELECT source, UNNEST(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS word

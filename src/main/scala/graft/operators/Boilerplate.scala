@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Passage-level boilerplate removal — the cross-document repetition
+  * filter of CCNet / RefinedWeb-style pipelines (public method): split
+  * each document into fixed-width word passages, count how many DISTINCT
+  * documents each passage occurs in, drop passages above the duplication
+  * threshold, and reassemble the surviving text in order.
+  *
+  * Fully relational: passage split is a per-row expression, duplication
+  * is one (passage)-keyed aggregate, reassembly is an ordered
+  * collect_list — so the whole operator carries a cell-exact SQL oracle.
+  *
+  * Scale: the exploded passage relation is |words|/width rows per doc —
+  * smaller than the token stream; the only shuffles are the passage-df
+  * aggregate and the per-doc reassembly. Passages here travel as TEXT
+  * (exact SQL parity); at 100 TB swap the join key to xxhash64(passage)
+  * and keep text only on the doc side — same plan shape.
+  */
+object Boilerplate {
+
+  /** @param width passage width in words (the last passage may be shorter)
+    * @param maxDocFreq passages appearing in MORE than this many distinct
+    *   documents are boilerplate (default 1 = any cross-document repeat)
+    * @return per-doc (id, n_passages, n_boilerplate, boilerplate_ratio,
+    *         clean_text); documents with no words are absent (no passages)
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 10,
+      maxDocFreq: Long = 1L): DataFrame = {
+    require(width >= 1, "passage width must be >= 1")
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val nPass = floor((size(words) + lit(width - 1)).cast("double") / width)
+      .cast("int")
+    val passages = transform(sequence(lit(0), nPass - 1),
+      i => array_join(slice(words, i * width + 1, lit(width)), " "))
+    val p = df
+      .filter(size(words) > 0)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(passages).as(Seq("pos", "ptext")))
+    val pdf = p.groupBy(col("ptext"))
+      .agg(countDistinct(col("id")).as("pdf"))
+    p.join(pdf, "ptext")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_passages"),
+        sum(when(col("pdf") > maxDocFreq, 1L).otherwise(0L)).as("n_boilerplate"),
+        // collect_list skips nulls, so boilerplate passages vanish before
+        // the ordered reassembly; array_sort on (pos, text) structs orders
+        // by pos (unique per doc)
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("pdf") <= maxDocFreq, struct(col("pos"), col("ptext"))))),
+          x => x.getField("ptext"))).as("clean_text"))
+      .withColumn("boilerplate_ratio",
+        col("n_boilerplate").cast("double") / col("n_passages").cast("double"))
+      .select(col("id"), col("n_passages"), col("n_boilerplate"),
+        col("boilerplate_ratio"), col("clean_text"))
+  }
+}
