@@ -37,23 +37,10 @@ object Decontaminate {
       minHits: Long = 1L): DataFrame = {
     require(k >= 1, "gram size k must be >= 1")
     require(minHits >= 1, "minHits must be >= 1")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    def gramRows(df: DataFrame, id: org.apache.spark.sql.Column,
-        text: org.apache.spark.sql.Column): DataFrame =
-      df.select(id.cast("long"), text.cast("string"))
-        .as[(Long, String)]
-        .flatMap { case (docId, t) =>
-          val grams = Dedupe.wordGramHashes(t, k)
-          val n = grams.length
-          grams.iterator.map(g => (docId, n, g))
-        }
-        .toDF("id", "n_grams", "gram")
-
-    val benchGrams = gramRows(bench, monotonically_increasing_id(), col(benchTextCol))
+    val benchGrams = Dedupe
+      .gramRows(bench, monotonically_increasing_id(), col(benchTextCol), k)
       .select(col("gram")).distinct()
-    val corpusGrams = gramRows(corpus, col(idCol), col(textCol))
+    val corpusGrams = Dedupe.gramRows(corpus, col(idCol), col(textCol), k)
 
     // broadcast the small benchmark side, tag each corpus gram with a hit
     // marker (left join keeps zero-hit grams), then ONE per-doc shuffle

@@ -22,6 +22,54 @@ import graft.cdc.XXH64
   * verify join is keyed by candidate pair, proportional to true-ish pairs,
   * not n².
   */
+/** Minimal primitive long→long open-addressing hash map (linear probing,
+  * load factor ≤ 0.5, doubling growth) for executor-side graph kernels —
+  * no boxing, no per-entry node objects.
+  */
+private[operators] final class LongLongMap(initialCapacity: Int) {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1)) * 2
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+    while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def contains(k: Long): Boolean = used(slot(k))
+
+  /** Value for `k`; the key MUST be present (kernel-internal contract). */
+  def apply(k: Long): Long = vals(slot(k))
+
+  def put(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (!used(i)) {
+      used(i) = true; keys(i) = k; n += 1
+      if (n * 2 > cap) grow()
+    }
+    vals(slot(k)) = v
+  }
+
+  private def grow(): Unit = {
+    val (ok, ov, ou) = (keys, vals, used)
+    cap *= 2
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    used = new Array[Boolean](cap); n = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ou(i)) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  def keysIterator: Iterator[Long] = used.iterator.zipWithIndex.collect {
+    case (true, i) => keys(i)
+  }
+}
+
 object Dedupe {
 
   // ----------------------------------------------------------- exact dedup
@@ -264,6 +312,29 @@ object Dedupe {
     }
   }
 
+  /** The (id, n_grams, gram) relation over a corpus — one row per DISTINCT
+    * word k-gram per document, with the document's full distinct-gram
+    * count alongside. The shared projection under ngram Jaccard and
+    * decontamination; one tight kernel per document, no Generate node
+    * (see the expression-chain rationale in [[ngramJaccardPairs]]).
+    */
+  private[operators] def gramRows(
+      df: DataFrame,
+      idExpr: Column,
+      textExpr: Column,
+      k: Int): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    df.select(idExpr.cast("long"), textExpr.cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val grams = wordGramHashes(text, k)
+        val n = grams.length
+        grams.iterator.map(g => (id, n, g))
+      }
+      .toDF("id", "n_grams", "gram")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -286,43 +357,36 @@ object Dedupe {
     // its generated code takes seconds to janino-compile per executor. The
     // kernel is one tight loop per document, no Generate node at all.
     //
-    // TWO shuffles total, the minimum for this op:
-    //   1. groupBy(gram) gathers each gram's (id, n_grams) member list —
-    //      the inverted index. Set size travels WITH the doc id, so no
+    // THREE shuffle stages, each spill-safe:
+    //   1. the exploded (id, n_grams, gram) relation shuffles on gram for
+    //      the self-join — Spark's ReusedExchange serves both join sides
+    //      from one shuffle write. Set size travels WITH the doc id, so no
     //      separate sizes aggregate and no final size joins.
-    //   2. groupBy(id_a, id_b) counts shared grams per candidate pair
-    //      (candidates emitted by a narrow double-explode of each bucket —
-    //      the same |bucket|² work the classic self-join does, without
-    //      re-shuffling the exploded relation).
-    // `maxGramFreq` drops over-hot buckets (stopword-like grams, each
-    // contributing df² candidates) before the quadratic step; n_grams stays
-    // the FULL distinct-gram count, so a capped run still estimates true
-    // Jaccard and only loses pairs whose entire overlap is hot grams.
-    val session = df.sparkSession
-    import session.implicits._
-    val gsets = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val grams = wordGramHashes(text, k)
-        val n = grams.length
-        grams.iterator.map(g => (id, n, g))
-      }
-      .toDF("id", "n_grams", "gram")
-    val buckets = gsets
-      .groupBy(col("gram"))
-      .agg(collect_list(struct(col("id"), col("n_grams"))).as("members"))
-      .filter(size(col("members")).between(2, math.min(maxGramFreq, Int.MaxValue)))
-    val candidates = buckets
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+    //   2. the gram-keyed self-join streams |bucket|² candidates per gram
+    //      through the join's spillable key buffer — a hot gram degrades
+    //      to a slow task, never an OOM (a collect_list inverted index
+    //      would materialize the hot bucket as ONE in-memory array row).
+    //   3. groupBy(id_a, id_b) counts shared grams per candidate pair.
+    // `maxGramFreq` drops over-hot grams (stopword-like, each contributing
+    // df² candidates) before the quadratic step — the prune pays its own
+    // aggregate only when a cap is actually set; n_grams stays the FULL
+    // distinct-gram count, so a capped run still estimates true Jaccard
+    // and only loses pairs whose entire overlap is hot grams.
+    val gsetsAll = gramRows(df, col(idCol), col(textCol), k)
+    val gsets =
+      if (maxGramFreq == Long.MaxValue) gsetsAll
+      else gsetsAll.join(
+        gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+          .filter(col("gram_df") <= maxGramFreq).select(col("gram")),
+        "gram")
     // containment (|A∩B|/|A|) catches "B embeds A" pairs whose Jaccard is
     // diluted by the larger doc — the asymmetric signal dedup policies use
-    val result = candidates
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val result = gsets.as("l")
+      .join(gsets.as("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
-        first(col("a.n_grams")).as("na"), first(col("b.n_grams")).as("nb"))
+        first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb"))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .withColumn("containment_a", col("n_common").cast("double") / col("na").cast("double"))
@@ -451,10 +515,16 @@ object Dedupe {
     * bounds pathological chains). Each round is one join+aggregate —
     * the standard large-graph CC shape without any graph library.
     */
+  /** @param singleTaskEdgeCap fast-path bound in DIRECTED edge rows (2×
+    *   the undirected pair count). The default (1M directed rows, ≤ 2M
+    *   nodes) keeps the single task's parent map under ~150 MB; raise it
+    *   only with executor heap to spare — the distributed path is always
+    *   correct, just slower on small graphs.
+    */
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 10,
-      singleTaskEdgeCap: Long = 4L << 20): DataFrame = {
+      singleTaskEdgeCap: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs
@@ -476,24 +546,25 @@ object Dedupe {
       val out = edges.select(col("src"), col("dst")).as[(Long, Long)]
         .repartition(1)
         .mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
+          // primitive open-addressing parent map (16 B/slot, load ≤ 0.5,
+          // doubling growth) — a boxed HashMap would cost ~10× the memory
+          // and put the fast path's OOM point well below the edge cap
+          val parent = new LongLongMap(1 << 16)
           def find(x: Long): Long = {
             var r = x
-            while (parent.get(r) != r) r = parent.get(r)
+            while (parent(r) != r) r = parent(r)
             var c = x // path compression
-            while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            while (parent(c) != r) { val n = parent(c); parent.put(c, r); c = n }
             r
           }
           it.foreach { case (a, b) =>
-            if (!parent.containsKey(a)) parent.put(a, a)
-            if (!parent.containsKey(b)) parent.put(b, b)
+            if (!parent.contains(a)) parent.put(a, a)
+            if (!parent.contains(b)) parent.put(b, b)
             val ra = find(a); val rb = find(b)
             // union by min keeps the label = min member id invariant
             if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
           }
-          val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          parent.keySet().forEach(id => res += ((id, find(id))))
-          res.iterator
+          parent.keysIterator.map(id => (id, find(id)))
         }
         .toDF("id", "cluster_id")
       edges.unpersist()
@@ -515,16 +586,20 @@ object Dedupe {
       // carry the old label through the update so materialization and the
       // convergence check share ONE action (the per-iteration fixed cost
       // is Spark job overhead, not data)
-      // localCheckpoint (not cache): TRUNCATES lineage, so the logical
-      // plan stays O(1) across rounds — with cache the plan nests one
-      // level per iteration and long chains (high diameter) blow the
-      // driver's heap just building plan strings
-      val updated = labels
+      // cache each round (releasable via unpersist below), and TRUNCATE
+      // lineage with a localCheckpoint every 8th round: with cache alone
+      // the plan nests one level per iteration and high-diameter graphs
+      // blow the driver's heap just building plan strings; with
+      // localCheckpoint alone unpersist() is a no-op (checkpoint blocks
+      // aren't CacheManager entries), so every round's storage would
+      // linger until GC. Bounded plan depth + prompt release.
+      val updated0 = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint(true)
+      val updated =
+        if (iter % 8 == 7) updated0.localCheckpoint(true) else updated0.cache()
       val changed = updated.filter(col("old_label") =!= col("cluster_id")).count()
       toRelease.foreach(_.unpersist())
       toRelease = Some(updated)

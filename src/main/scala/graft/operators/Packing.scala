@@ -38,13 +38,18 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
     // null token counts → 0 (a document with unknown length must not
-    // poison every later offset); ids must be non-null by contract
+    // poison every later offset); ids must be non-null by contract.
+    // localCheckpoint PINS the range partitioning: both passes must see
+    // byte-identical partitions, and recomputing the shuffle per job
+    // would let AQE (or a non-deterministic upstream) re-plan it between
+    // passes, silently corrupting every offset after the first divergence.
     val base = df
       .select(col(idCol).cast("long").as("id"),
         coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
+      .localCheckpoint(true)
 
     // pass 1: per-partition totals, indexed by partition id. collect() is
     // numPartitions rows — bounded by cluster width, not data size.

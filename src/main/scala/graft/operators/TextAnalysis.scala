@@ -163,14 +163,18 @@ object TextAnalysis {
       textCol: String = "text",
       topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // null groups are excluded from BOTH the term rows and the group count
+    // — mirroring SQL's COUNT(DISTINCT g), which ignores NULL; counting
+    // the null group on one side only would scale every score
+    val grouped = df.filter(col(groupCol).isNotNull)
     val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val exploded = df
+    val exploded = grouped
       .select(col(groupCol).as("grp"), explode(words).as("word"))
     val tf = exploded.groupBy(col("grp"), col("word"))
       .agg(count(lit(1)).as("tf"))
     val cf = tf.groupBy(col("word"))
       .agg(count(lit(1)).as("cf")) // groups containing the word
-    val nGroups = df.select(col(groupCol)).distinct().count()
+    val nGroups = grouped.select(col(groupCol)).distinct().count()
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("score").desc, col("word").asc)
     tf.join(cf, "word")
@@ -206,7 +210,12 @@ object TextAnalysis {
       maxMeanWordLen: Double = 12.0,
       maxTopWordRatio: Double = 0.12,
       minDistinctRatio: Double = 0.4): DataFrame = {
-    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    // coalesce first: a NULL text would otherwise propagate null through
+    // split/size into null metrics and a null (not false) quality_pass —
+    // and a downstream filter(quality_pass) would drop the row without it
+    // ever counting as rejected
+    val words =
+      filter(split(lower(coalesce(col(textCol), lit(""))), " "), w => w =!= "")
     val wc = size(words)
     // greatest(wc,1) + coalesce keep empty/null docs at ratio 0 (all-false
     // rules) instead of null-poisoning quality_pass

@@ -117,4 +117,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(4L).getAs[Double]("top_word_ratio") == 0.0)
     assert(!r(4L).getAs[Boolean]("quality_pass"))
   }
+
+  test("gopherFlags and topTermsPerGroup: nulls never poison or skew") {
+    import spark.implicits._
+    val withNullText = Seq((1L, Option.empty[String]), (2L, Some("real text here")))
+      .toDF("doc_id", "text")
+    val g = TextAnalysis.gopherFlags(withNullText).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(g(1L).getAs[Long]("word_count") == 0L)
+    assert(g(1L).getAs[Boolean]("quality_pass") == false, "null text → false, not null")
+    // a null group must not inflate the group count (SQL COUNT(DISTINCT))
+    val withNullGrp = Seq(
+      (1L, "alpha beta", Some("g1")), (2L, "alpha gamma", Some("g2")),
+      (3L, "noise words", Option.empty[String])
+    ).toDF("doc_id", "text", "src")
+    val t = TextAnalysis.topTermsPerGroup(withNullGrp, "src", "text", topK = 10)
+      .collect()
+    assert(!t.exists(r => r.isNullAt(0)), "no null-group rows")
+    // alpha: tf=1 cf=2 over nGroups=2 → score 1.0 (3 groups would give 1.5)
+    val alpha = t.find(r => r.getString(0) == "g1" && r.getString(2) == "alpha").get
+    assert(alpha.getDouble(5) == 1.0)
+  }
 }
