@@ -226,6 +226,17 @@ object TextQueries {
         col("r_mean_word_len"), col("r_repetition"), col("r_diversity"),
         col("quality_pass"))
 
+  /** Within-document n-gram repetition (the word-n-gram half of Gopher's
+    * repetition rules): top/duplicate bi- and trigram occurrence fractions
+    * per document, integer-derived so the oracle is cell-exact.
+    */
+  private def textRepetition(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(docs(spark, sfDir))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_ratio"),
+        col("dup_bigram_frac"), col("n_trigrams"), col("top_trigram_ratio"),
+        col("dup_trigram_frac"), col("r_top_bigram"), col("r_dup_bigram"),
+        col("repetition_pass"))
+
   /** Stratified corpus rebalance: keep 100% of src0, 50% of src1, 25% of
     * src2, 10% elsewhere — per-(source, kept) accounting. Membership is a
     * pure function of (doc_id, source rate), replayed exactly in SQL.
@@ -285,6 +296,7 @@ object TextQueries {
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
     "text_gopher" -> textGopher _,
+    "text_repetition" -> textRepetition _,
     "doc_stratified" -> docStratified _,
     "doc_decontam" -> docDecontam _,
     "text_top_terms" -> textTopTerms _,
@@ -412,6 +424,39 @@ object TextQueries {
         |  distinct_ratio >= 0.4 AS r_diversity,
         |  (wc BETWEEN 20 AND 80) AND (mean_word_len BETWEEN 2.0 AND 12.0)
         |    AND (top_word_ratio <= 0.12) AND (distinct_ratio >= 0.4) AS quality_pass
+        |FROM m""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(words) >= 2 THEN
+        |      list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+        |    ELSE []::VARCHAR[] END AS bi,
+        |    CASE WHEN len(words) >= 3 THEN
+        |      list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |    ELSE []::VARCHAR[] END AS tri
+        |  FROM w),
+        |m AS (
+        |  SELECT doc_id, len(bi) AS nb,
+        |    COALESCE(list_max(list_transform(list_distinct(bi), x -> len(list_filter(bi, y -> y = x)))), 0) AS topb,
+        |    len(list_filter(bi, x -> len(list_filter(bi, y -> y = x)) >= 2)) AS dupb,
+        |    len(tri) AS nt,
+        |    COALESCE(list_max(list_transform(list_distinct(tri), x -> len(list_filter(tri, y -> y = x)))), 0) AS topt,
+        |    len(list_filter(tri, x -> len(list_filter(tri, y -> y = x)) >= 2)) AS dupt
+        |  FROM g)
+        |SELECT doc_id,
+        |  CAST(nb AS BIGINT) AS n_bigrams,
+        |  CAST(topb AS DOUBLE) / greatest(nb, 1) AS top_bigram_ratio,
+        |  CAST(dupb AS DOUBLE) / greatest(nb, 1) AS dup_bigram_frac,
+        |  CAST(nt AS BIGINT) AS n_trigrams,
+        |  CAST(topt AS DOUBLE) / greatest(nt, 1) AS top_trigram_ratio,
+        |  CAST(dupt AS DOUBLE) / greatest(nt, 1) AS dup_trigram_frac,
+        |  CAST(topb AS DOUBLE) / greatest(nb, 1) <= 0.08 AS r_top_bigram,
+        |  CAST(dupb AS DOUBLE) / greatest(nb, 1) <= 0.10 AS r_dup_bigram,
+        |  (CAST(topb AS DOUBLE) / greatest(nb, 1) <= 0.08)
+        |    AND (CAST(dupb AS DOUBLE) / greatest(nb, 1) <= 0.10) AS repetition_pass
         |FROM m""".stripMargin,
     "doc_stratified" ->
       """SELECT source,

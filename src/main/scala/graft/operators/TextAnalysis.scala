@@ -238,4 +238,60 @@ object TextAnalysis {
         col("r_word_count") && col("r_mean_word_len") &&
           col("r_repetition") && col("r_diversity"))
   }
+
+  /** Within-document n-gram repetition metrics — the word-n-gram half of
+    * Gopher's repetition filters (Rae et al. 2021, Appendix A: "fraction of
+    * characters in the most frequent 2/3/4-gram", "fraction of characters
+    * in duplicated n-grams"), re-expressed over word occurrences:
+    *
+    *  - `top_{bi,tri}gram_ratio`  — occurrences of the single most frequent
+    *    word n-gram / total n-gram occurrences;
+    *  - `dup_{bi,tri}gram_frac`   — fraction of n-gram occurrences whose
+    *    gram appears at least twice in the document.
+    *
+    * All pure column expressions over one split-words array — per-row, no
+    * shuffle, whole-stage codegen, and an exact DuckDB list-function
+    * mirror. Ratios divide exact integers so the doubles are bit-identical
+    * across engines. Like [[gopherFlags]]' top-word ratio, the inner
+    * count-per-distinct-gram scan is O(grams × distinct grams) per row —
+    * fine for document-sized payloads; book-length rows should pre-hash
+    * grams with a kernel like [[Dedupe.wordGramHashes]]'s.
+    */
+  def repetitionMetrics(
+      df: DataFrame,
+      textCol: String = "text",
+      maxTopBigramRatio: Double = 0.08,
+      maxDupBigramFrac: Double = 0.10): DataFrame = {
+    val words =
+      filter(split(lower(coalesce(col(textCol), lit(""))), " "), w => w =!= "")
+    // sequence(1, size-n+1) is DESCENDING when size < n (Spark infers a
+    // negative step) — the when() guard is load-bearing, not cosmetic
+    def grams(n: Int): Column = {
+      val idx = sequence(lit(1), size(col("__words")) - lit(n - 1))
+      val mk = (i: Column) =>
+        concat_ws(" ", (0 until n).map(o => element_at(col("__words"), i + lit(o))): _*)
+      when(size(col("__words")) >= n, transform(idx, mk))
+        .otherwise(array().cast("array<string>"))
+    }
+    def metrics(gcol: String, prefix: String)(d: DataFrame): DataFrame = {
+      val g = col(gcol)
+      val n = size(g)
+      val safeN = greatest(n, lit(1)).cast("double")
+      val topCnt = coalesce(
+        array_max(transform(array_distinct(g), x => size(filter(g, y => y === x)))),
+        lit(0))
+      val dupOcc = size(filter(g, x => size(filter(g, y => y === x)) >= 2))
+      d.withColumn(s"n_${prefix}grams", n.cast("long"))
+        .withColumn(s"top_${prefix}gram_ratio", topCnt.cast("double") / safeN)
+        .withColumn(s"dup_${prefix}gram_frac", dupOcc.cast("double") / safeN)
+    }
+    val base = df.withColumn("__words", words)
+      .withColumn("__bigrams", grams(2))
+      .withColumn("__trigrams", grams(3))
+    metrics("__trigrams", "tri")(metrics("__bigrams", "bi")(base))
+      .withColumn("r_top_bigram", col("top_bigram_ratio") <= maxTopBigramRatio)
+      .withColumn("r_dup_bigram", col("dup_bigram_frac") <= maxDupBigramFrac)
+      .withColumn("repetition_pass", col("r_top_bigram") && col("r_dup_bigram"))
+      .drop("__words", "__bigrams", "__trigrams")
+  }
 }

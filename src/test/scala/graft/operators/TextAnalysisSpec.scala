@@ -138,4 +138,36 @@ class TextAnalysisSpec extends SparkSpec {
     val alpha = t.find(r => r.getString(0) == "g1" && r.getString(2) == "alpha").get
     assert(alpha.getDouble(5) == 1.0)
   }
+
+  test("repetitionMetrics: hand-computed gram ratios, short/null docs safe") {
+    import spark.implicits._
+    val df = Seq(
+      // "a b a b a" → bigrams [a b, b a, a b, b a]: top 2/4, all dup 4/4
+      //             → trigrams [a b a, b a b, a b a]: top 2/3, dup 2/3
+      (1L, Some("a b a b a")),
+      (2L, Some((1 to 20).map(i => s"w$i").mkString(" "))), // no repeats
+      (3L, Some("solo")),                                   // no grams at all
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionMetrics(df).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_bigrams") == 4L)
+    assert(r(1L).getAs[Double]("top_bigram_ratio") == 0.5)
+    assert(r(1L).getAs[Double]("dup_bigram_frac") == 1.0)
+    assert(r(1L).getAs[Long]("n_trigrams") == 3L)
+    assert(r(1L).getAs[Double]("top_trigram_ratio") == 2.0 / 3)
+    assert(r(1L).getAs[Double]("dup_trigram_frac") == 2.0 / 3)
+    assert(!r(1L).getAs[Boolean]("repetition_pass"))
+    assert(r(2L).getAs[Long]("n_bigrams") == 19L)
+    assert(r(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    // 19 unique bigrams → top ratio 1/19 > 0.08 fails r_top_bigram; that's
+    // the documented small-doc behavior (ratio thresholds assume real docs)
+    assert(r(2L).getAs[Boolean]("r_dup_bigram"))
+    // single-word and null docs: zero grams, ratios 0, pass (nothing repeats)
+    for (id <- Seq(3L, 4L)) {
+      assert(r(id).getAs[Long]("n_bigrams") == 0L)
+      assert(r(id).getAs[Double]("top_bigram_ratio") == 0.0)
+      assert(r(id).getAs[Boolean]("repetition_pass"))
+    }
+  }
 }
