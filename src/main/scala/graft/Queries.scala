@@ -604,6 +604,40 @@ object Queries {
         sum(col("thumb_bytes")).as("sum_thumb_bytes"))
   }
 
+  /** PII redaction audit over a deterministic profile string synthesized
+    * from customer columns (the trimmed schema has no phone/address
+    * columns, so the query manufactures emails / phones / IPs / digit runs
+    * — including the real 9-digit run inside `c_name` — and the operator
+    * scrubs them). Email and IP presence vary by key so the audit counts
+    * take multiple values. Pure per-row regex work; the oracle replays the
+    * same RE2-compatible patterns sequentially.
+    */
+  private def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = col("c_custkey")
+    val profile = concat(
+      lit("contact "), col("c_name"),
+      when(k % 3 === 0,
+        concat(lit(" <c"), k.cast("string"), lit("@"),
+          lower(col("c_mktsegment")), lit(".example.com>")))
+        .otherwise(lit(" <no-mail>")),
+      lit(" tel "),
+      (k % 90 + 10).cast("string"), lit("-"),
+      ((k * 7) % 900 + 100).cast("string"), lit("-"),
+      ((k * 13) % 900 + 100).cast("string"), lit("-"),
+      ((k * 31) % 9000 + 1000).cast("string"),
+      when(k % 5 === 0,
+        concat(lit(" ip "), (k % 224 + 1).cast("string"), lit("."),
+          ((k * 3) % 256).cast("string"), lit("."),
+          ((k * 5) % 256).cast("string"), lit("."),
+          ((k * 11) % 256).cast("string")))
+        .otherwise(lit("")),
+      lit(" acct "), ((k * 97) % 100000 + 900000).cast("string"))
+    PiiScrub
+      .scrub(t(spark, sfDir, "customer").withColumn("profile", profile), "profile")
+      .select(col("c_custkey"), col("scrubbed"), col("n_email"), col("n_phone"),
+        col("n_ipv4"), col("n_number"), col("n_redactions"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -630,6 +664,7 @@ object Queries {
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
     "mm_enrich" -> (mmEnrich _),
+    "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
@@ -813,6 +848,41 @@ object Queries {
         |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
         |  CAST(SUM(thumb_bytes) AS BIGINT) AS sum_thumb_bytes
         |FROM chk GROUP BY channels""".stripMargin,
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    'contact ' || c_name ||
+        |    CASE WHEN c_custkey % 3 = 0
+        |         THEN ' <c' || CAST(c_custkey AS VARCHAR) || '@'
+        |           || lower(c_mktsegment) || '.example.com>'
+        |         ELSE ' <no-mail>' END ||
+        |    ' tel ' || CAST(c_custkey % 90 + 10 AS VARCHAR)
+        |      || '-' || CAST((c_custkey * 7) % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST((c_custkey * 13) % 900 + 100 AS VARCHAR)
+        |      || '-' || CAST((c_custkey * 31) % 9000 + 1000 AS VARCHAR) ||
+        |    CASE WHEN c_custkey % 5 = 0
+        |         THEN ' ip ' || CAST(c_custkey % 224 + 1 AS VARCHAR)
+        |           || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR)
+        |           || '.' || CAST((c_custkey * 5) % 256 AS VARCHAR)
+        |           || '.' || CAST((c_custkey * 11) % 256 AS VARCHAR)
+        |         ELSE '' END ||
+        |    ' acct ' || CAST((c_custkey * 97) % 100000 + 900000 AS VARCHAR) AS t0
+        |  FROM customer),
+        |s1 AS (SELECT c_custkey,
+        |  CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 FROM p),
+        |s2 AS (SELECT s1.*,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  regexp_replace(t1, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS t2 FROM s1),
+        |s3 AS (SELECT s2.*,
+        |  CAST(len(regexp_extract_all(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(t2, '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS t3 FROM s2),
+        |s4 AS (SELECT s3.*,
+        |  CAST(len(regexp_extract_all(t3, '[0-9]{6,}')) AS BIGINT) AS n_number,
+        |  regexp_replace(t3, '[0-9]{6,}', '[NUM]', 'g') AS t4 FROM s3)
+        |SELECT c_custkey, t4 AS scrubbed, n_email, n_phone, n_ipv4, n_number,
+        |  n_email + n_phone + n_ipv4 + n_number AS n_redactions
+        |FROM s4""".stripMargin,
     "cdc_logical" ->
       s"""WITH ph AS (
         |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
