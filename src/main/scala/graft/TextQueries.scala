@@ -261,6 +261,21 @@ object TextQueries {
         col("contamination_ratio"), col("is_contaminated"))
   }
 
+  /** Same contract as `doc_decontam` through the Bloom-gated two-phase
+    * path (bloom prune, exact verify) — identical output by construction
+    * (no false negatives; false positives removed by the exact join), so
+    * it shares doc_decontam's oracle SQL verbatim. fpp 0.05 keeps the
+    * false-positive stage genuinely exercised at test scale.
+    */
+  private def docDecontamBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.operators.Decontaminate
+      .bloomReport(d, "doc_id", "text", d.filter(col("doc_id") % 97 === 0),
+        "text", k = 3, minHits = 1L, fpp = 0.05)
+      .select(col("id").as("doc_id"), col("n_grams"), col("n_contaminated"),
+        col("contamination_ratio"), col("is_contaminated"))
+  }
+
   /** Top characteristic terms per source by TF-ICF (division-only idf
     * weight for bit-exact cross-engine scores).
     */
@@ -299,6 +314,7 @@ object TextQueries {
     "text_repetition" -> textRepetition _,
     "doc_stratified" -> docStratified _,
     "doc_decontam" -> docDecontam _,
+    "doc_decontam_bloom" -> docDecontamBloom _,
     "text_top_terms" -> textTopTerms _,
     "doc_pack" -> docPack _,
     "doc_boilerplate" -> docBoilerplate _,
@@ -350,10 +366,37 @@ object TextQueries {
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3)""".stripMargin
 
+  /** Shared by doc_decontam and doc_decontam_bloom: the Bloom-gated path
+    * is exact by construction, so both verify against the same SQL.
+    */
+  private val DecontamSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, UNNEST(list_distinct(
+      |    CASE WHEN len(words) >= 3
+      |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+      |      ELSE [array_to_string(words, ' ')] END)) AS gram
+      |  FROM w),
+      |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+      |hits AS (
+      |  SELECT g.doc_id, COUNT(*) AS nc FROM g JOIN bench USING (gram)
+      |  GROUP BY g.doc_id)
+      |SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(h.nc, 0) AS BIGINT) AS n_contaminated,
+      |  CAST(COALESCE(h.nc, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+      |    AS contamination_ratio,
+      |  COALESCE(h.nc, 0) >= 1 AS is_contaminated
+      |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin
+
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "doc_decontam_bloom" -> DecontamSql,
     "doc_boilerplate" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
@@ -465,28 +508,7 @@ object TextQueries {
         |      WHEN 'src2' THEN '4000' ELSE '1999' END AS kept,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
-    "doc_decontam" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
-        |  FROM documents),
-        |g0 AS (
-        |  SELECT doc_id, UNNEST(list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
-        |      ELSE [array_to_string(words, ' ')] END)) AS gram
-        |  FROM w),
-        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
-        |hits AS (
-        |  SELECT g.doc_id, COUNT(*) AS nc FROM g JOIN bench USING (gram)
-        |  GROUP BY g.doc_id)
-        |SELECT s.doc_id, CAST(s.n_grams AS BIGINT) AS n_grams,
-        |  CAST(COALESCE(h.nc, 0) AS BIGINT) AS n_contaminated,
-        |  CAST(COALESCE(h.nc, 0) AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
-        |    AS contamination_ratio,
-        |  COALESCE(h.nc, 0) >= 1 AS is_contaminated
-        |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin,
+    "doc_decontam" -> DecontamSql,
     "doc_cdc" ->
       s"""WITH per AS (
         |  SELECT source, hash, MIN(size) AS size, SUM(size) AS occ_bytes

@@ -58,4 +58,74 @@ object Decontaminate {
           .as("contamination_ratio"),
         (col("n_contaminated") >= minHits).as("is_contaminated"))
   }
+
+  /** Bloom-gated variant of [[report]] with IDENTICAL output, for when the
+    * benchmark gram set is too large to broadcast exactly (a 10^9-gram
+    * blocklist is ~16+ GB as an exact broadcast hash set but ~1.2 GB as a
+    * Bloom filter at 1% fpp). Three-stage shape:
+    *
+    *   1. per-doc gram counts come from a NARROW map over the corpus (one
+    *      row in, one row out — no gram explosion, no shuffle);
+    *   2. the Bloom filter (built distributed, merged on the driver,
+    *      re-broadcast) prunes the exploded gram stream to candidates —
+    *      false negatives are impossible, so no hit is lost;
+    *   3. only the surviving ~fpp fraction of grams pays the exact join
+    *      against the benchmark set (AQE broadcasts whichever side is
+    *      small), which removes the false positives.
+    *
+    * Result is therefore exact for ANY fpp; fpp only tunes how much work
+    * stage 3 does. Versus [[report]], the full-corpus gram shuffle is
+    * replaced by a shuffle of bloom survivors only.
+    */
+  def bloomReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      k: Int = 8,
+      minHits: Long = 1L,
+      fpp: Double = 0.01): DataFrame = {
+    require(k >= 1, "gram size k must be >= 1")
+    require(minHits >= 1, "minHits must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    val session = corpus.sparkSession
+    import session.implicits._
+
+    val benchGrams = Dedupe
+      .gramRows(bench, monotonically_increasing_id(), col(benchTextCol), k)
+      .select(col("gram")).distinct().cache()
+    val bf = benchGrams.stat
+      .bloomFilter("gram", math.max(benchGrams.count(), 1L), fpp)
+    val bfBc = session.sparkContext.broadcast(bf)
+    val bloomHit = udf((g: Long) => bfBc.value.mightContainLong(g))
+
+    // stage 1: doc universe + distinct-gram counts, narrow (report's
+    // output universe is docs with >= 1 gram; empty docs emit none)
+    val base = corpus
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, Dedupe.wordGramHashes(text, k).length.toLong) }
+      .toDF("id", "n_grams")
+      .filter(col("n_grams") > 0)
+
+    // stages 2+3: bloom prune, then exact-join the survivors
+    val exactHits = Dedupe
+      .gramRows(corpus, col(idCol), col(textCol), k)
+      .filter(bloomHit(col("gram")))
+      .join(benchGrams, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("__nc"))
+
+    val nc = coalesce(col("__nc"), lit(0L))
+    base
+      .join(exactHits, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("n_grams"),
+        nc.as("n_contaminated"),
+        (nc.cast("double") / col("n_grams").cast("double"))
+          .as("contamination_ratio"),
+        (nc >= minHits).as("is_contaminated"))
+  }
 }

@@ -40,6 +40,34 @@ class DecontaminateSpec extends SparkSpec {
     assert(r(2L)._1 == 0L)
   }
 
+  test("bloomReport equals report exactly, even at a false-positive-heavy fpp") {
+    import spark.implicits._
+    val corpus = (0L until 400L)
+      .map(i => (i, s"tok${i % 37} tok${(i * 7) % 41} tok${(i * 13) % 43} " +
+        s"tok${(i * 17) % 47} shared tail run ${i % 5}"))
+      .toDF("doc_id", "text")
+    val bench = corpus.filter(col("doc_id") % 19 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("id").collect().map(_.toString).toSeq
+    for (fpp <- Seq(0.5, 0.01)) {
+      val exact = Decontaminate.report(corpus, "doc_id", "text", bench, "text", k = 3)
+      val bloom = Decontaminate.bloomReport(corpus, "doc_id", "text", bench, "text",
+        k = 3, fpp = fpp)
+      assert(canon(bloom) == canon(exact), s"fpp=$fpp diverged")
+    }
+  }
+
+  test("bloomReport validates fpp and keeps empty docs out of the report") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta gamma delta"), (2L, "")).toDF("doc_id", "text")
+    val bench = Seq((9L, "alpha beta gamma")).toDF("bid", "text")
+    assertThrows[IllegalArgumentException](
+      Decontaminate.bloomReport(corpus, "doc_id", "text", bench, "text", fpp = 0.0))
+    val ids = Decontaminate.bloomReport(corpus, "doc_id", "text", bench, "text", k = 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
   test("the benchmark side broadcasts") {
     import spark.implicits._
     val corpus = (0L until 100L).map(i => (i, s"word$i and some shared tail text")).toDF("doc_id", "text")
