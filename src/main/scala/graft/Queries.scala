@@ -510,6 +510,17 @@ object Queries {
         col("sum_value"))
   }
 
+  /** Streaming exact dedup through the state store (dropDuplicates over a
+    * file-source stream, append-mode): each (user_id, event_type) key is
+    * emitted exactly once at first occurrence, so the result is the
+    * distinct key set regardless of batch split — which is precisely
+    * SELECT DISTINCT to a batch engine.
+    */
+  private def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"evt_dedup_${math.abs(sfDir.hashCode)}"
+    graft.streaming.EventStream.runDedupOnce(spark, s"$sfDir/events.parquet", name)
+  }
+
   /** Interval (range) join via the binned decomposition (RangeJoin): each
     * purchase event anchors a 24-hour follow-up window; every event of the
     * same user inside [anchor, anchor+24h] matches — the attribution-
@@ -663,6 +674,7 @@ object Queries {
     "cdc_estimate_approx" -> (cdcEstimateApprox _),
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
+    "stream_dedup" -> (streamDedup _),
     "mm_enrich" -> (mmEnrich _),
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _)
@@ -848,6 +860,8 @@ object Queries {
         |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
         |  CAST(SUM(thumb_bytes) AS BIGINT) AS sum_thumb_bytes
         |FROM chk GROUP BY channels""".stripMargin,
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "pii_scrub" ->
       """WITH p AS (
         |  SELECT c_custkey,

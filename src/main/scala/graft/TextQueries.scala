@@ -19,6 +19,19 @@ object TextQueries {
       .exactDuplicates(docs(spark, sfDir), "doc_id", col("text"))
       .select(col("doc_id"), col("fp"), col("canonical_id"), col("is_dup"))
 
+  /** Incremental dedup: odd doc_ids are "tonight's batch", even doc_ids
+    * are the already-kept corpus whose md5 index the batch is classified
+    * against (known / intra_dup / new).
+    */
+  private def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.operators.IncrementalDedup
+      .classify(
+        d.filter(col("doc_id") % 2 === 1), "doc_id", md5(col("text")),
+        d.filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("fp")), "fp")
+      .select(col("id").as("doc_id"), col("fp"), col("status"))
+  }
+
   /** Near-exact: duplicate classes on a 40-char prefix — exercises the
     * same shape with actual collisions in synthetic data.
     */
@@ -321,6 +334,7 @@ object TextQueries {
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
     "dedup_prefix" -> dedupPrefix _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_minhash" -> minhashPairs _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
@@ -709,6 +723,22 @@ object TextQueries {
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents""".stripMargin,
+    "dedup_incremental" ->
+      """WITH inc AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+        |idx AS (
+        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |j AS (
+        |  SELECT i.doc_id, i.fp, x.fp IS NOT NULL AS known
+        |  FROM inc i LEFT JOIN idx x USING (fp)),
+        |f AS (
+        |  SELECT doc_id, fp, known,
+        |    MIN(doc_id) OVER (PARTITION BY fp) AS first_id FROM j)
+        |SELECT doc_id, fp,
+        |  CASE WHEN known THEN 'known'
+        |       WHEN doc_id <> first_id THEN 'intra_dup'
+        |       ELSE 'new' END AS status
+        |FROM f""".stripMargin,
     "dedup_prefix" ->
       """SELECT doc_id, md5(substr(text, 1, 40)) AS fp,
         |  MIN(doc_id) OVER (PARTITION BY md5(substr(text, 1, 40))) AS canonical_id,

@@ -98,7 +98,56 @@ object EventStream {
   /** Batch-driven smoke harness: run the windowed aggregation as a stream
     * over a parquet directory into a memory sink, synchronously.
     */
-  def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame = {
+  /** Streaming exact dedup: emit each (user_id, event_type) key once, at
+    * its first occurrence, via the state store. Globally exact for any
+    * batch split — but state grows with the distinct-key count, so this
+    * is the finite-backfill/bounded-keyspace mode.
+    */
+  def dedupKeys(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    withEventTime(stream)
+      .withWatermark("event_time", watermark)
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** Bounded-state variant for unbounded streams: duplicates are dropped
+    * only within the watermark horizon (state for a key is evicted once
+    * the watermark passes it), so a key CAN re-emit after the horizon —
+    * the standard tradeoff for state that must not grow forever. Use
+    * [[dedupKeys]] when global uniqueness matters and the keyspace is
+    * bounded; use this when the stream is unbounded and duplicates are
+    * known to arrive close together (e.g. at-least-once upstream
+    * delivery).
+    */
+  def dedupKeysWithinWatermark(
+      stream: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    withEventTime(stream)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  /** Run [[dedupKeys]] over a finite parquet input as a real streaming
+    * query (file source, state store, append-mode memory sink).
+    */
+  def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runToMemory(spark, dir, queryName, dedupKeys(_), OutputMode.Append())
+
+  // complete mode so bounded batches surface every window (append would
+  // hold back windows the watermark never closes on a finite input)
+  def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runToMemory(spark, dir, queryName, windowedCounts(_), OutputMode.Complete())
+
+  /** Shared finite-input streaming harness: parquet file source →
+    * transform → memory sink, drained with processAllAvailable. The
+    * memory sink is harness-only (it collects to the driver); production
+    * sinks are kafka/parquet/delta-style writeStream targets.
+    */
+  private def runToMemory(
+      spark: SparkSession,
+      dir: String,
+      queryName: String,
+      transform: DataFrame => DataFrame,
+      mode: OutputMode): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     // file-source streams need a directory; a single-file input becomes
     // parent-dir + glob filter
@@ -111,10 +160,8 @@ object EventStream {
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = reader.parquet(baseDir)
     spark.catalog.dropTempView(queryName) // re-runnable within one session
-    // complete mode so bounded batches surface every window (append would
-    // hold back windows the watermark never closes on a finite input)
-    val q = windowedCounts(stream).writeStream
-      .outputMode("complete")
+    val q = transform(stream).writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(queryName)
       .start()

@@ -13,6 +13,36 @@ class EventStreamSpec extends SparkSpec {
     assert(result.select("event_type").distinct().count() > 0)
   }
 
+  test("streaming dedup emits exactly the distinct key set") {
+    val result = EventStream.runDedupOnce(spark, sf() + "/events.parquet", "evt_dedup")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val batch = spark.read.parquet(sf() + "/events.parquet")
+      .select("user_id", "event_type").distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(result.length == result.distinct.length, "duplicate emission")
+    assert(result.toSet == batch.toSet)
+  }
+
+  test("watermark-bounded dedup drops close duplicates (state-evicting mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ms = MemoryStream[(Long, Long, String)](spark)
+    val hourNs = 3600L * 1000000000L
+    // base well above epoch 0: the initial watermark is 0 and the late-row
+    // filter drops event times <= watermark, so epoch-0 rows are boundary
+    // casualties by construction
+    val base = 1000L * hourNs
+    ms.addData((base, 1L, "a"), (base + hourNs, 1L, "a"), (base, 2L, "b"))
+    val out = EventStream.dedupKeysWithinWatermark(
+      ms.toDF().toDF("ts", "user_id", "event_type"), watermark = "4 hours")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("evt_dedup_wm").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("evt_dedup_wm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
   test("sessionize groups events by gap") {
     import spark.implicits._
     val sec = 1000000000L // ns
