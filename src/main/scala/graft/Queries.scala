@@ -649,6 +649,45 @@ object Queries {
         col("n_ipv4"), col("n_number"), col("n_redactions"))
   }
 
+  /** Columns profiled by `table_profile` (order = output row grouping on
+    * both engines). The double column goes through DECIMAL(18,2) and the
+    * nullable column is synthesized with NULLIF so null accounting is
+    * genuinely exercised; min/max stringification is parity-safe for
+    * bigint / varchar / decimal / midnight-timestamp under a UTC session.
+    */
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_price_dec",
+      "o_prio_nn", "o_orderdate")
+
+  /** Single-pass per-column profiling over a prepared orders projection —
+    * the accept-this-table data-quality gate (one aggregation job, all
+    * columns as parallel aggregate exprs; see Profiler).
+    */
+  private def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = t(spark, sfDir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_price_dec"),
+      when(col("o_orderstatus") === "F", lit(null))
+        .otherwise(col("o_orderpriority")).as("o_prio_nn"),
+      col("o_orderdate"))
+    Profiler.profile(base.select(ProfileCols.map(col): _*))
+  }
+
+  /** Pivoted event counts: user bucket × explicit event-type value list
+    * (explicit so the output schema is static — dynamic pivot would scan
+    * once just to discover columns), null cells filled to 0 to match the
+    * relational FILTER-count shape.
+    */
+  private def q17Pivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(spark, sfDir, "events")
+      .select((col("user_id") % 10).as("user_bucket"), col("event_type"))
+      .groupBy("user_bucket")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
@@ -675,6 +714,8 @@ object Queries {
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
+    "table_profile" -> (tableProfile _),
+    "q17_pivot" -> (q17Pivot _),
     "mm_enrich" -> (mmEnrich _),
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _)
@@ -862,6 +903,32 @@ object Queries {
         |FROM chk GROUP BY channels""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // generated per-column (never hand-transcribed) so Spark and SQL can
+    // not drift on the column list
+    "table_profile" -> {
+      val base =
+        """base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_price_dec,
+          |  CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderpriority END AS o_prio_nn,
+          |  o_orderdate FROM orders)""".stripMargin
+      ProfileCols
+        .map(c =>
+          s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($c) AS n_nulls,
+             |  COUNT(DISTINCT $c) AS n_distinct,
+             |  CAST(MIN($c) AS VARCHAR) AS min_str,
+             |  CAST(MAX($c) AS VARCHAR) AS max_str
+             |FROM base""".stripMargin)
+        .mkString(s"WITH $base\n", "\nUNION ALL\n", "")
+    },
+    "q17_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1""".stripMargin,
     "pii_scrub" ->
       """WITH p AS (
         |  SELECT c_custkey,
