@@ -20,15 +20,20 @@ object TextQueries {
       .select(col("doc_id"), col("fp"), col("canonical_id"), col("is_dup"))
 
   /** Incremental dedup: odd doc_ids are "tonight's batch", even doc_ids
-    * are the already-kept corpus whose md5 index the batch is classified
-    * against (known / intra_dup / new).
+    * are the already-kept corpus whose fingerprint index the batch is
+    * classified against (known / intra_dup / new). Fingerprint = md5 of
+    * the 40-char prefix (the dedup_prefix trick): full-text md5 has zero
+    * collisions in the synthetic corpus, which would leave the known and
+    * intra_dup branches oracle-unchecked — the prefix classes exercise
+    * all three statuses at sf0.001 and up.
     */
   private def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
+    val fp = md5(substring(col("text"), 1, 40))
     graft.operators.IncrementalDedup
       .classify(
-        d.filter(col("doc_id") % 2 === 1), "doc_id", md5(col("text")),
-        d.filter(col("doc_id") % 2 === 0).select(md5(col("text")).as("fp")), "fp")
+        d.filter(col("doc_id") % 2 === 1), "doc_id", fp,
+        d.filter(col("doc_id") % 2 === 0).select(fp.as("fp")), "fp")
       .select(col("id").as("doc_id"), col("fp"), col("status"))
   }
 
@@ -725,9 +730,9 @@ object TextQueries {
         |FROM documents""".stripMargin,
     "dedup_incremental" ->
       """WITH inc AS (
-        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1),
+        |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents WHERE doc_id % 2 = 1),
         |idx AS (
-        |  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+        |  SELECT DISTINCT md5(substr(text, 1, 40)) AS fp FROM documents WHERE doc_id % 2 = 0),
         |j AS (
         |  SELECT i.doc_id, i.fp, x.fp IS NOT NULL AS known
         |  FROM inc i LEFT JOIN idx x USING (fp)),

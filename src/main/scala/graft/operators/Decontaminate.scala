@@ -94,11 +94,19 @@ object Decontaminate {
 
     val benchGrams = Dedupe
       .gramRows(bench, monotonically_increasing_id(), col(benchTextCol), k)
-      .select(col("gram")).distinct().cache()
-    val bf = benchGrams.stat
-      .bloomFilter("gram", math.max(benchGrams.count(), 1L), fpp)
-    val bfBc = session.sparkContext.broadcast(bf)
-    val bloomHit = udf((g: Long) => bfBc.value.mightContainLong(g))
+      .select(col("gram")).distinct()
+    // cache only across the two eager jobs (count + bloom build), then
+    // release: a permanent cache would pin executor memory for the rest
+    // of the session. The lazy exact join below recomputes the small
+    // bench side once instead.
+    benchGrams.cache()
+    val bf =
+      try benchGrams.stat.bloomFilter("gram", math.max(benchGrams.count(), 1L), fpp)
+      finally benchGrams.unpersist(blocking = false)
+    // captured in the UDF closure (per-stage torrent broadcast) rather
+    // than an explicit sticky broadcast: the ContextCleaner reclaims it
+    // when the returned plan becomes unreachable
+    val bloomHit = udf((g: Long) => bf.mightContainLong(g))
 
     // stage 1: doc universe + distinct-gram counts, narrow (report's
     // output universe is docs with >= 1 gram; empty docs emit none)

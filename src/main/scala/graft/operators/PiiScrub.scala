@@ -48,6 +48,11 @@ object PiiScrub {
       rules: Seq[PiiRule] = defaultRules): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_.name).distinct.size == rules.size, "rule names must be unique")
+    val outCols = "scrubbed" +: "n_redactions" +: rules.map(r => s"n_${r.name}")
+    val clash = outCols.intersect(df.columns.toSeq)
+    require(clash.isEmpty,
+      s"input already has output column(s) ${clash.mkString(", ")} — " +
+        "withColumn would silently clobber them")
     val start = coalesce(col(textCol), lit(""))
     val (scrubbed, counts) =
       rules.foldLeft((start, Seq.empty[(String, Column)])) {

@@ -20,28 +20,32 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   def profile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
-    val cols = df.columns.toSeq
-    require(cols.nonEmpty, "cannot profile a zero-column relation")
-    val aggs = cols.flatMap { c =>
-      val v = col(c)
+    val names = df.columns.toSeq
+    require(names.nonEmpty, "cannot profile a zero-column relation")
+    // positional rename first: generated aliases must never embed user
+    // column names, which col() would re-parse as nested-field paths for
+    // names containing dots/backticks
+    val safe = df.toDF(names.indices.map(i => s"__c$i"): _*)
+    val aggs = names.indices.flatMap { i =>
+      val v = col(s"__c$i")
       Seq(
-        count(lit(1)).as(s"__n_$c"),
-        count(v).as(s"__nn_$c"),
+        count(lit(1)).as(s"__n_$i"),
+        count(v).as(s"__nn_$i"),
         (if (exactDistinct) count_distinct(v) else approx_count_distinct(v))
-          .as(s"__nd_$c"),
-        min(v).cast("string").as(s"__min_$c"),
-        max(v).cast("string").as(s"__max_$c"))
+          .as(s"__nd_$i"),
+        min(v).cast("string").as(s"__min_$i"),
+        max(v).cast("string").as(s"__max_$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = safe.agg(aggs.head, aggs.tail: _*)
     // unpivot: one output row per column via a stack over the single agg row
-    val stacked = cols.map { c =>
+    val stacked = names.zipWithIndex.map { case (c, i) =>
       struct(
         lit(c).as("column_name"),
-        col(s"__n_$c").as("n_rows"),
-        (col(s"__n_$c") - col(s"__nn_$c")).as("n_nulls"),
-        col(s"__nd_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_str"),
-        col(s"__max_$c").as("max_str"))
+        col(s"__n_$i").as("n_rows"),
+        (col(s"__n_$i") - col(s"__nn_$i")).as("n_nulls"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__min_$i").as("min_str"),
+        col(s"__max_$i").as("max_str"))
     }
     row
       .select(explode(array(stacked: _*)).as("p"))

@@ -95,17 +95,17 @@ object EventStream {
         })
   }
 
-  /** Batch-driven smoke harness: run the windowed aggregation as a stream
-    * over a parquet directory into a memory sink, synchronously.
-    */
   /** Streaming exact dedup: emit each (user_id, event_type) key once, at
-    * its first occurrence, via the state store. Globally exact for any
-    * batch split — but state grows with the distinct-key count, so this
-    * is the finite-backfill/bounded-keyspace mode.
+    * its first occurrence, via the state store. Deliberately NO watermark:
+    * the dedup keys exclude event time, so a watermark would evict no
+    * state anyway — it would only drop late rows silently, breaking the
+    * "globally exact for any batch split" contract (a backfill file
+    * arriving after newer data would lose its keys). State grows with the
+    * distinct-key count, so this is the finite-backfill/bounded-keyspace
+    * mode; see [[dedupKeysWithinWatermark]] for the unbounded-stream one.
     */
-  def dedupKeys(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
-    withEventTime(stream)
-      .withWatermark("event_time", watermark)
+  def dedupKeys(stream: DataFrame): DataFrame =
+    stream
       .dropDuplicates("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
@@ -132,8 +132,11 @@ object EventStream {
   def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runToMemory(spark, dir, queryName, dedupKeys(_), OutputMode.Append())
 
-  // complete mode so bounded batches surface every window (append would
-  // hold back windows the watermark never closes on a finite input)
+  /** Batch-driven smoke harness: run the windowed aggregation as a stream
+    * over a parquet directory into a memory sink, synchronously — in
+    * complete mode so bounded batches surface every window (append would
+    * hold back windows the watermark never closes on a finite input).
+    */
   def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runToMemory(spark, dir, queryName, windowedCounts(_), OutputMode.Complete())
 

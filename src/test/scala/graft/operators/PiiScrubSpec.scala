@@ -46,5 +46,8 @@ class PiiScrubSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](PiiScrub.scrub(df, rules = Seq.empty))
     assertThrows[IllegalArgumentException](PiiScrub.scrub(df, rules = Seq(
       PiiScrub.PiiRule("a", "x", "y"), PiiScrub.PiiRule("a", "z", "w"))))
+    // output-column collision is loud, not a silent clobber
+    val already = PiiScrub.scrub(df)
+    assertThrows[IllegalArgumentException](PiiScrub.scrub(already, "scrubbed"))
   }
 }

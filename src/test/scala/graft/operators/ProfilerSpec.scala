@@ -31,6 +31,14 @@ class ProfilerSpec extends SparkSpec {
       Profiler.profile(df.select()))
   }
 
+  test("column names with dots survive (no nested-field path parsing)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("a.b", "plain")
+    val p = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(p == Map("a.b" -> 2L, "plain" -> 2L))
+  }
+
   test("profiling runs as a single aggregation job (no per-column scans)") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, s"s$i", i * 0.5)).toDF("a", "b", "c")
