@@ -294,6 +294,14 @@ object TextQueries {
         col("contamination_ratio"), col("is_contaminated"))
   }
 
+  /** BM25-family keyword search for a fixed 3-term query over the corpus
+    * (division-only idf; see TextSearch's determinism contract).
+    */
+  private def textSearch(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.TextSearch
+      .bm25TopK(docs(spark, sfDir), "doc_id", "text",
+        Seq("join", "window", "scan"))
+
   /** Top characteristic terms per source by TF-ICF (division-only idf
     * weight for bit-exact cross-engine scores).
     */
@@ -334,6 +342,7 @@ object TextQueries {
     "doc_decontam" -> docDecontam _,
     "doc_decontam_bloom" -> docDecontamBloom _,
     "text_top_terms" -> textTopTerms _,
+    "text_search" -> textSearch _,
     "doc_pack" -> docPack _,
     "doc_boilerplate" -> docBoilerplate _,
     "source_similarity" -> sourceSimilarity _,
@@ -411,10 +420,55 @@ object TextQueries {
       |  COALESCE(h.nc, 0) >= 1 AS is_contaminated
       |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin
 
+  /** text_search oracle: every floating-point step mirrors TextSearch's
+    * expression tree — term contributions are summed left-to-right in
+    * term order, 0.25/0.75/0.5 are exactly representable, and EVERY
+    * fractional constant is CAST to DOUBLE: DuckDB parses bare numeric
+    * literals as DECIMAL and would otherwise evaluate sub-expressions
+    * like tf * (1.2 + 1) in exact decimal arithmetic, landing 1 ulp away
+    * from Spark's double path.
+    */
+  private val TextSearchSql: String = {
+    val terms = Seq("join", "window", "scan")
+    val half = "CAST(0.5 AS DOUBLE)"
+    val k1 = "CAST(1.2 AS DOUBLE)"
+    val tfDefs = terms.zipWithIndex
+      .map { case (t, i) => s"    len(list_filter(words, x -> x = '$t')) AS tf_$i" }
+      .mkString(",\n")
+    val dfDefs = terms.indices
+      .map(i => s"    COUNT(*) FILTER (WHERE tf_$i > 0) AS df_$i")
+      .mkString(",\n")
+    val contribs = terms.indices
+      .map(i => s"(s.n - s.df_$i + $half) / (s.df_$i + $half) * (tf_$i * ($k1 + 1))" +
+        s" / (tf_$i + $k1 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / s.avgdl))")
+      .mkString("\n  + ")
+    val tfSum = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, len(words) AS dl,
+       |$tfDefs
+       |  FROM w),
+       |s AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |$dfDefs
+       |  FROM d)
+       |SELECT doc_id,
+       |  $contribs
+       |  AS score,
+       |  CAST($tfSum AS BIGINT) AS n_hits
+       |FROM d, s
+       |WHERE $tfSum > 0
+       |ORDER BY score DESC, doc_id ASC
+       |LIMIT 20""".stripMargin
+  }
+
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "text_search" -> TextSearchSql,
     "doc_decontam_bloom" -> DecontamSql,
     "doc_boilerplate" ->
       """WITH w AS (
