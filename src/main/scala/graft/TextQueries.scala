@@ -233,6 +233,18 @@ object TextQueries {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Target-mixture composition over four weighted sources (40/30/20/10);
+    * unweighted sources drop. Integer-bp planning makes the thresholds —
+    * not just the md5 membership — SQL-replayable.
+    */
+  private def docMixture(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sampling
+      .composeMixture(docs(spark, sfDir), col("doc_id"), col("source"),
+        Map("src0" -> 4000, "src1" -> 3000, "src2" -> 2000, "src3" -> 1000))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept").cast("long")).as("n_kept"))
+
   /** Gopher-style quality rules per document (word-count bounds, mean word
     * length, repetition, lexical diversity) — every metric and flag column
     * is integer-derived, so the oracle is cell-exact.
@@ -336,6 +348,7 @@ object TextQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
+    "doc_mixture" -> docMixture _,
     "text_gopher" -> textGopher _,
     "text_repetition" -> textRepetition _,
     "doc_stratified" -> docStratified _,
@@ -839,6 +852,26 @@ object TextQueries {
         |       THEN 'holdout' ELSE 'train' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "doc_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000),
+        |  ('src2', 2000), ('src3', 1000)) AS t(source, wbp)),
+        |nn AS (SELECT MIN(c.n * 10000 // w.wbp) AS tgt
+        |  FROM c JOIN w USING (source)),
+        |thr AS (
+        |  SELECT w.source,
+        |    CASE WHEN ((nn.tgt * w.wbp // 10000) * 65536 // c.n) >= 65536 THEN 'g'
+        |         ELSE printf('%04x', (nn.tgt * w.wbp // 10000) * 65536 // c.n)
+        |    END AS thr
+        |  FROM w JOIN c USING (source), nn),
+        |k AS (
+        |  SELECT d.source,
+        |    CASE WHEN t.thr IS NOT NULL
+        |          AND substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t.thr
+        |         THEN 1 ELSE 0 END AS kept
+        |  FROM documents d LEFT JOIN thr t ON d.source = t.source)
+        |SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept
+        |FROM k GROUP BY source""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
         |  CAST(0 AS BIGINT) AS max_undercount

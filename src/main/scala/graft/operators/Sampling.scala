@@ -89,6 +89,67 @@ object Sampling {
       substring(md5(guardedKey.cast("binary")), 1, 4) < threshold)
   }
 
+  /** Dataset mixture composition — "make the corpus 40% src0, 30% src1,
+    * ..." — the pass that turns raw source counts into the training
+    * mixture (the data-mixing step of every pretraining recipe; public
+    * method). Downsampling only (no row duplication): the feasible total
+    * is capped by the scarcest weighted source, then each source keeps a
+    * deterministic md5-prefix sample sized to its target share.
+    *
+    * All planning is INTEGER arithmetic (weights in basis points,
+    * thresholds in 65536ths) so the plan — not just the membership — has
+    * an exact SQL mirror:
+    *
+    *   N     = min over sources of  n_s · 10000 / w_s   (integer div)
+    *   t_s   = N · w_s / 10000                          (integer div)
+    *   thr_s = t_s · 65536 / n_s  (capped at 65536 ⇒ keep-all sentinel)
+    *
+    * Sources absent from `weightsBp` are dropped (kept=false). Weighted
+    * sources must exist in the corpus. One tiny count aggregation
+    * (collected: one row per source) plans the thresholds; membership is
+    * the same codegen'd no-shuffle predicate as [[stratifiedHashSample]].
+    * Expected kept count per source is t_s ± binomial noise; weights are
+    * RATIOS of the realized mixture, not exact row counts.
+    */
+  def composeMixture(
+      df: DataFrame,
+      keyCol: Column,
+      sourceCol: Column,
+      weightsBp: Map[String, Int],
+      keepCol: String = "kept"): DataFrame = {
+    require(weightsBp.nonEmpty, "at least one weighted source")
+    weightsBp.foreach { case (s, w) =>
+      require(w > 0, s"weight for '$s' must be positive basis points, got $w") }
+    require(weightsBp.values.map(_.toLong).sum == 10000L,
+      s"weights must sum to 10000 bp, got ${weightsBp.values.sum}")
+
+    val counts = df
+      .groupBy(sourceCol.as("__src")).count()
+      .collect()
+      .map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1))
+      .toMap
+    val missing = weightsBp.keySet.filterNot(counts.contains)
+    require(missing.isEmpty,
+      s"weighted source(s) absent from the corpus: ${missing.mkString(", ")}")
+
+    val n = weightsBp.map { case (s, w) => counts(s) * 10000L / w }.min
+    val thresholds = weightsBp.map { case (s, w) =>
+      val target = n * w / 10000L
+      s -> math.min(65536L, target * 65536L / counts(s))
+    }
+    def hex(v: Long): String = if (v >= 65536L) "g" else f"$v%04x"
+
+    val guardedKey = when(keyCol.isNull,
+        raise_error(lit("composeMixture: null sample key — membership must " +
+          "be a pure function of a non-null key")))
+      .otherwise(keyCol.cast("string"))
+    val threshold = thresholds.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
+      case (acc, (s, thr)) => when(sourceCol === s, hex(thr)).otherwise(acc)
+    }
+    df.withColumn(keepCol,
+      substring(md5(guardedKey.cast("binary")), 1, 4) < threshold)
+  }
+
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame = {
     require(!df.columns.contains("__graft_split"),

@@ -39,6 +39,41 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(df, col("id"), 0).count() == 0L)
   }
 
+  test("composeMixture realizes target source ratios, bounded by the scarcest source") {
+    import spark.implicits._
+    // src A: 4000 rows, B: 2000, C: 500 (scarce), D: 1000 (unweighted)
+    val df = ((0 until 4000).map(i => (i.toLong, "A")) ++
+      (4000 until 6000).map(i => (i.toLong, "B")) ++
+      (6000 until 6500).map(i => (i.toLong, "C")) ++
+      (6500 until 7500).map(i => (i.toLong, "D"))).toDF("id", "src")
+    val out = Sampling.composeMixture(df, col("id"), col("src"),
+      Map("A" -> 5000, "B" -> 3000, "C" -> 2000))
+    val kept = out.filter(col("kept")).groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // N = min(4000*10000/5000, 2000*10000/3000, 500*10000/2000) = 2500
+    // targets: A 1250, B 750, C 500 (C keeps everything: thr hits cap)
+    assert(kept("C") == 500L, s"scarce source keeps all, got $kept")
+    assert(!kept.contains("D"), "unweighted source dropped")
+    assert(math.abs(kept("A") - 1250L) < 150, s"A target 1250, got ${kept("A")}")
+    assert(math.abs(kept("B") - 750L) < 120, s"B target 750, got ${kept("B")}")
+    // determinism: re-run keeps the identical row set
+    val again = Sampling.composeMixture(df, col("id"), col("src"),
+      Map("A" -> 5000, "B" -> 3000, "C" -> 2000))
+      .filter(col("kept")).select("id").as[Long].collect().toSet
+    assert(again == out.filter(col("kept")).select("id").as[Long].collect().toSet)
+  }
+
+  test("composeMixture validates weights and presence") {
+    import spark.implicits._
+    val df = Seq((1L, "A")).toDF("id", "src")
+    assertThrows[IllegalArgumentException](
+      Sampling.composeMixture(df, col("id"), col("src"), Map.empty))
+    assertThrows[IllegalArgumentException](
+      Sampling.composeMixture(df, col("id"), col("src"), Map("A" -> 9999)))
+    assertThrows[IllegalArgumentException](
+      Sampling.composeMixture(df, col("id"), col("src"), Map("A" -> 5000, "Z" -> 5000)))
+  }
+
   test("stratifiedHashSample: per-stratum rates, determinism, sentinel 100/0") {
     import spark.implicits._
     val df = spark.range(30000)
