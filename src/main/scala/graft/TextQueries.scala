@@ -233,6 +233,20 @@ object TextQueries {
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
 
+  /** Context-window splitting: every document's token span fanned into
+    * 64-token windows at stride 48 (25% overlap) — integer window
+    * arithmetic replayed by a generate-series oracle.
+    */
+  private def docWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = size(filter(
+      split(lower(coalesce(col("text"), lit(""))), " "), x => x =!= lit("")))
+    graft.operators.Packing
+      .slidingWindows(docs(spark, sfDir), "doc_id", toks,
+        windowSize = 64L, stride = 48L)
+      .select(col("id").as("doc_id"), col("win_idx"), col("win_start"),
+        col("win_end"), col("win_len"))
+  }
+
   /** Target-mixture composition over four weighted sources (40/30/20/10);
     * unweighted sources drop. Integer-bp planning makes the thresholds —
     * not just the md5 membership — SQL-replayable.
@@ -349,6 +363,7 @@ object TextQueries {
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
     "doc_mixture" -> docMixture _,
+    "doc_windows" -> docWindows _,
     "text_gopher" -> textGopher _,
     "text_repetition" -> textRepetition _,
     "doc_stratified" -> docStratified _,
@@ -852,6 +867,21 @@ object TextQueries {
         |       THEN 'holdout' ELSE 'train' END AS split,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "doc_windows" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n
+        |  FROM documents),
+        |nz AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END AS nw
+        |  FROM d WHERE n > 0),
+        |e AS (SELECT doc_id, n, UNNEST(range(0, nw)) AS win_idx FROM nz)
+        |SELECT doc_id, CAST(win_idx AS BIGINT) AS win_idx,
+        |  CAST(win_idx * 48 AS BIGINT) AS win_start,
+        |  CAST(LEAST(n, win_idx * 48 + 64) AS BIGINT) AS win_end,
+        |  CAST(LEAST(n, win_idx * 48 + 64) - win_idx * 48 AS BIGINT) AS win_len
+        |FROM e""".stripMargin,
     "doc_mixture" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         |w AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000),

@@ -26,6 +26,51 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** The dual of packing: split each document's token span into
+    * fixed-size context windows with stride-controlled overlap (the
+    * long-document chunking step for pretraining and retrieval indexing).
+    * Window starts are multiples of `stride`; every token is covered; the
+    * final window is clamped to the document end (so it may be shorter
+    * than `windowSize`); zero-token documents emit no windows.
+    *
+    * Pure relational shape: one narrow pass computes the window count per
+    * document in INTEGER arithmetic (`div`, never `/` — Spark's `/` on
+    * longs is double division and loses exactness past 2^53), then
+    * sequence+explode fans out (doc, window) rows. No shuffle at all.
+    *
+    * @param tokensCol token count per row (any non-negative expression;
+    *                  nulls read as 0 ⇒ no windows)
+    */
+  def slidingWindows(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      windowSize: Long,
+      stride: Long): DataFrame = {
+    require(windowSize > 0, "windowSize must be positive")
+    require(stride > 0 && stride <= windowSize,
+      s"stride must be in [1, windowSize], got $stride")
+    df
+      .select(
+        col(idCol).cast("long").as("id"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("n"))
+      .filter(col("n") > 0)
+      // nw = 1 + ceil((n - W) / S) for n > W, else 1; ceil via
+      // (x + S - 1) div S on longs
+      .withColumn("nw",
+        when(col("n") <= windowSize, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n - ${windowSize}L + ${stride - 1}L) div ${stride}L")))
+      .withColumn("win_idx", explode(sequence(lit(0L), col("nw") - 1)))
+      .select(
+        col("id"),
+        col("win_idx"),
+        (col("win_idx") * stride).as("win_start"),
+        least(col("n"), col("win_idx") * stride + windowSize).as("win_end"),
+        (least(col("n"), col("win_idx") * stride + windowSize)
+          - col("win_idx") * stride).as("win_len"))
+  }
+
   /** @return (id, n_tokens, start_offset, pack_id), one row per input row,
     *         ordered semantics keyed on ascending `idCol`.
     */

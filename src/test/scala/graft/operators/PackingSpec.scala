@@ -6,6 +6,43 @@ import org.apache.spark.sql.expressions.Window
 
 class PackingSpec extends SparkSpec {
 
+  test("slidingWindows: full coverage, clamped tail, overlap, zero-doc exclusion") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 100L), // 64@0, [48,100) tail short
+      (2L, 64L),  // exactly one full window
+      (3L, 10L),  // one short window
+      (4L, 0L)    // no windows
+    ).toDF("doc_id", "toks")
+    val r = Packing.slidingWindows(df, "doc_id", col("toks"), 64L, 48L)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(r.toSeq == Seq(
+      (1L, 0L, 0L, 64L, 64L), (1L, 1L, 48L, 100L, 52L),
+      (2L, 0L, 0L, 64L, 64L),
+      (3L, 0L, 0L, 10L, 10L)))
+    // coverage: every token index of doc 1 falls in >= 1 window
+    val covered = r.filter(_._1 == 1L)
+      .flatMap(t => t._3 until t._4).toSet
+    assert(covered == (0L until 100L).toSet)
+    // validations
+    assertThrows[IllegalArgumentException](
+      Packing.slidingWindows(df, "doc_id", col("toks"), 64L, 65L))
+    assertThrows[IllegalArgumentException](
+      Packing.slidingWindows(df, "doc_id", col("toks"), 0L, 1L))
+  }
+
+  test("slidingWindows boundary: n just past a stride multiple adds exactly one window") {
+    import spark.implicits._
+    // W=8, S=4: n=8 -> 1 window; n=9 -> 2 windows ([0,8),[4,9))
+    val df = Seq((1L, 8L), (2L, 9L), (3L, 12L), (4L, 13L)).toDF("doc_id", "toks")
+    val counts = Packing.slidingWindows(df, "doc_id", col("toks"), 8L, 4L)
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("distributed prefix-sum equals the single-partition window cumsum") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
