@@ -59,8 +59,8 @@ object Packing {
       // (x + S - 1) div S on longs
       .withColumn("nw",
         when(col("n") <= windowSize, lit(1L))
-          .otherwise(lit(1L) +
-            expr(s"(n - ${windowSize}L + ${stride - 1}L) div ${stride}L")))
+          .otherwise(lit(1L) + call_function("div",
+            col("n") - lit(windowSize) + lit(stride - 1L), lit(stride))))
       .withColumn("win_idx", explode(sequence(lit(0L), col("nw") - 1)))
       .select(
         col("id"),

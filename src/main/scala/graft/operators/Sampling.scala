@@ -23,15 +23,39 @@ object Sampling {
     f"${(pct.toLong * 65536L) / 100L}%04x"
   }
 
+  /** The shared membership machinery: first 4 hex digits of md5(key),
+    * with the null guard every sampling op carries. NULL keys fail
+    * loudly — the contract is "membership is a pure function of the
+    * key", and md5(null) = null would otherwise fall through comparisons
+    * silently: a row with no identity has no well-defined membership,
+    * and at corpus scale a silent default turns an upstream extraction
+    * bug into train-set leakage.
+    */
+  private def md5Prefix(keyCol: Column, opName: String): Column =
+    substring(md5(
+      when(keyCol.isNull,
+          raise_error(lit(s"$opName: null sample key — membership must be " +
+            "a pure function of a non-null key")))
+        .otherwise(keyCol.cast("string"))
+        .cast("binary")), 1, 4)
+
+  /** CASE over `strataCol` choosing a per-name 4-hex threshold (or the
+    * "g" keep-all sentinel: every md5 prefix is [0-9a-f]{4} and "g" sorts
+    * after all of them, so the comparison is uniformly true without a
+    * special branch shape). Deterministic fold order by name.
+    */
+  private def thresholdCase(
+      strataCol: Column,
+      byName: Map[String, String],
+      default: String): Column =
+    byName.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (name, thr)) => when(strataCol === name, thr).otherwise(acc)
+    }
+
   /** Annotate rows with a deterministic split label: `holdout` with
     * probability ≈ holdoutPct/100 (exactly floor(pct·65536/100)/65536;
-    * pct=100 ⇒ every row), else `train`.
-    *
-    * NULL keys fail loudly. The contract is "membership is a pure function
-    * of the key", and md5(null) = null would otherwise fall through
-    * `when().otherwise()` into `train` silently — a row with no identity
-    * has no well-defined split, and at corpus scale a silent default turns
-    * an upstream extraction bug into train-set leakage.
+    * pct=100 ⇒ every row), else `train`. Null keys fail loudly (see
+    * [[md5Prefix]]).
     */
   def hashSplit(
       df: DataFrame,
@@ -40,17 +64,11 @@ object Sampling {
       splitCol: String = "split"): DataFrame = {
     require(holdoutPct >= 0 && holdoutPct <= 100,
       s"holdoutPct must be in [0,100], got $holdoutPct")
-    val guardedKey = when(keyCol.isNull,
-        raise_error(lit("hashSplit: null split key — membership must be a " +
-          "pure function of a non-null key")))
-      .otherwise(keyCol.cast("string"))
+    val prefix = md5Prefix(keyCol, "hashSplit")
     val inHoldout =
-      if (holdoutPct == 100) lit(true)
-      else substring(md5(guardedKey.cast("binary")), 1, 4) <
-        lit(thresholdHex(holdoutPct))
-    // pct=100 bypasses the hash, not the null guard
-    df.withColumn(splitCol,
-      when(guardedKey.isNotNull && inHoldout, "holdout").otherwise("train"))
+      if (holdoutPct == 100) prefix.isNotNull // pct=100 keeps the null guard
+      else prefix < lit(thresholdHex(holdoutPct))
+    df.withColumn(splitCol, when(inHoldout, "holdout").otherwise("train"))
   }
 
   /** Per-stratum deterministic sampling — the "rebalance sources" primitive
@@ -61,12 +79,8 @@ object Sampling {
     * and incremental re-runs, and the whole predicate is one codegen'd
     * column expression (no shuffle, no UDF) with an exact SQL mirror.
     *
-    * pct=100 strata use the sentinel threshold "g": every md5 prefix is
-    * [0-9a-f]{4}, and "g" sorts after all of them, so the comparison is
-    * uniformly true without a special-cased branch shape.
-    *
-    * Null keys fail loudly (same contract and rationale as [[hashSplit]]).
-    * Null/unlisted strata use `defaultPct`.
+    * Null keys fail loudly ([[md5Prefix]]); null/unlisted strata use
+    * `defaultPct`; pct=100 uses the keep-all sentinel ([[thresholdCase]]).
     */
   def stratifiedHashSample(
       df: DataFrame,
@@ -78,15 +92,10 @@ object Sampling {
     (defaultPct :: pctByStratum.values.toList).foreach(p =>
       require(p >= 0 && p <= 100, s"pct must be in [0,100], got $p"))
     def thr(pct: Int): String = if (pct == 100) "g" else thresholdHex(pct)
-    val guardedKey = when(keyCol.isNull,
-        raise_error(lit("stratifiedHashSample: null sample key — membership " +
-          "must be a pure function of a non-null key")))
-      .otherwise(keyCol.cast("string"))
-    val threshold = pctByStratum.toSeq.sortBy(_._1).foldLeft(lit(thr(defaultPct))) {
-      case (acc, (stratum, pct)) => when(strataCol === stratum, thr(pct)).otherwise(acc)
-    }
     df.withColumn(keepCol,
-      substring(md5(guardedKey.cast("binary")), 1, 4) < threshold)
+      md5Prefix(keyCol, "stratifiedHashSample") <
+        thresholdCase(strataCol, pctByStratum.map { case (s, p) => s -> thr(p) },
+          thr(defaultPct)))
   }
 
   /** Dataset mixture composition — "make the corpus 40% src0, 30% src1,
@@ -135,19 +144,12 @@ object Sampling {
     val n = weightsBp.map { case (s, w) => counts(s) * 10000L / w }.min
     val thresholds = weightsBp.map { case (s, w) =>
       val target = n * w / 10000L
-      s -> math.min(65536L, target * 65536L / counts(s))
-    }
-    def hex(v: Long): String = if (v >= 65536L) "g" else f"$v%04x"
-
-    val guardedKey = when(keyCol.isNull,
-        raise_error(lit("composeMixture: null sample key — membership must " +
-          "be a pure function of a non-null key")))
-      .otherwise(keyCol.cast("string"))
-    val threshold = thresholds.toSeq.sortBy(_._1).foldLeft(lit("0000")) {
-      case (acc, (s, thr)) => when(sourceCol === s, hex(thr)).otherwise(acc)
+      val thr = math.min(65536L, target * 65536L / counts(s))
+      s -> (if (thr >= 65536L) "g" else f"$thr%04x")
     }
     df.withColumn(keepCol,
-      substring(md5(guardedKey.cast("binary")), 1, 4) < threshold)
+      md5Prefix(keyCol, "composeMixture") <
+        thresholdCase(sourceCol, thresholds, default = "0000"))
   }
 
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */

@@ -43,12 +43,17 @@ object TextSearch {
     require(topK >= 1, "topK must be >= 1")
     val toks = filter(split(lower(coalesce(col(textCol), lit(""))), " "),
       x => x =!= lit(""))
+    // tokenize ONCE: the stats pass and the scoring pass both read the
+    // materialized narrow (doc_id, dl, tf*) relation (~tens of bytes per
+    // document) instead of re-scanning and re-tokenizing the corpus;
+    // localCheckpoint blocks are GC-reclaimed with the plan
     val withTf = docs.select(
       col(idCol).cast("long").as("doc_id") +:
         size(toks).as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(toks, x => x === lit(t))).as(s"tf_$i")
         }: _*)
+      .localCheckpoint(true)
 
     // corpus stats: one aggregation, one driver row, embedded as literals
     val statAggs =

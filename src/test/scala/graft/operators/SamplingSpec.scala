@@ -126,7 +126,7 @@ class SamplingSpec extends SparkSpec {
       }
       def msgs(t: Throwable): Seq[String] =
         Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-      assert(msgs(e).exists(_.contains("null split key")), s"pct=$pct: $e")
+      assert(msgs(e).exists(_.contains("null sample key")), s"pct=$pct: $e")
     }
     // non-null rows are unaffected
     val ok = Sampling.hashSplit(df.filter(col("id").isNotNull), col("id"), 10)
