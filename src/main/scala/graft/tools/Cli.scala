@@ -12,6 +12,7 @@ import java.nio.file.{Files, Paths}
   *   sbt "runMain graft.tools.Cli stats DIR [OUTDIR]"       (de stats)
   *   sbt "runMain graft.tools.Cli synthetic SCHEMA_JSON [OUTDIR]"
   *   sbt "runMain graft.tools.Cli page-chunks FILE..."      (de page-chunks)
+  *   sbt "runMain graft.tools.Cli profile TABLE.parquet"    (column profile)
   *   sbt "runMain graft.tools.Cli viz FILE... OUT.png"      (provenance strip)
   */
 object Cli {
@@ -141,6 +142,17 @@ object Cli {
         .orderBy("bucket").show(100, truncate = false)
       spark.stop()
 
+    case "profile" :: file :: Nil =>
+      // accept-this-table gate: per-column nulls/distincts/min/max in one
+      // aggregation job (HLL distincts — the scale mode; Verify's oracled
+      // table_profile query covers the exact mode)
+      val spark = session()
+      graft.operators.Profiler
+        .profile(spark.read.parquet(file), exactDistinct = false)
+        .orderBy("column_name")
+        .show(1000, false)
+      spark.stop()
+
     case "curate" :: file :: Nil =>
       val spark = session()
       val docs = spark.read.parquet(file)
@@ -211,6 +223,7 @@ object Cli {
            |  revisions FILE TARGET_DIR
            |  param-impact FILE --row-group-size|--data-page-size
            |  page-chunks FILE...
+           |  profile TABLE.parquet
            |  curate DOCUMENTS.parquet
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
