@@ -187,6 +187,22 @@ object Queries {
         sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
   }
 
+  /** Arbitrary GROUPING SETS (beyond q10's ROLLUP chain): per-dimension
+    * marginals + the full cross + the grand total in ONE aggregation pass
+    * (Catalyst's Expand, one shuffle — not four separate jobs unioned).
+    * Aggregated-away dimensions surface as NULLs, the same comparison
+    * contract q10 already established.
+    */
+  private def q18GroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "events").createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10),
+        |  (event_type, user_id % 10), ())""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
@@ -716,6 +732,7 @@ object Queries {
     "stream_dedup" -> (streamDedup _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
+    "q18_grouping_sets" -> (q18GroupingSets _),
     "mm_enrich" -> (mmEnrich _),
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _)
@@ -921,6 +938,12 @@ object Queries {
              |FROM base""".stripMargin)
         .mkString(s"WITH $base\n", "\nUNION ALL\n", "")
     },
+    "q18_grouping_sets" ->
+      """SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10),
+        |  (event_type, user_id % 10), ())""".stripMargin,
     "q17_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
