@@ -35,15 +35,29 @@ object Boilerplate {
       maxDocFreq: Long = 1L): DataFrame = {
     require(width >= 1, "passage width must be >= 1")
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
-    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val nPass = floor((size(words) + lit(width - 1)).cast("double") / width)
-      .cast("int")
-    val passages = transform(sequence(lit(0), nPass - 1),
-      i => array_join(slice(words, i * width + 1, lit(width)), " "))
+    // The passage split is a TYPED KERNEL, not a column-expression chain:
+    // the expression form (posexplode over transform(sequence, i =>
+    // array_join(slice(words, …)))) re-evaluates the `words` subtree —
+    // the full split(lower(text)) — inside the lambda body once PER
+    // PASSAGE, turning the split into O(passages × words) per document
+    // (the same higher-order-function pathology gramRows documents).
+    // The kernel splits once per document; semantics are identical to
+    // split(lower(text), " ") with empties dropped, fixed-width grouping,
+    // space-rejoin — the cell-exact SQL oracle is unchanged.
+    val session = df.sparkSession
+    import session.implicits._
     val p = df
-      .filter(size(words) > 0)
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(passages).as(Seq("pos", "ptext")))
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val ws = text.toLowerCase.split(" ").iterator.filter(_.nonEmpty)
+          ws.grouped(width).zipWithIndex
+            .map { case (chunk, i) => (id, i, chunk.mkString(" ")) }
+        }
+      }
+      .toDF("id", "pos", "ptext")
     val pdf = p.groupBy(col("ptext"))
       .agg(countDistinct(col("id")).as("pdf"))
     p.join(pdf, "ptext")

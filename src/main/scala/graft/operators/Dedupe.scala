@@ -341,7 +341,8 @@ object Dedupe {
       textCol: String,
       k: Int = 3,
       threshold: Double = 0.5,
-      maxGramFreq: Long = Long.MaxValue): DataFrame = {
+      maxGramFreq: Long = Long.MaxValue,
+      usePrefixFilter: Boolean = false): DataFrame = {
     // Grams are IDENTIFIED BY HASH from the start: each distinct word
     // k-gram string hashes to one xxh64 value — hash equality equals
     // gram-string equality modulo 2^-64 collisions (immaterial); short
@@ -357,36 +358,49 @@ object Dedupe {
     // its generated code takes seconds to janino-compile per executor. The
     // kernel is one tight loop per document, no Generate node at all.
     //
-    // THREE shuffle stages, each spill-safe:
-    //   1. the exploded (id, n_grams, gram) relation shuffles on gram for
-    //      the self-join — Spark's ReusedExchange serves both join sides
-    //      from one shuffle write. Set size travels WITH the doc id, so no
-    //      separate sizes aggregate and no final size joins.
-    //   2. the gram-keyed self-join streams |bucket|² candidates per gram
-    //      through the join's spillable key buffer — a hot gram degrades
-    //      to a slow task, never an OOM (a collect_list inverted index
-    //      would materialize the hot bucket as ONE in-memory array row).
-    //   3. groupBy(id_a, id_b) counts shared grams per candidate pair.
-    // `maxGramFreq` drops over-hot grams (stopword-like, each contributing
-    // df² candidates) before the quadratic step — the prune pays its own
-    // aggregate only when a cap is actually set; n_grams stays the FULL
-    // distinct-gram count, so a capped run still estimates true Jaccard
-    // and only loses pairs whose entire overlap is hot grams.
+    // TWO candidate-generation strategies, identical output (asserted by
+    // DedupeSpec's path-equivalence test AND the driver's DuckDB oracle):
+    //
+    // DEFAULT (usePrefixFilter = false) — direct gram self-join. The
+    // exploded (id, n_grams, gram) relation shuffles ONCE on gram and
+    // Spark's ReusedExchange serves both join sides; each gram bucket
+    // streams |bucket|² candidates through the join's spillable buffer
+    // (a hot gram degrades to a slow task, never an OOM), and one
+    // pair-keyed count finishes the job. Cost is Σ_g df(g)² — the right
+    // choice whenever the df distribution is benign (natural corpora
+    // after `maxGramFreq`: the cap drops stopword-like grams and is the
+    // hard guardrail).
+    //
+    // OPTION (usePrefixFilter = true) — the public All-Pairs / PPJoin
+    // prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08): order
+    // each document's grams by ascending global document frequency
+    // (ties by gram value — a total order) and join only the prefix a
+    // qualifying pair MUST share. J(A,B) ≥ t forces overlap
+    // c ≥ ⌈t·|A|⌉, and the smallest common gram (global order) sits
+    // within the first |A| − c + 1 grams of A, so prefixes of length
+    // |A| − ⌈t·|A|⌉ + 1 lose nothing; hot grams sort to the END of
+    // every document and never enter a prefix, collapsing the Σ df²
+    // term to the rare-gram buckets. Float safety: the required overlap
+    // relaxes to floor(t·|A|) — prefixes only ever come out LONGER than
+    // necessary, so exactness survives rounding either way. The exact
+    // intersection is then re-derived over ALL (capped) grams for the
+    // few candidates: cand ⋈ grams(A) on id_a (AQE broadcasts the tiny
+    // cand side), ⋈ grams(B) on (id_b, gram), one pair-keyed count.
+    // Costs ~4 extra stages of fixed overhead (df join, rank window,
+    // distinct, second verify join) — measurably SLOWER on benign
+    // corpora (5000-doc bench: 8.6 s vs 3.9 s) and asymptotically
+    // faster only when hot grams dominate; flip it on for skewed/
+    // adversarial gram distributions at scale.
+    //
+    // In BOTH paths `maxGramFreq` drops over-hot grams before the
+    // quadratic step while n_grams keeps the FULL distinct count, so a
+    // capped run still estimates true Jaccard and only loses pairs
+    // whose entire overlap is hot grams.
     val gsetsAll = gramRows(df, col(idCol), col(textCol), k)
-    val gsets =
-      if (maxGramFreq == Long.MaxValue) gsetsAll
-      else gsetsAll.join(
-        gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-          .filter(col("gram_df") <= maxGramFreq).select(col("gram")),
-        "gram")
+
     // containment (|A∩B|/|A|) catches "B embeds A" pairs whose Jaccard is
     // diluted by the larger doc — the asymmetric signal dedup policies use
-    val result = gsets.as("l")
-      .join(gsets.as("r"),
-        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"),
-        first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb"))
+    def finish(pairCounts: DataFrame): DataFrame = pairCounts
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")).cast("double"))
       .withColumn("containment_a", col("n_common").cast("double") / col("na").cast("double"))
@@ -394,9 +408,58 @@ object Dedupe {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         col("containment_a"), col("containment_b"))
-      .cache()
-    result.count()
-    result
+
+    if (!usePrefixFilter) {
+      val gsets =
+        if (maxGramFreq == Long.MaxValue) gsetsAll
+        else gsetsAll.join(
+          gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+            .filter(col("gram_df") <= maxGramFreq).select(col("gram")),
+          "gram")
+      val result = finish(gsets.as("l")
+        .join(gsets.as("r"),
+          col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb")))
+        .cache()
+      result.count()
+      result
+    } else {
+      // persisted ONCE: the gram kernel + df join feeds four consumers
+      // (both prefix-join sides and both verify-join sides); released
+      // before returning — `result` is already cached
+      val gramDf = gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+      val withDf = gsetsAll
+        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byId = Window.partitionBy(col("id"))
+      val prefix = withDf
+        .withColumn("rank",
+          row_number().over(byId.orderBy(col("gram_df"), col("gram"))))
+        .withColumn("n_capped", count(lit(1)).over(byId))
+        .filter(col("rank") <=
+          col("n_capped") - floor(lit(threshold) * col("n_grams")) + lit(1))
+        .select(col("id"), col("gram"))
+      val cand = prefix.as("l")
+        .join(prefix.as("r"),
+          col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val gsets = withDf.select(col("id"), col("n_grams"), col("gram"))
+      val result = finish(cand
+        .join(gsets.select(col("id").as("id_a"), col("n_grams").as("na"),
+          col("gram")), "id_a")
+        .join(gsets.select(col("id").as("id_b"), col("n_grams").as("nb"),
+          col("gram")), Seq("id_b", "gram"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
+          first(col("nb")).as("nb")))
+        .cache()
+      result.count()
+      withDf.unpersist()
+      result
+    }
   }
 
   // --------------------------------------------------------------- simhash

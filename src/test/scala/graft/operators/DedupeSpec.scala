@@ -62,6 +62,32 @@ class DedupeSpec extends SparkSpec {
     assert(pruned.count() == 0)
   }
 
+  test("ngramJaccardPairs: prefix-filtered path is output-identical") {
+    import spark.implicits._
+    // corpus engineered with HOT grams (a shared boilerplate tail on every
+    // doc — the distribution the prefix filter exists for) plus exact and
+    // partial overlaps, odd sizes, and a sub-threshold pair
+    val boiler = "copyright footer all rights reserved contact us terms"
+    val docs = (0L until 30L).map { i =>
+      val body =
+        if (i % 7 == 0) "identical body shared by the septuple group here"
+        else s"unique body number $i with words w${i}a w${i}b w${i}c w${i}d"
+      (i, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    def run(prefix: Boolean, cap: Long) = Dedupe
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3,
+        maxGramFreq = cap, usePrefixFilter = prefix)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    for (cap <- Seq(Long.MaxValue, 10L)) {
+      val plain = run(prefix = false, cap)
+      val filtered = run(prefix = true, cap)
+      assert(plain.nonEmpty, "test corpus must produce pairs")
+      assert(filtered == plain, s"paths diverge at cap=$cap")
+    }
+  }
+
   test("duplicateClusters: transitive chains collapse to the min-id cluster") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
