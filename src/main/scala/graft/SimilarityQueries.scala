@@ -118,7 +118,19 @@ object SimilarityQueries {
       .toDF("id_a", "id_b", "dot_scaled", "norm2_a", "norm2_b")
   }
 
+  /** SemDeDup (Abbas et al. 2023) over the embeddings table: coarse
+    * k-means clusters, within-cluster cosine pruning. The trained
+    * assignment persists as a side table; the oracle re-derives the
+    * within-cluster pairs, the float cosine (bit-identical list_sum
+    * accumulation), and the min-partner canonical labels from it.
+    */
+  private def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedup(emb(spark, sfDir), "vec_id", "embedding",
+      threshold = 0.4, numCentroids = 8,
+      assignSink = df => Queries.oracleSide(spark, sfDir, "sem_assign", df))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "semantic_dedup" -> semDedup _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "emb_neardup" -> nearDups _,
@@ -151,6 +163,22 @@ object SimilarityQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "semantic_dedup" ->
+      s"""WITH a AS (
+        |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("sem_assign")}')),
+        |p AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |    ${cosineSql("ex.embedding", "ey.embedding")} AS cosine
+        |  FROM a x JOIN a y ON x.bucket = y.bucket AND x.id < y.id
+        |  JOIN embeddings ex ON ex.vec_id = x.id
+        |  JOIN embeddings ey ON ey.vec_id = y.id),
+        |d AS (
+        |  SELECT id_b AS id, MIN(id_a) AS dup_of
+        |  FROM p WHERE cosine >= 0.4 GROUP BY id_b)
+        |SELECT a.id, CAST(a.bucket AS BIGINT) AS bucket,
+        |  COALESCE(d.dup_of, a.id) AS canonical_id,
+        |  d.dup_of IS NOT NULL AS is_dup
+        |FROM a LEFT JOIN d USING (id)""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH c AS (
         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

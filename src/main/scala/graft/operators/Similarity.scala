@@ -175,6 +175,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** SemDeDup — semantic deduplication (public method: Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus with a coarse k-means quantizer,
+    * then compare embeddings ONLY within their cluster and mark every
+    * vector whose cosine to a lower-id cluster member reaches `threshold`
+    * as a semantic duplicate of its smallest such partner. Cross-cluster
+    * near-dups are missed by design — that locality is exactly what makes
+    * the method linear-ish instead of all-pairs at web scale.
+    *
+    * Scale shape: the quantizer trains on a driver-side sample (tiny);
+    * assignment is one narrow pass; the within-cluster self-join shuffles
+    * on bucket ONCE (ReusedExchange serves both sides) and streams
+    * |bucket|² candidate rows through the join's spillable buffer — with
+    * k ∝ corpus/constant the expected bucket stays bounded, and a skewed
+    * bucket degrades to a slow task, never an OOM. The pair kernel
+    * accumulates cosine in fixed left-to-right Double order (DuckDB
+    * list_sum parity — the oracle is cell-exact on the float path).
+    *
+    * @param assignSink hook over the (bucket, id, vec) assignment (the
+    *   catalog persists it so the oracle re-derives everything downstream
+    *   of the trained quantizer)
+    * @return (id, bucket, canonical_id, is_dup): canonical_id = smallest
+    *   same-bucket partner with cosine ≥ threshold (id itself when none —
+    *   the exactDuplicates output contract)
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCentroids: Int = 16,
+      sampleSize: Int = 2000,
+      seed: Long = 42L,
+      assignSink: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val sample = base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+    val bcCentroids =
+      spark.sparkContext.broadcast(kmeansLite(sample, numCentroids, iters = 5, seed))
+    val assigned = assignSink(base
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cs = bcCentroids.value
+        var best = 0; var bestD = Double.MinValue; var i = 0
+        while (i < cs.length) {
+          val d = dot(v, cs(i)) / math.max(norm(cs(i)), 1e-12)
+          if (d > bestD) { bestD = d; best = i }
+          i += 1
+        }
+        (best, id, v)
+      }
+      .toDF("bucket", "id", "vec"))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id"), col("a.vec"), col("b.id"), col("b.vec"))
+      .as[(Long, Array[Float], Long, Array[Float])]
+      .map { case (ia, va, ib, vb) => (ia, ib, cosine(va, vb)) }
+      .toDF("id_a", "id_b", "cosine")
+      .filter(col("cosine") >= threshold)
+    assigned.as("m")
+      .join(pairs.groupBy(col("id_b").as("id"))
+        .agg(min(col("id_a")).as("dup_of")), Seq("id"), "left")
+      .select(col("id"), col("bucket").cast("long").as("bucket"),
+        coalesce(col("dup_of"), col("id")).as("canonical_id"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   private[operators] def kmeansLite(
       sample: Array[Array[Float]],
       k: Int,

@@ -76,6 +76,27 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("semanticDedup: planted near-identical vectors collapse to min id") {
+    import spark.implicits._
+    val rng = new java.util.Random(13)
+    val base = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    // 100/101 duplicate vector 5 (tiny jitter): same cluster, cosine ≈ 1
+    def jitter(v: Array[Float], eps: Float) = v.map(_ + eps)
+    val planted = Seq((100L, jitter(base(5)._2, 1e-4f)), (101L, jitter(base(5)._2, 2e-4f)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val r = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.95, numCentroids = 4)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3)))
+      .toMap
+    assert(r.size == 62, "one row per vector")
+    assert(r(100L) == ((5L, true)), s"100 should dup onto 5: ${r(100L)}")
+    assert(r(101L) == ((5L, true)), s"101 should dup onto 5: ${r(101L)}")
+    assert(r(5L) == ((5L, false)), "the canonical keeps itself")
+    // random 16-dim vectors essentially never reach cosine 0.95
+    assert(r.count(_._2._2) == 2, "only the planted dups are marked")
+  }
+
   test("kmeansLite is deterministic under seed") {
     val rng = new java.util.Random(3)
     val sample = Array.fill(50)(Array.fill(8)(rng.nextFloat()))
