@@ -422,6 +422,31 @@ object Queries {
     spark.createDataset(results).toDF()
   }
 
+  /** Format-grid comparison over REAL table data (documents) including the
+    * ORC sink: the same row set written as parquet / ORC / jsonlines, with
+    * an overlapping table pair per group ("all" vs the even half), so the
+    * grid shows how each format's framing preserves cross-file dedup of
+    * shared content. Same estimator machinery and oracle shape as
+    * synthetic_grid, on fmt_-prefixed side tables.
+    */
+  private def formatCompare(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.TableFormat
+    val docs = t(spark, sfDir, "documents")
+    val tables = Map("docs" -> Map(
+      "all" -> docs,
+      "even" -> docs.filter(col("doc_id") % 2 === 0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt")
+    cleanupOnExit(dir)
+    val results = CompareFormats.compareTables(
+      spark, tables,
+      Seq(TableFormat.ParquetFormat("none"), TableFormat.OrcFormat("none"),
+        TableFormat.JsonLinesFormat(None)),
+      dir, sanityCheck = false,
+      sideSink = Some((name, df) => oracleSide(spark, sfDir, s"fmt_$name", df)))
+    spark.createDataset(results).toDF()
+  }
+
   /** Logical-CDC writer mode (SURVEY §7.1(b)): the reference's CDC-aware
     * parquet writer aligns page boundaries with content-defined chunks; we
     * reproduce its EFFECT at read time by chunking the uncompressed
@@ -562,6 +587,28 @@ object Queries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_matches"),
         countDistinct(col("event_id")).as("n_events"))
+  }
+
+  /** Salted skew join surfaced as a catalog query: the events fact is
+    * salted per-row on event_id, the customer dim is replicated across 8
+    * salt buckets, and the join runs (key, salt)-keyed — the explicit
+    * hot-key mitigation (SkewJoin's scaladoc) whose result is provably
+    * salt-invariant, so the oracle is the PLAIN SQL join. The double
+    * `value` sum is quantized to integer thousandths on both sides
+    * (the ann_dot_exact technique) so aggregation order can't smear the
+    * comparison.
+    */
+  private def q19SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = t(spark, sfDir, "events")
+    val customer = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    SkewJoin
+      .saltedJoin(events, customer,
+        leftKey = col("user_id"), rightKey = col("c_custkey"),
+        saltSource = col("event_id"), buckets = 8)
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000 + 0.5).cast("long")).as("value_scaled"))
   }
 
   /** Stateful sessionization surfaced as a catalog query: the
@@ -721,9 +768,11 @@ object Queries {
     "q14_percentiles" -> q14Percentiles _,
     "q15_bucketed_join" -> q15BucketedJoin _,
     "q16_interval_join" -> q16IntervalJoin _,
+    "q19_salted_join" -> (q19SaltedJoin _),
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
+    "format_compare" -> (formatCompare _),
     "page_profile" -> (pageProfile _),
     "rowgroup_profile" -> (rowgroupProfile _),
     "cdc_estimate_approx" -> (cdcEstimateApprox _),
@@ -830,6 +879,12 @@ object Queries {
         |  AND epoch_us(e.ts) >= a.start_us
         |  AND epoch_us(e.ts) <= a.start_us + 86400000000
         |GROUP BY e.event_type""".stripMargin,
+    "q19_salted_join" ->
+      """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(CAST(e.value AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS value_scaled
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_mktsegment, e.event_type""".stripMargin,
     "stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
@@ -1021,6 +1076,31 @@ object Queries {
         |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
         |    SELECT "group", format, hash, MIN(size) AS size
         |    FROM read_parquet('${oracleSidePath("grid_chunks_xet")}')
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
+        |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
+        |  mm.compressed_chunk_bytes,
+        |  CAST(mm.chunk_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS dedup_ratio,
+        |  x.xet_bytes,
+        |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
+        |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin,
+    "format_compare" ->
+      s"""WITH nf AS (
+        |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles
+        |  FROM read_parquet('${oracleSidePath("fmt_grid_tags")}') GROUP BY 1, 2),
+        |per AS (
+        |  SELECT "group", format, hash, MIN(size) AS size,
+        |    MIN(compressed) AS compressed, SUM(size) AS occ_bytes
+        |  FROM read_parquet('${oracleSidePath("fmt_grid_chunks_default")}')
+        |  GROUP BY 1, 2, 3),
+        |mm AS (
+        |  SELECT "group", format, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+        |    CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+        |    CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+        |  FROM per GROUP BY 1, 2),
+        |x AS (
+        |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
+        |    SELECT "group", format, hash, MIN(size) AS size
+        |    FROM read_parquet('${oracleSidePath("fmt_grid_chunks_xet")}')
         |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
         |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
         |  mm.compressed_chunk_bytes,

@@ -55,6 +55,7 @@ object CompareFormats {
       paths: Seq[String]): Unit = {
     val back = fmt match {
       case _: TableFormat.ParquetFormat => Some(spark.read.parquet(paths: _*))
+      case _: TableFormat.OrcFormat => Some(spark.read.orc(paths: _*))
       case _: TableFormat.JsonLinesFormat => Some(spark.read.json(paths: _*))
       case _ => None // CSV round-trip loses types; count-only below
     }

@@ -145,6 +145,23 @@ object TableFormat {
     }
   }
 
+  /** ORC sink — the other columnar format Spark ships natively; rounds
+    * out the estimator's format grid (the reference is parquet-only, but
+    * dedup-friendliness comparisons are exactly what the grid is FOR, and
+    * ORC's stripe framing dedups differently from parquet's row groups).
+    */
+  final case class OrcFormat(
+      compression: String = "snappy",
+      singleFile: Boolean = true) extends TableFormat {
+    def name: String = s"orc-$compression"
+    def write(df: DataFrame, directory: Path, group: String, table: String): Seq[String] = {
+      val dir = targetDir(directory, group, name)
+      writeAndCollect(df, dir, table, ".orc", singleFile) { (d, path) =>
+        d.write.mode("overwrite").option("compression", compression).orc(path)
+      }
+    }
+  }
+
   /** CSV sink — offline stand-in for the reference's SQLite sink (S7). */
   final case class CsvFormat(singleFile: Boolean = true) extends TableFormat {
     def name: String = "csv"

@@ -21,6 +21,17 @@ class FormatsSpec extends SparkSpec {
     assert(back.columns.toSet == df.columns.toSet)
   }
 
+  test("orc writer round-trips and respects naming") {
+    val df = gen.generate(spark, 100)
+    val dir = Files.createTempDirectory("graft-fmt")
+    val paths = TableFormat.OrcFormat("none").write(df, dir, "g1", "t1")
+    assert(paths.size == 1)
+    assert(paths.head.endsWith("g1/orc-none/t1.orc"))
+    val back = spark.read.orc(paths.head)
+    assert(back.count() == 100)
+    assert(back.columns.toSet == df.columns.toSet)
+  }
+
   test("jsonlines writer writes newline-delimited json") {
     val df = gen.generate(spark, 50)
     val dir = Files.createTempDirectory("graft-fmt")
