@@ -562,6 +562,16 @@ object Queries {
     graft.streaming.EventStream.runDedupOnce(spark, s"$sfDir/events.parquet", name)
   }
 
+  /** Stream-stream watermarked join (EventStream.attributionJoin) run as a
+    * real streaming query; the two-sided time-range bound is what keeps
+    * the join state finite. Oracle = the plain batch self-join.
+    */
+  private def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"evt_join_${math.abs(sfDir.hashCode)}"
+    graft.streaming.EventStream.runAttributionOnce(
+      spark, s"$sfDir/events.parquet", name)
+  }
+
   /** Interval (range) join via the binned decomposition (RangeJoin): each
     * purchase event anchors a 24-hour follow-up window; every event of the
     * same user inside [anchor, anchor+24h] matches — the attribution-
@@ -779,6 +789,7 @@ object Queries {
     "stream_window" -> (streamWindow _),
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
+    "stream_join" -> (streamJoin _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
@@ -879,6 +890,13 @@ object Queries {
         |  AND epoch_us(e.ts) >= a.start_us
         |  AND epoch_us(e.ts) <= a.start_us + 86400000000
         |GROUP BY e.event_type""".stripMargin,
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
+        |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000""".stripMargin,
     "q19_salted_join" ->
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(FLOOR(CAST(e.value AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)

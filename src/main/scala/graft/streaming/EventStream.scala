@@ -126,6 +126,45 @@ object EventStream {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
 
+  /** STREAM-STREAM inner join — the attribution query ("purchase within
+    * an hour of a click by the same user") as a watermarked self-join of
+    * the event stream. Both sides carry a watermark and the join carries
+    * a two-sided event-time range, which is exactly what lets Spark bound
+    * the join state: a buffered click can be evicted once the purchase
+    * watermark passes click_time + 1 h, and a buffered purchase once the
+    * click watermark passes purchase_time. Without the time bounds the
+    * state store would grow forever — the range predicate IS the memory
+    * contract, not just the semantics.
+    *
+    * Output is append-mode matches (user_id, click_id, purchase_id) —
+    * pure BIGINTs, so the batch oracle is the plain SQL self-join.
+    */
+  def attributionJoin(stream: DataFrame, watermark: String = "2 hours"): DataFrame = {
+    val clicks = withEventTime(stream)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("event_time").as("click_time"))
+      .withWatermark("click_time", watermark)
+    val purchases = withEventTime(stream)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("purchase_time"))
+      .withWatermark("purchase_time", watermark)
+    clicks
+      .join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_time") >= col("click_time") &&
+          col("purchase_time") <= col("click_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  /** Run [[attributionJoin]] over a finite parquet input as a real
+    * streaming query (two branches of one file source, stream-stream join
+    * state store, append-mode memory sink).
+    */
+  def runAttributionOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runToMemory(spark, dir, queryName, attributionJoin(_), OutputMode.Append())
+
   /** Run [[dedupKeys]] over a finite parquet input as a real streaming
     * query (file source, state store, append-mode memory sink).
     */

@@ -23,6 +23,26 @@ class EventStreamSpec extends SparkSpec {
     assert(result.toSet == batch.toSet)
   }
 
+  test("stream-stream attribution join matches the batch self-join") {
+    val result = EventStream
+      .runAttributionOnce(spark, sf() + "/events.parquet", "evt_attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+      .withColumn("t_us", expr("ts div 1000"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("ct"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+        col("t_us").as("pt"))
+    val batch = clicks.join(purchases,
+        col("user_id") === col("pu") && col("pt") >= col("ct") &&
+          col("pt") <= col("ct") + lit(3600000000L))
+      .select("user_id", "click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(result.nonEmpty, "attribution join found no pairs in test data")
+    assert(result == batch)
+  }
+
   test("watermark-bounded dedup drops close duplicates (state-evicting mode)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
