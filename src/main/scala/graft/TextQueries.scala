@@ -108,6 +108,17 @@ object TextQueries {
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
         element_at(col("fp"), 1).as("min_fingerprint"))
 
+  /** Substring-duplication candidates: doc pairs sharing ≥ 15 winnowing
+    * fingerprints (full recall on shared substrings ≥ 23 chars — the
+    * suffix-array-dedup stand-in). The exploded fingerprint relation
+    * persists for the oracle; the fingerprint GENERATOR itself is verified
+    * in pure SQL by doc_fingerprint's winnowing oracle.
+    */
+  private def substringDup(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.sharedFingerprintPairs(docs(spark, sfDir), "doc_id", "text",
+      minShared = 15L,
+      fpSink = df => Queries.oracleSide(spark, sfDir, "fp_rel", df))
+
   private def qualityFull(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis
       .qualityScore(docs(spark, sfDir))
@@ -389,6 +400,7 @@ object TextQueries {
     "text_quality_full" -> qualityFull _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
+    "substring_dup" -> substringDup _,
     "doc_cdc" -> docCdc _
   )
 
@@ -671,6 +683,13 @@ object TextQueries {
     // deque sliding minimum (ties → rightmost) equals MIN over a composite
     // key (order-preserving unsigned hash) · 2^32 + (2^32-1 − position),
     // recorded whenever the minimum's POSITION changes (classic winnowing).
+    "substring_dup" ->
+      s"""WITH f AS (
+        |  SELECT DISTINCT doc_id, fp
+        |  FROM read_parquet('${Queries.oracleSidePath("fp_rel")}'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fp
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 15""".stripMargin,
     "doc_fingerprint" ->
       """WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
         |pos AS (

@@ -142,6 +142,49 @@ object TextAnalysis {
 
   def fingerprint(text: Column): Column = fingerprintUdf(text)
 
+  /** Substring-duplication candidates via shared winnowing fingerprints —
+    * the scalable stand-in for exact suffix-array substring dedup (Lee et
+    * al. 2022's dedup target, reached with Schleimer et al.'s winnowing
+    * guarantee): any two documents sharing a substring of at least
+    * window + k − 1 = 23 chars share at least one fingerprint, so the
+    * fingerprint join has FULL RECALL on long shared spans; `minShared`
+    * trims coincidental single-hash matches.
+    *
+    * Shape: explode (doc, fp) — sub-linear in text length (winnowing keeps
+    * ~2/window of positions) — one fp-keyed self-join (ReusedExchange
+    * serves both sides; a hot boilerplate fingerprint streams through the
+    * join's spillable buffer), one pair-keyed count. `maxFpFreq` is the
+    * hot-fingerprint guardrail at scale, same contract as
+    * ngramJaccardPairs' maxGramFreq.
+    *
+    * @param fpSink hook over the exploded (doc_id, fp) relation (the
+    *   catalog persists it for the DuckDB oracle)
+    */
+  def sharedFingerprintPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minShared: Long = 2L,
+      maxFpFreq: Long = Long.MaxValue,
+      fpSink: DataFrame => DataFrame = identity): DataFrame = {
+    val rel0 = fpSink(df
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(fingerprint(col(textCol))).as("fp"))
+      .distinct())
+    val rel =
+      if (maxFpFreq == Long.MaxValue) rel0
+      else rel0.join(
+        rel0.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
+          .filter(col("fp_df") <= maxFpFreq).select(col("fp")),
+        "fp")
+    rel.as("a")
+      .join(rel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Top characteristic terms per group (source/domain) by TF-ICF: term
     * frequency within the group × inverse collection frequency (number of
     * groups containing the term). The idf-style weight uses PURE DIVISION

@@ -72,6 +72,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) != fps(2))
   }
 
+  test("sharedFingerprintPairs: long shared substring pairs docs; strangers don't") {
+    import spark.implicits._
+    val shared = "this exact long passage appears verbatim inside both documents " * 3
+    val df = Seq(
+      (1L, s"first doc header $shared first doc tail"),
+      (2L, s"second doc opener $shared and a different ending entirely"),
+      (3L, "completely unrelated text with no overlap whatsoever to speak of"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val pairs = TextAnalysis
+      .sharedFingerprintPairs(df, "doc_id", "text", minShared = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // hot-fingerprint cap drops the shared passage's fingerprints entirely
+    val capped = TextAnalysis
+      .sharedFingerprintPairs(df, "doc_id", "text", minShared = 1L, maxFpFreq = 1L)
+      .count()
+    assert(capped == 0)
+  }
+
   test("topTermsPerGroup ranks group-characteristic terms above shared ones") {
     import spark.implicits._
     val df = Seq(
