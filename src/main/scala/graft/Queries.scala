@@ -306,6 +306,22 @@ object Queries {
         count(lit(1)).as("n_lineitems"))
   }
 
+  /** Left outer join + two-level aggregate: order-count histogram over
+    * customers INCLUDING the zero-order ones the inner join would drop —
+    * the join type the catalog otherwise lacks. count(o_orderkey) counts
+    * matched rows only (nulls excluded), so childless customers land in
+    * the 0 bucket.
+    */
+  private def q20OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = t(spark, sfDir, "customer")
+    val o = t(spark, sfDir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
   // ------------------------------------------------------ order / windows
 
   /** O4/top-k: top 10 orders by total price with a unique tiebreaker. */
@@ -469,8 +485,18 @@ object Queries {
     // dictionary ids for later-first-seen values, or the logical stream
     // diverges after the edit for reasons unrelated to the edit itself
     val fmt = TableFormat.ParquetFormat("gzip", useDictionary = false)
-    val files = Seq("original", "inserted")
-      .flatMap(v => fmt.write(tables(v), dir, "cdc", v))
+    // the two single-task gzip writes are independent Spark jobs — submit
+    // concurrently (CompareFormats' write discipline); sequence preserves
+    // path order, which file_idx depends on
+    val files = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence(Seq("original", "inserted")
+          .map(v => Future(fmt.write(tables(v), dir, "cdc", v)))),
+        Duration.Inf).flatten
+    }
     val params = graft.cdc.ChunkerParams(
       mask = -1L << (64 - 9), minLen = 64, maxLen = 16 * 1024)
     val physical = oracleSide(spark, sfDir, "logical_phys_chunks",
@@ -779,6 +805,7 @@ object Queries {
     "q15_bucketed_join" -> q15BucketedJoin _,
     "q16_interval_join" -> q16IntervalJoin _,
     "q19_salted_join" -> (q19SaltedJoin _),
+    "q20_outer_join" -> (q20OuterJoin _),
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
@@ -897,6 +924,12 @@ object Queries {
         |  AND p.user_id = c.user_id
         |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
         |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000""".stripMargin,
+    "q20_outer_join" ->
+      """SELECT n_orders, COUNT(*) AS n_customers FROM (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY c.c_custkey)
+        |GROUP BY n_orders""".stripMargin,
     "q19_salted_join" ->
       """SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(FLOOR(CAST(e.value AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)

@@ -125,6 +125,22 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
 
+  /** Linear quality classifier over the engine's quality features — the
+    * model-based filter stage (fixed demo weights; monotone logit output,
+    * keep = logit > 0). Feature order is the SQL oracle's fold order, so
+    * the doubles are bit-identical.
+    */
+  private def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs(spark, sfDir))
+    val logit = TextAnalysis.linearScore(
+      Seq(
+        (col("n_tokens").cast("double") - lit(50.0), 0.02),
+        (col("stopword_ratio"), 10.0),
+        (col("punct_ratio"), -15.0)),
+      bias = -1.0)
+    q.select(col("doc_id"), logit.as("logit"), (logit > 0).as("keep"))
+  }
+
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3,
       sigSink = df => Queries.oracleSide(spark, sfDir, "minhash_sigs", df))
@@ -398,6 +414,7 @@ object TextQueries {
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
     "text_quality_full" -> qualityFull _,
+    "quality_classifier" -> qualityClassifier _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
@@ -867,6 +884,24 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
+    "quality_classifier" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |      'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |      / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id,
+        |    -1.0 + 0.02 * (CAST(n_tokens AS DOUBLE) - 50.0)
+        |      + 10.0 * stopword_ratio + -15.0 * punct_ratio AS logit
+        |  FROM q)
+        |SELECT doc_id, logit, logit > 0 AS keep FROM s""".stripMargin,
     "text_quality_full" ->
       """SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,

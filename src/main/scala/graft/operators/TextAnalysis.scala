@@ -60,6 +60,23 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopRatio)
   }
 
+  /** Model-based quality filtering — the fasttext-style LINEAR classifier
+    * stage of CCNet/Dolma-like pipelines, as a pure column expression over
+    * engine-computed features. The weight vector is a caller parameter
+    * (no learned artifact ships with the engine; at scale you'd plug in
+    * trained weights — the pipeline shape is identical).
+    *
+    * The score is the raw LOGIT (bias + Σ wᵢ·xᵢ, folded left-to-right in
+    * the caller's feature order): monotone in the class probability, and
+    * pure IEEE +/× so the SQL oracle is cell-exact. sigmoid is
+    * deliberately NOT applied — exp() is not bit-stable across engines,
+    * and thresholding `logit > 0` is exactly `p > 0.5`.
+    */
+  def linearScore(features: Seq[(Column, Double)], bias: Double): Column =
+    features.foldLeft(lit(bias): Column) {
+      case (acc, (x, w)) => acc + lit(w) * x.cast("double")
+    }
+
   /** Language-ID heuristic: score per-language marker word/character-class
     * hits; highest count wins, `und` when nothing matches. A real system
     * uses char n-gram models; the marker table keeps this deterministic and
