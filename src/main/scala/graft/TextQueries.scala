@@ -108,16 +108,22 @@ object TextQueries {
       .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
         element_at(col("fp"), 1).as("min_fingerprint"))
 
-  /** Substring-duplication candidates: doc pairs sharing ≥ 15 winnowing
-    * fingerprints (full recall on shared substrings ≥ 23 chars — the
-    * suffix-array-dedup stand-in). The exploded fingerprint relation
-    * persists for the oracle; the fingerprint GENERATOR itself is verified
-    * in pure SQL by doc_fingerprint's winnowing oracle.
+  /** Substring-duplication candidates: doc pairs sharing ≥ 5 winnowing
+    * fingerprints after the hot-fingerprint cap (full recall on RARE
+    * shared substrings ≥ 23 chars — the suffix-array-dedup stand-in).
+    * The cap is 5% of the corpus: template fingerprints shared by large
+    * corpus fractions are boilerplate, not duplication signal, and their
+    * df² join blowup is exactly the cost the cap bounds (26 s → sub-s at
+    * sf0.1). The capped relation persists for the oracle; the fingerprint
+    * GENERATOR stays verified in pure SQL by doc_fingerprint's winnowing
+    * oracle.
     */
-  private def substringDup(spark: SparkSession, sfDir: String): DataFrame =
-    TextAnalysis.sharedFingerprintPairs(docs(spark, sfDir), "doc_id", "text",
-      minShared = 15L,
+  private def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    TextAnalysis.sharedFingerprintPairs(d, "doc_id", "text",
+      minShared = 5L, maxFpFreq = math.max(1L, d.count() / 20L),
       fpSink = df => Queries.oracleSide(spark, sfDir, "fp_rel", df))
+  }
 
   private def qualityFull(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis
@@ -140,6 +146,14 @@ object TextQueries {
       bias = -1.0)
     q.select(col("doc_id"), logit.as("logit"), (logit > 0).as("keep"))
   }
+
+  /** Char-bigram LM quality scoring, self-trained on the corpus
+    * (TextAnalysis.bigramLmScore) — integer-scaled probabilities make
+    * train + score one pure SQL oracle.
+    */
+  private def lmScore(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.bigramLmScore(docs(spark, sfDir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
 
   private def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3,
@@ -415,6 +429,7 @@ object TextQueries {
     "text_heavy_hitters" -> textHeavyHitters _,
     "text_quality_full" -> qualityFull _,
     "quality_classifier" -> qualityClassifier _,
+    "lm_score" -> lmScore _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
@@ -706,7 +721,7 @@ object TextQueries {
         |  FROM read_parquet('${Queries.oracleSidePath("fp_rel")}'))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_fp
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 15""".stripMargin,
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5""".stripMargin,
     "doc_fingerprint" ->
       """WITH d AS (SELECT doc_id, lower(text) AS s FROM documents),
         |pos AS (
@@ -884,6 +899,21 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
+    "lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents
+        |  WHERE text IS NOT NULL AND length(text) >= 2),
+        |pos AS (SELECT doc_id, s, UNNEST(range(1, len(s))) AS i FROM d),
+        |bi AS (SELECT doc_id, substr(s, i, 1) AS c1, substr(s, i + 1, 1) AS c2 FROM pos),
+        |cnt AS (SELECT c1, c2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        |pre AS (SELECT c1, CAST(SUM(c12) AS BIGINT) AS c1n FROM cnt GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, (1000000 * c12) // c1n AS ps
+        |  FROM bi JOIN cnt USING (c1, c2) JOIN pre USING (c1))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(ps) AS BIGINT) AS score_scaled,
+        |  CAST(SUM(ps) AS DOUBLE) / COUNT(*) AS avg_scaled
+        |FROM sc GROUP BY doc_id""".stripMargin,
     "quality_classifier" ->
       """WITH q AS (
         |  SELECT doc_id,

@@ -60,6 +60,54 @@ object TextAnalysis {
       .withColumn("stopword_ratio", stopRatio)
   }
 
+  /** Statistical language-model quality scoring — the perplexity-style
+    * filter stage (KenLM-shaped), self-trained: a char-bigram model is
+    * fit on the corpus itself and every document is scored by its mean
+    * transition probability under that model. Low scores = improbable
+    * character sequences (mojibake, binary spill, wrong-language text).
+    *
+    * Determinism contract: per-transition probabilities are INTEGER-
+    * scaled — floor(scale · count(c₁c₂) / count(c₁·)) — and summed as
+    * BIGINTs, so no float accumulation order exists anywhere; the single
+    * final division (sum / n) divides the same two integers in every
+    * engine. That makes train + score fully expressible as a SQL oracle,
+    * unlike log-prob scoring (ln is not bit-stable across engines; the
+    * induced ranking family is the same).
+    *
+    * Scale shape: the bigram relation is a narrow generate (~chars
+    * rows); the model is charset²-sized, so BOTH model joins broadcast,
+    * and the only shuffles are the model aggregate and the per-doc sum.
+    * At 100 TB: train once, broadcast the model, score in one narrow
+    * pass — the relation never shuffles text.
+    */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val bi = df
+      .select(col(idCol).cast("long"), lower(col(textCol)).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, s) =>
+        if (s == null || s.length < 2) Iterator.empty
+        else (0 until s.length - 1).iterator
+          .map(i => (id, s.substring(i, i + 1), s.substring(i + 1, i + 2)))
+      }
+      .toDF("id", "c1", "c2")
+    val counts = bi.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("c12"))
+    val prefix = counts.groupBy(col("c1")).agg(sum(col("c12")).as("c1n"))
+    bi.join(broadcast(counts), Seq("c1", "c2"))
+      .join(broadcast(prefix), Seq("c1"))
+      .withColumn("p_scaled",
+        call_function("div", lit(scale) * col("c12"), col("c1n")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("score_scaled"))
+      .withColumn("avg_scaled",
+        col("score_scaled").cast("double") / col("n_bigrams").cast("double"))
+  }
+
   /** Model-based quality filtering — the fasttext-style LINEAR classifier
     * stage of CCNet/Dolma-like pipelines, as a pure column expression over
     * engine-computed features. The weight vector is a caller parameter
@@ -174,8 +222,12 @@ object TextAnalysis {
     * hot-fingerprint guardrail at scale, same contract as
     * ngramJaccardPairs' maxGramFreq.
     *
-    * @param fpSink hook over the exploded (doc_id, fp) relation (the
-    *   catalog persists it for the DuckDB oracle)
+    * @param fpSink hook over the (doc_id, fp) relation the join actually
+    *   consumes — AFTER the maxFpFreq cap, so the catalog's persisted
+    *   side table and the DuckDB oracle see exactly the candidate
+    *   universe (capping hot boilerplate fps is part of the operator's
+    *   semantics, not a lossy shortcut: template fingerprints shared by
+    *   a large corpus fraction are noise for DUP detection)
     */
   def sharedFingerprintPairs(
       df: DataFrame,
@@ -184,16 +236,16 @@ object TextAnalysis {
       minShared: Long = 2L,
       maxFpFreq: Long = Long.MaxValue,
       fpSink: DataFrame => DataFrame = identity): DataFrame = {
-    val rel0 = fpSink(df
+    val rel0 = df
       .select(col(idCol).cast("long").as("doc_id"),
         explode(fingerprint(col(textCol))).as("fp"))
-      .distinct())
-    val rel =
+      .distinct()
+    val rel = fpSink(
       if (maxFpFreq == Long.MaxValue) rel0
       else rel0.join(
         rel0.groupBy(col("fp")).agg(count(lit(1)).as("fp_df"))
           .filter(col("fp_df") <= maxFpFreq).select(col("fp")),
-        "fp")
+        "fp"))
     rel.as("a")
       .join(rel.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

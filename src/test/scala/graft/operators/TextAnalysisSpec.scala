@@ -92,6 +92,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(capped == 0)
   }
 
+  test("bigramLmScore: hand-computed integer-scaled transition sums") {
+    import spark.implicits._
+    // counts: aa:1 ab:2 bb:1 ba:1; prefixes: a:3 b:2
+    // ps: aa=1e6*1/3=333333, ab=666666, bb=500000, ba=500000
+    val df = Seq((1L, "aab"), (2L, "abba"), (3L, null.asInstanceOf[String]),
+      (4L, "x")).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramLmScore(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> ((2L, 999999L)), 2L -> ((3L, 1666666L))),
+      s"got $r")
+  }
+
   test("topTermsPerGroup ranks group-characteristic terms above shared ones") {
     import spark.implicits._
     val df = Seq(
