@@ -53,6 +53,43 @@ class QueriesPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
+  test("salted join spreads a hot key over multiple shuffle partitions") {
+    import spark.implicits._
+    // one key carries 10k of 10.2k rows — the distribution AQE's
+    // post-shuffle stats may miss when a map-side combine hides it
+    val fact = ((0L until 10000L).map(i => (i, 7L)) ++
+      (0L until 200L).map(i => (10000L + i, i % 5)))
+      .toDF("row_id", "k")
+    val dim = (0L until 8L).map(i => (i, s"d$i")).toDF("dk", "tag")
+    val salted = graft.operators.SkewJoin.saltedJoin(
+      fact, dim, col("k"), col("dk"), col("row_id"), buckets = 8)
+    // the hot key's join rows must come from >1 partition of the salted
+    // shuffle: count distinct (key, salt) combos actually joined on
+    val spread = salted.filter(col("k") === 7L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L))).distinct().count()
+    assert(spread == 8, s"hot key used $spread of 8 salt buckets")
+    assert(salted.count() == 10200L)
+  }
+
+  test("bigram LM model joins broadcast (text never reshuffles for the model)") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val scored = graft.operators.TextAnalysis.bigramLmScore(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    scored.collect()
+    def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case _: BroadcastHashJoinExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(bhj).sum
+    }
+    assert(bhj(scored.queryExecution.executedPlan) == 2,
+      s"both model joins must broadcast:\n${scored.queryExecution.executedPlan}")
+  }
+
   test("q15 results match the plain join regardless of bucketing") {
     val bucketed = Queries.all("q15_bucketed_join")(spark, sfDir)
       .orderBy("o_orderpriority").collect().toSeq
