@@ -714,6 +714,23 @@ object Queries {
         sum(col("thumb_bytes")).as("sum_thumb_bytes"))
   }
 
+  /** Video-shaped frame sampling through the multimodal plumbing: one blob
+    * row in → N frame rows out (stride-block stand-ins for decoded frames;
+    * the generator shape is what's exercised). Frames are exact byte
+    * slices, so the oracle recomputes them with BLOB substring + md5 from
+    * the persisted blob table.
+    */
+  private def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    val blobs = oracleSide(spark, sfDir, "mmf_blobs",
+      Multimodal.blobsFromTable(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))
+    Multimodal
+      .sampleFrames(blobs, "blob_id", "content", strideBytes = 64, maxFrames = 8)
+      .select(col("blob_id"), col("frame_idx"),
+        length(col("frame_bytes")).cast("long").as("n_bytes"),
+        md5(col("frame_bytes")).as("frame_md5"))
+  }
+
   /** PII redaction audit over a deterministic profile string synthesized
     * from customer columns (the trimmed schema has no phone/address
     * columns, so the query manufactures emails / phones / IPs / digit runs
@@ -821,6 +838,7 @@ object Queries {
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
     "mm_enrich" -> (mmEnrich _),
+    "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
@@ -1012,6 +1030,24 @@ object Queries {
         |FROM read_parquet('${oracleSidePath("page_stats")}')
         |WHERE page_type = 'data'
         |GROUP BY 1, 2""".stripMargin,
+    "mm_frames" ->
+      // DuckDB cannot slice BLOBs; the blob payload is ASCII JSON (the
+      // documents corpus), so decoding to VARCHAR makes char slicing
+      // equal byte slicing — md5 over the re-encoded slice matches the
+      // engine's byte-slice hash exactly
+      s"""WITH b AS (
+        |  SELECT blob_id, decode(content) AS s
+        |  FROM read_parquet('${oracleSidePath("mmf_blobs")}')),
+        |n AS (
+        |  SELECT blob_id, s,
+        |    LEAST(8, GREATEST(1, octet_length(encode(s)) // 64)) AS nf FROM b),
+        |f AS (
+        |  SELECT blob_id, s, UNNEST(range(0, nf)) AS frame_idx FROM n)
+        |SELECT blob_id, frame_idx,
+        |  CAST(octet_length(encode(substring(s, CAST(frame_idx * 64 + 1 AS BIGINT), 64))) AS BIGINT)
+        |    AS n_bytes,
+        |  md5(substring(s, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+        |FROM f""".stripMargin,
     "mm_enrich" ->
       s"""WITH b AS (SELECT * FROM read_parquet('${oracleSidePath("mm_blobs")}')),
         |e AS (SELECT * FROM read_parquet('${oracleSidePath("mm_enriched")}')),
