@@ -189,7 +189,8 @@ object EventStream {
       dir: String,
       queryName: String,
       transform: DataFrame => DataFrame,
-      mode: OutputMode): DataFrame = {
+      mode: OutputMode,
+      shufflePartitions: Int = 8): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     // file-source streams need a directory; a single-file input becomes
     // parent-dir + glob filter
@@ -202,13 +203,23 @@ object EventStream {
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = reader.parquet(baseDir)
     spark.catalog.dropTempView(queryName) // re-runnable within one session
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // stateful operators pay a per-(partition, state store) commit on
+    // every micro-batch — a stream-stream join keeps FOUR stores per
+    // partition — so the harness narrows the stateful shuffle width for
+    // these bounded inputs (the partition count is baked into the state
+    // checkpoint, which is per-query here). Restored after the run:
+    // batch queries in the same session keep the session width.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    try {
+      val q = transform(stream).writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(queryName)
   }
 }
