@@ -120,8 +120,12 @@ object TextQueries {
     */
   private def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
+    // 5% of the corpus, ceilinged at an absolute 100: past ~100 docs a
+    // fingerprint is boilerplate whatever the corpus size, and the cap
+    // bounds the join's Σ df² independent of scale
     TextAnalysis.sharedFingerprintPairs(d, "doc_id", "text",
-      minShared = 5L, maxFpFreq = math.max(1L, d.count() / 20L),
+      minShared = 5L,
+      maxFpFreq = math.min(100L, math.max(1L, d.count() / 20L)),
       fpSink = df => Queries.oracleSide(spark, sfDir, "fp_rel", df))
   }
 
