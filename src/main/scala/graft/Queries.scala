@@ -628,7 +628,7 @@ object Queries {
   /** Salted skew join surfaced as a catalog query: the events fact is
     * salted per-row on event_id, the customer dim is replicated across 8
     * salt buckets, and the join runs (key, salt)-keyed — the explicit
-    * hot-key mitigation (SkewJoin's scaladoc) whose result is provably
+    * hot-key mitigation (SaltedJoin's scaladoc) whose result is provably
     * salt-invariant, so the oracle is the PLAIN SQL join. The double
     * `value` sum is quantized to integer thousandths on both sides
     * (the ann_dot_exact technique) so aggregation order can't smear the
@@ -638,9 +638,9 @@ object Queries {
     val events = t(spark, sfDir, "events")
     val customer = t(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
-    SkewJoin
-      .saltedJoin(events, customer,
-        leftKey = col("user_id"), rightKey = col("c_custkey"),
+    SaltedJoin
+      .saltedEquiJoin(events, customer,
+        factKey = col("user_id"), dimKey = col("c_custkey"),
         saltSource = col("event_id"), buckets = 8)
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

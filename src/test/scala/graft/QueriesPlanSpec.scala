@@ -61,7 +61,7 @@ class QueriesPlanSpec extends SparkSpec {
       (0L until 200L).map(i => (10000L + i, i % 5)))
       .toDF("row_id", "k")
     val dim = (0L until 8L).map(i => (i, s"d$i")).toDF("dk", "tag")
-    val salted = graft.operators.SkewJoin.saltedJoin(
+    val salted = graft.operators.SaltedJoin.saltedEquiJoin(
       fact, dim, col("k"), col("dk"), col("row_id"), buckets = 8)
     // the hot key's join rows must come from >1 partition of the salted
     // shuffle: count distinct (key, salt) combos actually joined on

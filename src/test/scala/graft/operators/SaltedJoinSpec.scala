@@ -31,6 +31,28 @@ class SaltedJoinSpec extends SparkSpec {
     assert(spread == 16L)
   }
 
+  test("dup dim keys keep multiplicity; null fact keys never match; buckets invariant") {
+    import spark.implicits._
+    val facts = Seq((1L, Some(2L)), (2L, Some(2L)), (3L, Option.empty[Long]))
+      .toDF("row_id", "k")
+    // dim key 2 duplicated: each fact row must match BOTH dim rows
+    val dims = Seq((2L, "a"), (2L, "a2"), (5L, "b")).toDF("dk", "tag")
+    def run(buckets: Int) = SaltedJoin
+      .saltedEquiJoin(facts, dims, col("k"), col("dk"), col("row_id"), buckets)
+      .select("row_id", "tag").as[(Long, String)].collect().sorted.toSeq
+    val expected = Seq((1L, "a"), (1L, "a2"), (2L, "a"), (2L, "a2"))
+    for (b <- Seq(1, 4, 16)) assert(run(b) == expected, s"buckets=$b")
+  }
+
+  test("reserved column collision fails loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, 2L)).toDF("__salt", "k")
+    val dims = Seq((1L, "x")).toDF("dk", "tag")
+    intercept[IllegalArgumentException] {
+      SaltedJoin.saltedEquiJoin(bad, dims, col("k"), col("dk"), col("k"), 4)
+    }
+  }
+
   test("left join keeps unmatched facts exactly once") {
     import spark.implicits._
     val facts = Seq((1L, 10L), (2L, 99L)).toDF("row_id", "k")
