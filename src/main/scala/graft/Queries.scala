@@ -846,6 +846,38 @@ object Queries {
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
+  /** Shared grid roll-up oracle SQL: re-derives an EstimationResult grid
+    * (totals / dedup ratio / xet bytes) from the per-run persisted side
+    * tables `<prefix>grid_tags` / `<prefix>grid_chunks_default` /
+    * `<prefix>grid_chunks_xet` — ONE definition for every grid query so
+    * the roll-up semantics can never desynchronize between them.
+    */
+  private def gridOracleSql(prefix: String): String =
+    s"""WITH nf AS (
+      |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles
+      |  FROM read_parquet('${oracleSidePath(prefix + "grid_tags")}') GROUP BY 1, 2),
+      |per AS (
+      |  SELECT "group", format, hash, MIN(size) AS size,
+      |    MIN(compressed) AS compressed, SUM(size) AS occ_bytes
+      |  FROM read_parquet('${oracleSidePath(prefix + "grid_chunks_default")}')
+      |  GROUP BY 1, 2, 3),
+      |mm AS (
+      |  SELECT "group", format, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
+      |    CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+      |    CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
+      |  FROM per GROUP BY 1, 2),
+      |x AS (
+      |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
+      |    SELECT "group", format, hash, MIN(size) AS size
+      |    FROM read_parquet('${oracleSidePath(prefix + "grid_chunks_xet")}')
+      |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
+      |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
+      |  mm.compressed_chunk_bytes,
+      |  CAST(mm.chunk_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS dedup_ratio,
+      |  x.xet_bytes,
+      |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
+      |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1145,56 +1177,8 @@ object Queries {
         |  CAST(SUM(size) AS BIGINT) AS chunk_bytes,
         |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ_bytes) AS DOUBLE) AS dedup_ratio
         |FROM lg""".stripMargin,
-    "synthetic_grid" ->
-      s"""WITH nf AS (
-        |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles
-        |  FROM read_parquet('${oracleSidePath("grid_tags")}') GROUP BY 1, 2),
-        |per AS (
-        |  SELECT "group", format, hash, MIN(size) AS size,
-        |    MIN(compressed) AS compressed, SUM(size) AS occ_bytes
-        |  FROM read_parquet('${oracleSidePath("grid_chunks_default")}')
-        |  GROUP BY 1, 2, 3),
-        |mm AS (
-        |  SELECT "group", format, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
-        |    CAST(SUM(size) AS BIGINT) AS chunk_bytes,
-        |    CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
-        |  FROM per GROUP BY 1, 2),
-        |x AS (
-        |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
-        |    SELECT "group", format, hash, MIN(size) AS size
-        |    FROM read_parquet('${oracleSidePath("grid_chunks_xet")}')
-        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
-        |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
-        |  mm.compressed_chunk_bytes,
-        |  CAST(mm.chunk_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS dedup_ratio,
-        |  x.xet_bytes,
-        |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
-        |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin,
-    "format_compare" ->
-      s"""WITH nf AS (
-        |  SELECT "group", format, CAST(COUNT(DISTINCT file_idx) AS BIGINT) AS numfiles
-        |  FROM read_parquet('${oracleSidePath("fmt_grid_tags")}') GROUP BY 1, 2),
-        |per AS (
-        |  SELECT "group", format, hash, MIN(size) AS size,
-        |    MIN(compressed) AS compressed, SUM(size) AS occ_bytes
-        |  FROM read_parquet('${oracleSidePath("fmt_grid_chunks_default")}')
-        |  GROUP BY 1, 2, 3),
-        |mm AS (
-        |  SELECT "group", format, CAST(SUM(occ_bytes) AS BIGINT) AS total_len,
-        |    CAST(SUM(size) AS BIGINT) AS chunk_bytes,
-        |    CAST(SUM(compressed) AS BIGINT) AS compressed_chunk_bytes
-        |  FROM per GROUP BY 1, 2),
-        |x AS (
-        |  SELECT "group", format, CAST(SUM(size) AS BIGINT) AS xet_bytes FROM (
-        |    SELECT "group", format, hash, MIN(size) AS size
-        |    FROM read_parquet('${oracleSidePath("fmt_grid_chunks_xet")}')
-        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)
-        |SELECT nf."group", nf.format, nf.numfiles, mm.total_len, mm.chunk_bytes,
-        |  mm.compressed_chunk_bytes,
-        |  CAST(mm.chunk_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS dedup_ratio,
-        |  x.xet_bytes,
-        |  CAST(x.xet_bytes AS DOUBLE) / CAST(mm.total_len AS DOUBLE) AS xet_dedup_ratio
-        |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin,
+    "synthetic_grid" -> gridOracleSql(""),
+    "format_compare" -> gridOracleSql("fmt_"),
     "rowgroup_profile" ->
       s"""SELECT row_group_id AS row_group, path_in_schema AS column_name,
         |  CAST(num_values AS BIGINT) AS num_values,

@@ -52,7 +52,10 @@ object Boilerplate {
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty
         else {
-          val ws = text.toLowerCase.split(" ").iterator.filter(_.nonEmpty)
+          // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+          // lower() and the SQL oracle under tr-TR-style locales (I → ı)
+          val ws = text.toLowerCase(java.util.Locale.ROOT)
+            .split(" ").iterator.filter(_.nonEmpty)
           ws.grouped(width).zipWithIndex
             .map { case (chunk, i) => (id, i, chunk.mkString(" ")) }
         }

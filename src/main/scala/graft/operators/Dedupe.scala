@@ -90,7 +90,7 @@ object Dedupe {
   def wordShingles(text: String, k: Int): Set[Long] = {
     if (text == null) Set.empty
     else {
-      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (words.length < k) {
         if (words.isEmpty) Set.empty
         else Set(XXH64.hash(words.mkString(" ").getBytes("UTF-8"), 42L))
@@ -281,7 +281,7 @@ object Dedupe {
   def wordGramHashes(text: String, k: Int): Array[Long] = {
     if (text == null) Array.emptyLongArray
     else {
-      val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+      val words = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
       if (words.length == 0) Array.emptyLongArray
       else {
         val grams = new java.util.HashSet[java.lang.Long]()
@@ -471,7 +471,7 @@ object Dedupe {
     if (text == null) 0L
     else {
       val acc = new Array[Int](64)
-      text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
+      text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator.filter(_.nonEmpty).foreach { w =>
         val h = XXH64.hash(w.getBytes("UTF-8"), 42L)
         var i = 0
         while (i < 64) {

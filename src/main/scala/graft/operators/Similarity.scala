@@ -18,7 +18,9 @@ import org.apache.spark.sql.expressions.Window
   * All float math is accumulated in Double with a fixed left-to-right
   * order, so results are deterministic across partitionings.
   */
-object Similarity {
+// Serializable: executor-side kernels call module helpers (nearestCentroids,
+// dot/norm), and lambdas that reference them capture the stateless module
+object Similarity extends Serializable {
 
   def dot(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
@@ -104,6 +106,41 @@ object Similarity {
     *   exact assignments/probes this run used. The quantizer itself is
     *   engine-computed data, like the LSH signatures of the dedup ops.
     */
+  /** Train the coarse quantizer on a deterministic driver-side sample
+    * (sampleSize × dim floats, tiny). Ordering by a hash of the id gives
+    * an unbiased uniform sample and plans as TakeOrderedAndProject (per-
+    * partition top-k + driver merge), not a presorted-prefix of the id
+    * space, which would bias the quantizer toward old rows. Shared by
+    * ivfTopK and semanticDedup so their quantizers can never diverge.
+    */
+  private def trainQuantizer(
+      base: DataFrame,
+      numCentroids: Int,
+      sampleSize: Int,
+      seed: Long): org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val sample = base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+    spark.sparkContext.broadcast(kmeansLite(sample, numCentroids, iters = 5, seed))
+  }
+
+  /** The `n` nearest centroids of `v` by normalized dot, smallest index
+    * winning ties — THE assignment function for both IVF and SemDeDup.
+    */
+  private def nearestCentroids(
+      centroids: Array[Array[Float]], v: Array[Float], n: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, -dot(v, c) / math.max(norm(c), 1e-12)) }
+      .sortBy { case (i, d) => (d, i) }
+      .take(n)
+      .map(_._1)
+      .toSeq
+
   def ivfTopK(
       df: DataFrame,
       idCol: String,
@@ -119,28 +156,10 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-
-    // --- train coarse quantizer on a deterministic sample (driver-side:
-    // sampleSize × dim floats, tiny). Ordering by a hash of the id gives an
-    // unbiased uniform sample and plans as TakeOrderedAndProject (per-
-    // partition top-k + driver merge), not a presorted-prefix of the id
-    // space, which would bias the quantizer toward old rows. ---
-    val sample = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleSize)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2)
-    val centroids = kmeansLite(sample, numCentroids, iters = 5, seed)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val bcCentroids = trainQuantizer(base, numCentroids, sampleSize, seed)
 
     def nearest(v: Array[Float], n: Int): Seq[Int] =
-      bcCentroids.value.zipWithIndex
-        .map { case (c, i) => (i, -dot(v, c) / math.max(norm(c), 1e-12)) }
-        .sortBy { case (i, d) => (d, i) }
-        .take(n)
-        .map(_._1)
-        .toSeq
+      nearestCentroids(bcCentroids.value, v, n)
 
     val assigned = assignSink(base
       .as[(Long, Array[Float])]
@@ -212,25 +231,11 @@ object Similarity {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val sample = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleSize)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2)
-    val bcCentroids =
-      spark.sparkContext.broadcast(kmeansLite(sample, numCentroids, iters = 5, seed))
+    val bcCentroids = trainQuantizer(base, numCentroids, sampleSize, seed)
     val assigned = assignSink(base
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
-        val cs = bcCentroids.value
-        var best = 0; var bestD = Double.MinValue; var i = 0
-        while (i < cs.length) {
-          val d = dot(v, cs(i)) / math.max(norm(cs(i)), 1e-12)
-          if (d > bestD) { bestD = d; best = i }
-          i += 1
-        }
-        (best, id, v)
+        (nearestCentroids(bcCentroids.value, v, 1).head, id, v)
       }
       .toDF("bucket", "id", "vec"))
     val pairs = assigned.as("a")

@@ -98,10 +98,18 @@ object TextAnalysis {
       .toDF("id", "c1", "c2")
     val counts = bi.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("c12"))
     val prefix = counts.groupBy(col("c1")).agg(sum(col("c12")).as("c1n"))
+    // loud overflow guard, zero extra jobs: scale·c12 must fit in a Long
+    // (a silent wrap here would poison scores while the HUGEINT oracle
+    // kept going). A corpus hot enough to trip it (c12 > ~9.2e18/scale)
+    // needs a smaller `scale` — the error says so.
+    val c12Checked = when(col("c12") > lit(Long.MaxValue / scale),
+        raise_error(concat(lit("bigramLmScore: bigram count "), col("c12"),
+          lit(s" overflows Long at scale=$scale; lower the scale parameter"))))
+      .otherwise(col("c12"))
     bi.join(broadcast(counts), Seq("c1", "c2"))
       .join(broadcast(prefix), Seq("c1"))
       .withColumn("p_scaled",
-        call_function("div", lit(scale) * col("c12"), col("c1n")))
+        call_function("div", lit(scale) * c12Checked, col("c1n")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("score_scaled"))
       .withColumn("avg_scaled",
@@ -140,7 +148,7 @@ object TextAnalysis {
   private val langIdUdf = udf { (text: String) =>
     if (text == null || text.isEmpty) "und"
     else {
-      val words = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty).take(200).toSeq
+      val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator.filter(_.nonEmpty).take(200).toSeq
       if (words.exists(w => w.exists(c => c >= '一' && c <= '鿿'))) "zh"
       else {
         val scores = LangMarkers.map { case (lang, markers) =>
@@ -162,7 +170,7 @@ object TextAnalysis {
   private def winnow(text: String, k: Int, window: Int): Array[Long] = {
     if (text == null || text.length < k) Array.empty
     else {
-      val s = text.toLowerCase
+      val s = text.toLowerCase(java.util.Locale.ROOT)
       val n = s.length - k + 1
       val hashes = new Array[Long](n)
       // Polynomial rolling hash over a k-char window, base 257 mod 2^64.

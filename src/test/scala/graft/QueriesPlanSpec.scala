@@ -53,7 +53,7 @@ class QueriesPlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
 
-  test("salted join spreads a hot key over multiple shuffle partitions") {
+  test("salted join's executed plan keys the join and its shuffle on the salt") {
     import spark.implicits._
     // one key carries 10k of 10.2k rows — the distribution AQE's
     // post-shuffle stats may miss when a map-side combine hides it
@@ -61,14 +61,30 @@ class QueriesPlanSpec extends SparkSpec {
       (0L until 200L).map(i => (10000L + i, i % 5)))
       .toDF("row_id", "k")
     val dim = (0L until 8L).map(i => (i, s"d$i")).toDF("dk", "tag")
-    val salted = graft.operators.SaltedJoin.saltedEquiJoin(
-      fact, dim, col("k"), col("dk"), col("row_id"), buckets = 8)
-    // the hot key's join rows must come from >1 partition of the salted
-    // shuffle: count distinct (key, salt) combos actually joined on
-    val spread = salted.filter(col("k") === 7L)
-      .select(pmod(xxhash64(col("row_id")), lit(8L))).distinct().count()
-    assert(spread == 8, s"hot key used $spread of 8 salt buckets")
-    assert(salted.count() == 10200L)
+    // force a SHUFFLE join: with the dim broadcastable there is no fact
+    // exchange to inspect and the partitioning assertion would be vacuous
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val salted = graft.operators.SaltedJoin.saltedEquiJoin(
+        fact, dim, col("k"), col("dk"), col("row_id"), buckets = 8)
+      assert(salted.count() == 10200L)
+      // the PLAN must prove the mitigation: __salt participates in the
+      // join keys and in the fact-side hash shuffle, so the hot key's
+      // rows route by (key, salt), not by key alone — a plain join would
+      // pass an output-only check because output rows are salt-invariant
+      val plan = salted.queryExecution.executedPlan.toString
+      val joinLine = plan.linesIterator
+        .find(l => l.contains("Join") && l.contains("__fk"))
+      assert(joinLine.exists(_.contains("__salt")),
+        s"join keys must include __salt:\n$plan")
+      val factExchanges = plan.linesIterator
+        .filter(l => l.contains("hashpartitioning") && l.contains("__fk"))
+        .toSeq
+      assert(factExchanges.nonEmpty && factExchanges.forall(_.contains("__salt")),
+        s"fact-side shuffle must partition by (key, salt):\n$plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("bigram LM model joins broadcast (text never reshuffles for the model)") {
