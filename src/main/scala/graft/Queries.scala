@@ -413,6 +413,38 @@ object Queries {
     spark.createDataset(Seq(r)).toDF()
   }
 
+  /** Incremental estimation — the chunk relation as a MAINTAINABLE STORE
+    * (the 100 TB operational mode: nightly batches append their chunk
+    * rows; merged stats re-derive from one hash-keyed groupBy over
+    * store ∪ batch, and the already-chunked corpus is never re-read).
+    * Store = the shared sf chunk relation (lineitem+orders); batch =
+    * customer.parquet (new content) PLUS lineitem.parquet re-delivered —
+    * the classic re-ingested file, which the merged roll-up dedups
+    * against the store (merged ratio < 1) without touching store bytes.
+    * One row per scope (store / batch / merged); the oracle replays all
+    * three roll-ups from the two persisted side tables.
+    */
+  private def cdcEstimateIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val store = oracleSide(spark, sfDir, "chunks_default",
+      sfChunks(spark, sfDir).toDF()).as[ChunkRow]
+    val batch = oracleSide(spark, sfDir, "chunks_batch",
+      ChunkRelation
+        .chunkFiles(spark,
+          Seq(s"$sfDir/customer.parquet", s"$sfDir/lineitem.parquet"))
+        .map(c => c.copy(file_idx = c.file_idx + 1000L)).toDF()).as[ChunkRow]
+    def row(scope: String, c: org.apache.spark.sql.Dataset[ChunkRow]) = {
+      val (total, bytes, comp) = Estimator.stats(c)
+      (scope, total, bytes, comp,
+        if (total == 0) 0.0 else bytes.toDouble / total)
+    }
+    spark.createDataset(Seq(
+      row("store", store), row("batch", batch),
+      row("merged", store.unionByName(batch))))
+      .toDF("scope", "total_len", "chunk_bytes", "compressed_chunk_bytes",
+        "dedup_ratio")
+  }
+
   /** G1-G7 + A5 end-to-end: synthetic variants written under two parquet
     * formats, single-job grid estimate (rows-only; the RNG has no SQL
     * equivalent).
@@ -824,6 +856,7 @@ object Queries {
     "q19_salted_join" -> (q19SaltedJoin _),
     "q20_outer_join" -> (q20OuterJoin _),
     "cdc_estimate" -> (cdcEstimate _),
+    "cdc_estimate_incremental" -> (cdcEstimateIncremental _),
     "cdc_logical" -> (cdcLogical _),
     "synthetic_grid" -> (syntheticGrid _),
     "format_compare" -> (formatCompare _),
@@ -1026,6 +1059,28 @@ object Queries {
         |  xet_bytes,
         |  CAST(xet_bytes AS DOUBLE) / CAST(total_len AS DOUBLE) AS xet_dedup_ratio
         |FROM tot, x""".stripMargin,
+    "cdc_estimate_incremental" ->
+      s"""WITH store AS (
+        |  SELECT hash, size, compressed
+        |  FROM read_parquet('${oracleSidePath("chunks_default")}')),
+        |batch AS (
+        |  SELECT hash, size, compressed
+        |  FROM read_parquet('${oracleSidePath("chunks_batch")}')),
+        |scoped AS (
+        |  SELECT 'store' AS scope, * FROM store
+        |  UNION ALL SELECT 'batch', * FROM batch
+        |  UNION ALL SELECT 'merged', * FROM store
+        |  UNION ALL SELECT 'merged', * FROM batch),
+        |roll AS (
+        |  SELECT scope, hash, MIN(size) AS size, MIN(compressed) AS comp,
+        |    SUM(size) AS occ
+        |  FROM scoped GROUP BY scope, hash)
+        |SELECT scope,
+        |  CAST(SUM(occ) AS BIGINT) AS total_len,
+        |  CAST(SUM(size) AS BIGINT) AS chunk_bytes,
+        |  CAST(SUM(comp) AS BIGINT) AS compressed_chunk_bytes,
+        |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE) AS dedup_ratio
+        |FROM roll GROUP BY scope""".stripMargin,
     "chunk_matrix" ->
       s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks3")}')),
         |m AS (

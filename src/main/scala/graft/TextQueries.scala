@@ -151,6 +151,21 @@ object TextQueries {
     q.select(col("doc_id"), logit.as("logit"), (logit > 0).as("keep"))
   }
 
+  /** Export shard planning: deterministic 16-way sharding on the first
+    * md5 hex digit of the doc key, reporting per-shard row/byte totals —
+    * the balanced-output check before writing training shards. Shard
+    * membership is a pure function of the key (the Sampling-family
+    * contract), so shards are stable across runs and engines.
+    */
+  private def docShards(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+          .as("shard"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
   /** Char-bigram LM quality scoring, self-trained on the corpus
     * (TextAnalysis.bigramLmScore) — integer-scaled probabilities make
     * train + score one pure SQL oracle.
@@ -434,6 +449,7 @@ object TextQueries {
     "text_quality_full" -> qualityFull _,
     "quality_classifier" -> qualityClassifier _,
     "lm_score" -> lmScore _,
+    "doc_shards" -> docShards _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
@@ -903,6 +919,10 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
+    "doc_shards" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     "lm_score" ->
       """WITH d AS (
         |  SELECT doc_id, lower(text) AS s FROM documents
