@@ -153,6 +153,25 @@ object Cli {
         .show(1000, false)
       spark.stop()
 
+    case "query" :: rest =>
+      // run any catalog query by name (the full SparkEntry.queries
+      // surface); `query list` prints the names
+      val spark = session()
+      rest match {
+        case "list" :: Nil =>
+          graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+        case name :: more if graft.SparkEntry.queries.contains(name) =>
+          val sfDir = more.headOption.getOrElse("/root/testdata/sf0.001")
+          graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+        case name :: _ =>
+          System.err.println(s"unknown query '${name}' — try: query list")
+          sys.exit(2)
+        case Nil =>
+          System.err.println("usage: query list | query NAME [SF_DIR]")
+          sys.exit(2)
+      }
+      spark.stop()
+
     case "curate" :: file :: Nil =>
       val spark = session()
       val docs = spark.read.parquet(file)
@@ -224,6 +243,7 @@ object Cli {
            |  param-impact FILE --row-group-size|--data-page-size
            |  page-chunks FILE...
            |  profile TABLE.parquet
+           |  query list | query NAME [SF_DIR]
            |  curate DOCUMENTS.parquet
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
