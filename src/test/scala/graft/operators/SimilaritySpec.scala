@@ -97,6 +97,30 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count(_._2._2) == 2, "only the planted dups are marked")
   }
 
+  test("semanticDedup invariants: one row per id, min-partner canonical, same-bucket") {
+    val r = Similarity
+      .semanticDedup(embDf, "vec_id", "embedding", threshold = 0.2, numCentroids = 4)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.map(_._1).distinct.length == 100, "exactly one row per vector")
+    val bucketOf = r.map(x => x._1 -> x._2).toMap
+    r.foreach { case (id, bucket, canonical, isDup) =>
+      assert(canonical <= id, s"canonical must not exceed id: $id -> $canonical")
+      assert(isDup == (canonical != id), "is_dup consistent with canonical")
+      if (isDup)
+        assert(bucketOf(canonical) == bucket,
+          s"canonical $canonical of $id must share bucket $bucket")
+    }
+    // repartition invariance: the quantizer trains on a hash-ordered
+    // driver sample and scoring is per-row, so partitioning is irrelevant
+    val r2 = Similarity
+      .semanticDedup(embDf.repartition(7), "vec_id", "embedding",
+        threshold = 0.2, numCentroids = 4)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
+  }
+
   test("kmeansLite is deterministic under seed") {
     val rng = new java.util.Random(3)
     val sample = Array.fill(50)(Array.fill(8)(rng.nextFloat()))

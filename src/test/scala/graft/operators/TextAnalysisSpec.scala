@@ -104,6 +104,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"got $r")
   }
 
+  test("bigramLmScore: probabilities bounded by scale, repartition-invariant") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val docs = (0L until 40L)
+      .map(i => (i, (0 until 50).map(_ => ('a' + rng.nextInt(4)).toChar).mkString))
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramLmScore(df, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(docs)
+    assert(a.size == 40)
+    a.foreach { case (id, (n, score)) =>
+      assert(n == 49, s"doc $id: 50 chars -> 49 bigrams")
+      // each term is floor(scale*c12/c1n) <= scale
+      assert(score >= 0 && score <= n * 1000000L, s"doc $id score $score")
+    }
+    assert(run(docs.repartition(13)) == a, "partitioning must not change scores")
+  }
+
   test("topTermsPerGroup ranks group-characteristic terms above shared ones") {
     import spark.implicits._
     val df = Seq(
