@@ -160,8 +160,10 @@ object TextQueries {
   private def docShards(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(
-        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-          .as("shard"),
+        // first hex digit of the Sampling-family membership machinery —
+        // same md5 prefix, same loud null-key failure
+        substring(graft.operators.Sampling.md5Prefix(col("doc_id"), "docShards"),
+          1, 1).as("shard"),
         col("n_chars"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))

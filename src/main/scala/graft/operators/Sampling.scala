@@ -31,7 +31,7 @@ object Sampling {
     * and at corpus scale a silent default turns an upstream extraction
     * bug into train-set leakage.
     */
-  private def md5Prefix(keyCol: Column, opName: String): Column =
+  private[graft] def md5Prefix(keyCol: Column, opName: String): Column =
     substring(md5(
       when(keyCol.isNull,
           raise_error(lit(s"$opName: null sample key — membership must be " +

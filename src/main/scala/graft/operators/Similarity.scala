@@ -131,15 +131,26 @@ object Similarity extends Serializable {
 
   /** The `n` nearest centroids of `v` by normalized dot, smallest index
     * winning ties — THE assignment function for both IVF and SemDeDup.
+    * n == 1 (the per-row assignment hot path) is an allocation-free
+    * argmax with the identical tie-break; the general path sorts.
     */
   private def nearestCentroids(
       centroids: Array[Array[Float]], v: Array[Float], n: Int): Seq[Int] =
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, -dot(v, c) / math.max(norm(c), 1e-12)) }
-      .sortBy { case (i, d) => (d, i) }
-      .take(n)
-      .map(_._1)
-      .toSeq
+    if (n == 1) {
+      var best = 0; var bestD = Double.MinValue; var i = 0
+      while (i < centroids.length) {
+        val d = dot(v, centroids(i)) / math.max(norm(centroids(i)), 1e-12)
+        if (d > bestD) { bestD = d; best = i } // strict: first index wins ties
+        i += 1
+      }
+      Seq(best)
+    } else
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, -dot(v, c) / math.max(norm(c), 1e-12)) }
+        .sortBy { case (i, d) => (d, i) }
+        .take(n)
+        .map(_._1)
+        .toSeq
 
   def ivfTopK(
       df: DataFrame,

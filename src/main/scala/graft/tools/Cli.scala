@@ -155,14 +155,16 @@ object Cli {
 
     case "query" :: rest =>
       // run any catalog query by name (the full SparkEntry.queries
-      // surface); `query list` prints the names
-      val spark = session()
+      // surface); `query list` prints the names. Only the run branch
+      // pays Spark startup — list/usage paths need no session.
       rest match {
         case "list" :: Nil =>
           graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
         case name :: more if graft.SparkEntry.queries.contains(name) =>
           val sfDir = more.headOption.getOrElse("/root/testdata/sf0.001")
+          val spark = session()
           graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
+          spark.stop()
         case name :: _ =>
           System.err.println(s"unknown query '${name}' — try: query list")
           sys.exit(2)
@@ -170,7 +172,6 @@ object Cli {
           System.err.println("usage: query list | query NAME [SF_DIR]")
           sys.exit(2)
       }
-      spark.stop()
 
     case "curate" :: file :: Nil =>
       val spark = session()

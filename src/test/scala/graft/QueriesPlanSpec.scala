@@ -68,7 +68,10 @@ class QueriesPlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val salted = graft.operators.SaltedJoin.saltedEquiJoin(
         fact, dim, col("k"), col("dk"), col("row_id"), buckets = 8)
-      assert(salted.count() == 10200L)
+      // collect() (not count()) so THIS df's QueryExecution runs and AQE
+      // finalizes — count() spawns a separate execution and would leave
+      // the inspected plan non-finalized
+      assert(salted.collect().length == 10200)
       // the PLAN must prove the mitigation: __salt participates in the
       // join keys and in the fact-side hash shuffle, so the hot key's
       // rows route by (key, salt), not by key alone — a plain join would

@@ -33,7 +33,10 @@ class SaltedJoinSpec extends SparkSpec {
 
   test("dup dim keys keep multiplicity; null fact keys never match; buckets invariant") {
     import spark.implicits._
-    val facts = Seq((1L, Some(2L)), (2L, Some(2L)), (3L, Option.empty[Long]))
+    // row 4's key 99 has NO dim row: the inner join must drop it — a
+    // salt-comparison bug manufacturing matches from replicas would not
+    val facts = Seq((1L, Some(2L)), (2L, Some(2L)), (3L, Option.empty[Long]),
+      (4L, Some(99L)))
       .toDF("row_id", "k")
     // dim key 2 duplicated: each fact row must match BOTH dim rows
     val dims = Seq((2L, "a"), (2L, "a2"), (5L, "b")).toDF("dk", "tag")
