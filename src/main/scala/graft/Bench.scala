@@ -26,7 +26,12 @@ object Bench {
     // warmup: exercise scan+shuffle+window+UDF code paths once, discarded
     // NonFatal only: an OOM/fatally-broken JVM must abort, not proceed into
     // the timed section and report bogus numbers
-    for (w <- Seq("q01_pricing_summary", "q05_window_best", "dedup_exact"))
+    // stream_dedup/stream_join warm the streaming machinery (state-store
+    // providers, micro-batch planner, join state classes) whose one-time
+    // class-loading otherwise lands on the first timed streaming query;
+    // nothing persists across runs, so no timed work moves out
+    for (w <- Seq("q01_pricing_summary", "q05_window_best", "dedup_exact",
+        "stream_dedup", "stream_join"))
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }

@@ -129,8 +129,27 @@ object SimilarityQueries {
       threshold = 0.4, numCentroids = 8,
       assignSink = df => Queries.oracleSide(spark, sfDir, "sem_assign", df))
 
+  /** Embedding sanity/outlier filter: integer-quantized squared norms
+    * (the ann_dot_exact technique — exact in both engines) with fixed
+    * acceptance bounds. The embedding-QA pass before any similarity
+    * work: zero vectors, truncated rows, and exploded-magnitude vectors
+    * all surface here first. The corpus is unit-normalized, so the
+    * acceptance band is ±1% around (1000·1)² = 1e6; clean data flags
+    * nothing and any preprocessing drift flags loudly.
+    */
+  private def embNorms(spark: SparkSession, sfDir: String): DataFrame =
+    emb(spark, sfDir)
+      .select(col("vec_id"),
+        aggregate(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000 + lit(0.5)).cast("long")),
+          lit(0L), (acc, q) => acc + q * q).as("norm2_scaled"))
+      .withColumn("is_outlier",
+        col("norm2_scaled") < 980000L || col("norm2_scaled") > 1020000L)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup" -> semDedup _,
+    "emb_norms" -> embNorms _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "emb_neardup" -> nearDups _,
@@ -163,6 +182,17 @@ object SimilarityQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "emb_norms" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |           * CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS BIGINT)
+        |      AS norm2_scaled
+        |  FROM embeddings)
+        |SELECT vec_id, norm2_scaled,
+        |  norm2_scaled < 980000 OR norm2_scaled > 1020000 AS is_outlier
+        |FROM q""".stripMargin,
     "semantic_dedup" ->
       s"""WITH a AS (
         |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("sem_assign")}')),
