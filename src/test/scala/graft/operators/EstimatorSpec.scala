@@ -110,6 +110,41 @@ class EstimatorSpec extends SparkSpec {
     assert(both.chunk_bytes < both.total_len * 0.6)
   }
 
+  test("metamorphic: sharding the same bytes barely moves unique-chunk bytes") {
+    // the reference's varying-file-splits study (BASELINE.md: 5/10/20
+    // shards -> same ~3.2 GB unique): gear boundaries are content-local,
+    // so only the chunks STRADDLING a split point can change identity —
+    // unique bytes shift by at most ~(splits x maxLen), total bytes not
+    // at all
+    val params = ChunkerParams(
+      mask = -1L << (64 - 10), minLen = 256, maxLen = 8 * 1024)
+    val blob = randomBytes(512 * 1024, 77L)
+    // duplicated content so dedup is non-trivial in every sharding
+    val content = blob ++ blob
+    def statsOf(splits: Int): (Long, Long) = {
+      val dir = Files.createTempDirectory(s"graft-shard$splits")
+      val per = content.length / splits
+      val files = (0 until splits).map { i =>
+        val from = i * per
+        val until = if (i == splits - 1) content.length else (i + 1) * per
+        val p = dir.resolve(s"part$i.bin")
+        Files.write(p, java.util.Arrays.copyOfRange(content, from, until))
+        p.toString
+      }
+      val (total, unique, _) =
+        Estimator.stats(ChunkRelation.chunkFiles(spark, files, params))
+      (total, unique)
+    }
+    val Seq((t1, u1), (t4, u4), (t8, u8)) = Seq(1, 4, 8).map(statsOf)
+    assert(t1 == content.length.toLong && t4 == t1 && t8 == t1,
+      "total bytes are sharding-invariant")
+    val slack = 8 * 2 * params.maxLen // straddling chunks per split, both copies
+    assert(math.abs(u4 - u1) <= slack, s"u1=$u1 u4=$u4")
+    assert(math.abs(u8 - u1) <= slack, s"u1=$u1 u8=$u8")
+    // and dedup genuinely happened (content is doubled)
+    assert(u1 < t1 * 6 / 10, s"expected ~half unique, got $u1 of $t1")
+  }
+
   test("128-bit identity agrees with 64-bit on collision-free data") {
     val bytes = randomBytes(2 << 20, 31L)
     val f1 = writeTemp("a.bin", bytes)
