@@ -151,6 +151,29 @@ object TextQueries {
     q.select(col("doc_id"), logit.as("logit"), (logit > 0).as("keep"))
   }
 
+  /** Curriculum selection: the top-5 highest-quality documents per source
+    * by the linear classifier's logit (deterministic doc_id tie-break) —
+    * the quality-based selection stage between scoring and mixing. One
+    * narrow scoring pass + a per-source window.
+    */
+  private def docSelectTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextAnalysis.qualityScore(docs(spark, sfDir))
+    val logit = TextAnalysis.linearScore(
+      Seq(
+        (col("n_tokens").cast("double") - lit(50.0), 0.02),
+        (col("stopword_ratio"), 10.0),
+        (col("punct_ratio"), -15.0)),
+      bias = -1.0)
+    q.withColumn("logit", logit)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("logit").desc, col("doc_id").asc)))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("logit"))
+  }
+
   /** Export shard planning: deterministic 16-way sharding on the first
     * md5 hex digit of the doc key, reporting per-shard row/byte totals —
     * the balanced-output check before writing training shards. Shard
@@ -452,6 +475,7 @@ object TextQueries {
     "quality_classifier" -> qualityClassifier _,
     "lm_score" -> lmScore _,
     "doc_shards" -> docShards _,
+    "doc_select_topk" -> docSelectTopk _,
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
@@ -921,6 +945,30 @@ object TextQueries {
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio
         |FROM documents""".stripMargin,
+    "doc_select_topk" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |    CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |      'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |      / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |  FROM (SELECT doc_id, source, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |        FROM documents)),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    -1.0 + 0.02 * (CAST(n_tokens AS DOUBLE) - 50.0)
+        |      + 10.0 * stopword_ratio + -15.0 * punct_ratio AS logit
+        |  FROM q),
+        |r AS (
+        |  SELECT source, doc_id, logit,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY logit DESC, doc_id ASC) AS rank
+        |  FROM s)
+        |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, logit
+        |FROM r WHERE rank <= 5""".stripMargin,
     "doc_shards" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
