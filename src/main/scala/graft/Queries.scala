@@ -517,18 +517,12 @@ object Queries {
     // dictionary ids for later-first-seen values, or the logical stream
     // diverges after the edit for reasons unrelated to the edit itself
     val fmt = TableFormat.ParquetFormat("gzip", useDictionary = false)
-    // the two single-task gzip writes are independent Spark jobs — submit
-    // concurrently (CompareFormats' write discipline); sequence preserves
-    // path order, which file_idx depends on
-    val files = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(
-        Future.sequence(Seq("original", "inserted")
-          .map(v => Future(fmt.write(tables(v), dir, "cdc", v)))),
-        Duration.Inf).flatten
-    }
+    // the two single-task gzip writes are independent Spark jobs —
+    // submitted concurrently via the shared write discipline; results
+    // keep input order, which file_idx depends on
+    val files = CompareFormats.concurrentWrites(
+      Seq("original", "inserted")
+        .map(v => () => fmt.write(tables(v), dir, "cdc", v))).flatten
     val params = graft.cdc.ChunkerParams(
       mask = -1L << (64 - 9), minLen = 64, maxLen = 16 * 1024)
     val physical = oracleSide(spark, sfDir, "logical_phys_chunks",

@@ -120,12 +120,15 @@ object TextQueries {
     */
   private def substringDup(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    // 5% of the corpus, ceilinged at an absolute 100: past ~100 docs a
-    // fingerprint is boilerplate whatever the corpus size, and the cap
-    // bounds the join's Σ df² independent of scale
+    // 5% of the corpus, floored at 2 (a cap of 1 would drop every
+    // SHAREABLE fingerprint on tiny corpora and silently return nothing)
+    // and ceilinged at an absolute 100: past ~100 docs a fingerprint is
+    // boilerplate whatever the corpus size, and the cap bounds the
+    // join's Σ df² independent of scale. The count() is parquet
+    // footer metadata, not a data scan.
     TextAnalysis.sharedFingerprintPairs(d, "doc_id", "text",
       minShared = 5L,
-      maxFpFreq = math.min(100L, math.max(1L, d.count() / 20L)),
+      maxFpFreq = math.min(100L, math.max(2L, d.count() / 20L)),
       fpSink = df => Queries.oracleSide(spark, sfDir, "fp_rel", df))
   }
 
@@ -135,6 +138,18 @@ object TextQueries {
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         col("avg_token_len"), col("punct_ratio"), col("stopword_ratio"))
 
+  /** ONE definition of the demo classifier — quality_classifier and
+    * doc_select_topk must rank by the same model, and both oracles bake
+    * in this exact fold order.
+    */
+  private def demoQualityLogit: org.apache.spark.sql.Column =
+    TextAnalysis.linearScore(
+      Seq(
+        (col("n_tokens").cast("double") - lit(50.0), 0.02),
+        (col("stopword_ratio"), 10.0),
+        (col("punct_ratio"), -15.0)),
+      bias = -1.0)
+
   /** Linear quality classifier over the engine's quality features — the
     * model-based filter stage (fixed demo weights; monotone logit output,
     * keep = logit > 0). Feature order is the SQL oracle's fold order, so
@@ -142,12 +157,7 @@ object TextQueries {
     */
   private def qualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val q = TextAnalysis.qualityScore(docs(spark, sfDir))
-    val logit = TextAnalysis.linearScore(
-      Seq(
-        (col("n_tokens").cast("double") - lit(50.0), 0.02),
-        (col("stopword_ratio"), 10.0),
-        (col("punct_ratio"), -15.0)),
-      bias = -1.0)
+    val logit = demoQualityLogit
     q.select(col("doc_id"), logit.as("logit"), (logit > 0).as("keep"))
   }
 
@@ -159,13 +169,7 @@ object TextQueries {
   private def docSelectTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = TextAnalysis.qualityScore(docs(spark, sfDir))
-    val logit = TextAnalysis.linearScore(
-      Seq(
-        (col("n_tokens").cast("double") - lit(50.0), 0.02),
-        (col("stopword_ratio"), 10.0),
-        (col("punct_ratio"), -15.0)),
-      bias = -1.0)
-    q.withColumn("logit", logit)
+    q.withColumn("logit", demoQualityLogit)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("source"))
           .orderBy(col("logit").desc, col("doc_id").asc)))
@@ -951,9 +955,11 @@ object TextQueries {
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |    CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
-        |      'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
-        |      / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |        'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |        / CAST(len(words) AS DOUBLE)
+        |    ELSE 0.0 END AS stopword_ratio
         |  FROM (SELECT doc_id, source, text,
         |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |        FROM documents)),
@@ -994,9 +1000,11 @@ object TextQueries {
         |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |      / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |    CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
-        |      'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
-        |      / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |    CASE WHEN len(words) > 0 THEN
+        |      CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |        'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |        / CAST(len(words) AS DOUBLE)
+        |    ELSE 0.0 END AS stopword_ratio
         |  FROM (SELECT doc_id, text,
         |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |        FROM documents)),
@@ -1013,9 +1021,11 @@ object TextQueries {
         |    / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE) AS avg_token_len,
         |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
         |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
-        |  CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
-        |    'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
-        |    / CAST(len(words) AS DOUBLE) AS stopword_ratio
+        |  CASE WHEN len(words) > 0 THEN
+        |    CAST(len(list_filter(words, x -> x IN ('the','a','an','and','or','of','to','in',
+        |      'is','it','that','for','on','with','as','at','by','be','this','are','was'))) AS DOUBLE)
+        |      / CAST(len(words) AS DOUBLE)
+        |  ELSE 0.0 END AS stopword_ratio
         |FROM (SELECT doc_id, text,
         |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
         |      FROM documents)""".stripMargin,

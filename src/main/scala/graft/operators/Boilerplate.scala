@@ -47,7 +47,15 @@ object Boilerplate {
     val session = df.sparkSession
     import session.implicits._
     val p = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .select(
+        // loud null-key failure (the Sampling convention): the typed
+        // kernel's Long decoder would otherwise throw an opaque encoder
+        // NPE that names neither the operator nor the key
+        when(col(idCol).isNull,
+            raise_error(lit("removeBoilerplate: null id — every document " +
+              "needs a non-null key")))
+          .otherwise(col(idCol)).cast("long"),
+        col(textCol).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         if (text == null) Iterator.empty

@@ -19,6 +19,18 @@ import java.nio.file.Path
   */
 object CompareFormats {
 
+  /** Submit independent Spark write jobs concurrently (the reference's
+    * ThreadPoolExecutor, de/estimate.py:57-68) — jobs overlap in the
+    * scheduler; results come back in input order. THE write-concurrency
+    * discipline for every multi-write call site.
+    */
+  private[graft] def concurrentWrites[A](jobs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(jobs.map(j => Future(j()))), Duration.Inf)
+  }
+
   def compareTables(
       spark: SparkSession,
       tables: Map[String, Map[String, DataFrame]], // group -> table name -> df
@@ -27,24 +39,18 @@ object CompareFormats {
       params: ChunkerParams = ChunkerParams.Default,
       sanityCheck: Boolean = true,
       sideSink: Option[(String, DataFrame) => DataFrame] = None): Seq[EstimationResult] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    // concurrent write submission (the reference's ThreadPoolExecutor,
-    // de/estimate.py:57-68): independent Spark jobs overlap in the scheduler
     val cells = for {
       (group, groupTables) <- tables.toSeq.sortBy(_._1)
       fmt <- formats
       (tableName, df) <- groupTables.toSeq.sortBy(_._1)
     } yield (group, fmt, tableName, df)
-    val futures = cells.map { case (group, fmt, tableName, df) =>
-      Future {
+    val files = concurrentWrites(cells.map { case (group, fmt, tableName, df) =>
+      () => {
         val written = fmt.write(df, directory, group, tableName)
         if (sanityCheck) verifyWrite(spark, df, fmt, written)
         written.map(p => (group, fmt.name, p))
       }
-    }
-    val files = Await.result(Future.sequence(futures), Duration.Inf).flatten
+    }).flatten
     Estimator.estimateGrid(spark, files, params, sideSink = sideSink)
   }
 

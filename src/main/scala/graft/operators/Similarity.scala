@@ -243,12 +243,18 @@ object Similarity extends Serializable {
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val bcCentroids = trainQuantizer(base, numCentroids, sampleSize, seed)
+    // persisted: the assignment pass feeds the bucket self-join (one
+    // reused exchange) AND the final id-keyed canonical join — without
+    // the persist the identity-sink path would re-run the scan and the
+    // per-row centroid assignment for the second consumer. Released
+    // after the eager materialization below.
     val assigned = assignSink(base
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         (nearestCentroids(bcCentroids.value, v, 1).head, id, v)
       }
       .toDF("bucket", "id", "vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = assigned.as("a")
       .join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
@@ -257,12 +263,16 @@ object Similarity extends Serializable {
       .map { case (ia, va, ib, vb) => (ia, ib, cosine(va, vb)) }
       .toDF("id_a", "id_b", "cosine")
       .filter(col("cosine") >= threshold)
-    assigned.as("m")
+    val result = assigned.as("m")
       .join(pairs.groupBy(col("id_b").as("id"))
         .agg(min(col("id_a")).as("dup_of")), Seq("id"), "left")
       .select(col("id"), col("bucket").cast("long").as("bucket"),
         coalesce(col("dup_of"), col("id")).as("canonical_id"),
         col("dup_of").isNotNull.as("is_dup"))
+      .cache()
+    result.count()
+    assigned.unpersist()
+    result
   }
 
   private[operators] def kmeansLite(
