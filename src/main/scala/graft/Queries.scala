@@ -651,6 +651,36 @@ object Queries {
         countDistinct(col("event_id")).as("n_events"))
   }
 
+  /** Conversion funnel — the canonical event-analytics query: per user,
+    * the first view, the first click within 24 h AFTER that view, the
+    * first purchase within 24 h AFTER that click; one row of stage
+    * counts (150 → 60 → 25 at sf0.01 — real attrition). Each stage is a
+    * min-aggregate over a stage-gated join (no window over the whole
+    * event stream), so every step is one shuffle on user_id and the
+    * per-stage relations shrink monotonically. Timestamps compare in
+    * epoch-ns longs end to end — no truncation to reconcile.
+    */
+  private def q21Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val DayNs = 24L * 3600L * 1000000000L
+    val ev = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tns")).as("t1"))
+    val clicks = ev.filter(col("event_type") === "click").as("e")
+      .join(views.as("v"), col("e.user_id") === col("v.user_id"))
+      .filter(col("e.tns") > col("v.t1") &&
+        col("e.tns") <= col("v.t1") + lit(DayNs))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tns")).as("t2"))
+    val purchases = ev.filter(col("event_type") === "purchase").as("e")
+      .join(clicks.as("c"), col("e.user_id") === col("c.user_id"))
+      .filter(col("e.tns") > col("c.t2") &&
+        col("e.tns") <= col("c.t2") + lit(DayNs))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tns")).as("t3"))
+    views.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
   /** Salted skew join surfaced as a catalog query: the events fact is
     * salted per-row on event_id, the customer dim is replicated across 8
     * salt buckets, and the join runs (key, salt)-keyed — the explicit
@@ -849,6 +879,7 @@ object Queries {
     "q16_interval_join" -> q16IntervalJoin _,
     "q19_salted_join" -> (q19SaltedJoin _),
     "q20_outer_join" -> (q20OuterJoin _),
+    "q21_funnel" -> (q21Funnel _),
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_estimate_incremental" -> (cdcEstimateIncremental _),
     "cdc_logical" -> (cdcLogical _),
@@ -1001,6 +1032,25 @@ object Queries {
         |  AND p.user_id = c.user_id
         |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
         |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000""".stripMargin,
+    "q21_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |v AS (
+        |  SELECT user_id, MIN(tns) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.tns) AS t2
+        |  FROM ev e JOIN v ON e.user_id = v.user_id AND e.tns > v.t1
+        |    AND e.tns <= v.t1 + 86400000000000
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.tns) AS t3
+        |  FROM ev e JOIN c ON e.user_id = c.user_id AND e.tns > c.t2
+        |    AND e.tns <= c.t2 + 86400000000000
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
+        |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
+        |  (SELECT COUNT(*) FROM p) AS n_purchase_after_click""".stripMargin,
     "q20_outer_join" ->
       """SELECT n_orders, COUNT(*) AS n_customers FROM (
         |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
