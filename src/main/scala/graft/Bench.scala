@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** Per-round benchmark main: one JSON line with per-query wall times.
   *
@@ -10,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // timed runs must never pay oracle side-table writes — force-disable
+    // them regardless of any GRAFT_ORACLE_SIDETABLES leaking in from a
+    // verification environment (the property overrides the env var)
+    System.setProperty(Queries.SideTableProp, "0")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -51,6 +56,17 @@ object Bench {
         tiny, "doc_id", "text", k = 3, threshold = 0.1)
       graft.operators.Dedupe.duplicateClusters(pairs).count()
       pairs.unpersist()
+      // top-k aggregate: first use compiles the udaf bridge, the buffer and
+      // output ExpressionEncoders, and the posexplode-over-struct-array
+      // stage (~seconds of driver-side codegen that would land on
+      // doc_select_topk's timed run) — warm the full shape the query plans
+      tiny
+        .groupBy((col("doc_id") % 2).as("g"))
+        .agg(graft.functions.TopK.top_k_by_score(
+          col("doc_id").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("g"), org.apache.spark.sql.functions.posexplode(col("top")))
+        .select(col("g"), col("col._2"), col("col._1"))
+        .count()
     } catch { case scala.util.control.NonFatal(_) => () }
 
     // local-iteration subset (comma-separated names); full sorted catalog
@@ -68,6 +84,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // compact duplicate as the VERY LAST line: the driver keeps only the
+    // final ~2 KB of output, which truncates the front of the full-precision
+    // line once the catalog is large — this 10 ms-rounded copy stays intact
+    def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    val compact = results
+      .map { case (k, v) => "\"" + k + "\":" + n2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"total":${n2(total)},"q":$compact}""")
     spark.stop()
   }
 }

@@ -64,9 +64,16 @@ object Queries {
     */
   private[graft] val SideTableProp = "graft.oracle.sidetables"
 
+  /** The system property, when set, is authoritative (Bench sets "0" to
+    * guarantee timed runs never pay oracle writes even if the driver's
+    * verification env leaks into the bench process); the env var is the
+    * fallback for external callers.
+    */
   private[graft] def sideTablesEnabled: Boolean =
-    sys.props.get(SideTableProp).contains("1") ||
-      sys.env.get("GRAFT_ORACLE_SIDETABLES").contains("1")
+    sys.props.get(SideTableProp) match {
+      case Some(v) => v == "1"
+      case None => sys.env.get("GRAFT_ORACLE_SIDETABLES").contains("1")
+    }
 
   /** One configurable root for BOTH the side-table writes and the oracle
     * SQL's reads, so they can never diverge. Overridable via
