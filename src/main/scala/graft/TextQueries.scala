@@ -163,19 +163,26 @@ object TextQueries {
 
   /** Curriculum selection: the top-5 highest-quality documents per source
     * by the linear classifier's logit (deterministic doc_id tie-break) —
-    * the quality-based selection stage between scoring and mixing. One
-    * narrow scoring pass + a per-source window.
+    * the quality-based selection stage between scoring and mixing.
+    *
+    * Plan shape: one narrow scoring pass + [[graft.functions.TopKByScore]]
+    * (bounded per-partition top-5 buffers, partial + final aggregation) —
+    * NOT a per-source window, whose full sort caps parallelism at the
+    * number of sources and funnels each source's whole score set through
+    * one task. Shuffled volume is ≤ 5 rows per (partition, source); the
+    * result is row-identical to `row_number().over(partitionBy(source)
+    * .orderBy(logit DESC, doc_id ASC)) <= 5` (the DuckDB oracle keeps the
+    * window form).
     */
   private def docSelectTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = TextAnalysis.qualityScore(docs(spark, sfDir))
-    q.withColumn("logit", demoQualityLogit)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("logit").desc, col("doc_id").asc)))
-      .filter(col("rank") <= 5)
-      .select(col("source"), col("rank").cast("long").as("rank"),
-        col("doc_id"), col("logit"))
+    import graft.functions.TopK
+    TextAnalysis.qualityScore(docs(spark, sfDir))
+      .withColumn("logit", demoQualityLogit)
+      .groupBy(col("source"))
+      .agg(TopK.top_k_by_score(col("logit"), col("doc_id"), 5).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"), col("col._1").as("logit"))
   }
 
   /** Export shard planning: deterministic 16-way sharding on the first

@@ -1,0 +1,70 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** TopKByScore must be row-identical to the window form it replaces
+  * (row_number over score DESC, id ASC; rank <= k) under any partitioning,
+  * including adversarial tie pile-ups and groups smaller than k.
+  */
+class TopKSpec extends SparkSpec with Matchers {
+
+  private def windowReference(
+      rows: Seq[(String, Double, Long)], k: Int): Set[(String, Long, Long, Double)] =
+    rows
+      .groupBy(_._1)
+      .flatMap { case (g, rs) =>
+        rs.sortBy { case (_, s, id) => (-s, id) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((_, s, id), i) => (g, (i + 1).toLong, id, s) }
+      }
+      .toSet
+
+  private def viaAggregate(
+      rows: Seq[(String, Double, Long)], k: Int, partitions: Int): Set[(String, Long, Long, Double)] = {
+    import spark.implicits._
+    rows
+      .toDF("g", "score", "id")
+      .repartition(partitions)
+      .groupBy(col("g"))
+      .agg(TopK.top_k_by_score(col("score"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("id"), col("col._1").as("score"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+  }
+
+  test("matches the window-form reference, ties broken by ascending id") {
+    val rng = new scala.util.Random(7)
+    // scores drawn from a tiny set so ties are common; 3 uneven groups
+    val rows = (0L until 500L).map { id =>
+      val g = if (id % 7 == 0) "small" else if (id % 2 == 0) "even" else "odd"
+      (g, (rng.nextInt(5) * 0.25) - 0.5, id)
+    }
+    val expect = windowReference(rows, 5)
+    viaAggregate(rows, 5, partitions = 1) shouldBe expect
+    viaAggregate(rows, 5, partitions = 13) shouldBe expect
+  }
+
+  test("groups smaller than k return all their rows, ranked") {
+    val rows = Seq(("a", 1.0, 10L), ("a", 2.0, 11L), ("b", 0.0, 12L))
+    viaAggregate(rows, 5, partitions = 3) shouldBe Set(
+      ("a", 1L, 11L, 2.0), ("a", 2L, 10L, 1.0), ("b", 1L, 12L, 0.0))
+  }
+
+  test("plan is partial+final aggregate, not a window sort") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => ("g" + (i % 3), i * 0.5, i))
+      .toDF("g", "score", "id")
+      .groupBy(col("g"))
+      .agg(TopK.top_k_by_score(col("score"), col("id"), 5).as("top"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    // partial + final: the aggregate appears in two modes around the exchange
+    plan.toLowerCase should include("partial")
+  }
+}
