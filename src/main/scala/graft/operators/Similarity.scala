@@ -216,16 +216,24 @@ object Similarity extends Serializable {
     *
     * Scale shape: the quantizer trains on a driver-side sample (tiny);
     * assignment is one narrow pass; the within-cluster self-join shuffles
-    * on bucket ONCE (ReusedExchange serves both sides) and streams
-    * |bucket|² candidate rows through the join's spillable buffer — with
-    * k ∝ corpus/constant the expected bucket stays bounded, and a skewed
-    * bucket degrades to a slow task, never an OOM. The pair kernel
-    * accumulates cosine in fixed left-to-right Double order (DuckDB
+    * on bucket ONCE (ReusedExchange serves both sides). `maxBucketSize` is
+    * the same skew guard as the LSH dedup family's: a hot centroid (a
+    * giant near-identical cluster, or numCentroids sized too small for the
+    * corpus — keep k ∝ √n) would otherwise stream |bucket|² candidate rows
+    * through one join task; over-cap buckets degrade to STAR comparisons
+    * around the bucket's min id instead of going quadratic. The pair
+    * kernel accumulates cosine in fixed left-to-right Double order (DuckDB
     * list_sum parity — the oracle is cell-exact on the float path).
     *
     * @param assignSink hook over the (bucket, id, vec) assignment (the
     *   catalog persists it so the oracle re-derives everything downstream
-    *   of the trained quantizer)
+    *   of the trained quantizer). Oracle precondition (same contract as
+    *   embeddingNearDups' sigSink): the plain bucket-self-join SQL models
+    *   only the under-cap path, so catalog parameters must keep every
+    *   bucket ≤ maxBucketSize at verification scale.
+    * @param maxBucketSize buckets larger than this compare members only
+    *   against the bucket's smallest id (star degradation) — bounded work
+    *   per bucket, reduced within-bucket recall, never an OOM
     * @return (id, bucket, canonical_id, is_dup): canonical_id = smallest
     *   same-bucket partner with cosine ≥ threshold (id itself when none —
     *   the exactDuplicates output contract)
@@ -238,6 +246,7 @@ object Similarity extends Serializable {
       numCentroids: Int = 16,
       sampleSize: Int = 2000,
       seed: Long = 42L,
+      maxBucketSize: Int = 2000,
       assignSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -255,10 +264,33 @@ object Similarity extends Serializable {
       }
       .toDF("bucket", "id", "vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = assigned.as("a")
-      .join(assigned.as("b"),
+    // bucket-size split (the embeddingNearDups cap discipline): under-cap
+    // buckets do the full within-bucket self-join; over-cap buckets only
+    // compare members to the bucket's min id (star), so a hot centroid
+    // costs O(|bucket|) instead of O(|bucket|²)
+    val bucketSizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+    val capped = assigned.join(
+      bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
+      Seq("bucket"))
+    val cliqueCands = capped.as("a")
+      .join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id"), col("a.vec"), col("b.id"), col("b.vec"))
+      .select(col("a.id").as("id_a"), col("a.vec").as("vec_a"),
+        col("b.id").as("id_b"), col("b.vec").as("vec_b"))
+    val hotMembers = assigned.join(
+      bucketSizes.filter(col("bucket_n") > maxBucketSize).drop("bucket_n"),
+      Seq("bucket"))
+    val hotCenters = hotMembers.groupBy(col("bucket")).agg(min(col("id")).as("center_id"))
+    // center is the bucket min, so id_a < id_b holds like the clique path
+    val starCands = hotMembers
+      .join(hotCenters, Seq("bucket"))
+      .filter(col("id") =!= col("center_id"))
+      .join(assigned.select(col("id").as("center_id"), col("vec").as("center_vec")),
+        "center_id")
+      .select(col("center_id").as("id_a"), col("center_vec").as("vec_a"),
+        col("id").as("id_b"), col("vec").as("vec_b"))
+    val pairs = cliqueCands
+      .unionByName(starCands)
       .as[(Long, Array[Float], Long, Array[Float])]
       .map { case (ia, va, ib, vb) => (ia, ib, cosine(va, vb)) }
       .toDF("id_a", "id_b", "cosine")

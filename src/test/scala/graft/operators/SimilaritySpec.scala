@@ -121,6 +121,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r.sortBy(_._1).toSeq == r2.sortBy(_._1).toSeq)
   }
 
+  test("semanticDedup: a hot bucket degrades to star comparisons, not n²") {
+    import spark.implicits._
+    // numCentroids=1 pins every vector into ONE bucket (k-means would
+    // happily split even a near-identical cluster between two centroids)
+    // and the tiny jitter keeps every pair above the threshold; with the
+    // cap forced low the bucket must take the star path: every member
+    // dups onto the bucket min (id 0), exactly the embeddingNearDups
+    // degradation
+    val base = Array.fill(8)(1f)
+    val df = (0L until 40L)
+      .map(i => (i, base.zipWithIndex.map { case (v, j) => v + (i * 8 + j) * 1e-5f }))
+      .toDF("vec_id", "embedding")
+    val r = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.99,
+        numCentroids = 1, maxBucketSize = 10)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(r.length == 40, "one row per vector survives the cap")
+    assert(r.head == ((0L, 0L, false)), "bucket min keeps itself")
+    assert(r.tail.forall { case (_, canonical, isDup) => canonical == 0L && isDup },
+      s"every member should star onto the bucket min: ${r.tail.take(5).toSeq}")
+    // under-cap control: same corpus, cap above bucket size => same labels
+    // via the full within-bucket join (the star path is a strict subset of
+    // clique pairs here, so canonical labels agree)
+    val full = Similarity
+      .semanticDedup(df, "vec_id", "embedding", threshold = 0.99,
+        numCentroids = 1, maxBucketSize = 2000)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getBoolean(3)))
+      .sortBy(_._1)
+    assert(full.toSeq == r.toSeq, "cap changes cost shape, not labels, when min-partner wins")
+  }
+
   test("kmeansLite is deterministic under seed") {
     val rng = new java.util.Random(3)
     val sample = Array.fill(50)(Array.fill(8)(rng.nextFloat()))
