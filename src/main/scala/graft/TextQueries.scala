@@ -124,8 +124,10 @@ object TextQueries {
     // SHAREABLE fingerprint on tiny corpora and silently return nothing)
     // and ceilinged at an absolute 100: past ~100 docs a fingerprint is
     // boilerplate whatever the corpus size, and the cap bounds the
-    // join's Σ df² independent of scale. The count() is parquet
-    // footer metadata, not a data scan.
+    // join's Σ df² independent of scale. The count() runs a zero-column
+    // scan job (footer row-counts only answer it directly under parquet
+    // aggregate pushdown, which is off by default) — cheap, but a job;
+    // at scale prefer passing a known corpus size via catalog stats.
     TextAnalysis.sharedFingerprintPairs(d, "doc_id", "text",
       minShared = 5L,
       maxFpFreq = math.min(100L, math.max(2L, d.count() / 20L)),

@@ -126,8 +126,15 @@ object Multimodal {
   /** Build a binary-blob DataFrame from any table's row bytes (JSON-encoded
     * rows as payload) — turns the documents table into a multimodal-shaped
     * corpus for tests and the catalog query.
+    *
+    * Contract: `content` is NEVER null (coalesced to the empty blob).
+    * Downstream operators emit one empty frame / zero-byte features for an
+    * empty blob, while a NULL would diverge between engines (e.g. DuckDB's
+    * octet_length(NULL) is NULL, silently dropping the blob from a
+    * generate-series oracle instead of producing the empty-frame row).
     */
   def blobsFromTable(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("blob_id"),
-      encode(to_json(struct(df.columns.map(col).toSeq: _*)), "UTF-8").as("content"))
+      coalesce(encode(to_json(struct(df.columns.map(col).toSeq: _*)), "UTF-8"),
+        lit(Array.emptyByteArray)).as("content"))
 }

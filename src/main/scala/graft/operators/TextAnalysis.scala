@@ -87,13 +87,26 @@ object TextAnalysis {
       scale: Long = 1000000L): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
+    // loud null-id guard (the Boilerplate/Sampling convention): a null id
+    // would otherwise die inside the typed encoder as an opaque NPE
+    val idChecked = when(col(idCol).isNull,
+        raise_error(lit(s"bigramLmScore: null $idCol — document ids must be non-null")))
+      .otherwise(col(idCol).cast("long"))
     val bi = df
-      .select(col(idCol).cast("long"), lower(col(textCol)).cast("string"))
+      .select(idChecked, lower(col(textCol)).cast("string"))
       .as[(Long, String)]
       .flatMap { case (id, s) =>
+        // iterate CODEPOINTS, not UTF-16 code units: the DuckDB oracle's
+        // len/substr are codepoint-based, and splitting a surrogate pair
+        // would emit unpaired-surrogate "chars" for non-BMP text
         if (s == null || s.length < 2) Iterator.empty
-        else (0 until s.length - 1).iterator
-          .map(i => (id, s.substring(i, i + 1), s.substring(i + 1, i + 2)))
+        else {
+          val cps = s.codePoints().toArray
+          (0 until cps.length - 1).iterator.map { i =>
+            (id, new String(Character.toChars(cps(i))),
+              new String(Character.toChars(cps(i + 1))))
+          }
+        }
       }
       .toDF("id", "c1", "c2")
     val counts = bi.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("c12"))

@@ -191,7 +191,17 @@ object EventStream {
       transform: DataFrame => DataFrame,
       mode: OutputMode,
       shufflePartitions: Int = 8): DataFrame = {
-    val schema = spark.read.parquet(dir).schema
+    // stateful operators pay a per-(partition, state store) commit on
+    // every micro-batch — a stream-stream join keeps FOUR stores per
+    // partition — so the harness narrows the stateful shuffle width for
+    // these bounded inputs (the partition count is baked into the state
+    // checkpoint, which is per-query here). The override lives in a CHILD
+    // session (shared SparkContext, isolated SQLConf/temp views): batch
+    // queries running concurrently in the caller's session keep their
+    // width — no session-global mutation, no restore to race.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val schema = session.read.parquet(dir).schema
     // file-source streams need a directory; a single-file input becomes
     // parent-dir + glob filter
     val (baseDir, glob) =
@@ -199,27 +209,19 @@ object EventStream {
         val p = java.nio.file.Paths.get(dir)
         (p.getParent.toString, Some(p.getFileName.toString))
       } else (dir, None)
-    var reader = spark.readStream.schema(schema)
+    var reader = session.readStream.schema(schema)
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = reader.parquet(baseDir)
-    spark.catalog.dropTempView(queryName) // re-runnable within one session
-    // stateful operators pay a per-(partition, state store) commit on
-    // every micro-batch — a stream-stream join keeps FOUR stores per
-    // partition — so the harness narrows the stateful shuffle width for
-    // these bounded inputs (the partition count is baked into the state
-    // checkpoint, which is per-query here). Restored after the run:
-    // batch queries in the same session keep the session width.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    val q = transform(stream).writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
     try {
-      val q = transform(stream).writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(queryName)
-        .start()
       q.processAllAvailable()
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(queryName)
+    } finally q.stop()
+    // the memory sink registers its temp view in the child session; the
+    // child dies with its references, so no cross-run dropTempView needed
+    session.table(queryName)
   }
 }

@@ -161,7 +161,13 @@ object Cli {
         case "list" :: Nil =>
           graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
         case name :: more if graft.SparkEntry.queries.contains(name) =>
-          val sfDir = more.headOption.getOrElse("/root/testdata/sf0.001")
+          // data dir: explicit arg > GRAFT_SF_DIR env — no baked-in path
+          val sfDir = more.headOption.orElse(sys.env.get("GRAFT_SF_DIR"))
+            .getOrElse {
+              System.err.println(
+                "usage: query NAME SF_DIR (or set GRAFT_SF_DIR)")
+              sys.exit(2)
+            }
           val spark = session()
           graft.SparkEntry.queries(name)(spark, sfDir).show(50, truncate = false)
           spark.stop()

@@ -104,6 +104,25 @@ class TextAnalysisSpec extends SparkSpec {
       s"got $r")
   }
 
+  test("bigramLmScore: non-BMP text pairs whole codepoints, null ids fail loudly") {
+    import spark.implicits._
+    // "a😀b" is 4 UTF-16 code units but 3 codepoints -> 2 bigrams; code-unit
+    // iteration would produce 3 bigrams with unpaired surrogates (and
+    // diverge from the DuckDB oracle's codepoint len/substr)
+    val r = TextAnalysis.bigramLmScore(Seq((1L, "a😀b")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 2L), s"got $r")
+    val err = intercept[Exception] {
+      TextAnalysis.bigramLmScore(
+        Seq((Some(1L), "ab"), (None, "cd")).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("null doc_id")), s"got $err")
+  }
+
   test("bigramLmScore: probabilities bounded by scale, repartition-invariant") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
