@@ -794,6 +794,43 @@ object Queries {
         md5(col("frame_bytes")).as("frame_md5"))
   }
 
+  /** S8 git-revision source as a catalog query: build the deterministic
+    * [[graft.tools.GitFixture]] repo, extract every revision of its file
+    * via the real `git log --follow` + byte-exact `git show` path
+    * ([[graft.tools.GitRevisions]]), and report (rev_idx, n_bytes,
+    * content_md5) newest-first. The oracle recomputes sizes and digests in
+    * DuckDB from the same literal contents the fixture committed — so the
+    * ORDER of the revision walk and the byte-exactness of the extraction
+    * are what the green row certifies. Environment-shaped by design
+    * (driver-side git, like the reference's checkout_file_revisions);
+    * `sfDir` is unused.
+    */
+  private def gitRevisions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val fixtureDir = new java.io.File("target/git_fixture").getAbsoluteFile.toPath
+    val file = graft.tools.GitFixture.build(fixtureDir)
+    val outPaths = graft.tools.GitRevisions
+      .checkoutFileRevisions(file, fixtureDir.resolve("revs"))
+    val rows = outPaths.zipWithIndex.map { case (p, i) =>
+      (i.toLong, java.nio.file.Files.readAllBytes(p))
+    }
+    spark.createDataset(rows).toDF("rev_idx", "content")
+      .select(col("rev_idx"), length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+  }
+
+  /** P6 glob expansion as a catalog query: expand `*.parquet` over the sf
+    * directory through a real Spark file source (binaryFile — its file
+    * index does the glob, and column pruning keeps content unread for this
+    * path+length projection) and report each file's name and byte size.
+    * The oracle re-expands the same glob with DuckDB's read_blob and
+    * measures the same bytes independently.
+    */
+  private def globExpand(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format("binaryFile").load(s"$sfDir/*.parquet")
+      .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length").as("n_bytes"))
+
   /** PII redaction audit over a deterministic profile string synthesized
     * from customer columns (the trimmed schema has no phone/address
     * columns, so the query manufactures emails / phones / IPs / digit runs
@@ -905,7 +942,9 @@ object Queries {
     "mm_enrich" -> (mmEnrich _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
-    "chunk_matrix" -> (chunkMatrix _)
+    "chunk_matrix" -> (chunkMatrix _),
+    "git_revisions" -> (gitRevisions _),
+    "glob_expand" -> (globExpand _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
@@ -944,6 +983,25 @@ object Queries {
       |FROM nf JOIN mm USING ("group", format) JOIN x USING ("group", format)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "git_revisions" -> {
+      // the oracle's VALUES rows ARE the fixture's committed contents
+      // (newest first — git log order); DuckDB independently recomputes
+      // size and md5, so the engine's git walk + extraction must be
+      // byte-exact to hash-match
+      val rows = graft.tools.GitFixture.Revisions.reverse.zipWithIndex
+        .map { case (content, i) => s"($i, E'${content.replace("\n", "\\n")}')" }
+        .mkString(",\n        ")
+      s"""WITH c(rev_idx, content) AS (VALUES
+        |        $rows)
+        |SELECT CAST(rev_idx AS BIGINT) AS rev_idx,
+        |  CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+        |  md5(content) AS content_md5
+        |FROM c""".stripMargin
+    },
+    "glob_expand" ->
+      s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+        |  CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |FROM read_blob('$oracleSfDir/*.parquet')""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
