@@ -56,16 +56,27 @@ object Bench {
         tiny, "doc_id", "text", k = 3, threshold = 0.1)
       graft.operators.Dedupe.duplicateClusters(pairs).count()
       pairs.unpersist()
-      // top-k aggregate: first use compiles the udaf bridge, the buffer and
-      // output ExpressionEncoders, and the posexplode-over-struct-array
-      // stage (~seconds of driver-side codegen that would land on
+      // batch-mode flatMapGroupsWithState (stream_sessions' operator): its
+      // first use compiles the FlatMapGroupsWithStateExec path + state/row
+      // encoders — none of which the streaming warmups above touch
+      graft.streaming.EventStream.sessionize(
+        (0L until 64L).map(i => graft.streaming.EventStream.EventRow(
+          i, i * 1000000000L, i % 4, "click", 1.0)).toDS(),
+        gapNanos = 5L * 1000000000L).toDF().count()
+      // top-k aggregate + quality feature stack: first use compiles the
+      // udaf bridge, the buffer/output ExpressionEncoders, the posexplode-
+      // over-struct-array stage, and qualityScore's higher-order-function
+      // expressions (~seconds of driver-side codegen that would land on
       // doc_select_topk's timed run) — warm the full shape the query plans
-      tiny
-        .groupBy((col("doc_id") % 2).as("g"))
+      graft.operators.TextAnalysis
+        .qualityScore(tiny.select(col("doc_id"), col("text"),
+          (col("doc_id") % 2).cast("string").as("source")))
+        .withColumn("logit", col("n_tokens").cast("double") - col("punct_ratio"))
+        .groupBy(col("source"))
         .agg(graft.functions.TopK.top_k_by_score(
-          col("doc_id").cast("double"), col("doc_id"), 3).as("top"))
-        .select(col("g"), org.apache.spark.sql.functions.posexplode(col("top")))
-        .select(col("g"), col("col._2"), col("col._1"))
+          col("logit"), col("doc_id"), 5).as("top"))
+        .select(col("source"), org.apache.spark.sql.functions.posexplode(col("top")))
+        .select(col("source"), col("col._2"), col("col._1"))
         .count()
     } catch { case scala.util.control.NonFatal(_) => () }
 
