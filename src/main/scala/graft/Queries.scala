@@ -495,8 +495,11 @@ object Queries {
     cleanupOnExit(dir)
     val results = CompareFormats.compareTables(
       spark, tables,
+      // sqlite exercises the S7 sink inside an ORACLED query: the grid
+      // roll-up re-derives every format's numbers from the persisted chunk
+      // side tables, so the row is format-agnostic and stays cell-exact
       Seq(TableFormat.ParquetFormat("none"), TableFormat.OrcFormat("none"),
-        TableFormat.JsonLinesFormat(None)),
+        TableFormat.JsonLinesFormat(None), TableFormat.SqliteFormat()),
       dir, sanityCheck = false,
       sideSink = Some((name, df) => oracleSide(spark, sfDir, s"fmt_$name", df)))
     spark.createDataset(results).toDF()

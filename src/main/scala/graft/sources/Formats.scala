@@ -18,9 +18,11 @@ import java.nio.file.{Files, Path, Paths}
   * hook (SURVEY §7.1); the estimator reads such files fine, Spark just
   * can't produce them — documented capability gap, not a code path.
   *
-  * The reference's SQLite sink needs a sqlite-jdbc jar that is not in the
-  * offline environment; `CsvFormat` is the documented stand-in (same
-  * row-oriented, compressible shape).
+  * The reference's SQLite sink (S7) is `SqliteFormat`, backed by the
+  * from-scratch [[SqliteWriter]] (no sqlite-jdbc exists offline; the
+  * writer implements the public file format and is round-tripped against
+  * the container's real sqlite3 in SqliteWriterSpec). Driver-side like
+  * the reference's pandas `to_sql` path — a RESULT-table sink.
   */
 sealed trait TableFormat {
   def name: String
@@ -162,7 +164,22 @@ object TableFormat {
     }
   }
 
-  /** CSV sink — offline stand-in for the reference's SQLite sink (S7). */
+  /** The reference's SQLite sink (S7, de/formats.py:187-202): the whole
+    * table into one `.sqlite` file as table "table", via the from-scratch
+    * public-file-format [[SqliteWriter]].
+    */
+  final case class SqliteFormat(tableName: String = "table") extends TableFormat {
+    def name: String = "sqlite"
+    def write(df: DataFrame, directory: Path, group: String, table: String): Seq[String] = {
+      val target = targetDir(directory, group, name).resolve(s"$table.sqlite")
+      SqliteWriter.write(df, target, tableName)
+      Seq(target.toString)
+    }
+  }
+
+  /** CSV sink (kept alongside the real SQLite sink: same row-oriented,
+    * compressible shape, but distributable).
+    */
   final case class CsvFormat(singleFile: Boolean = true) extends TableFormat {
     def name: String = "csv"
     def write(df: DataFrame, directory: Path, group: String, table: String): Seq[String] = {
@@ -177,7 +194,10 @@ object TableFormat {
     * unportable CDC writers): parquet {snappy, zstd, none} × dictionary,
     * plus JSONLines.
     */
-  def defaultGrid(withJson: Boolean = false, withCsv: Boolean = false): Seq[TableFormat] = {
+  def defaultGrid(
+      withJson: Boolean = false,
+      withCsv: Boolean = false,
+      withSqlite: Boolean = false): Seq[TableFormat] = {
     val parquet = Seq(
       ParquetFormat("snappy"),
       ParquetFormat("zstd"),
@@ -185,6 +205,7 @@ object TableFormat {
       ParquetFormat("snappy", useDictionary = false))
     parquet ++
       (if (withJson) Seq(JsonLinesFormat(None), JsonLinesFormat(Some("gzip"))) else Seq.empty) ++
-      (if (withCsv) Seq(CsvFormat()) else Seq.empty)
+      (if (withCsv) Seq(CsvFormat()) else Seq.empty) ++
+      (if (withSqlite) Seq(SqliteFormat()) else Seq.empty)
   }
 }

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+import scala.sys.process._
+
+/** Round-trips SqliteWriter's output through the container's REAL sqlite3
+  * (python3 stdlib) — the same implementation the reference's sink uses —
+  * plus `PRAGMA integrity_check` over the b-tree/overflow structure. This
+  * is the S7 verification: the file is read by sqlite itself, not by a
+  * re-written reader.
+  */
+class SqliteWriterSpec extends SparkSpec {
+
+  /** Run a python3 snippet against a db; returns stdout lines. */
+  private def py(db: String, script: String): Seq[String] = {
+    val full =
+      s"""import sqlite3, sys
+         |con = sqlite3.connect("$db")
+         |$script
+         |""".stripMargin
+    // force UTF-8 across the subprocess boundary: a C-locale python would
+    // otherwise mangle non-ASCII round-trip output in the TEST harness
+    Process(Seq("python3", "-c", full), None, "PYTHONIOENCODING" -> "utf-8")
+      .!!.linesIterator.toSeq
+  }
+
+  test("small mixed-type table reads back exactly through real sqlite") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 1L, -7L, 3000000000L, 1.5, "hello", Some(true)),
+      (1L, 0L, 127L, -3000000000L, -0.25, "wörld √2", Some(false)),
+      (2L, 42L, -128L, 140737488355327L, 0.0, null.asInstanceOf[String], None))
+      .toDF("id", "a", "b", "c", "d", "s", "flag")
+    val path = Files.createTempDirectory("sq").resolve("t.sqlite")
+    SqliteWriter.write(df, path, "table")
+    assert(py(path.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])""") == Seq("ok"))
+    // ascii() keeps the subprocess pipe 7-bit clean (the JVM decodes the
+    // pipe with the platform charset, which is C-locale here)
+    val rows = py(path.toString,
+      """for r in con.execute('SELECT id, a, b, c, d, s, flag FROM "table" ORDER BY id'):
+        |    print(ascii(r))""".stripMargin)
+    assert(rows == Seq(
+      "(0, 1, -7, 3000000000, 1.5, 'hello', 1)",
+      "(1, 0, 127, -3000000000, -0.25, 'w\\xf6rld \\u221a2', 0)",
+      "(2, 42, -128, 140737488355327, 0.0, None, None)"), rows.mkString("\n"))
+    // schema surfaces with the declared affinities and quoted identifiers
+    val schema = py(path.toString,
+      """print(con.execute("SELECT sql FROM sqlite_master").fetchone()[0])""")
+    assert(schema.head.contains("\"id\" INTEGER") && schema.head.contains("\"d\" REAL")
+      && schema.head.contains("\"s\" TEXT"), schema.head)
+  }
+
+  test("multi-leaf + interior b-tree and overflow chains are walkable") {
+    import spark.implicits._
+    // ~3000 rows of ~100 B forces many leaves under one interior level;
+    // the planted 10 KiB strings force multi-page overflow chains
+    val big = "x" * 10240
+    val df = (0L until 3000L)
+      .map(i => (i, s"row-$i-" + ("pad" * 30), if (i % 500 == 0) big else s"v$i"))
+      .toDF("id", "mid", "payload")
+    val path = Files.createTempDirectory("sq").resolve("big.sqlite")
+    SqliteWriter.write(df, path, "table")
+    assert(py(path.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])""") == Seq("ok"))
+    val out = py(path.toString,
+      """n, = con.execute('SELECT COUNT(*) FROM "table"').fetchone()
+        |s, = con.execute('SELECT SUM(id) FROM "table"').fetchone()
+        |o, = con.execute('SELECT COUNT(*) FROM "table" WHERE LENGTH(payload) = 10240').fetchone()
+        |m, = con.execute('SELECT payload FROM "table" WHERE id = 500').fetchone()
+        |print(n, s, o, m == "x" * 10240)""".stripMargin)
+    assert(out == Seq(s"3000 ${(0L until 3000L).sum} 6 True"), out.mkString)
+  }
+
+  test("blobs and an empty table round-trip") {
+    import spark.implicits._
+    val blobs = Seq((1L, Array[Byte](0, 1, 2, -1)), (2L, Array.emptyByteArray))
+      .toDF("id", "content")
+    val p1 = Files.createTempDirectory("sq").resolve("b.sqlite")
+    SqliteWriter.write(blobs, p1, "table")
+    val r = py(p1.toString,
+      """for i, c in con.execute('SELECT id, content FROM "table" ORDER BY id'):
+        |    print(i, c.hex())""".stripMargin)
+    assert(r == Seq("1 000102ff", "2 "), r.mkString("|"))
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val p2 = Files.createTempDirectory("sq").resolve("e.sqlite")
+    SqliteWriter.write(empty, p2, "table")
+    assert(py(p2.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])
+        |print(con.execute('SELECT COUNT(*) FROM "table"').fetchone()[0])""".stripMargin)
+      == Seq("ok", "0"))
+  }
+}
