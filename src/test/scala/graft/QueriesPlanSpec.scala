@@ -109,6 +109,21 @@ class QueriesPlanSpec extends SparkSpec {
       s"both model joins must broadcast:\n${scored.queryExecution.executedPlan}")
   }
 
+  test("doc_select_topk plans as partial+final aggregation, never a window sort") {
+    // the scale contract (VERDICT r4 #1): per-source top-k must not funnel
+    // each source's full score set through one window-sort task; the
+    // executed plan must carry the bounded aggregate on both sides of ONE
+    // exchange and no Window/Sort-by-source stage
+    val df = SparkEntry.queries("doc_select_topk")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort crept back:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"expected partial aggregation before the exchange:\n$plan")
+    assert(shuffles(df) <= 2, // agg exchange (+ AQE-kept scan coalesce at most)
+      s"top-k should shuffle only k-bounded buffers:\n$plan")
+  }
+
   test("q15 results match the plain join regardless of bucketing") {
     val bucketed = Queries.all("q15_bucketed_join")(spark, sfDir)
       .orderBy("o_orderpriority").collect().toSeq
