@@ -497,7 +497,12 @@ object Queries {
       spark, tables,
       // sqlite exercises the S7 sink inside an ORACLED query: the grid
       // roll-up re-derives every format's numbers from the persisted chunk
-      // side tables, so the row is format-agnostic and stays cell-exact
+      // side tables, so the row is format-agnostic and stays cell-exact.
+      // The sqlite leg inherits the reference sink's single-node
+      // materialization (pandas to_sql collects the table there too) —
+      // format_compare is a diagnostic over bounded corpora, and the
+      // writer's loud maxRows cap turns a mis-scaled run into an error,
+      // not a silent driver OOM
       Seq(TableFormat.ParquetFormat("none"), TableFormat.OrcFormat("none"),
         TableFormat.JsonLinesFormat(None), TableFormat.SqliteFormat()),
       dir, sanityCheck = false,
@@ -810,7 +815,11 @@ object Queries {
     */
   private def gitRevisions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val fixtureDir = new java.io.File("target/git_fixture").getAbsoluteFile.toPath
+    // fresh temp dir per invocation: a shared cwd-relative path would let
+    // concurrent runs (Verify replay vs a CLI query) wipe each other's
+    // .git mid-extraction; cleaned at JVM exit like the format scratch dirs
+    val fixtureDir = java.nio.file.Files.createTempDirectory("graft-git")
+    cleanupOnExit(fixtureDir)
     val file = graft.tools.GitFixture.build(fixtureDir)
     val outPaths = graft.tools.GitRevisions
       .checkoutFileRevisions(file, fixtureDir.resolve("revs"))
@@ -827,7 +836,10 @@ object Queries {
     * index does the glob, and column pruning keeps content unread for this
     * path+length projection) and report each file's name and byte size.
     * The oracle re-expands the same glob with DuckDB's read_blob and
-    * measures the same bytes independently.
+    * measures the same bytes independently. Semantics note: Spark file
+    * indexes SKIP hidden names ('_'/'.' prefixes — metadata artifacts);
+    * that is this operator's documented contract and the oracle filters
+    * identically.
     */
   private def globExpand(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.format("binaryFile").load(s"$sfDir/*.parquet")
@@ -1002,9 +1014,13 @@ object Queries {
         |FROM c""".stripMargin
     },
     "glob_expand" ->
+      // the filter mirrors the ENGINE's documented semantics: Spark file
+      // indexes treat '_'/'.'-prefixed names as hidden (metadata artifacts
+      // like _SUCCESS/_temporary), DuckDB's raw glob does not
       s"""SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
-        |FROM read_blob('$oracleSfDir/*.parquet')""".stripMargin,
+        |FROM read_blob('$oracleSfDir/*.parquet')
+        |WHERE NOT regexp_matches(regexp_extract(filename, '[^/]+$$'), '^[_.]')""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

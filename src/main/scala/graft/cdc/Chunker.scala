@@ -21,18 +21,14 @@ final case class ChunkerParams(
     minLen: Int = 8 * 1024,
     maxLen: Int = 128 * 1024,
     enforceMax: Boolean = true,
-    tableSeed: Long = 0L) {
+    tableSeed: Long = 0L,
+    readBufSize: Int = 1 << 20) {
   require(minLen > 0 && maxLen >= minLen, s"bad chunker params: min=$minLen max=$maxLen")
+  require(readBufSize > 0, s"bad read buffer size: $readBufSize")
 }
 
 object ChunkerParams {
   val Default: ChunkerParams = ChunkerParams()
-
-  /** xet-core's read loop hands the chunker 4 MiB blocks (reference:
-    * src/xet.rs:8 `READ_BUFFER_SIZE`). Boundary decisions here are
-    * buffer-size-invariant (ChunkerSpec pins that), so this only sizes I/O.
-    */
-  val XetReadBufferSize: Int = 4 * 1024 * 1024
 
   /** Parameter derivation of the xet-core production chunker (public
     * algorithm: huggingface/xet-core's `deduplication` crate, the
@@ -57,7 +53,11 @@ object ChunkerParams {
       minLen = targetChunkSize / 8,
       maxLen = targetChunkSize * 2,
       enforceMax = true,
-      tableSeed = 0x9E3779B97F4A7C15L)
+      tableSeed = 0x9E3779B97F4A7C15L,
+      // xet-core's read loop hands the chunker 4 MiB blocks (reference:
+      // src/xet.rs:8 READ_BUFFER_SIZE); boundaries are buffer-invariant
+      // (ChunkerSpec pins that), so this only sizes I/O
+      readBufSize = 4 * 1024 * 1024)
   }
 
   /** The xet-core production chunker at its production target (64 KiB):

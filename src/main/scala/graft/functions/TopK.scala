@@ -31,9 +31,15 @@ class TopKByScore(k: Int)
     TopKBuffer(Array.emptyDoubleArray, Array.emptyLongArray)
 
   // true when (sa, ia) orders strictly before (sb, ib): higher score first,
-  // smaller id on ties — row_number's ORDER BY score DESC, id ASC
-  @inline private def before(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa > sb || (sa == sb && ia < ib)
+  // smaller id on ties — row_number's ORDER BY score DESC, id ASC.
+  // Double.compare (not >/==) makes the order TOTAL: NaN sorts as the
+  // largest double (rank 1 under DESC, exactly Spark's sort order) instead
+  // of being silently dropped-or-misplaced by non-total float comparisons,
+  // and -0.0 < 0.0 matches Spark's total order too.
+  @inline private def before(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c > 0 || (c == 0 && ia < ib)
+  }
 
   override def reduce(b: TopKBuffer, in: (Double, Long)): TopKBuffer = {
     val (s, id) = in

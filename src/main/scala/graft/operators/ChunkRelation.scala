@@ -173,11 +173,6 @@ object ChunkRelation {
   private def openAndChunk(path: String, params: ChunkerParams): Iterator[Array[Byte]] = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    // xet-core reads 4 MiB blocks (src/xet.rs:8); boundaries are
-    // buffer-invariant, so this matches its I/O pattern, not its semantics
-    val bufSize =
-      if (params.tableSeed == ChunkerParams.Xet.tableSeed) ChunkerParams.XetReadBufferSize
-      else 1 << 20
-    new ChunkIterator(fs.open(hPath), params, bufSize)
+    new ChunkIterator(fs.open(hPath), params, params.readBufSize)
   }
 }

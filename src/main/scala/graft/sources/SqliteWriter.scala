@@ -60,8 +60,13 @@ object SqliteWriter {
     val masterRecord = encodeValues(Seq(
       SqlText("table"), SqlText(tableName), SqlText(tableName),
       SqlInt(rootPage.toLong), SqlText(createSql)))
-    require(masterRecord.length <= MaxLeafLocal,
-      s"schema row unexpectedly overflows (${masterRecord.length} bytes)")
+    // page 1's usable payload is smaller than a plain leaf's: 100-byte db
+    // header + 8-byte leaf header + one 2-byte cell pointer — checking
+    // MaxLeafLocal alone would let a huge CREATE TABLE silently overwrite
+    // the page-1 headers
+    require(masterRecord.length + 13 <= PageSize - 100 - 8 - 2,
+      s"CREATE TABLE row too large for page 1 (${masterRecord.length} bytes; " +
+        "shorten column names or reduce column count)")
     val masterCell = {
       val out = new java.io.ByteArrayOutputStream()
       out.write(varint(masterRecord.length.toLong), 0,
@@ -113,8 +118,12 @@ object SqliteWriter {
       case StringType => SqlText(v.asInstanceOf[String])
       case BinaryType => SqlBlob(v.asInstanceOf[Array[Byte]])
       // lexical forms for the text-affinity fallbacks (like to_sql's
-      // stringification); deterministic, engine-independent
-      case _: DecimalType | DateType | TimestampType => SqlText(v.toString)
+      // stringification). Timestamps render via Instant (ISO-8601 UTC):
+      // java.sql.Timestamp.toString uses the JVM default timezone, which
+      // would make the file content machine-dependent
+      case TimestampType =>
+        SqlText(v.asInstanceOf[java.sql.Timestamp].toInstant.toString)
+      case _: DecimalType | DateType => SqlText(v.toString)
       case other =>
         throw new IllegalArgumentException(s"SqliteWriter: unsupported type $other")
     }

@@ -50,6 +50,24 @@ class TopKSpec extends SparkSpec with Matchers {
     viaAggregate(rows, 5, partitions = 13) shouldBe expect
   }
 
+  test("NaN scores rank first (Spark's DESC order) under any partitioning") {
+    // java.lang.Double.compare semantics: NaN is the LARGEST double, so
+    // under score DESC it takes rank 1 with the id tie-break — matching
+    // row_number over orderBy(desc); a non-total comparator would drop or
+    // misplace NaN depending on buffer fill order
+    val rows = Seq(
+      ("g", Double.NaN, 7L), ("g", 5.0, 1L), ("g", Double.NaN, 3L),
+      ("g", 4.0, 2L), ("g", 3.0, 4L), ("g", 2.0, 5L), ("g", 1.0, 6L))
+    val expect = Set(
+      ("g", 1L, 3L, Double.NaN), ("g", 2L, 7L, Double.NaN),
+      ("g", 3L, 1L, 5.0), ("g", 4L, 2L, 4.0), ("g", 5L, 4L, 3.0))
+    // NaN != NaN defeats plain Set equality; compare on bit patterns
+    def bits(s: Set[(String, Long, Long, Double)]) =
+      s.map { case (g, r, i, d) => (g, r, i, java.lang.Double.doubleToLongBits(d)) }
+    assert(bits(viaAggregate(rows, 5, partitions = 1)) == bits(expect))
+    assert(bits(viaAggregate(rows, 5, partitions = 7)) == bits(expect))
+  }
+
   test("groups smaller than k return all their rows, ranked") {
     val rows = Seq(("a", 1.0, 10L), ("a", 2.0, 11L), ("b", 0.0, 12L))
     viaAggregate(rows, 5, partitions = 3) shouldBe Set(
