@@ -208,10 +208,13 @@ object Dedupe {
       .toDF("band", "bucket", "id")
 
     // skew guard: small buckets pair all-vs-all; over-cap buckets emit
-    // star candidates around their min id (linear, recall via canonical)
+    // star candidates around their min id (linear, recall via canonical).
+    // Cached: both cap filters consume it, and without the cache the
+    // banding + aggregation pass runs twice
     val bucketSizes = banded
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
+      .cache()
     val capped = banded.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
       Seq("band", "bucket"))
@@ -255,6 +258,7 @@ object Dedupe {
     // don't accumulate pinned blocks across catalog runs
     val result = verified.filter(col("jaccard") >= threshold).cache()
     result.count()
+    bucketSizes.unpersist()
     docs.unpersist()
     result
   }
@@ -530,10 +534,11 @@ object Dedupe {
       .toDF("block", "key", "id", "sig")
 
     // same skew guard as minhashPairs: clique pairs for small buckets,
-    // star-around-min for over-cap buckets
+    // star-around-min for over-cap buckets; cached for the two cap filters
     val blockSizes = blocked
       .groupBy(col("block"), col("key"))
       .agg(count(lit(1)).as("block_n"))
+      .cache()
     val capped = blocked.join(
       blockSizes.filter(col("block_n") <= maxBucketSize).drop("block_n"),
       Seq("block", "key"))
@@ -564,6 +569,7 @@ object Dedupe {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .cache()
     result.count()
+    blockSizes.unpersist()
     sigs.unpersist()
     result
   }
@@ -713,7 +719,10 @@ object Dedupe {
       .toDF("id", "sig", "vec"))
       .cache()
 
-    val bucketSizes = sigs.groupBy(col("sig")).agg(count(lit(1)).as("bucket_n"))
+    // cached: both cap filters (<= and >) consume it — without the cache
+    // the aggregation pass over `sigs` runs twice
+    val bucketSizes = sigs.groupBy(col("sig"))
+      .agg(count(lit(1)).as("bucket_n")).cache()
     val capped = sigs.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"), Seq("sig"))
     val cliquePairs = capped
@@ -741,6 +750,7 @@ object Dedupe {
       .filter(col("cosine") >= minCosine)
       .cache()
     result.count()
+    bucketSizes.unpersist()
     sigs.unpersist()
     result
   }

@@ -268,7 +268,10 @@ object Similarity extends Serializable {
     // buckets do the full within-bucket self-join; over-cap buckets only
     // compare members to the bucket's min id (star), so a hot centroid
     // costs O(|bucket|) instead of O(|bucket|²)
-    val bucketSizes = assigned.groupBy(col("bucket")).agg(count(lit(1)).as("bucket_n"))
+    // cached: both cap filters (<= and >) consume it — without the cache
+    // the aggregation pass over `assigned` runs twice
+    val bucketSizes = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_n")).cache()
     val capped = assigned.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
       Seq("bucket"))
@@ -303,6 +306,7 @@ object Similarity extends Serializable {
         col("dup_of").isNotNull.as("is_dup"))
       .cache()
     result.count()
+    bucketSizes.unpersist()
     assigned.unpersist()
     result
   }
