@@ -24,6 +24,29 @@ object Queries {
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Exact row count from parquet footer metadata — a driver-side
+    * metadata read (milliseconds, zero Spark jobs), for sizing caps and
+    * thresholds that need corpus cardinality before any scan runs.
+    * Accepts a file or a directory of part-files.
+    */
+  private[graft] def parquetRowCount(spark: SparkSession, path: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath)
+      else Seq(p)
+    files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try reader.getRecordCount finally reader.close()
+    }.sum
+  }
+
   /** The estimator queries (exact, approx, matrix) all need the same chunk
     * relation over the sf directory; chunk once per (session, dir, params)
     * and share the cached Dataset across catalog queries.

@@ -124,13 +124,14 @@ object TextQueries {
     // SHAREABLE fingerprint on tiny corpora and silently return nothing)
     // and ceilinged at an absolute 100: past ~100 docs a fingerprint is
     // boilerplate whatever the corpus size, and the cap bounds the
-    // join's Σ df² independent of scale. The count() runs a zero-column
-    // scan job (footer row-counts only answer it directly under parquet
-    // aggregate pushdown, which is off by default) — cheap, but a job;
-    // at scale prefer passing a known corpus size via catalog stats.
+    // join's Σ df² independent of scale. The corpus size comes from the
+    // parquet FOOTERS (driver-side metadata read, zero Spark jobs) — a
+    // df.count() would run a scan job per invocation since aggregate
+    // pushdown is off by default.
+    val nDocs = Queries.parquetRowCount(spark, s"$sfDir/documents.parquet")
     TextAnalysis.sharedFingerprintPairs(d, "doc_id", "text",
       minShared = 5L,
-      maxFpFreq = math.min(100L, math.max(2L, d.count() / 20L)),
+      maxFpFreq = math.min(100L, math.max(2L, nDocs / 20L)),
       fpSink = df => Queries.oracleSide(spark, sfDir, "fp_rel", df))
   }
 
