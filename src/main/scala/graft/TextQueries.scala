@@ -245,18 +245,36 @@ object TextQueries {
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
 
+  /** The per-document CDC chunk relation — (doc_id, source, hash, size)
+    * at the doc-payload params (min 16 / max 256 / 5 mask bits) — feeds
+    * BOTH doc_cdc and source_similarity: one chunking pass per (session,
+    * sf dir), shared as a persisted Dataset (the sfChunks/ngramPairs
+    * discipline). At 100 TB this is the difference between chunking the
+    * corpus once and chunking it per consumer.
+    */
+  private val docChunksCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def sharedDocChunks(spark: SparkSession, sfDir: String): DataFrame =
+    docChunksCache.getOrElseUpdate(spark.sparkContext.applicationId + sfDir, {
+      import graft.plans.CdcChunks
+      val df = docs(spark, sfDir)
+        .select(col("doc_id"), col("source"),
+          CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
+            maxLen = 256, maskBits = 5))
+        .select(col("doc_id"), col("source"), col("hash"), col("size"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize so every consumer reads the cache, not the scan
+      df
+    })
+
   /** CDC over in-table payloads via the custom Catalyst Generator
     * expression: chunk each document's UTF-8 bytes (small chunk params for
     * doc-sized payloads), dedup chunks per source.
     */
   private def docCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.plans.CdcChunks
     val chunked = Queries.oracleSide(spark, sfDir, "doc_chunks",
-      docs(spark, sfDir)
-        .select(col("doc_id"), col("source"),
-          CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
-            maxLen = 256, maskBits = 5))
-        .select(col("source"), col("hash"), col("size")))
+      sharedDocChunks(spark, sfDir).select(col("source"), col("hash"), col("size")))
     chunked
       .groupBy(col("source"), col("hash"))
       .agg(first(col("size")).as("size"), sum(col("size")).as("occ_bytes"))
@@ -290,12 +308,10 @@ object TextQueries {
     */
   private def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    import graft.plans.CdcChunks
     import graft.functions.KmvSketch
-    val chunked = docs(spark, sfDir)
-      .select(col("source"),
-        CdcChunks.cdc_chunks(encode(col("text"), "UTF-8"), minLen = 16,
-          maxLen = 256, maskBits = 5))
+    // one chunking pass per session: the cached sharedDocChunks relation
+    // also serves doc_cdc
+    val chunked = sharedDocChunks(spark, sfDir)
     // pre-aggregate to DISTINCT (source, hash) before sketching: KMV is a
     // set sketch (duplicates are no-ops), but each occurrence row used to
     // pay a full Aggregator encode/decode through the udaf() bridge —
