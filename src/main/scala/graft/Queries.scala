@@ -27,7 +27,10 @@ object Queries {
   /** Exact row count from parquet footer metadata — a driver-side
     * metadata read (milliseconds, zero Spark jobs), for sizing caps and
     * thresholds that need corpus cardinality before any scan runs.
-    * Accepts a file or a directory of part-files.
+    * Accepts a file or a directory of part-files; directory listing
+    * follows Spark's file-index convention (hidden '_'/'.'-prefixed
+    * names skipped) and FAILS LOUDLY when no data file matches — a
+    * silently-zero count would mis-size every downstream cap.
     */
   private[graft] def parquetRowCount(spark: SparkSession, path: String): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -38,13 +41,35 @@ object Queries {
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .filter { s =>
+            val n = s.getPath.getName
+            s.isFile && n.endsWith(".parquet") &&
+              !n.startsWith("_") && !n.startsWith(".")
+          }
           .map(_.getPath)
       else Seq(p)
+    require(files.nonEmpty,
+      s"parquetRowCount: no non-hidden .parquet data files under $path — " +
+        "nested or differently-suffixed layouts need an explicit file list")
     files.map { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try reader.getRecordCount finally reader.close()
     }.sum
+  }
+
+  /** Session-scoped shared-relation cache (ONE implementation for the
+    * chunk / ngram-pair / doc-chunk caches): ConcurrentHashMap
+    * .computeIfAbsent gives at-most-once evaluation per key, so two
+    * concurrent first callers cannot both run an expensive build and
+    * orphan a persisted duplicate; key parts join on a NUL separator so
+    * distinct (app, dir, params) tuples cannot alias by concatenation.
+    */
+  private[graft] final class SessionRelationCache[T] {
+    private val map = new java.util.concurrent.ConcurrentHashMap[String, T]()
+    def getOrElseUpdate(spark: SparkSession, keyParts: String*)(build: => T): T =
+      map.computeIfAbsent(
+        (spark.sparkContext.applicationId +: keyParts).mkString("\u0000"),
+        _ => build)
   }
 
   /** The estimator queries (exact, approx, matrix) all need the same chunk
@@ -52,22 +77,18 @@ object Queries {
     * and share the cached Dataset across catalog queries.
     */
   private val chunkCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String), org.apache.spark.sql.Dataset[ChunkRow]]
+    new SessionRelationCache[org.apache.spark.sql.Dataset[ChunkRow]]
 
   private[graft] def sfChunks(
       spark: SparkSession,
       sfDir: String,
       params: graft.cdc.ChunkerParams = graft.cdc.ChunkerParams.Default,
       tables: Seq[String] = Seq("lineitem", "orders"))
-      : org.apache.spark.sql.Dataset[ChunkRow] = {
-    val key = (spark.sparkContext.applicationId + sfDir + tables.mkString(","),
-      params.toString)
-    chunkCache.getOrElseUpdate(key, {
+      : org.apache.spark.sql.Dataset[ChunkRow] =
+    chunkCache.getOrElseUpdate(spark, sfDir, tables.mkString(","), params.toString) {
       val paths = tables.map(t => s"$sfDir/$t.parquet")
       ChunkRelation.chunkFiles(spark, paths, params).cache()
-    })
-  }
+    }
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 

@@ -227,13 +227,13 @@ object TextQueries {
     * sharing discipline as Queries.sfChunks. ngramJaccardPairs caches and
     * materializes internally, so reuse is a cheap cached-scan.
     */
-  private val ngramPairsCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ngramPairsCache = new Queries.SessionRelationCache[DataFrame]
 
   private def sharedNgramPairs(spark: SparkSession, sfDir: String): DataFrame =
-    ngramPairsCache.getOrElseUpdate(spark.sparkContext.applicationId + sfDir,
+    ngramPairsCache.getOrElseUpdate(spark, sfDir) {
       Dedupe.ngramJaccardPairs(docs(spark, sfDir), "doc_id", "text", k = 3,
-        threshold = 0.3))
+        threshold = 0.3)
+    }
 
   private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
     sharedNgramPairs(spark, sfDir)
@@ -252,11 +252,10 @@ object TextQueries {
     * discipline). At 100 TB this is the difference between chunking the
     * corpus once and chunking it per consumer.
     */
-  private val docChunksCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val docChunksCache = new Queries.SessionRelationCache[DataFrame]
 
   private def sharedDocChunks(spark: SparkSession, sfDir: String): DataFrame =
-    docChunksCache.getOrElseUpdate(spark.sparkContext.applicationId + sfDir, {
+    docChunksCache.getOrElseUpdate(spark, sfDir) {
       import graft.plans.CdcChunks
       val df = docs(spark, sfDir)
         .select(col("doc_id"), col("source"),
@@ -266,7 +265,7 @@ object TextQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize so every consumer reads the cache, not the scan
       df
-    })
+    }
 
   /** CDC over in-table payloads via the custom Catalyst Generator
     * expression: chunk each document's UTF-8 bytes (small chunk params for
