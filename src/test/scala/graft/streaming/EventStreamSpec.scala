@@ -13,6 +13,50 @@ class EventStreamSpec extends SparkSpec {
     assert(result.select("event_type").distinct().count() > 0)
   }
 
+  test("windowed aggregation streams to a REAL parquet sink with checkpointing") {
+    // the production path the memory-sink harness deliberately skips:
+    // append-mode file sink + checkpoint dir. Append emits a window only
+    // once the watermark passes its end — on a finite input that happens
+    // in the trailing no-data micro-batch (noDataMicroBatches is on by
+    // default), so only windows older than final-watermark emit; the
+    // assertion checks exactly that subset, cell-exact vs batch.
+    val session = spark.newSession()
+    val src = sf() + "/events.parquet"
+    val p = java.nio.file.Paths.get(src)
+    val out = java.nio.file.Files.createTempDirectory("sink-out")
+    val ckpt = java.nio.file.Files.createTempDirectory("sink-ckpt")
+    val schema = session.read.parquet(src).schema
+    val stream = session.readStream.schema(schema)
+      .option("pathGlobFilter", p.getFileName.toString)
+      .parquet(p.getParent.toString)
+    val q = EventStream.windowedCounts(stream)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val sunk = session.read.parquet(out.toString)
+      .select("window_start", "event_type", "n")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    // expected: the complete windowed aggregate, restricted to windows the
+    // final watermark (max event_time - 2h) closed
+    val batch = EventStream.withEventTime(session.read.parquet(src))
+    val maxTs = batch.agg(max("event_time")).head().getTimestamp(0)
+    val expected = batch
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("window.end").as("we"))
+      .collect()
+      .filter(_.getTimestamp(3).getTime <= maxTs.getTime - 2L * 3600 * 1000)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    assert(expected.nonEmpty, "test corpus must close at least one window")
+    assert(sunk.toSet == expected.toSet,
+      s"sink rows ${sunk.length} vs expected ${expected.length}")
+  }
+
   test("streaming dedup emits exactly the distinct key set") {
     val result = EventStream.runDedupOnce(spark, sf() + "/events.parquet", "evt_dedup")
       .collect().map(r => (r.getLong(0), r.getString(1)))
