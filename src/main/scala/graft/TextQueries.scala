@@ -174,13 +174,16 @@ object TextQueries {
     * number of sources and funnels each source's whole score set through
     * one task. Shuffled volume is ≤ 5 rows per (partition, source); the
     * result is row-identical to `row_number().over(partitionBy(source)
-    * .orderBy(logit DESC, doc_id ASC)) <= 5` (the DuckDB oracle keeps the
-    * window form).
+    * .orderBy(logit DESC, doc_id ASC)) <= 5` over the SCORED rows (the
+    * DuckDB oracle keeps the window form). Unscorable docs (null text ⇒
+    * null logit) are excluded on BOTH sides — selection semantics, and
+    * the typed aggregate's input is non-nullable by contract.
     */
   private def docSelectTopk(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TopK
     TextAnalysis.qualityScore(docs(spark, sfDir))
       .withColumn("logit", demoQualityLogit)
+      .filter(col("logit").isNotNull)
       .groupBy(col("source"))
       .agg(TopK.top_k_by_score(col("logit"), col("doc_id"), 5).as("top"))
       .select(col("source"), posexplode(col("top")))
@@ -997,7 +1000,7 @@ object TextQueries {
         |  SELECT source, doc_id, logit,
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY logit DESC, doc_id ASC) AS rank
-        |  FROM s)
+        |  FROM s WHERE logit IS NOT NULL)
         |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, logit
         |FROM r WHERE rank <= 5""".stripMargin,
     "doc_shards" ->

@@ -53,9 +53,13 @@ object SqliteWriter {
     while (level.length > 1) level = buildInterior(level, appendPage)
     val rootPage = level.head._1
 
-    // ---- page 1: sqlite_master leaf with the single table row
-    val createSql = s"""CREATE TABLE "$tableName"(""" +
-      schema.fields.map(f => s""""${f.name}" ${affinity(f.dataType)}""")
+    // ---- page 1: sqlite_master leaf with the single table row.
+    // Identifiers are double-quoted with embedded quotes DOUBLED — an
+    // unescaped quote would write a schema row sqlite later rejects as
+    // malformed, far from the cause
+    def ident(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+    val createSql = s"CREATE TABLE ${ident(tableName)}(" +
+      schema.fields.map(f => s"${ident(f.name)} ${affinity(f.dataType)}")
         .mkString(", ") + ")"
     val masterRecord = encodeValues(Seq(
       SqlText("table"), SqlText(tableName), SqlText(tableName),
@@ -69,9 +73,8 @@ object SqliteWriter {
         "shorten column names or reduce column count)")
     val masterCell = {
       val out = new java.io.ByteArrayOutputStream()
-      out.write(varint(masterRecord.length.toLong), 0,
-        varintLen(masterRecord.length.toLong))
-      out.write(varint(1L), 0, varintLen(1L))
+      writeVarint(out, masterRecord.length.toLong)
+      writeVarint(out, 1L)
       out.write(masterRecord)
       out.toByteArray
     }
@@ -150,7 +153,7 @@ object SqliteWriter {
     var headerLen = typesBytes.length + 1
     if (headerLen + varintLen(headerLen.toLong) - 1 > 127) headerLen = typesBytes.length + 2
     val out = new java.io.ByteArrayOutputStream()
-    out.write(varint(headerLen.toLong), 0, varintLen(headerLen.toLong))
+    writeVarint(out, headerLen.toLong)
     out.write(typesBytes)
     vals.foreach {
       case SqlNull | SqlInt(0L) | SqlInt(1L) => ()
@@ -182,6 +185,14 @@ object SqliteWriter {
   }
 
   private def varintLen(v: Long): Int = varint(v).length
+
+  /** Encode once, write once — the write-sites pattern (varint(x) twice per
+    * value) would double the allocations on the single-threaded encode path.
+    */
+  private def writeVarint(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    val b = varint(v)
+    out.write(b, 0, b.length)
+  }
 
   private def varint(v: Long): Array[Byte] = {
     require(v >= 0 && v < (1L << 56),
@@ -232,8 +243,8 @@ object SqliteWriter {
 
     def cellBytes(c: Cell): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
-      out.write(varint(c.payloadLen.toLong), 0, varintLen(c.payloadLen.toLong))
-      out.write(varint(c.rowid), 0, varintLen(c.rowid))
+      writeVarint(out, c.payloadLen.toLong)
+      writeVarint(out, c.rowid)
       out.write(c.bytes)
       out.toByteArray
     }

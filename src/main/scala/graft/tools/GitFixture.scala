@@ -34,12 +34,16 @@ object GitFixture {
       finally s.close()
     }
     Files.createDirectories(dir)
+    // blank out global/system git config entirely: repo-local identity
+    // alone would still inherit commit.gpgsign, hook paths, or templates
+    // from the machine, breaking the "deterministic fixture" contract
     def git(args: String*): Unit = {
-      val code = Process(Seq("git", "-C", dir.toString) ++ args).!(ProcessLogger(_ => ()))
+      val code = Process(Seq("git", "-C", dir.toString) ++ args, None,
+        "GIT_CONFIG_GLOBAL" -> "/dev/null",
+        "GIT_CONFIG_SYSTEM" -> "/dev/null").!(ProcessLogger(_ => ()))
       require(code == 0, s"git ${args.mkString(" ")} failed in $dir")
     }
     git("init", "-q")
-    // repo-local identity: no dependency on global git config
     git("config", "user.email", "fixture@example.invalid")
     git("config", "user.name", "fixture")
     val file = dir.resolve(FileName)
