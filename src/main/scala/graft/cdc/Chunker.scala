@@ -117,21 +117,34 @@ final class ChunkIterator(in: InputStream, params: ChunkerParams, bufSize: Int =
         in.close()
         if (carryLen > 0) { pending.enqueue(carry.toByteArray); carry.reset(); carryLen = 0 }
       } else {
+        // hash-free warm-up per chunk (see Chunker.hashSkip): positions
+        // below `skip` can never influence an eligible boundary, so they
+        // advance in one bounds computation instead of per-byte hashing;
+        // curLen carries the skip progress across buffer refills
+        val skip = Chunker.hashSkip(params)
         var i = 0
         var start = 0
         var curLen = carryLen
         while (i < n) {
-          h = (h << 1) + table(buf(i) & 0xff)
-          curLen += 1
-          i += 1
-          val boundary =
-            (curLen >= params.minLen && (h & params.mask) == 0L) ||
-              (params.enforceMax && curLen >= params.maxLen)
-          if (boundary) {
-            carry.write(buf, start, i - start)
+          if (curLen < skip) {
+            val adv = math.min(skip - curLen, n - i)
+            curLen += adv
+            i += adv
+            h = 0L
+          }
+          var boundaryAt = -1
+          while (boundaryAt < 0 && i < n) {
+            h = (h << 1) + table(buf(i) & 0xff)
+            curLen += 1
+            i += 1
+            if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
+              (params.enforceMax && curLen >= params.maxLen)) boundaryAt = i
+          }
+          if (boundaryAt >= 0) {
+            carry.write(buf, start, boundaryAt - start)
             pending.enqueue(carry.toByteArray)
             carry.reset()
-            start = i
+            start = boundaryAt
             curLen = 0
             h = 0L
           }
@@ -162,16 +175,27 @@ object Chunker {
     * Boundary semantics are identical to ChunkIterator (gear state resets
     * at each boundary; ChunkerSpec cross-checks the two paths).
     */
+  /** Hash-free prefix per chunk: gear's 64-bit register forgets a byte
+    * after 64 shifts, so nothing before (minLen − 64) can influence an
+    * ELIGIBLE boundary test (the first one fires at curLen == minLen with
+    * exactly the last 64 bytes in window). Skipping those table lookups
+    * is boundary-identical — and is the same skip xet-core's production
+    * chunker performs (ChunkerSpec's golden/cross-path tests pin it).
+    */
+  @inline private[cdc] def hashSkip(params: ChunkerParams): Int =
+    math.max(0, params.minLen - 64)
+
   def chunkStats(bytes: Array[Byte], params: ChunkerParams): Iterator[(Long, Int, Int)] = {
     if (bytes == null || bytes.isEmpty) Iterator.empty
     else new Iterator[(Long, Int, Int)] {
       private val table = Gear.table(params.tableSeed)
+      private val skip = hashSkip(params)
       private var start = 0
       override def hasNext: Boolean = start < bytes.length
       override def next(): (Long, Int, Int) = {
         val n = bytes.length
         var h = 0L
-        var i = start
+        var i = math.min(n, start + skip)
         var end = -1
         while (end < 0 && i < n) {
           h = (h << 1) + table(bytes(i) & 0xff)
@@ -193,22 +217,26 @@ object Chunker {
   /** Boundary offsets+lengths without copying chunk payloads. */
   def boundaries(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[(Int, Int)] = {
     val table = Gear.table(params.tableSeed)
+    val skip = hashSkip(params)
     val out = Vector.newBuilder[(Int, Int)]
     var h = 0L
     var start = 0
-    var i = 0
-    while (i < bytes.length) {
-      h = (h << 1) + table(bytes(i) & 0xff)
-      i += 1
-      val curLen = i - start
-      if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
-        (params.enforceMax && curLen >= params.maxLen)) {
-        out += ((start, curLen))
-        start = i
-        h = 0L
+    val n = bytes.length
+    while (start < n) {
+      var i = math.min(n, start + skip) // hash-free window warm-up, see hashSkip
+      var end = -1
+      h = 0L
+      while (end < 0 && i < n) {
+        h = (h << 1) + table(bytes(i) & 0xff)
+        i += 1
+        val curLen = i - start
+        if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
+          (params.enforceMax && curLen >= params.maxLen)) end = i
       }
+      if (end < 0) end = n
+      out += ((start, end - start))
+      start = end
     }
-    if (start < bytes.length) out += ((start, bytes.length - start))
     out.result()
   }
 }
