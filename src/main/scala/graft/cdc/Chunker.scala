@@ -166,15 +166,6 @@ object Chunker {
   def chunk(bytes: Array[Byte], params: ChunkerParams = ChunkerParams.Default): Vector[Array[Byte]] =
     new ChunkIterator(new java.io.ByteArrayInputStream(bytes), params).toVector
 
-  /** Per-chunk (hash, size, compressedSize) over an in-memory payload in a
-    * SINGLE pass with zero chunk copies: boundary scan + offset-based
-    * xxh64/lz4 directly on the source array. This is the hot kernel for
-    * in-table payloads (cdc_chunks generator, chunkColumn) where the
-    * streaming ChunkIterator's per-chunk ByteArrayOutputStream + copy would
-    * dominate at small chunk sizes (maskBits=5 ⇒ ~32 B chunks).
-    * Boundary semantics are identical to ChunkIterator (gear state resets
-    * at each boundary; ChunkerSpec cross-checks the two paths).
-    */
   /** Hash-free prefix per chunk: gear's 64-bit register forgets a byte
     * after 64 shifts, so nothing before (minLen − 64) can influence an
     * ELIGIBLE boundary test (the first one fires at curLen == minLen with
@@ -185,6 +176,37 @@ object Chunker {
   @inline private[cdc] def hashSkip(params: ChunkerParams): Int =
     math.max(0, params.minLen - 64)
 
+  /** End (exclusive) of the chunk starting at `start`: first eligible gear
+    * boundary or maxLen cut, else `n`. ONE scan loop shared by chunkStats
+    * and boundaries so the kernels cannot diverge. The skip start is
+    * computed as a distance (`n - start > skip`), not `start + skip`,
+    * which would wrap negative within `skip` bytes of Int.MaxValue.
+    */
+  private def nextEnd(
+      bytes: Array[Byte], start: Int, n: Int,
+      table: Array[Long], params: ChunkerParams, skip: Int): Int = {
+    var h = 0L
+    var i = if (n - start > skip) start + skip else n
+    var end = -1
+    while (end < 0 && i < n) {
+      h = (h << 1) + table(bytes(i) & 0xff)
+      i += 1
+      val curLen = i - start
+      if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
+        (params.enforceMax && curLen >= params.maxLen)) end = i
+    }
+    if (end < 0) n else end
+  }
+
+  /** Per-chunk (hash, size, compressedSize) over an in-memory payload in a
+    * SINGLE pass with zero chunk copies: boundary scan + offset-based
+    * xxh64/lz4 directly on the source array. This is the hot kernel for
+    * in-table payloads (cdc_chunks generator, chunkColumn) where the
+    * streaming ChunkIterator's per-chunk ByteArrayOutputStream + copy would
+    * dominate at small chunk sizes (maskBits=5 ⇒ ~32 B chunks).
+    * Boundary semantics are identical to ChunkIterator (gear state resets
+    * at each boundary; ChunkerSpec cross-checks the two paths).
+    */
   def chunkStats(bytes: Array[Byte], params: ChunkerParams): Iterator[(Long, Int, Int)] = {
     if (bytes == null || bytes.isEmpty) Iterator.empty
     else new Iterator[(Long, Int, Int)] {
@@ -193,18 +215,7 @@ object Chunker {
       private var start = 0
       override def hasNext: Boolean = start < bytes.length
       override def next(): (Long, Int, Int) = {
-        val n = bytes.length
-        var h = 0L
-        var i = math.min(n, start + skip)
-        var end = -1
-        while (end < 0 && i < n) {
-          h = (h << 1) + table(bytes(i) & 0xff)
-          i += 1
-          val curLen = i - start
-          if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
-            (params.enforceMax && curLen >= params.maxLen)) end = i
-        }
-        if (end < 0) end = n
+        val end = nextEnd(bytes, start, bytes.length, table, params, skip)
         val len = end - start
         val out = (XXH64.hash(bytes, start, len, XXH64.DefaultSeed), len,
           Lz4Len(bytes, start, len))
@@ -219,21 +230,10 @@ object Chunker {
     val table = Gear.table(params.tableSeed)
     val skip = hashSkip(params)
     val out = Vector.newBuilder[(Int, Int)]
-    var h = 0L
     var start = 0
     val n = bytes.length
     while (start < n) {
-      var i = math.min(n, start + skip) // hash-free window warm-up, see hashSkip
-      var end = -1
-      h = 0L
-      while (end < 0 && i < n) {
-        h = (h << 1) + table(bytes(i) & 0xff)
-        i += 1
-        val curLen = i - start
-        if ((curLen >= params.minLen && (h & params.mask) == 0L) ||
-          (params.enforceMax && curLen >= params.maxLen)) end = i
-      }
-      if (end < 0) end = n
+      val end = nextEnd(bytes, start, n, table, params, skip)
       out += ((start, end - start))
       start = end
     }

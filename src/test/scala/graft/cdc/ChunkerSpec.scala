@@ -103,6 +103,51 @@ class ChunkerSpec extends AnyFunSuite {
       5897939731392082316L))
   }
 
+  test("hash-skip is boundary-identical to a no-skip reference at coarse masks") {
+    // directed at the warm-up window: minLen > 64 (so the skip engages)
+    // with a COARSE mask (4 bits ⇒ P[boundary] = 1/16 per byte), so many
+    // boundaries land exactly at curLen == minLen — the position where an
+    // off-by-one in hashSkip would first diverge. The production tests
+    // (16 mask bits) almost never exercise that position.
+    def noSkipReference(bytes: Array[Byte], p: ChunkerParams): Vector[(Int, Int)] = {
+      val table = Gear.table(p.tableSeed)
+      val out = Vector.newBuilder[(Int, Int)]
+      var h = 0L
+      var start = 0
+      var i = 0
+      while (i < bytes.length) {
+        h = (h << 1) + table(bytes(i) & 0xff)
+        i += 1
+        val curLen = i - start
+        if ((curLen >= p.minLen && (h & p.mask) == 0L) ||
+          (p.enforceMax && curLen >= p.maxLen)) {
+          out += ((start, curLen)); start = i; h = 0L
+        }
+      }
+      if (start < bytes.length) out += ((start, bytes.length - start))
+      out.result()
+    }
+    val rng = new scala.util.Random(31)
+    for (trial <- 0 until 40) {
+      val p = ChunkerParams(
+        mask = 0xf000000000000000L, // 4 bits: boundaries-at-minLen are common
+        minLen = 65 + rng.nextInt(200), // skip in [1, 200]
+        maxLen = 4096,
+        enforceMax = trial % 2 == 0,
+        tableSeed = rng.nextLong())
+      val data = randomBytes(8192 + rng.nextInt(8192), rng.nextLong())
+      val expect = noSkipReference(data, p)
+      assert(Chunker.boundaries(data, p) == expect, s"boundaries diverged: $p")
+      assert(Chunker.chunkStats(data, p).map(_._2).toVector == expect.map(_._2),
+        s"chunkStats diverged: $p")
+      // streaming path with a refill INSIDE the skip region
+      val streamed = new ChunkIterator(
+        new java.io.ByteArrayInputStream(data), p, bufSize = 37)
+        .map(_.length).toVector
+      assert(streamed == expect.map(_._2), s"ChunkIterator diverged: $p")
+    }
+  }
+
   test("empty input produces no chunks") {
     assert(Chunker.chunk(Array.emptyByteArray).isEmpty)
     assert(Chunker.chunkStats(Array.emptyByteArray, ChunkerParams.Default).isEmpty)

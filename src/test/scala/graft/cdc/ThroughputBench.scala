@@ -25,7 +25,7 @@ class ThroughputBench extends AnyFunSuite {
     val mbps = (data.length / (1 << 20)) / secs
     info(f"boundaries: $mbps%.0f MiB/s (${bounds.size} chunks)")
     // loose floor: suite runs share the box with Spark executors; isolated
-    // runs measure ~620 MiB/s with the hash-free window warm-up skip
+    // runs measure 450-620 MiB/s with the hash-free window warm-up skip
     assert(mbps > 40, f"chunker too slow: $mbps%.0f MiB/s")
   }
 
@@ -42,7 +42,7 @@ class ThroughputBench extends AnyFunSuite {
     val secs = (System.nanoTime() - t0) / 1e9
     val mbps = (data.length / (1 << 20)) / secs
     info(f"chunk+hash+lz4: $mbps%.0f MiB/s")
-    // loose floor (see above); isolated runs measure ~340 MiB/s
+    // loose floor (see above); isolated runs measure 225-345 MiB/s
     assert(mbps > 20, f"pipeline too slow: $mbps%.0f MiB/s")
   }
 }
