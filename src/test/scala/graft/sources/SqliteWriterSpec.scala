@@ -73,6 +73,39 @@ class SqliteWriterSpec extends SparkSpec {
     assert(out == Seq(s"3000 ${(0L until 3000L).sum} 6 True"), out.mkString)
   }
 
+  test("property: random mixed tables round-trip value-exact through real sqlite") {
+    import spark.implicits._
+    val rng = new scala.util.Random(97)
+    for (trial <- 0 until 8) {
+      val n = 1 + rng.nextInt(200)
+      val rows = (0L until n.toLong).map { i =>
+        (i,
+          rng.nextLong(),
+          if (rng.nextInt(5) == 0) null
+          else rng.alphanumeric.take(rng.nextInt(300)).mkString,
+          // exact binary64 values: i/8 avoids float-format round-trip noise
+          (rng.nextInt(1000) - 500) / 8.0,
+          rng.nextBoolean())
+      }
+      val df = rows.toDF("id", "v", "s", "d", "b")
+      val path = Files.createTempDirectory("sqp").resolve(s"t$trial.sqlite")
+      SqliteWriter.write(df, path, "table")
+      val got = py(path.toString,
+        """print(con.execute("PRAGMA integrity_check").fetchone()[0])
+          |for r in con.execute('SELECT id, v, s, d, b FROM "table" ORDER BY id'):
+          |    print(ascii(r))""".stripMargin)
+      assert(got.head == "ok", s"trial $trial: integrity ${got.head}")
+      val expect = rows.map { case (i, v, s, d, b) =>
+        val sTxt = if (s == null) "None"
+          else "'" + s.flatMap(c => if (c == '\'') "\\'" else c.toString) + "'"
+        val dTxt = if (d == d.floor && math.abs(d) < 1e15) f"$d%.1f" else d.toString
+        s"($i, $v, $sTxt, $dTxt, ${if (b) 1 else 0})"
+      }
+      assert(got.tail == expect, s"trial $trial (n=$n) mismatch:\n" +
+        got.tail.zip(expect).filter(p => p._1 != p._2).take(3).mkString("\n"))
+    }
+  }
+
   test("blobs and an empty table round-trip") {
     import spark.implicits._
     val blobs = Seq((1L, Array[Byte](0, 1, 2, -1)), (2L, Array.emptyByteArray))
