@@ -9,8 +9,8 @@ import java.nio.file.{Files, Paths}
 /** Command-line surface mirroring the reference's `de` CLI (de/cli.py):
   *
   *   sbt "runMain graft.tools.Cli dedup FILE..."            (de dedup)
-  *   sbt "runMain graft.tools.Cli stats DIR [OUTDIR]"       (de stats)
-  *   sbt "runMain graft.tools.Cli synthetic SCHEMA_JSON [OUTDIR]"
+  *   sbt "runMain graft.tools.Cli stats DIR [OUTDIR] [--with-sqlite]"  (de stats)
+  *   sbt "runMain graft.tools.Cli synthetic SCHEMA_JSON [OUTDIR] [--with-sqlite]"
   *   sbt "runMain graft.tools.Cli page-chunks FILE..."      (de page-chunks)
   *   sbt "runMain graft.tools.Cli profile TABLE.parquet"    (column profile)
   *   sbt "runMain graft.tools.Cli viz FILE... OUT.png"      (provenance strip)
@@ -52,7 +52,10 @@ object Cli {
         f"(${r.xet_bytes}%d/${r.total_len}%d)")
       spark.stop()
 
-    case "stats" :: dir :: rest =>
+    case "stats" :: dir :: rest0 =>
+      // the reference's grid flags (de stats --with-json/--with-sqlite)
+      val withSqlite = rest0.contains("--with-sqlite")
+      val rest = rest0.filterNot(_.startsWith("--"))
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-stats"))
@@ -70,7 +73,8 @@ object Cli {
         stem -> spark.read.parquet(p)
       }.toMap)
       val results = CompareFormats.compareTables(
-        spark, tables, TableFormat.defaultGrid(withJson = true), outDir)
+        spark, tables,
+        TableFormat.defaultGrid(withJson = true, withSqlite = withSqlite), outDir)
       println(CompareFormats.formatReport(results))
       println(CompareFormats.formatMarkdown(results))
       val report = outDir.resolve("report.html")
@@ -78,7 +82,9 @@ object Cli {
       println(s"wrote $report")
       spark.stop()
 
-    case "synthetic" :: schemaJson :: rest =>
+    case "synthetic" :: schemaJson :: rest0 =>
+      val withSqlite = rest0.contains("--with-sqlite")
+      val rest = rest0.filterNot(_.startsWith("--"))
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-synth"))
@@ -90,7 +96,7 @@ object Cli {
           v -> Map("original" -> tables("original"), v -> df)
       }
       val results = CompareFormats.compareTables(
-        spark, grouped, TableFormat.defaultGrid(), outDir)
+        spark, grouped, TableFormat.defaultGrid(withSqlite = withSqlite), outDir)
       println(CompareFormats.formatReport(results))
       val report = outDir.resolve("report.html")
       Files.writeString(report, CompareFormats.barReportHtml(results))
@@ -243,8 +249,8 @@ object Cli {
         s"""unknown command: ${other.mkString(" ")}
            |usage:
            |  dedup FILE...
-           |  stats DIR [OUTDIR]
-           |  synthetic SCHEMA_JSON [OUTDIR]
+           |  stats DIR [OUTDIR] [--with-sqlite]
+           |  synthetic SCHEMA_JSON [OUTDIR] [--with-sqlite]
            |  rewrite FILE...
            |  revisions FILE TARGET_DIR
            |  param-impact FILE --row-group-size|--data-page-size
