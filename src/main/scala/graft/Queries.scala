@@ -805,28 +805,29 @@ object Queries {
         col("is_unique"))
   }
 
-  /** Multimodal: JSON-blob corpus from documents → stub decode + real
-    * byte-histogram features → per-channel roll-up. The blob relation and
-    * the per-blob enrichment persist as side tables: the oracle recomputes
-    * n_bytes/thumb_bytes INDEPENDENTLY from the raw blob bytes
-    * (octet_length / LEAST(·, target)) and the roll-up from the per-blob
-    * rows; only `channels` (stub decode, hash-derived) is taken on trust.
+  /** Multimodal with REAL image decode: a corpus of real encoded PNG/BMP
+    * blobs (one per doc_id, dims/bands a pure arithmetic function of the
+    * id — [[Multimodal.fixtureTruth]]) is enriched through the actual
+    * `javax.imageio` decode path. The oracle certifies the decode: it takes
+    * width/height/channels from the codec-FREE ground-truth side table and
+    * n_bytes/thumb_bytes from the raw blob bytes — so a hash match means
+    * ImageIO really decoded every fixture to its known dimensions. Nothing
+    * decoded is taken on trust anymore (the former stub survives only for
+    * audio/video duration, outside this query).
     */
   private def mmEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
     val blobs = oracleSide(spark, sfDir, "mm_blobs",
-      Multimodal.blobsFromTable(
-        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id"))
+      Multimodal.imageBlobs(ids, "doc_id"))
+    // written for the oracle only — the engine side must NOT read it
+    oracleSide(spark, sfDir, "mm_truth", Multimodal.imageTruth(ids, "doc_id"))
     val thumbs = Multimodal.resize(blobs, "blob_id", "content", targetBytes = 256)
       .select(col("blob_id"), length(col("thumb")).cast("long").as("thumb_bytes"))
-    val perBlob = oracleSide(spark, sfDir, "mm_enriched",
-      Multimodal
-        .enrich(blobs, "blob_id", "content")
-        .join(thumbs, "blob_id")
-        .select(col("blob_id"), col("n_bytes"), col("channels"), col("thumb_bytes")))
-    perBlob
-      .groupBy(col("channels"))
-      .agg(count(lit(1)).as("n_blobs"), sum(col("n_bytes")).as("sum_bytes"),
-        sum(col("thumb_bytes")).as("sum_thumb_bytes"))
+    Multimodal
+      .enrich(blobs, "blob_id", "content")
+      .join(thumbs, "blob_id")
+      .select(col("blob_id"), col("n_bytes"), col("width"), col("height"),
+        col("channels"), col("thumb_bytes"))
   }
 
   /** Video-shaped frame sampling through the multimodal plumbing: one blob
@@ -1308,17 +1309,16 @@ object Queries {
         |  md5(substring(s, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
         |FROM f""".stripMargin,
     "mm_enrich" ->
+      // width/height/channels come from the codec-free ground-truth table;
+      // the engine row carries the REAL ImageIO decode of the same blob —
+      // a hash match certifies the decode against known fixture dims
       s"""WITH b AS (SELECT * FROM read_parquet('${oracleSidePath("mm_blobs")}')),
-        |e AS (SELECT * FROM read_parquet('${oracleSidePath("mm_enriched")}')),
-        |chk AS (
-        |  SELECT e.blob_id, e.channels,
-        |    CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
-        |    CAST(LEAST(octet_length(b.content), 256) AS BIGINT) AS thumb_bytes
-        |  FROM e JOIN b USING (blob_id))
-        |SELECT channels, COUNT(*) AS n_blobs,
-        |  CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
-        |  CAST(SUM(thumb_bytes) AS BIGINT) AS sum_thumb_bytes
-        |FROM chk GROUP BY channels""".stripMargin,
+        |t AS (SELECT * FROM read_parquet('${oracleSidePath("mm_truth")}'))
+        |SELECT t.blob_id,
+        |  CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
+        |  t.width, t.height, t.channels,
+        |  CAST(LEAST(octet_length(b.content), 256) AS BIGINT) AS thumb_bytes
+        |FROM t JOIN b USING (blob_id)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // generated per-column (never hand-transcribed) so Spark and SQL can

@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in bounded batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); everything around it — schema, partitioning,
-  * batch shape, feature vectors — is real and tested. Swapping the stub for
-  * a codec call is a one-function change.
+  * Image decode is REAL: `javax.imageio` ships in every JDK and reads
+  * PNG/BMP/GIF/JPEG, so width/height/channels come from an actual decode
+  * ([[decodeImageMeta]]). Only formats the JDK has no reader for (audio,
+  * video containers) keep the clearly-marked deterministic stub for their
+  * duration field.
   *
   * At scale: rows carry blobs, so partitions are sized by
   * `spark.sql.files.maxPartitionBytes` on read and the transforms are
@@ -20,9 +21,30 @@ object Multimodal {
 
   final case class MediaMeta(width: Int, height: Int, channels: Int, durationMs: Long)
 
-  /** STUB decode: deterministic pseudo-metadata derived from the blob hash.
-    * Replace with a real codec (e.g. javax.imageio for images) when
-    * available; signature and callers stay unchanged.
+  // In-memory ImageInputStreams: the default disk cache would write a temp
+  // file per decoded blob on every executor — pure overhead for blobs that
+  // are already byte arrays in memory.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode via the JDK's ImageIO (PNG/BMP/GIF/JPEG readers ship
+    * in every JDK). Returns None when no reader claims the bytes (non-image
+    * payloads, audio/video, truncated data) — callers fall back to the
+    * audio/video stub. `channels` = raster band count (1 gray, 3 RGB,
+    * 4 RGBA); `durationMs` = 0 for stills.
+    */
+  def decodeImageMeta(content: Array[Byte]): Option[MediaMeta] =
+    if (content == null || content.length < 8) None
+    else try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      if (img == null) None
+      else Some(MediaMeta(img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** STUB decode for media the JDK cannot read (audio/video duration):
+    * deterministic pseudo-metadata derived from the blob hash. Images never
+    * reach this — [[decodeMeta]] dispatches them to the real codec.
     */
   def decodeMetaStub(content: Array[Byte]): MediaMeta = {
     val h = graft.cdc.XXH64.hash(if (content == null) Array.emptyByteArray else content, 42L)
@@ -31,6 +53,88 @@ object Multimodal {
       height = (math.floorMod(h >>> 16, 1080L) + 1L).toInt,
       channels = (math.floorMod(h >>> 32, 3L) + 1L).toInt,
       durationMs = math.floorMod(h >>> 40, 600000L))
+  }
+
+  /** Decode dispatch: real ImageIO decode first; the stub only for blobs no
+    * JDK reader understands.
+    */
+  def decodeMeta(content: Array[Byte]): MediaMeta =
+    decodeImageMeta(content).getOrElse(decodeMetaStub(content))
+
+  // ------------------------------------------------- deterministic fixtures
+
+  /** Ground-truth metadata for [[imageFixture]] — pure arithmetic on `id`,
+    * NO codec involved, so an oracle can assert the real decode against it.
+    * Formats cycle gray-PNG (1 band) / RGB-PNG (3) / RGBA-PNG (4) /
+    * 24-bit BMP (3).
+    */
+  def fixtureTruth(id: Long): MediaMeta = {
+    val w = 4 + math.floorMod(id, 29L).toInt
+    val h = 4 + math.floorMod(id * 7L, 23L).toInt
+    val channels = math.floorMod(id, 4L).toInt match {
+      case 0 => 1
+      case 1 => 3
+      case 2 => 4
+      case _ => 3
+    }
+    MediaMeta(w, h, channels, 0L)
+  }
+
+  /** Deterministic image blob: a real encoded PNG/BMP whose dimensions and
+    * band count are [[fixtureTruth]] of `id` and whose pixels are a pure
+    * function of (id, x, y). Encoded with the same JDK ImageIO the decode
+    * path reads with — but the TRUTH comes from arithmetic, not the codec.
+    */
+  def imageFixture(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val m = fixtureTruth(id)
+    val (imgType, fmt) = math.floorMod(id, 4L).toInt match {
+      case 0 => (BufferedImage.TYPE_BYTE_GRAY, "png")
+      case 1 => (BufferedImage.TYPE_INT_RGB, "png")
+      case 2 => (BufferedImage.TYPE_INT_ARGB, "png")
+      case _ => (BufferedImage.TYPE_3BYTE_BGR, "bmp")
+    }
+    val img = new BufferedImage(m.width, m.height, imgType)
+    var y = 0
+    while (y < m.height) {
+      var x = 0
+      while (x < m.width) {
+        val v = (id * 1000003L + x * 31L + y * 131L)
+        val argb = 0xff000000 | (v & 0xffffff).toInt
+        img.setRGB(x, y, argb)
+        x += 1
+      }
+      y += 1
+    }
+    imageIoNoDiskCache
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Distributed fixture corpus: one real encoded image per id row —
+    * (blob_id, content). Narrow map, blobs never shuffle.
+    */
+  def imageBlobs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, imageFixture(id)))
+      .toDF("blob_id", "content")
+  }
+
+  /** Codec-free ground truth for the same ids — (blob_id, width, height,
+    * channels). What the oracle compares the REAL decode against.
+    */
+  def imageTruth(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val m = fixtureTruth(id)
+        (id, m.width, m.height, m.channels)
+      }
+      .toDF("blob_id", "width", "height", "channels")
   }
 
   /** REAL feature extraction: 64-bin byte histogram normalized to unit L1 —
@@ -104,8 +208,9 @@ object Multimodal {
       .toDF("blob_id", "frame_idx", "frame_bytes")
   }
 
-  /** Full enrichment pass: metadata (stub) + features (real) per blob, as
-    * one narrow mapPartitions-shaped transform.
+  /** Full enrichment pass: metadata (REAL ImageIO decode for images, stub
+    * only for undecodable media) + features (real) per blob, as one narrow
+    * mapPartitions-shaped transform.
     */
   def enrich(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -114,7 +219,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, content) =>
-          val meta = decodeMetaStub(content)
+          val meta = decodeMeta(content)
           val size = if (content == null) 0L else content.length.toLong
           (id, size, meta.width, meta.height, meta.channels, meta.durationMs,
             byteHistogram(content))

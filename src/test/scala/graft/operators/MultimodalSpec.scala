@@ -19,6 +19,41 @@ class MultimodalSpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("real decode: ImageIO reads every fixture format to its arithmetic truth") {
+    // all 4 format lanes (gray-PNG, RGB-PNG, RGBA-PNG, BMP) × several ids
+    (0L until 16L).foreach { id =>
+      val truth = Multimodal.fixtureTruth(id)
+      val decoded = Multimodal.decodeImageMeta(Multimodal.imageFixture(id))
+      assert(decoded.contains(truth), s"id=$id: decoded $decoded != truth $truth")
+    }
+  }
+
+  test("real decode: non-image and truncated blobs fall back to the stub") {
+    assert(Multimodal.decodeImageMeta("{\"not\": \"an image\"}".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageMeta(null).isEmpty)
+    val truncated = Multimodal.imageFixture(1L).take(12) // PNG magic, no body
+    assert(Multimodal.decodeImageMeta(truncated).isEmpty)
+    // dispatch falls back deterministically
+    val viaDispatch = Multimodal.decodeMeta(truncated)
+    assert(viaDispatch == Multimodal.decodeMetaStub(truncated))
+  }
+
+  test("enrich over an image corpus carries real decoded dimensions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ids = (0L until 20L).toDF("id")
+    val e = Multimodal.enrich(Multimodal.imageBlobs(ids, "id"), "blob_id", "content")
+      .orderBy("blob_id").collect()
+    assert(e.length == 20)
+    e.foreach { r =>
+      val truth = Multimodal.fixtureTruth(r.getAs[Long]("blob_id"))
+      assert(r.getAs[Int]("width") == truth.width)
+      assert(r.getAs[Int]("height") == truth.height)
+      assert(r.getAs[Int]("channels") == truth.channels)
+      assert(r.getAs[Long]("duration_ms") == 0L)
+    }
+  }
+
   test("enrich: deterministic stub metadata + real histogram features") {
     val e = Multimodal.enrich(blobs, "blob_id", "content").cache()
     assert(e.count() == 50)
