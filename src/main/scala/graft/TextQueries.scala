@@ -241,6 +241,17 @@ object TextQueries {
   private def ngramPairs(spark: SparkSession, sfDir: String): DataFrame =
     sharedNgramPairs(spark, sfDir)
 
+  /** Named builders for the session-shared relations, exposed so Bench can
+    * pay and TIME each build once, up front — per-query numbers then report
+    * steady-state cost instead of silently charging whichever consumer runs
+    * first (dedup_ngram/dedup_clusters/pipeline_curate share the ngram
+    * pairs; doc_cdc/source_similarity share the doc chunk pass).
+    */
+  private[graft] def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq(
+      "ngram_pairs" -> ((s, d) => { sharedNgramPairs(s, d).count(); () }),
+      "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }))
+
   /** Duplicate clustering (connected components, min-id labels) over the
     * exact ngram pair relation — deterministic input, so the DuckDB oracle
     * re-derives the components with a recursive transitive-closure CTE.
