@@ -805,6 +805,47 @@ object Queries {
         col("is_unique"))
   }
 
+  /** O2 provenance segments (reference src/store.rs:138-143): every chunk
+    * occurrence in (file_idx, chunk_idx) order mapped to the file index
+    * that first contributed its content — the heat-map strip's input. Same
+    * chunk relation (and side table) as chunk_matrix, so no extra chunking
+    * pass; the oracle re-derives first_seen_in with a MIN-per-hash join
+    * over the persisted occurrences.
+    */
+  private def chunkSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = oracleSide(spark, sfDir, "chunks3",
+      sfChunks(spark, sfDir, tables = Seq("lineitem", "orders", "customer")).toDF())
+      .as[ChunkRow]
+    Estimator.segments(chunks)
+  }
+
+  /** O3 ordered chunk dump with data (reference src/store.rs:145-150 +
+    * store_data): one row per distinct chunk keyed to its FIRST occurrence
+    * (the reference's insertion order, expressed relationally as the
+    * (file_idx, chunk_idx) min), carrying the payload digest. The
+    * with-data occurrence relation persists as a side table; the oracle
+    * re-picks each hash's first occurrence and re-digests the raw bytes
+    * (md5 over the hex encoding — DuckDB's md5 is VARCHAR-only), so the
+    * dump order, dedup identity, and payload bytes are all certified.
+    */
+  private def chunkDump(spark: SparkSession, sfDir: String): DataFrame = {
+    val paths = Seq("lineitem", "orders").map(t => s"$sfDir/$t.parquet")
+    val dump = oracleSide(spark, sfDir, "chunk_dump_data",
+      ChunkRelation.chunkFilesWithData(spark, paths).toDF())
+    val firstOcc = struct(col("file_idx"), col("chunk_idx"))
+    dump
+      .groupBy(col("hash"))
+      .agg(
+        min(col("file_idx")).as("first_file"),
+        min_by(col("chunk_idx"), firstOcc).as("first_chunk_idx"),
+        first(col("size")).as("size"),
+        count(lit(1)).as("n_occ"),
+        md5(hex(min_by(col("data"), firstOcc))).as("chunk_md5"))
+      .select(col("hash"), col("first_file"), col("first_chunk_idx"),
+        col("size"), col("n_occ"), col("chunk_md5"))
+  }
+
   /** Multimodal with REAL image decode: a corpus of real encoded PNG/BMP
     * blobs (one per doc_id, dims/bands a pure arithmetic function of the
     * id — [[Multimodal.fixtureTruth]]) is enriched through the actual
@@ -1004,7 +1045,9 @@ object Queries {
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _),
     "git_revisions" -> (gitRevisions _),
-    "glob_expand" -> (globExpand _)
+    "glob_expand" -> (globExpand _),
+    "chunk_segments" -> (chunkSegments _),
+    "chunk_dump" -> (chunkDump _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
@@ -1263,6 +1306,23 @@ object Queries {
         |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
         |  (m.n_files = 1) AS is_unique
         |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
+    "chunk_segments" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks3")}')),
+        |f AS (SELECT hash, MIN(file_idx) AS first_seen_in FROM c GROUP BY hash)
+        |SELECT c.file_idx, c.chunk_idx, c.hash, c.size, f.first_seen_in
+        |FROM c JOIN f USING (hash)""".stripMargin,
+    "chunk_dump" ->
+      // first occurrence per hash re-picked by (file_idx, chunk_idx) and the
+      // payload re-digested from the raw persisted bytes (md5 over hex —
+      // DuckDB's md5 takes VARCHAR only; hex is uppercase on both engines)
+      s"""WITH d AS (SELECT * FROM read_parquet('${oracleSidePath("chunk_dump_data")}')),
+        |r AS (SELECT hash, file_idx, chunk_idx, size, data,
+        |    ROW_NUMBER() OVER (PARTITION BY hash ORDER BY file_idx, chunk_idx) AS rn,
+        |    COUNT(*) OVER (PARTITION BY hash) AS n_occ
+        |  FROM d)
+        |SELECT hash, file_idx AS first_file, chunk_idx AS first_chunk_idx, size,
+        |  CAST(n_occ AS BIGINT) AS n_occ, md5(hex(data)) AS chunk_md5
+        |FROM r WHERE rn = 1""".stripMargin,
     // NOTE: valid at the driver's verification SF (sf0.01), where distinct
     // chunk cardinality (~25) is far below both 1/rsd² and the KMV k, so
     // Spark's HLL++ and the KMV sketch are provably exact and equal to
