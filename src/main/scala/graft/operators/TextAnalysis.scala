@@ -74,11 +74,14 @@ object TextAnalysis {
     * unlike log-prob scoring (ln is not bit-stable across engines; the
     * induced ranking family is the same).
     *
-    * Scale shape: the bigram relation is a narrow generate (~chars
-    * rows); the model is charset²-sized, so BOTH model joins broadcast,
-    * and the only shuffles are the model aggregate and the per-doc sum.
-    * At 100 TB: train once, broadcast the model, score in one narrow
-    * pass — the relation never shuffles text.
+    * Scale shape: ONE corpus scan. Bigrams are INT codepoint pairs (no
+    * per-bigram String allocation) pre-aggregated to per-(doc, bigram)
+    * counts; the model counts derive from THAT relation (not a second
+    * text scan), and both consumers share the same shuffle exchange
+    * (ReusedExchange — plan-asserted in QueriesPlanSpec), so text bytes
+    * are read and bigram-exploded exactly once. The model is
+    * charset²-sized, so both model joins broadcast; the only shuffles
+    * move (doc, bigram, count) rows, never text.
     */
   def bigramLmScore(
       df: DataFrame,
@@ -98,18 +101,23 @@ object TextAnalysis {
       .flatMap { case (id, s) =>
         // iterate CODEPOINTS, not UTF-16 code units: the DuckDB oracle's
         // len/substr are codepoint-based, and splitting a surrogate pair
-        // would emit unpaired-surrogate "chars" for non-BMP text
+        // would emit unpaired-surrogate "chars" for non-BMP text.
+        // Codepoints stay INTs end-to-end — grouping by (c1, c2) ints is
+        // bijective with grouping by 1-codepoint strings, minus the two
+        // String allocations per position.
         if (s == null || s.length < 2) Iterator.empty
         else {
           val cps = s.codePoints().toArray
-          (0 until cps.length - 1).iterator.map { i =>
-            (id, new String(Character.toChars(cps(i))),
-              new String(Character.toChars(cps(i + 1))))
-          }
+          (0 until cps.length - 1).iterator.map(i => (id, cps(i), cps(i + 1)))
         }
       }
       .toDF("id", "c1", "c2")
-    val counts = bi.groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("c12"))
+    // per-(doc, bigram) occurrence counts — the single text-derived
+    // relation BOTH the model aggregate and the scoring join consume;
+    // identical subtree ⟹ Spark reuses one shuffle, one corpus scan
+    val docBi = bi.groupBy(col("id"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("dc"))
+    val counts = docBi.groupBy(col("c1"), col("c2")).agg(sum(col("dc")).as("c12"))
     val prefix = counts.groupBy(col("c1")).agg(sum(col("c12")).as("c1n"))
     // loud overflow guard, zero extra jobs: scale·c12 must fit in a Long
     // (a silent wrap here would poison scores while the HUGEINT oracle
@@ -119,12 +127,16 @@ object TextAnalysis {
         raise_error(concat(lit("bigramLmScore: bigram count "), col("c12"),
           lit(s" overflows Long at scale=$scale; lower the scale parameter"))))
       .otherwise(col("c12"))
-    bi.join(broadcast(counts), Seq("c1", "c2"))
+    // Σ over occurrences = Σ dc·p over distinct doc-bigrams: identical
+    // integers to the per-occurrence formulation, so the oracle SQL (which
+    // scores per occurrence) matches bit-for-bit
+    docBi.join(broadcast(counts), Seq("c1", "c2"))
       .join(broadcast(prefix), Seq("c1"))
       .withColumn("p_scaled",
         call_function("div", lit(scale) * c12Checked, col("c1n")))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("score_scaled"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        sum(col("dc") * col("p_scaled")).as("score_scaled"))
       .withColumn("avg_scaled",
         col("score_scaled").cast("double") / col("n_bigrams").cast("double"))
   }

@@ -107,6 +107,29 @@ class QueriesPlanSpec extends SparkSpec {
     }
     assert(bhj(scored.queryExecution.executedPlan) == 2,
       s"both model joins must broadcast:\n${scored.queryExecution.executedPlan}")
+    // ONE corpus scan: the model counts derive from the same per-(doc,
+    // bigram) shuffle the scoring join reads, so the executed plan must
+    // reuse that exchange rather than re-scan + re-explode the text.
+    // Count actual FileSourceScanExec nodes in the EXECUTED tree, treating
+    // ReusedExchange as a leaf (the toString would double-count: AQE prints
+    // initial + final plans, and reused branches echo their origin subtree)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq.empty
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(scans).sum
+    }
+    val n = scans(scored.queryExecution.executedPlan)
+    assert(n == 1,
+      s"documents must be scanned exactly once (reused exchange), saw $n:\n" +
+        scored.queryExecution.executedPlan)
   }
 
   test("doc_select_topk plans as partial+final aggregation, never a window sort") {
