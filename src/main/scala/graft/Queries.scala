@@ -927,10 +927,19 @@ object Queries {
     * that is this operator's documented contract and the oracle filters
     * identically.
     */
-  private def globExpand(spark: SparkSession, sfDir: String): DataFrame =
+  private def globExpand(spark: SparkSession, sfDir: String): DataFrame = {
+    // depth-1 regular files ONLY: Spark's file index would match a
+    // directory-shaped `name.parquet` and surface its part-files one level
+    // deeper, while the oracle's read_blob treats glob matches as plain
+    // files — requiring the file's PARENT to be the sf dir itself pins
+    // both engines to the same contract whatever the table layout (and is
+    // URI-scheme-independent, unlike counting path segments)
+    val parent = new java.io.File(sfDir).getName
     spark.read.format("binaryFile").load(s"$sfDir/*.parquet")
+      .filter(element_at(split(col("path"), "/"), -2) === lit(parent))
       .select(element_at(split(col("path"), "/"), -1).as("file_name"),
         col("length").as("n_bytes"))
+  }
 
   /** PII redaction audit over a deterministic profile string synthesized
     * from customer columns (the trimmed schema has no phone/address

@@ -17,6 +17,22 @@ import java.nio.file.{Files, Paths}
   */
 object Cli {
 
+  /** Split `--` flags from positional args, FAILING on any flag outside
+    * `known` — silently dropping a typo like `--with-sqlit` (or an
+    * unsupported reference flag like `--with-json`) would run the command
+    * without the requested behavior.
+    */
+  private def parseFlags(args: List[String], known: Set[String]): (Set[String], List[String]) = {
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val unknown = flags.filterNot(known)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown flag(s): ${unknown.mkString(" ")} (supported: ${known.toSeq.sorted.mkString(" ")})")
+      sys.exit(2)
+    }
+    (flags.toSet, positional)
+  }
+
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val s = SparkSession.builder()
@@ -53,9 +69,10 @@ object Cli {
       spark.stop()
 
     case "stats" :: dir :: rest0 =>
-      // the reference's grid flags (de stats --with-json/--with-sqlite)
-      val withSqlite = rest0.contains("--with-sqlite")
-      val rest = rest0.filterNot(_.startsWith("--"))
+      // the reference's grid flag (de stats --with-sqlite); unknown flags
+      // are a usage error, never silently dropped
+      val (flags, rest) = parseFlags(rest0, Set("--with-sqlite"))
+      val withSqlite = flags("--with-sqlite")
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-stats"))
@@ -83,8 +100,8 @@ object Cli {
       spark.stop()
 
     case "synthetic" :: schemaJson :: rest0 =>
-      val withSqlite = rest0.contains("--with-sqlite")
-      val rest = rest0.filterNot(_.startsWith("--"))
+      val (flags, rest) = parseFlags(rest0, Set("--with-sqlite"))
+      val withSqlite = flags("--with-sqlite")
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-synth"))

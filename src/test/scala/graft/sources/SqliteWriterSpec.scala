@@ -106,6 +106,39 @@ class SqliteWriterSpec extends SparkSpec {
     }
   }
 
+  test("rewriting a path REPLACES the table (reference de/formats.py:196-202 semantics)") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("sq").resolve("r.sqlite")
+    SqliteWriter.write(
+      (0L until 50L).map(i => (i, s"old-$i")).toDF("id", "s"), path, "table")
+    // second write: fewer rows, DIFFERENT schema — an append (or a stale
+    // schema row) would show up in count, content, or the CREATE TABLE sql
+    SqliteWriter.write(
+      (0L until 5L).map(i => (i, i * 2.5)).toDF("id", "d"), path, "table")
+    val out = py(path.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])
+        |print(con.execute('SELECT COUNT(*) FROM "table"').fetchone()[0])
+        |print(con.execute("SELECT COUNT(*) FROM sqlite_master").fetchone()[0])
+        |print(con.execute("SELECT sql FROM sqlite_master").fetchone()[0])
+        |print(ascii(con.execute('SELECT id, d FROM "table" ORDER BY id').fetchall()))""".stripMargin)
+    assert(out(0) == "ok", out.mkString("|"))
+    assert(out(1) == "5", s"replace must not append: ${out(1)} rows")
+    assert(out(2) == "1", s"exactly one schema row: ${out(2)}")
+    assert(out(3).contains("\"d\" REAL") && !out(3).contains("\"s\""), out(3))
+    assert(out(4) == "[(0, 0.0), (1, 2.5), (2, 5.0), (3, 7.5), (4, 10.0)]", out(4))
+  }
+
+  test("pre-collect cardinality guard fires without materializing the frame") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+    val path = Files.createTempDirectory("sq").resolve("cap.sqlite")
+    val e = intercept[IllegalArgumentException] {
+      SqliteWriter.write(df, path, "table", maxRows = 10)
+    }
+    assert(e.getMessage.contains("maxRows=10"))
+    assert(!Files.exists(path), "guard must fire before any write")
+  }
+
   test("blobs and an empty table round-trip") {
     import spark.implicits._
     val blobs = Seq((1L, Array[Byte](0, 1, 2, -1)), (2L, Array.emptyByteArray))
