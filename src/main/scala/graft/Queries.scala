@@ -820,6 +820,24 @@ object Queries {
     Estimator.segments(chunks)
   }
 
+  /** A7 viz-normalization stats (reference de/__init__.py:111-114: the
+    * strip renderer normalizes cell widths by max chunk size): max/min/
+    * count/sum over the shared chunk relation — the same aggregate
+    * [[graft.tools.Viz]] computes internally, exposed as an oracled query
+    * so the last viz-only operator has a relational certificate too.
+    */
+  private def chunkSizeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val chunks = oracleSide(spark, sfDir, "chunks3",
+      sfChunks(spark, sfDir, tables = Seq("lineitem", "orders", "customer")).toDF())
+      .as[ChunkRow]
+    chunks.toDF().agg(
+      max(col("size")).as("max_size"),
+      min(col("size")).as("min_size"),
+      count(lit(1)).as("n_chunks"),
+      sum(col("size")).as("sum_size"))
+  }
+
   /** O3 ordered chunk dump with data (reference src/store.rs:145-150 +
     * store_data): one row per distinct chunk keyed to its FIRST occurrence
     * (the reference's insertion order, expressed relationally as the
@@ -1056,7 +1074,8 @@ object Queries {
     "git_revisions" -> (gitRevisions _),
     "glob_expand" -> (globExpand _),
     "chunk_segments" -> (chunkSegments _),
-    "chunk_dump" -> (chunkDump _)
+    "chunk_dump" -> (chunkDump _),
+    "chunk_size_stats" -> (chunkSizeStats _)
   ) ++ TextQueries.all ++ SimilarityQueries.all
 
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
@@ -1315,6 +1334,12 @@ object Queries {
         |SELECT d.hash, d.file_idx, m.size, m.first_seen_in,
         |  (m.n_files = 1) AS is_unique
         |FROM (SELECT DISTINCT hash, file_idx FROM c) d JOIN m USING (hash)""".stripMargin,
+    "chunk_size_stats" ->
+      s"""SELECT CAST(MAX(size) AS BIGINT) AS max_size,
+        |  CAST(MIN(size) AS BIGINT) AS min_size,
+        |  COUNT(*) AS n_chunks,
+        |  CAST(SUM(size) AS BIGINT) AS sum_size
+        |FROM read_parquet('${oracleSidePath("chunks3")}')""".stripMargin,
     "chunk_segments" ->
       s"""WITH c AS (SELECT * FROM read_parquet('${oracleSidePath("chunks3")}')),
         |f AS (SELECT hash, MIN(file_idx) AS first_seen_in FROM c GROUP BY hash)

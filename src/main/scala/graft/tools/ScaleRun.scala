@@ -1,0 +1,165 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale-validation harness: synthesizes a ~Nx corpus from the sf0.1
+  * testdata with the repo's deterministic column transforms, times the
+  * scale-critical catalog queries at 1x and Nx, and prints the wall-time
+  * ratios. The bar: every capped/bucketed plan should scale ≈linearly in
+  * corpus size; anything ≳ quadratic is a plan bug.
+  *
+  * Corpus construction (all pure deterministic column expressions):
+  * - documents ×N: doc_id offset per replica; every WORD suffixed with the
+  *   replica tag. A bijective token map per replica keeps within-replica
+  *   dup/near-dup structure IDENTICAL to the original while making
+  *   cross-replica shingles disjoint — so pair counts (the quadratic risk)
+  *   grow ~linearly, like a real corpus of N same-shaped sources.
+  * - embeddings ×N: vec_id offset; per-replica deterministic jitter on each
+  *   component (hash-derived, ±0.05) so replicas are not trivial vector
+  *   duplicates of each other.
+  * - lineitem/orders ×N: N concatenated copies in ONE file (the chunker's
+  *   input contract is a plain file) — repeated content is exactly what a
+  *   dedup estimator should chew through.
+  *
+  * Usage: runMain graft.tools.ScaleRun [factor] [outDir]
+  */
+object ScaleRun {
+
+  /** Write df as a SINGLE parquet file at dir/name (the chunk queries open
+    * paths as plain file streams, not directory tables).
+    */
+  private def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
+    val tmp = s"$dir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+    Files.move(Paths.get(part.head), Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // best-effort temp cleanup
+    val s = Files.walk(Paths.get(tmp))
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+  }
+
+  private def buildCorpus(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    Files.createDirectories(Paths.get(out))
+
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val docReps = (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else array_join(
+          transform(split(col("text"), " "), w => concat(w, lit(s"_r$k"))), " ")
+      docs.select(
+        (col("doc_id") + lit(k * nDocs)).as("doc_id"),
+        text.as("text"),
+        col("lang"), col("source"),
+        length(text).cast("long").as("n_chars"))
+    }
+    writeSingleFile(docReps.reduce(_ unionAll _), out, "documents.parquet")
+
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val embReps = (0 until factor).map { k =>
+      // the jitter sub-expression must round-trip to FLOAT: Spark's `/`
+      // promotes to double, and a DOUBLE[] embedding breaks the queries'
+      // FLOAT[] encoder contract
+      val vec =
+        if (k == 0) col("embedding")
+        else transform(col("embedding"), (v, i) =>
+          v + (((pmod(hash(col("vec_id"), lit(k), i), lit(1000)).cast("double")
+            / lit(1000.0)) - lit(0.5)) * lit(0.1)).cast("float"))
+      emb.select(
+        (col("vec_id") + lit(k * nVec)).as("vec_id"),
+        vec.as("embedding"), col("label"))
+    }
+    writeSingleFile(embReps.reduce(_ unionAll _), out, "embeddings.parquet")
+
+    for (t <- Seq("lineitem", "orders")) {
+      val src = spark.read.parquet(s"$base/$t.parquet")
+      writeSingleFile(Seq.fill(factor)(src).reduce(_ unionAll _), out, s"$t.parquet")
+    }
+  }
+
+  private val ScaleQueries = Seq(
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "dedup_clusters", "semantic_dedup", "emb_neardup", "cdc_estimate",
+    "doc_select_topk", "lm_score")
+
+  def main(args: Array[String]): Unit = {
+    System.setProperty(graft.Queries.SideTableProp, "0")
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse(s"/tmp/graft_scale_x$factor")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[scale] building ${factor}x corpus at $out from $base")
+    val tBuild = System.nanoTime()
+    buildCorpus(spark, base, out, factor)
+    println(f"[scale] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+
+    // warm code paths once (Bench discipline) so neither side pays codegen
+    for (w <- Seq("dedup_exact", "cdc_estimate"))
+      try graft.SparkEntry.queries(w)(spark, base).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+
+    // a failed query must surface as FAILED in the table, never as a
+    // too-fast-to-be-true timing; NaN poisons the ratio visibly
+    def once(fn: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { fn(); (System.nanoTime() - t0) / 1e9 }
+      catch { case scala.util.control.NonFatal(e) =>
+        println(s"[scale] FAILED: ${e.getMessage.linesIterator.next()}")
+        Double.NaN
+      }
+    }
+    def minOf2(fn: () => Unit): Double = {
+      val a = once(fn)
+      if (a.isNaN) a else math.min(a, once(fn))
+    }
+
+    // shared builds timed separately per dir (same attribution as Bench) —
+    // ONE timed run: the second call would hit the session cache and
+    // min-of-2 would report the cached scan, not the build
+    def timeDir(dir: String): (Map[String, Double], Map[String, Double]) = {
+      val shared = graft.TextQueries.sharedBuilds.map { case (name, build) =>
+        name -> once(() => build(spark, dir))
+      }.toMap
+      val qs = ScaleQueries.map { name =>
+        name -> minOf2(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
+      }.toMap
+      (shared, qs)
+    }
+
+    val (shared1, t1) = timeDir(base)
+    val (sharedN, tN) = timeDir(out)
+
+    println(f"[scale] shared builds 1x/${factor}x: " + graft.TextQueries.sharedBuilds.map {
+      case (n, _) => f"$n ${shared1(n)}%.2f/${sharedN(n)}%.2f (${sharedN(n) / shared1(n)}%.1fx)"
+    }.mkString(", "))
+    println(s"| query | 1x (s) | ${factor}x (s) | ratio |")
+    println("|---|---|---|---|")
+    ScaleQueries.foreach { n =>
+      println(f"| $n | ${t1(n)}%.2f | ${tN(n)}%.2f | ${tN(n) / t1(n)}%.1fx |")
+    }
+    val js = ScaleQueries.map(n =>
+      f""""$n":{"t1":${t1(n)}%.2f,"tN":${tN(n)}%.2f,"ratio":${tN(n) / t1(n)}%.2f}""")
+      .mkString("{", ",", "}")
+    println(s"""{"scale_factor":$factor,"queries":$js}""")
+    spark.stop()
+  }
+}
