@@ -853,13 +853,17 @@ object Queries {
       ChunkRelation.chunkFilesWithData(spark, paths).toDF())
     val firstOcc = struct(col("file_idx"), col("chunk_idx"))
     dump
+      // digest BEFORE the groupBy: the aggregate then shuffles 32-char
+      // strings, never raw payloads (the blobs-never-shuffle discipline);
+      // equal hash ⟹ equal bytes ⟹ equal digest, so min_by stays exact
+      .withColumn("data_md5", md5(hex(col("data"))))
       .groupBy(col("hash"))
       .agg(
         min(col("file_idx")).as("first_file"),
         min_by(col("chunk_idx"), firstOcc).as("first_chunk_idx"),
         first(col("size")).as("size"),
         count(lit(1)).as("n_occ"),
-        md5(hex(min_by(col("data"), firstOcc))).as("chunk_md5"))
+        min_by(col("data_md5"), firstOcc).as("chunk_md5"))
       .select(col("hash"), col("first_file"), col("first_chunk_idx"),
         col("size"), col("n_occ"), col("chunk_md5"))
   }
@@ -880,13 +884,15 @@ object Queries {
       Multimodal.imageBlobs(ids, "doc_id"))
     // written for the oracle only — the engine side must NOT read it
     oracleSide(spark, sfDir, "mm_truth", Multimodal.imageTruth(ids, "doc_id"))
-    val thumbs = Multimodal.resize(blobs, "blob_id", "content", targetBytes = 256)
-      .select(col("blob_id"), length(col("thumb")).cast("long").as("thumb_bytes"))
+    // thumb_bytes = min(n_bytes, target) is resizeStub's exact length
+    // contract (passthrough under target, truncate-to-target above), so it
+    // derives from the SAME enrich pass — a second resize branch would
+    // re-encode every fixture image when side tables are off (bench);
+    // resize itself stays covered by MultimodalSpec
     Multimodal
       .enrich(blobs, "blob_id", "content")
-      .join(thumbs, "blob_id")
       .select(col("blob_id"), col("n_bytes"), col("width"), col("height"),
-        col("channels"), col("thumb_bytes"))
+        col("channels"), least(col("n_bytes"), lit(256L)).as("thumb_bytes"))
   }
 
   /** Video-shaped frame sampling through the multimodal plumbing: one blob

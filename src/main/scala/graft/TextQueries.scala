@@ -252,6 +252,14 @@ object TextQueries {
       "ngram_pairs" -> ((s, d) => { sharedNgramPairs(s, d).count(); () }),
       "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }))
 
+  /** Which catalog queries consume each shared relation — Bench uses this
+    * to skip (and not charge for) builds nothing in the selected subset
+    * would read.
+    */
+  private[graft] val sharedBuildConsumers: Map[String, Set[String]] = Map(
+    "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "pipeline_curate"),
+    "doc_cdc_chunks" -> Set("doc_cdc", "source_similarity"))
+
   /** Duplicate clustering (connected components, min-id labels) over the
     * exact ngram pair relation — deterministic input, so the DuckDB oracle
     * re-derives the components with a recursive transitive-closure CTE.

@@ -35,16 +35,13 @@ object SqliteWriter {
       tableName: String = "table",
       maxRows: Int = 1000000): Unit = {
     val schema = df.schema
-    // cardinality check BEFORE collect(): limit(maxRows+1).count() reads at
-    // most maxRows+1 rows distributed-side, so an accidentally corpus-scale
-    // frame fails loudly here instead of OOMing the driver inside collect()
-    val bounded = df.limit(maxRows + 1).count()
-    require(bounded <= maxRows,
-      s"SqliteWriter: more than maxRows=$maxRows rows — this is " +
-        "a driver-side RESULT-table sink; write corpora to parquet")
-    val rows = df.collect()
+    // take(maxRows+1), not collect(): the driver materializes at most
+    // maxRows+1 rows in ONE job, so an accidentally corpus-scale frame
+    // fails loudly here instead of OOMing the driver inside a collect()
+    // the guard would only inspect afterwards
+    val rows = df.take(maxRows + 1)
     require(rows.length <= maxRows,
-      s"SqliteWriter: ${rows.length} rows exceeds maxRows=$maxRows — this is " +
+      s"SqliteWriter: more than maxRows=$maxRows rows — this is " +
         "a driver-side RESULT-table sink; write corpora to parquet")
     val records = rows.map(encodeRecord(schema, _))
 

@@ -68,11 +68,17 @@ object Cli {
         f"(${r.xet_bytes}%d/${r.total_len}%d)")
       spark.stop()
 
-    case "stats" :: dir :: rest0 =>
-      // the reference's grid flag (de stats --with-sqlite); unknown flags
-      // are a usage error, never silently dropped
-      val (flags, rest) = parseFlags(rest0, Set("--with-sqlite"))
+    case "stats" :: rest0 =>
+      // the reference's grid flag (de stats --with-sqlite); flags parsed
+      // over ALL args — a flag in the first slot must not bind as the dir
+      // — and unknown flags are a usage error, never silently dropped
+      val (flags, positional) = parseFlags(rest0, Set("--with-sqlite"))
       val withSqlite = flags("--with-sqlite")
+      val dir = positional.headOption.getOrElse {
+        System.err.println("usage: stats DIR [OUTDIR] [--with-sqlite]")
+        sys.exit(2)
+      }
+      val rest = positional.tail
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-stats"))
@@ -99,9 +105,14 @@ object Cli {
       println(s"wrote $report")
       spark.stop()
 
-    case "synthetic" :: schemaJson :: rest0 =>
-      val (flags, rest) = parseFlags(rest0, Set("--with-sqlite"))
+    case "synthetic" :: rest0 =>
+      val (flags, positional) = parseFlags(rest0, Set("--with-sqlite"))
       val withSqlite = flags("--with-sqlite")
+      val schemaJson = positional.headOption.getOrElse {
+        System.err.println("usage: synthetic SCHEMA_JSON [OUTDIR] [--with-sqlite]")
+        sys.exit(2)
+      }
+      val rest = positional.tail
       val spark = session()
       val outDir = rest.headOption.map(Paths.get(_))
         .getOrElse(Files.createTempDirectory("graft-synth"))

@@ -33,8 +33,11 @@ object ScaleRun {
   private def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      finally listing.close()
     require(part.length == 1, s"expected one part file, got ${part.toSeq}")
     Files.move(Paths.get(part.head), Paths.get(s"$dir/$name"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -123,7 +126,9 @@ object ScaleRun {
       val t0 = System.nanoTime()
       try { fn(); (System.nanoTime() - t0) / 1e9 }
       catch { case scala.util.control.NonFatal(e) =>
-        println(s"[scale] FAILED: ${e.getMessage.linesIterator.next()}")
+        // e.toString, not getMessage: a null/empty message (plain NPE)
+        // would crash the reporter inside the catch handler
+        println(s"[scale] FAILED: ${e.toString.linesIterator.next()}")
         Double.NaN
       }
     }
