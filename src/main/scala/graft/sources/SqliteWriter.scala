@@ -107,9 +107,60 @@ object SqliteWriter {
     case FloatType | DoubleType => "REAL"
     case StringType => "TEXT"
     case BinaryType => "BLOB"
-    case _: DecimalType | DateType | TimestampType => "TEXT"
+    case _: DecimalType | DateType | TimestampType | TimestampNTZType => "TEXT"
+    // sqlite has no nested types: arrays/structs/maps store as JSON TEXT
+    // (readable by sqlite's own json functions)
+    case _: ArrayType | _: StructType | _: MapType => "TEXT"
     case other =>
       throw new IllegalArgumentException(s"SqliteWriter: unsupported type $other")
+  }
+
+  /** Deterministic JSON rendering for nested columns: map keys sorted,
+    * numbers via toString, binary as uppercase hex — no engine-dependent
+    * formatting anywhere, so a re-written file is byte-identical.
+    */
+  private def jsonText(dt: DataType, v: Any): String = {
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    def go(dt: DataType, v: Any): String =
+      if (v == null) "null"
+      else dt match {
+        case ArrayType(et, _) =>
+          v.asInstanceOf[scala.collection.Seq[Any]].map(go(et, _))
+            .mkString("[", ",", "]")
+        case st: StructType =>
+          val r = v.asInstanceOf[Row]
+          st.fields.zipWithIndex
+            .map { case (f, i) => esc(f.name) + ":" + go(f.dataType, r.get(i)) }
+            .mkString("{", ",", "}")
+        case MapType(_, vt, _) =>
+          v.asInstanceOf[scala.collection.Map[Any, Any]].toSeq
+            .map { case (k, x) => (String.valueOf(k), go(vt, x)) }
+            .sortBy(_._1)
+            .map { case (k, x) => esc(k) + ":" + x }
+            .mkString("{", ",", "}")
+        case StringType => esc(v.asInstanceOf[String])
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+            FloatType | DoubleType => v.toString
+        case TimestampType =>
+          esc(v.asInstanceOf[java.sql.Timestamp].toInstant.toString)
+        case TimestampNTZType =>
+          esc(v.asInstanceOf[java.time.LocalDateTime].toString)
+        case DateType | _: DecimalType => esc(v.toString)
+        case BinaryType =>
+          esc(v.asInstanceOf[Array[Byte]].map(b => f"$b%02X").mkString)
+        case other =>
+          throw new IllegalArgumentException(
+            s"SqliteWriter: unsupported nested type $other")
+      }
+    go(dt, v)
   }
 
   private def toVal(dt: DataType, v: Any): SqlVal =
@@ -130,7 +181,14 @@ object SqliteWriter {
       // would make the file content machine-dependent
       case TimestampType =>
         SqlText(v.asInstanceOf[java.sql.Timestamp].toInstant.toString)
+      // NTZ is zone-less by definition: LocalDateTime.toString is ISO-8601
+      // with no zone math anywhere, so the file content is deterministic
+      // (Spark 4 surfaces parquet TIMESTAMP(isAdjustedToUTC=false) as NTZ)
+      case TimestampNTZType =>
+        SqlText(v.asInstanceOf[java.time.LocalDateTime].toString)
       case _: DecimalType | DateType => SqlText(v.toString)
+      case nested @ (_: ArrayType | _: StructType | _: MapType) =>
+        SqlText(jsonText(nested, v))
       case other =>
         throw new IllegalArgumentException(s"SqliteWriter: unsupported type $other")
     }

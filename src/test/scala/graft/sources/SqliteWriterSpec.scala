@@ -139,6 +139,44 @@ class SqliteWriterSpec extends SparkSpec {
     assert(!Files.exists(path), "guard must fire before any write")
   }
 
+  test("timestamp (tz + ntz), date, decimal columns write as deterministic TEXT") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(1L, 2L).toDF("id").select(
+      col("id"),
+      expr("timestamp'2024-03-01 12:34:56.789'").as("ts"),
+      expr("timestamp_ntz'2024-03-01 12:34:56.789'").as("tsn"),
+      expr("date'2024-03-01'").as("d"),
+      (col("id") * 2.5).cast("decimal(10,2)").as("dec"))
+    val path = Files.createTempDirectory("sq").resolve("t.sqlite")
+    SqliteWriter.write(df, path, "table")
+    val out = py(path.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])
+        |print(ascii(con.execute('SELECT ts, tsn, d, dec FROM "table" WHERE id = 1').fetchone()))""".stripMargin)
+    assert(out(0) == "ok", out.mkString("|"))
+    // session tz is UTC: tz-ts renders as ISO instant, ntz as zone-less ISO
+    assert(out(1) ==
+      "('2024-03-01T12:34:56.789Z', '2024-03-01T12:34:56.789', '2024-03-01', '2.50')",
+      out(1))
+  }
+
+  test("nested columns (array/struct/map) write as JSON TEXT sqlite can query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq(1.5f, -2.0f), Map("b" -> 2L, "a" -> 1L)), (2L, Seq.empty[Float], Map.empty[String, Long]))
+      .toDF("id", "vec", "m")
+      .withColumn("st", struct(col("id").as("k"), lit("x\"y").as("s")))
+    val path = Files.createTempDirectory("sq").resolve("n.sqlite")
+    SqliteWriter.write(df, path, "table")
+    val out = py(path.toString,
+      """print(con.execute("PRAGMA integrity_check").fetchone()[0])
+        |print(ascii(con.execute('SELECT vec, m, st FROM "table" WHERE id = 1').fetchone()))
+        |print(con.execute('SELECT json_extract(vec, "$[1]") FROM "table" WHERE id = 1').fetchone()[0])""".stripMargin)
+    assert(out(0) == "ok", out.mkString("|"))
+    assert(out(1) == """('[1.5,-2.0]', '{"a":1,"b":2}', '{"k":1,"s":"x\\"y"}')""", out(1))
+    assert(out(2) == "-2.0", s"sqlite json_extract must read it back: ${out(2)}")
+  }
+
   test("blobs and an empty table round-trip") {
     import spark.implicits._
     val blobs = Seq((1L, Array[Byte](0, 1, 2, -1)), (2L, Array.emptyByteArray))
