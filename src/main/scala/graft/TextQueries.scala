@@ -224,6 +224,24 @@ object TextQueries {
     Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3,
       sigSink = df => Queries.oracleSide(spark, sfDir, "simhash_sigs", df))
 
+  /** Incremental MinHash near-dup: even doc_ids play the already-kept
+    * corpus (the signature index), odd doc_ids the incoming batch — every
+    * batch doc classifies as `neardup` (best index match + exact Jaccard)
+    * or `new`. The oracle re-derives candidates from the persisted batch
+    * and index signatures by slice equality (band-key equality == slice
+    * equality modulo xxh64 bucket-key collisions, the dedup_minhash
+    * contract) and replays verify + best-match selection in SQL.
+    */
+  private def minhashIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    Dedupe.minhashClassify(
+      d.filter(col("doc_id") % 2 === 1),
+      d.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", threshold = 0.3,
+      batchSigSink = df => Queries.oracleSide(spark, sfDir, "iminh_batch_sigs", df),
+      indexSigSink = df => Queries.oracleSide(spark, sfDir, "iminh_index_sigs", df))
+  }
+
   /** The exact ngram-Jaccard pair relation is consumed by THREE catalog
     * queries (dedup_ngram, dedup_clusters, pipeline_curate) — compute it
     * once per (session, sf dir) and share the cached result, the same
@@ -514,6 +532,7 @@ object TextQueries {
     "dedup_prefix" -> dedupPrefix _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_minhash" -> minhashPairs _,
+    "dedup_minhash_incremental" -> minhashIncremental _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
     "dedup_clusters" -> dedupClusters _,
@@ -914,6 +933,36 @@ object TextQueries {
         |FROM v
         |WHERE la + lb - inter > 0
         |  AND CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) >= 0.3""".stripMargin,
+    "dedup_minhash_incremental" ->
+      s"""WITH bs AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("iminh_batch_sigs")}')),
+        |ix AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("iminh_index_sigs")}')),
+        |bb AS (
+        |  SELECT id, b, sig[b*4+1:b*4+4] AS slice
+        |  FROM bs, (SELECT UNNEST(range(0, 16)) AS b) t),
+        |ib AS (
+        |  SELECT id, b, sig[b*4+1:b*4+4] AS slice
+        |  FROM ix, (SELECT UNNEST(range(0, 16)) AS b) t),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id, i.id AS match_id
+        |  FROM bb a JOIN ib i ON a.b = i.b AND a.slice = i.slice),
+        |v AS (
+        |  SELECT c.id, c.match_id,
+        |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        |    len(sa.shingles) AS la, len(sb.shingles) AS lb
+        |  FROM cand c JOIN bs sa ON sa.id = c.id JOIN ix sb ON sb.id = c.match_id),
+        |j AS (
+        |  SELECT id, match_id,
+        |    CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard
+        |  FROM v WHERE la + lb - inter > 0),
+        |best AS (
+        |  SELECT id, match_id, jaccard,
+        |    row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, match_id ASC) AS rn
+        |  FROM j WHERE jaccard >= 0.3)
+        |SELECT bs.id,
+        |  CASE WHEN b.match_id IS NOT NULL THEN 'neardup' ELSE 'new' END AS status,
+        |  b.match_id, b.jaccard
+        |FROM bs LEFT JOIN (SELECT id, match_id, jaccard FROM best WHERE rn = 1) b
+        |  USING (id)""".stripMargin,
     "dedup_simhash" ->
       s"""WITH s AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("simhash_sigs")}'))
         |SELECT a.id AS id_a, b.id AS id_b,

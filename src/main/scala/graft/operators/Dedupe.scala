@@ -163,33 +163,33 @@ object Dedupe {
     *   plain slice-equality oracle does not model. Holds trivially at the
     *   driver's verification SF (bucket size is bounded by corpus size).
     */
-  def minhashPairs(
+  /** The (id, shingles, sig) signature relation — the shared kernel of the
+    * batch and incremental MinHash paths. Narrow, one pass.
+    */
+  private def minhashSigRelation(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      shingleK: Int = 3,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      threshold: Double = 0.5,
-      maxBucketSize: Int = 2000,
-      sigSink: DataFrame => DataFrame = identity): DataFrame = {
+      shingleK: Int,
+      numHashes: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-
-    val docs = sigSink(df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
         val sh = wordShingles(text, shingleK)
         (id, sh.toArray.sorted, minhashSignature(sh, numHashes))
       }
-      .toDF("id", "shingles", "sig"))
-      .cache()
+      .toDF("id", "shingles", "sig")
+  }
 
-    // band → bucket key = hash of the band's signature slice
-    val banded = docs
+  /** (band, bucket, id) LSH band relation: bucket key = hash of the band's
+    * signature slice.
+    */
+  private def bandRelation(sigDf: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = sigDf.sparkSession
+    import spark.implicits._
+    sigDf
       .select(col("id"), col("sig"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
@@ -206,6 +206,28 @@ object Dedupe {
         }
       }
       .toDF("band", "bucket", "id")
+  }
+
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000,
+      sigSink: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val docs = sigSink(minhashSigRelation(df, idCol, textCol, shingleK, numHashes))
+      .cache()
+
+    // band → bucket key = hash of the band's signature slice
+    val banded = bandRelation(docs, bands, rowsPerBand)
 
     // skew guard: small buckets pair all-vs-all; over-cap buckets emit
     // star candidates around their min id (linear, recall via canonical).
@@ -260,6 +282,111 @@ object Dedupe {
     result.count()
     bucketSizes.unpersist()
     docs.unpersist()
+    result
+  }
+
+  /** Incremental (batch-over-index) MinHash near-dup classification — the
+    * near-duplicate twin of [[IncrementalDedup.classify]]: classify an
+    * incoming batch against the signature index of an already-kept corpus
+    * ("is tonight's crawl a near-copy of anything we already have?").
+    * Every batch row returns as
+    *   - `neardup` — some index doc verifies at Jaccard ≥ threshold; the
+    *     reported match is the highest-Jaccard one (ties → smallest
+    *     index id), with its exact Jaccard
+    *   - `new`     — no index candidate survives verification
+    *
+    * Scale shape: bands of BOTH sides shuffle once on (band, bucket) —
+    * candidates are batch×index bucket matches only, never index
+    * self-pairs, so a 100 TB index costs its banding scan, not its
+    * pair count. Hot index buckets (boilerplate) degrade to their min-id
+    * canonical member over `maxBucketSize` — same star discipline as
+    * [[minhashPairs]], bounded candidates per batch doc per band.
+    * Deployment shape at scale: the index signature relation is computed
+    * once and PERSISTED (it is `indexSigSink`'s output — parquet it);
+    * re-banding cached signatures per batch is a narrow scan, no
+    * re-shingling of the corpus.
+    */
+  def minhashClassify(
+      incoming: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 2000,
+      batchSigSink: DataFrame => DataFrame = identity,
+      indexSigSink: DataFrame => DataFrame = identity): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val batchDocs = batchSigSink(
+      minhashSigRelation(incoming, idCol, textCol, shingleK, numHashes)).cache()
+    val idxDocs = indexSigSink(
+      minhashSigRelation(index, idCol, textCol, shingleK, numHashes)).cache()
+
+    val batchBands = bandRelation(batchDocs, bands, rowsPerBand)
+    val idxBands = bandRelation(idxDocs, bands, rowsPerBand)
+
+    // index-side skew guard: an over-cap bucket is represented by its min
+    // id only (the canonical member a giant duplicate cluster surfaces
+    // through); small buckets join in full. Oracle parity precondition:
+    // no index bucket exceeds the cap at verification SF.
+    val idxSizes = idxBands
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .cache()
+    val idxSmall = idxBands.join(
+      idxSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
+      Seq("band", "bucket"))
+    val idxHotCanon = idxBands.join(
+      idxSizes.filter(col("bucket_n") > maxBucketSize).drop("bucket_n"),
+      Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("id"))
+    val idxCapped = idxSmall.select(col("band"), col("bucket"), col("id"))
+      .unionByName(idxHotCanon.select(col("band"), col("bucket"), col("id")))
+
+    val candidates = batchBands
+      .join(idxCapped.withColumnRenamed("id", "match_id"), Seq("band", "bucket"))
+      .select(col("id"), col("match_id"))
+      .distinct()
+
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val verified = candidates
+      .join(batchDocs.select(col("id"), col("shingles").as("sh_a")), "id")
+      .join(idxDocs.select(col("id").as("match_id"), col("shingles").as("sh_b")),
+        "match_id")
+      .select(col("id"), col("match_id"), col("sh_a"), col("sh_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, shA, shB) =>
+        val inter = shA.intersect(shB).length
+        val union = shA.length + shB.length - inter
+        (a, b, if (union == 0) 0.0 else inter.toDouble / union)
+      }
+      .toDF("id", "match_id", "jaccard")
+
+    // best surviving match per batch doc: highest Jaccard, ties to the
+    // smallest index id — one k-bounded aggregate, no window sort
+    val best = verified
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("match_id")).as("nid"))).as("m"))
+      .select(col("id"), (-col("m.nid")).as("match_id"), col("m.j").as("jaccard"))
+
+    val result = batchDocs.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id"),
+        when(col("match_id").isNotNull, lit("neardup")).otherwise(lit("new"))
+          .as("status"),
+        col("match_id"), col("jaccard"))
+      .cache()
+    result.count()
+    idxSizes.unpersist()
+    batchDocs.unpersist()
+    idxDocs.unpersist()
     result
   }
 

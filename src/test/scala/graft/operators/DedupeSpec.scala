@@ -37,6 +37,32 @@ class DedupeSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
+  test("minhashClassify: batch rows classify against the index, best match wins") {
+    import spark.implicits._
+    val index = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+      (4L, "yet another unrelated document mentioning parquet files and chunks"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact copy of 0
+      (3L, "completely different content about spark query engines and shuffles"), // novel
+      (5L, "the quick brown fox jumps over the lazy cat again and again today")) // exact copy of 2
+      .toDF("doc_id", "text")
+    val r = Dedupe
+      .minhashClassify(batch, index, "doc_id", "text", shingleK = 2, threshold = 0.3)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2))))
+      .toMap
+    // doc 1 matches BOTH 0 (jaccard 1.0) and 2 (high) — best match is 0
+    assert(r(1L) == (("neardup", 0L)), s"got ${r(1L)}")
+    assert(r(3L) == (("new", -1L)), s"got ${r(3L)}")
+    assert(r(5L) == (("neardup", 2L)), s"got ${r(5L)}")
+    // one row per batch doc, nothing from the index leaks into the output
+    assert(r.keySet == Set(1L, 3L, 5L))
+  }
+
   test("minhash estimated jaccard tracks exact jaccard") {
     val r = Dedupe
       .minhashPairs(docsDf, "doc_id", "text", shingleK = 2, threshold = 0.0)
