@@ -140,29 +140,6 @@ object Dedupe {
     sig
   }
 
-  /** MinHash-LSH near-duplicate pairs.
-    * @return (id_a, id_b, est_jaccard, jaccard) — est from signature
-    *         agreement, exact from shingle sets, both per candidate pair.
-    */
-  /** @param maxBucketSize LSH skew guard: a band bucket holding B docs
-    *   contributes B² candidate pairs, so one hot bucket (thousands of
-    *   identical boilerplate docs) turns the candidate join quadratic.
-    *   Over-cap buckets degrade from clique to STAR candidates — every
-    *   member pairs with the bucket's min id only (B-1 pairs) — so giant
-    *   duplicate clusters, whose docs collide in ALL bands, still surface
-    *   through their canonical member instead of vanishing.
-    */
-  /** @param sigSink optional hook applied to the signature relation
-    *   (id, shingles, sig) before use — the catalog passes a
-    *   persist-and-read-back function here so the DuckDB oracle can
-    *   recompute banding/est/jaccard from the exact signatures this run
-    *   used (band-bucket equality == signature-slice equality modulo
-    *   xxh64 bucket-key collisions, so the oracle joins on slices).
-    *   PRECONDITION for that parity: no band bucket exceeds
-    *   `maxBucketSize` — over-cap buckets degrade to star pairs, which a
-    *   plain slice-equality oracle does not model. Holds trivially at the
-    *   driver's verification SF (bucket size is bounded by corpus size).
-    */
   /** The (id, shingles, sig) signature relation — the shared kernel of the
     * batch and incremental MinHash paths. Narrow, one pass.
     */
@@ -208,6 +185,27 @@ object Dedupe {
       .toDF("band", "bucket", "id")
   }
 
+  /** MinHash-LSH near-duplicate pairs.
+    * @return (id_a, id_b, est_jaccard, jaccard) — est from signature
+    *         agreement, exact from shingle sets, both per candidate pair.
+    * @param maxBucketSize LSH skew guard: a band bucket holding B docs
+    *   contributes B² candidate pairs, so one hot bucket (thousands of
+    *   identical boilerplate docs) turns the candidate join quadratic.
+    *   Over-cap buckets degrade from clique to STAR candidates — every
+    *   member pairs with the bucket's min id only (B-1 pairs) — so giant
+    *   duplicate clusters, whose docs collide in ALL bands, still surface
+    *   through their canonical member instead of vanishing.
+    * @param sigSink optional hook applied to the signature relation
+    *   (id, shingles, sig) before use — the catalog passes a
+    *   persist-and-read-back function here so the DuckDB oracle can
+    *   recompute banding/est/jaccard from the exact signatures this run
+    *   used (band-bucket equality == signature-slice equality modulo
+    *   xxh64 bucket-key collisions, so the oracle joins on slices).
+    *   PRECONDITION for that parity: no band bucket exceeds
+    *   `maxBucketSize` — over-cap buckets degrade to star pairs, which a
+    *   plain slice-equality oracle does not model. Holds trivially at the
+    *   driver's verification SF (bucket size is bounded by corpus size).
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,

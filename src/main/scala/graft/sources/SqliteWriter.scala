@@ -147,8 +147,16 @@ object SqliteWriter {
             .map { case (k, x) => esc(k) + ":" + x }
             .mkString("{", ",", "}")
         case StringType => esc(v.asInstanceOf[String])
-        case BooleanType | ByteType | ShortType | IntegerType | LongType |
-            FloatType | DoubleType => v.toString
+        // non-finite floats have no JSON literal (Java renders NaN/Infinity,
+        // which sqlite's json functions reject as malformed) → JSON null
+        case FloatType =>
+          val f = v.asInstanceOf[Float]
+          if (java.lang.Float.isFinite(f)) f.toString else "null"
+        case DoubleType =>
+          val d = v.asInstanceOf[Double]
+          if (java.lang.Double.isFinite(d)) d.toString else "null"
+        case BooleanType | ByteType | ShortType | IntegerType | LongType =>
+          v.toString
         case TimestampType =>
           esc(v.asInstanceOf[java.sql.Timestamp].toInstant.toString)
         case TimestampNTZType =>

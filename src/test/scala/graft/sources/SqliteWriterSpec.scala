@@ -177,6 +177,22 @@ class SqliteWriterSpec extends SparkSpec {
     assert(out(2) == "-2.0", s"sqlite json_extract must read it back: ${out(2)}")
   }
 
+  test("non-finite floats in nested columns become JSON null (json stays valid)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.5f, Float.NaN, Float.PositiveInfinity), Seq(2.5, Double.NegativeInfinity)))
+      .toDF("id", "fv", "dv")
+    val path = Files.createTempDirectory("sq").resolve("nf.sqlite")
+    SqliteWriter.write(df, path, "table")
+    // json_valid is the contract: Java's "NaN"/"Infinity" renderings are
+    // rejected by sqlite's json functions as malformed
+    val out = py(path.toString,
+      """print(con.execute('SELECT json_valid(fv), json_valid(dv) FROM "table"').fetchone())
+        |print(con.execute('SELECT fv, dv FROM "table"').fetchone())""".stripMargin)
+    assert(out(0) == "(1, 1)", out.mkString("|"))
+    assert(out(1) == "('[1.5,null,null]', '[2.5,null]')", out(1))
+  }
+
   test("blobs and an empty table round-trip") {
     import spark.implicits._
     val blobs = Seq((1L, Array[Byte](0, 1, 2, -1)), (2L, Array.emptyByteArray))
