@@ -22,6 +22,18 @@ object SimilarityQueries {
       assignSink = df => Queries.oracleSide(spark, sfDir, "ivf_assign", df),
       probeSink = df => Queries.oracleSide(spark, sfDir, "ivf_probes", df))
 
+  /** IVF-PQ: coarse buckets + product-quantized codes, integer ADC
+    * scoring (catalog params: 8 subspaces × 8 dims, 16 codes each). The
+    * trained state (codes, codebooks, probes) persists as side tables;
+    * the oracle re-derives candidates, the scaled ADC dot, and the
+    * ranking from them in pure integer arithmetic.
+    */
+  private def annIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.ivfPqTopK(emb(spark, sfDir), "vec_id", "embedding", QueryIds, k = 5,
+      codesSink = df => Queries.oracleSide(spark, sfDir, "pq_codes", df),
+      booksSink = df => Queries.oracleSide(spark, sfDir, "pq_books", df),
+      probesSink = df => Queries.oracleSide(spark, sfDir, "pq_probes", df))
+
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
       planes = 8, minCosine = 0.3,
@@ -152,6 +164,7 @@ object SimilarityQueries {
     "emb_norms" -> embNorms _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
+    "ann_ivfpq_topk" -> annIvfPq _,
     "emb_neardup" -> nearDups _,
     "emb_neardup_exact" -> embNearDupExact _,
     "emb_dims" -> embDims _,
@@ -242,6 +255,36 @@ object SimilarityQueries {
         |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
         |  FROM c)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+        |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivfpq_topk" ->
+      s"""WITH cds AS (
+        |  SELECT bucket, id, codes FROM read_parquet('${Queries.oracleSidePath("pq_codes")}')),
+        |bks AS (
+        |  SELECT sub, code, cw FROM read_parquet('${Queries.oracleSidePath("pq_books")}')),
+        |pr AS (
+        |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("pq_probes")}')),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.id AS neighbor_id
+        |  FROM pr p JOIN cds c USING (bucket) WHERE c.id <> p.query_id),
+        |s AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(SUM(
+        |      CAST(FLOOR(CAST(q.embedding[(m.m - 1) * 8 + j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.cw[j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS adc_dot_scaled
+        |  FROM cand
+        |  JOIN cds c ON c.id = cand.neighbor_id
+        |  JOIN embeddings q ON q.vec_id = cand.query_id
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+        |  JOIN bks b ON b.sub = m.m - 1 AND b.code = c.codes[m.m]
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
+        |  GROUP BY cand.query_id, cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, adc_dot_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot_scaled DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled
         |FROM r WHERE rank <= 5""".stripMargin,
     "emb_neardup" ->
       s"""WITH s AS (

@@ -113,19 +113,25 @@ object Similarity extends Serializable {
     * space, which would bias the quantizer toward old rows. Shared by
     * ivfTopK and semanticDedup so their quantizers can never diverge.
     */
+  private def sampleVecs(
+      base: DataFrame, sampleSize: Int, seed: Long): Array[Array[Float]] = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .as[(Long, Array[Float])]
+      .collect()
+      .map(_._2)
+  }
+
   private def trainQuantizer(
       base: DataFrame,
       numCentroids: Int,
       sampleSize: Int,
       seed: Long): org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] = {
     val spark = base.sparkSession
-    import spark.implicits._
-    val sample = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(sampleSize)
-      .as[(Long, Array[Float])]
-      .collect()
-      .map(_._2)
+    val sample = sampleVecs(base, sampleSize, seed)
     spark.sparkContext.broadcast(kmeansLite(sample, numCentroids, iters = 5, seed))
   }
 
@@ -203,6 +209,205 @@ object Similarity extends Serializable {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** IVF-PQ ANN (public method: Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search"): the memory-bounded ANN path for
+    * corpora whose raw vectors don't fit executor memory. The corpus is
+    * coarse-bucketed by the shared IVF quantizer, and each vector is
+    * compressed to `subspaces` small codes — one codeword index per
+    * contiguous dim/subspaces slice, codebooks trained per subspace by
+    * L2 k-means on the same driver-side sample. Queries probe `nprobe`
+    * buckets and score candidates by asymmetric distance computation
+    * (ADC): a per-query lookup table of query-slice · codeword products,
+    * so scoring a candidate is `subspaces` table lookups instead of a
+    * dim-length dot against a raw vector it never reads.
+    *
+    * This variant encodes the raw vector, not the residual v − centroid
+    * (IVFADC's refinement) — the no-residual form keeps the score a pure
+    * function of (codes, codebooks, query), which is what the relational
+    * oracle re-derives. All score arithmetic is integer: query components
+    * and codewords quantize to floor(x·1000 + 0.5) BIGINTs (the
+    * ann_dot_exact technique), so the ADC dot is order-independent and
+    * cell-exact across engines. With components in [-2, 2] the scaled
+    * product is ≤ 4e6/term, 64 terms ⇒ ≪ Long range.
+    *
+    * Scale shape: codes relation is (bucket, id, `subspaces` ints) — at
+    * 100 TB the 4·dim-byte vector column never shuffles, only the ~M-byte
+    * codes do; codebooks and per-query LUTs broadcast (subspaces ×
+    * codesPerSub longs per query). Recall < 1 by design (coarse probe
+    * misses + quantization error); `ann_cosine_topk` is the exact
+    * baseline.
+    *
+    * @param codesSink / booksSink / probesSink oracle hooks over the
+    *   (bucket, id, codes), (sub, code, cw) and (query_id, bucket)
+    *   relations — the catalog persists them so the DuckDB oracle
+    *   re-derives candidate restriction, ADC scoring, and top-k ranking
+    *   from the exact trained state this run used (same contract as
+    *   ivfTopK's sinks).
+    * @return (query_id, rank, neighbor_id, adc_dot_scaled)
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIds: Seq[Long],
+      k: Int,
+      numCentroids: Int = 16,
+      nprobe: Int = 4,
+      subspaces: Int = 8,
+      codesPerSub: Int = 16,
+      sampleSize: Int = 2000,
+      seed: Long = 42L,
+      codesSink: DataFrame => DataFrame = identity,
+      booksSink: DataFrame => DataFrame = identity,
+      probesSink: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val sample = sampleVecs(base, sampleSize, seed)
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = sample.head.length
+    require(dim % subspaces == 0,
+      s"ivfPqTopK: dim $dim not divisible by subspaces $subspaces")
+    val subDim = dim / subspaces
+
+    val coarse = kmeansLite(sample, numCentroids, iters = 5, seed)
+    // per-subspace codebooks: L2 k-means over the sample's slices (slices
+    // are not unit-norm, so the coarse quantizer's dot assignment would
+    // collapse magnitude information)
+    val books: Array[Array[Array[Float]]] = Array.tabulate(subspaces) { m =>
+      kmeansL2(sample.map(v => v.slice(m * subDim, (m + 1) * subDim)),
+        codesPerSub, iters = 5, seed + m + 1)
+    }
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    val booksDf = booksSink(
+      spark.createDataset(for {
+        m <- books.indices
+        c <- books(m).indices
+      } yield (m, c, books(m)(c))).toDF("sub", "code", "cw"))
+
+    // one narrow pass: vector -> (coarse bucket, PQ codes); the raw
+    // vector is dropped here and never shuffles again
+    val codes = codesSink(base
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val bucket = nearestCentroids(bcCoarse.value, v, 1).head
+        val cs = Array.tabulate(subspaces) { m =>
+          nearestCodeL2(bcBooks.value(m), v, m * subDim, subDim)
+        }
+        (bucket, id, cs)
+      }
+      .toDF("bucket", "id", "codes"))
+
+    val queries = base
+      .filter(col("id").isin(queryIds: _*))
+      .as[(Long, Array[Float])]
+      .collect()
+    val probes = queries.flatMap { case (qid, qv) =>
+      nearestCentroids(bcCoarse.value, qv, nprobe).map(b => (qid, b))
+    }
+    val probesDf =
+      probesSink(spark.createDataset(probes.toSeq).toDF("query_id", "bucket"))
+
+    // per-query ADC lookup tables in scaled-integer arithmetic:
+    // lut(m)(code) = sum_j floor(q[m*subDim+j]*1000+.5) * floor(cw[j]*1000+.5)
+    val luts: Map[Long, Array[Array[Long]]] = queries.map { case (qid, qv) =>
+      val qInt = qv.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+      qid -> Array.tabulate(subspaces) { m =>
+        books(m).map { cw =>
+          var s = 0L
+          var j = 0
+          while (j < subDim) {
+            s += qInt(m * subDim + j) *
+              math.floor(cw(j).toDouble * 1000 + 0.5).toLong
+            j += 1
+          }
+          s
+        }
+      }
+    }.toMap
+    val bcLuts = spark.sparkContext.broadcast(luts)
+
+    val scored = codes
+      .join(broadcast(probesDf), "bucket")
+      .filter(col("id") =!= col("query_id"))
+      .as[(Int, Long, Array[Int], Long)]
+      .map { case (_, id, cs, qid) =>
+        val lut = bcLuts.value(qid)
+        var s = 0L
+        var m = 0
+        while (m < cs.length) { s += lut(m)(cs(m)); m += 1 }
+        (qid, id, s)
+      }
+      .toDF("query_id", "neighbor_id", "adc_dot_scaled")
+
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_dot_scaled").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_dot_scaled"))
+  }
+
+  /** Nearest codeword of `v`'s slice [off, off+subDim) by squared L2,
+    * smallest index winning ties — the PQ encoding assignment.
+    */
+  private[operators] def nearestCodeL2(
+      book: Array[Array[Float]], v: Array[Float], off: Int, subDim: Int): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cw = book(c)
+      var d = 0.0
+      var j = 0
+      while (j < subDim) {
+        val x = v(off + j).toDouble - cw(j).toDouble
+        d += x * x
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c } // strict: first index wins ties
+      c += 1
+    }
+    best
+  }
+
+  /** L2-distance Lloyd iterations — kmeansLite's metric twin for
+    * subspace codebooks, where vectors are arbitrary-magnitude slices.
+    */
+  private[operators] def kmeansL2(
+      sample: Array[Array[Float]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Float]] = {
+    if (sample.isEmpty) return Array.empty
+    val dim = sample.head.length
+    val rng = new java.util.Random(seed)
+    var centroids = Array.tabulate(math.min(k, sample.length)) { i =>
+      sample(rng.nextInt(sample.length)).clone()
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        val best = nearestCodeL2(centroids, v, 0, dim)
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { i =>
+        if (counts(i) == 0) centroids(i)
+        else Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat)
+      }.toArray
+      it += 1
+    }
+    centroids
   }
 
   /** SemDeDup — semantic deduplication (public method: Abbas et al. 2023,

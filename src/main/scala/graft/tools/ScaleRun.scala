@@ -92,7 +92,7 @@ object ScaleRun {
   private val ScaleQueries = Seq(
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "semantic_dedup", "emb_neardup", "cdc_estimate",
-    "doc_select_topk", "lm_score")
+    "doc_select_topk", "lm_score", "ann_ivfpq_topk")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

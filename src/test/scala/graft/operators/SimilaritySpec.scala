@@ -76,6 +76,67 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"recall too low: $recall%.2f")
   }
 
+  test("ivfPqTopK: k ranked rows per query, no self, scores non-increasing") {
+    val r = Similarity.ivfPqTopK(embDf, "vec_id", "embedding", Seq(0L, 1L, 2L),
+      k = 5, numCentroids = 8, nprobe = 8, subspaces = 8, codesPerSub = 8)
+    val rows = r.collect()
+    assert(rows.length == 15, s"expected 3x5 rows, got ${rows.length}")
+    Seq(0L, 1L, 2L).foreach { q =>
+      val mine = rows.filter(_.getLong(0) == q).sortBy(_.getLong(1))
+      assert(mine.map(_.getLong(1)).toSeq == (1 to 5))
+      assert(!mine.exists(_.getLong(2) == q), "self must be excluded")
+      val scores = mine.map(_.getLong(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"ADC scores must be non-increasing: ${scores.mkString(",")}")
+    }
+  }
+
+  test("ivfPqTopK is deterministic and recalls the quantized-dot exact top-5") {
+    import spark.implicits._
+    val queries = (0L until 10L)
+    // exact baseline in the same scaled-integer dot the ADC approximates
+    val data = embDf.as[(Long, Array[Float])].collect().sortBy(_._1)
+    def qi(v: Array[Float]) = v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong)
+    val exact = queries.map { q =>
+      val qv = qi(data(q.toInt)._2)
+      q -> data.iterator
+        .filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, qi(v).zip(qv).map { case (a, b) => a * b }.sum) }
+        .toSeq.sortBy { case (id, d) => (-d, id) }
+        .take(5).map(_._1).toSet
+    }.toMap
+    def run() = Similarity
+      .ivfPqTopK(embDf, "vec_id", "embedding", queries, k = 5,
+        numCentroids = 8, nprobe = 8, subspaces = 8, codesPerSub = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val a = run()
+    assert(a.toSeq == run().toSeq, "same seed must reproduce exactly")
+    val pq = a.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // full probe (nprobe = numCentroids) isolates PQ quantization error:
+    // on 100 random dim-32 vectors, 8x16-code books keep most of top-5
+    val recall = queries.map { q =>
+      exact(q).intersect(pq.getOrElse(q, Set.empty)).size.toDouble / 5
+    }.sum / queries.size
+    info(f"ivf-pq recall@5 (full probe): $recall%.2f")
+    assert(recall >= 0.3, f"recall too low: $recall%.2f")
+  }
+
+  test("kmeansL2 deterministic under seed; nearestCodeL2 first-index tie-break") {
+    val rng = new java.util.Random(3)
+    val sample = Array.fill(50)(Array.fill(4)(rng.nextFloat()))
+    val a = Similarity.kmeansL2(sample, 4, 5, 11L)
+    val b = Similarity.kmeansL2(sample, 4, 5, 11L)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // duplicate codewords: equal distance, first index must win
+    val book = Array(Array(1f, 1f), Array(1f, 1f), Array(0f, 0f))
+    assert(Similarity.nearestCodeL2(book, Array(1f, 1f), 0, 2) == 0)
+    // offset slicing reads [off, off+subDim)
+    assert(Similarity.nearestCodeL2(book, Array(9f, 9f, 0f, 0f), 2, 2) == 2)
+  }
+
   test("semanticDedup: planted near-identical vectors collapse to min id") {
     import spark.implicits._
     val rng = new java.util.Random(13)
