@@ -683,6 +683,21 @@ object Queries {
       spark, s"$sfDir/events.parquet", name)
   }
 
+  /** Streaming MinHash near-dup over documents: LSH band state in
+    * flatMapGroupsWithState, the dedup family's banding in stream form.
+    * The engine-computed band relation persists as the oracle side table
+    * (batch twin, same banding functions); with side tables off (bench)
+    * that frame is never consumed, so only the stream runs.
+    */
+  private def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    oracleSide(spark, sfDir, "stream_bands",
+      graft.streaming.StreamNearDup.bandRelation(docs, "doc_id", "text"))
+    val name = s"doc_neardup_${math.abs(sfDir.hashCode)}"
+    graft.streaming.StreamNearDup.runNearDupOnce(
+      spark, s"$sfDir/documents.parquet", name)
+  }
+
   /** Interval (range) join via the binned decomposition (RangeJoin): each
     * purchase event anchors a 24-hour follow-up window; every event of the
     * same user inside [anchor, anchor+24h] matches — the attribution-
@@ -1070,6 +1085,7 @@ object Queries {
     "stream_sessions" -> (streamSessions _),
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
+    "stream_neardup" -> (streamNearDup _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
@@ -1421,6 +1437,16 @@ object Queries {
         |FROM t JOIN b USING (blob_id)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_neardup" ->
+      s"""WITH b AS (
+        |  SELECT band, bucket, id FROM read_parquet('${oracleSidePath("stream_bands")}')),
+        |m AS (
+        |  SELECT a.id, MIN(c.id) AS match_id
+        |  FROM b a JOIN b c
+        |    ON a.band = c.band AND a.bucket = c.bucket AND c.id < a.id
+        |  GROUP BY a.id)
+        |SELECT d.doc_id, m.match_id, m.match_id IS NOT NULL AS is_neardup
+        |FROM documents d LEFT JOIN m ON m.id = d.doc_id""".stripMargin,
     // generated per-column (never hand-transcribed) so Spark and SQL can
     // not drift on the column list
     "table_profile" -> {

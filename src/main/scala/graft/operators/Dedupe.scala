@@ -160,6 +160,23 @@ object Dedupe {
       .toDF("id", "shingles", "sig")
   }
 
+  /** Bucket key of band `b`: xxh64 over the band's signature slice in
+    * little-endian bytes — THE banding function, shared by the batch,
+    * incremental, and streaming MinHash paths (identical bucket keys are
+    * what lets their oracles join on signature slices).
+    */
+  def bandBucket(sig: Array[Long], b: Int, rowsPerBand: Int): Long = {
+    val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+    val bytes = new Array[Byte](slice.length * 8)
+    var i = 0
+    while (i < slice.length) {
+      var j = 0
+      while (j < 8) { bytes(i * 8 + j) = (slice(i) >>> (8 * j)).toByte; j += 1 }
+      i += 1
+    }
+    XXH64.hash(bytes, 7L)
+  }
+
   /** (band, bucket, id) LSH band relation: bucket key = hash of the band's
     * signature slice.
     */
@@ -170,17 +187,7 @@ object Dedupe {
       .select(col("id"), col("sig"))
       .as[(Long, Array[Long])]
       .flatMap { case (id, sig) =>
-        (0 until bands).iterator.map { b =>
-          val slice = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
-          val bytes = new Array[Byte](slice.length * 8)
-          var i = 0
-          while (i < slice.length) {
-            var j = 0
-            while (j < 8) { bytes(i * 8 + j) = (slice(i) >>> (8 * j)).toByte; j += 1 }
-            i += 1
-          }
-          (b, XXH64.hash(bytes, 7L), id)
-        }
+        (0 until bands).iterator.map(b => (b, bandBucket(sig, b, rowsPerBand), id))
       }
       .toDF("band", "bucket", "id")
   }

@@ -184,7 +184,7 @@ object EventStream {
     * memory sink is harness-only (it collects to the driver); production
     * sinks are kafka/parquet/delta-style writeStream targets.
     */
-  private def runToMemory(
+  private[streaming] def runToMemory(
       spark: SparkSession,
       dir: String,
       queryName: String,
