@@ -690,12 +690,17 @@ object Queries {
     * that frame is never consumed, so only the stream runs.
     */
   private def streamNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // ONE parameter set for the batch-twin side table and the stream:
+    // the oracle joins the persisted band relation, so a drift between
+    // the two banding configs would silently break cell-exact parity
+    val (shingleK, numHashes, bands) = (3, 64, 16)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     oracleSide(spark, sfDir, "stream_bands",
-      graft.streaming.StreamNearDup.bandRelation(docs, "doc_id", "text"))
+      graft.streaming.StreamNearDup.bandRelation(
+        docs, "doc_id", "text", shingleK, numHashes, bands))
     val name = s"doc_neardup_${math.abs(sfDir.hashCode)}"
     graft.streaming.StreamNearDup.runNearDupOnce(
-      spark, s"$sfDir/documents.parquet", name)
+      spark, s"$sfDir/documents.parquet", name, shingleK, numHashes, bands)
   }
 
   /** Interval (range) join via the binned decomposition (RangeJoin): each

@@ -283,7 +283,8 @@ object Similarity extends Serializable {
     val bcCoarse = spark.sparkContext.broadcast(coarse)
     val bcBooks = spark.sparkContext.broadcast(books)
 
-    val booksDf = booksSink(
+    // consumed for the sink's write side effect only (oracle side table)
+    booksSink(
       spark.createDataset(for {
         m <- books.indices
         c <- books(m).indices
@@ -343,6 +344,9 @@ object Similarity extends Serializable {
         (qid, id, s)
       }
       .toDF("query_id", "neighbor_id", "adc_dot_scaled")
+      // same duplicate-corpus-id guard as ivfTopK: a repeated id scores
+      // once per copy; keep one row per (query, neighbor)
+      .dropDuplicates("query_id", "neighbor_id")
 
     val w = Window
       .partitionBy(col("query_id"))
@@ -384,31 +388,9 @@ object Similarity extends Serializable {
       sample: Array[Array[Float]],
       k: Int,
       iters: Int,
-      seed: Long): Array[Array[Float]] = {
-    if (sample.isEmpty) return Array.empty
-    val dim = sample.head.length
-    val rng = new java.util.Random(seed)
-    var centroids = Array.tabulate(math.min(k, sample.length)) { i =>
-      sample(rng.nextInt(sample.length)).clone()
-    }
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(centroids.length)(new Array[Double](dim))
-      val counts = new Array[Int](centroids.length)
-      sample.foreach { v =>
-        val best = nearestCodeL2(centroids, v, 0, dim)
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-      }
-      centroids = centroids.indices.map { i =>
-        if (counts(i) == 0) centroids(i)
-        else Array.tabulate(dim)(j => (sums(i)(j) / counts(i)).toFloat)
-      }.toArray
-      it += 1
-    }
-    centroids
-  }
+      seed: Long): Array[Array[Float]] =
+    lloyd(sample, k, iters, seed,
+      (cs, v) => nearestCodeL2(cs, v, 0, v.length))
 
   /** SemDeDup — semantic deduplication (public method: Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -516,11 +498,15 @@ object Similarity extends Serializable {
     result
   }
 
-  private[operators] def kmeansLite(
+  /** Shared seeded-init + Lloyd loop; the metric twins below differ only
+    * in the per-vector assignment (`nearest`: first index wins ties).
+    */
+  private def lloyd(
       sample: Array[Array[Float]],
       k: Int,
       iters: Int,
-      seed: Long): Array[Array[Float]] = {
+      seed: Long,
+      nearest: (Array[Array[Float]], Array[Float]) => Int): Array[Array[Float]] = {
     if (sample.isEmpty) return Array.empty
     val dim = sample.head.length
     val rng = new java.util.Random(seed)
@@ -532,14 +518,7 @@ object Similarity extends Serializable {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = new Array[Int](centroids.length)
       sample.foreach { v =>
-        var best = 0
-        var bestD = Double.MinValue
-        var i = 0
-        while (i < centroids.length) {
-          val d = dot(v, centroids(i))
-          if (d > bestD) { bestD = d; best = i }
-          i += 1
-        }
+        val best = nearest(centroids, v)
         counts(best) += 1
         var j = 0
         while (j < dim) { sums(best)(j) += v(j); j += 1 }
@@ -552,4 +531,24 @@ object Similarity extends Serializable {
     }
     centroids
   }
+
+  /** Raw-dot assignment (unit-ish vectors: the coarse-quantizer metric). */
+  private def dotArgmax(centroids: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MinValue
+    var i = 0
+    while (i < centroids.length) {
+      val d = dot(v, centroids(i))
+      if (d > bestD) { bestD = d; best = i } // strict: first index wins ties
+      i += 1
+    }
+    best
+  }
+
+  private[operators] def kmeansLite(
+      sample: Array[Array[Float]],
+      k: Int,
+      iters: Int,
+      seed: Long): Array[Array[Float]] =
+    lloyd(sample, k, iters, seed, dotArgmax)
 }
