@@ -90,6 +90,29 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Per-language doc-length distribution via the mergeable quantile
+    * sketch ([[graft.functions.QuantileSketch]]) — the bounded-memory
+    * profiling pass a 100 TB corpus needs where sorting a column is not
+    * an option. Catalog capacity (4096) exceeds every group at the
+    * correctness SFs, so the sketch sits in its exact window and the
+    * oracle is DuckDB's quantile_disc (identical max(1, ceil(q·n)) rank
+    * convention).
+    */
+  private def docLenQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.QuantileSketch
+    docs(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        QuantileSketch.quantiles(col("n_chars").cast("double"),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99)).as("qs"))
+      .select(col("lang"), col("n_docs"),
+        col("qs")(0).cast("long").as("p25"),
+        col("qs")(1).cast("long").as("p50"),
+        col("qs")(2).cast("long").as("p75"),
+        col("qs")(3).cast("long").as("p90"),
+        col("qs")(4).cast("long").as("p99"))
+  }
+
   private def textStats(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .groupBy(col("lang"), col("source"))
@@ -541,6 +564,7 @@ object TextQueries {
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
+    "doc_len_quantiles" -> docLenQuantiles _,
     "text_quality_full" -> qualityFull _,
     "quality_classifier" -> qualityClassifier _,
     "lm_score" -> lmScore _,
@@ -1173,6 +1197,14 @@ object TextQueries {
         |        x -> x <> '')) AS w
         |      FROM documents)
         |GROUP BY w ORDER BY est_count DESC, word ASC LIMIT 20""".stripMargin,
+    "doc_len_quantiles" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  quantile_disc(n_chars, 0.25) AS p25,
+        |  quantile_disc(n_chars, 0.5) AS p50,
+        |  quantile_disc(n_chars, 0.75) AS p75,
+        |  quantile_disc(n_chars, 0.9) AS p90,
+        |  quantile_disc(n_chars, 0.99) AS p99
+        |FROM documents GROUP BY lang""".stripMargin,
     "text_stats" ->
       """SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Deterministic mergeable quantile sketch as a typed Aggregator — the
+  * bounded-memory distribution profiler (doc lengths, token counts,
+  * chunk sizes) for corpora where collecting a column to sort is not an
+  * option. Single-compactor form of the level-compaction idea behind
+  * KLL (Karnin, Lang, Liberty FOCS'16), made fully deterministic: no
+  * randomness anywhere, so results are partition-invariant and
+  * reproducible across engines and runs.
+  *
+  * Buffer: a weight-1 append array (`raw`, capacity-sized, watermark
+  * `rawUsed`) plus a sorted compacted array (`comp`) whose elements each
+  * represent `2^level` input ranks. When raw fills it is sorted, lifted
+  * to the current level (keep odd indices, level times), and
+  * sorted-merged into comp; comp over capacity halves (odd indices kept,
+  * level += 1). Merge aligns levels the same way. While total n stays
+  * ≤ capacity nothing ever compacts — level 0, every value retained —
+  * so quantiles are EXACT, which is the window the DuckDB
+  * `quantile_disc` oracle verifies at the correctness SFs. Beyond the
+  * window the rank error grows with the number of halvings
+  * (≲ levels · n/capacity ranks, measured ≤ 2% of n in the spec's
+  * 100k-value property test at capacity 1024).
+  *
+  * Finish: for each probe q, the value at rank max(1, ceil(q·n)) of the
+  * weighted merged (comp ∪ raw) order — exactly DuckDB's discrete-
+  * quantile rank convention, so the exact window is cell-comparable.
+  */
+final case class QsBuffer(
+    raw: Array[Double], rawUsed: Int,
+    comp: Array[Double], level: Int, n: Long)
+
+class QuantileSketchAgg(capacity: Int, probes: Array[Double])
+    extends Aggregator[Double, QsBuffer, Array[Double]] {
+  require(capacity >= 2, "capacity must be >= 2")
+  require(probes.nonEmpty && probes.forall(p => p >= 0.0 && p <= 1.0),
+    "probes must be fractions in [0, 1]")
+
+  override def zero: QsBuffer =
+    QsBuffer(Array.emptyDoubleArray, 0, Array.emptyDoubleArray, 0, 0L)
+
+  /** Keep odd 0-based indices — the deterministic halving step (upper
+    * element of each adjacent pair; no RNG so plans are reproducible).
+    */
+  private def halve(sorted: Array[Double]): Array[Double] = {
+    val out = new Array[Double](sorted.length / 2)
+    var i = 1
+    var o = 0
+    while (i < sorted.length) { out(o) = sorted(i); o += 1; i += 2 }
+    out
+  }
+
+  private def liftTo(sorted0: Array[Double], fromLevel: Int, toLevel: Int): Array[Double] = {
+    var a = sorted0
+    var l = fromLevel
+    while (l < toLevel && a.length > 1) { a = halve(a); l += 1 }
+    // a single leftover element at a lower level underweights by design
+    // (bounded by one element's weight, inside the documented error)
+    a
+  }
+
+  private def mergeSorted(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length + b.length)
+    var i = 0; var j = 0; var o = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) <= b(j)) { out(o) = a(i); i += 1 } else { out(o) = b(j); j += 1 }
+      o += 1
+    }
+    while (i < a.length) { out(o) = a(i); i += 1; o += 1 }
+    while (j < b.length) { out(o) = b(j); j += 1; o += 1 }
+    out
+  }
+
+  /** Fold the raw appendix into comp (raw sorted, lifted to level,
+    * merged; comp halved while over capacity).
+    */
+  private def flush(b: QsBuffer): QsBuffer = {
+    if (b.rawUsed == 0) return b
+    val sortedRaw = java.util.Arrays.copyOf(b.raw, b.rawUsed)
+    java.util.Arrays.sort(sortedRaw)
+    var comp = mergeSorted(b.comp, liftTo(sortedRaw, 0, b.level))
+    var level = b.level
+    while (comp.length > capacity) { comp = halve(comp); level += 1 }
+    QsBuffer(b.raw, 0, comp, level, b.n)
+  }
+
+  override def reduce(b0: QsBuffer, v: Double): QsBuffer = {
+    val b =
+      if (b0.raw.length < capacity)
+        b0.copy(raw = java.util.Arrays.copyOf(b0.raw, capacity))
+      else b0
+    b.raw(b.rawUsed) = v
+    val grown = QsBuffer(b.raw, b.rawUsed + 1, b.comp, b.level, b.n + 1L)
+    if (grown.rawUsed == capacity) flush(grown) else grown
+  }
+
+  override def merge(a0: QsBuffer, b0: QsBuffer): QsBuffer = {
+    if (a0.n == 0L) return b0
+    if (b0.n == 0L) return a0
+    val a = flush(a0)
+    val b = flush(b0)
+    val level = math.max(a.level, b.level)
+    var comp = mergeSorted(
+      liftTo(a.comp, a.level, level), liftTo(b.comp, b.level, level))
+    var l = level
+    while (comp.length > capacity) { comp = halve(comp); l += 1 }
+    QsBuffer(Array.emptyDoubleArray, 0, comp, l, a.n + b.n)
+  }
+
+  override def finish(b0: QsBuffer): Array[Double] = {
+    if (b0.n == 0L) return probes.map(_ => Double.NaN)
+    // walk the weighted (comp ∪ sorted raw) order once per probe set
+    val sortedRaw = java.util.Arrays.copyOf(b0.raw, b0.rawUsed)
+    java.util.Arrays.sort(sortedRaw)
+    val w = 1L << b0.level
+    val ranks = probes.map(q => math.max(1L, math.ceil(q * b0.n).toLong))
+    val out = new Array[Double](probes.length)
+    var p = 0
+    while (p < probes.length) {
+      val target = ranks(p)
+      var i = 0; var j = 0
+      var cum = 0L
+      var v = Double.NaN
+      while (cum < target && (i < b0.comp.length || j < sortedRaw.length)) {
+        if (j >= sortedRaw.length ||
+            (i < b0.comp.length && b0.comp(i) <= sortedRaw(j))) {
+          v = b0.comp(i); cum += w; i += 1
+        } else { v = sortedRaw(j); cum += 1L; j += 1 }
+      }
+      // compaction can undercount total weight vs n; clamp to the max
+      out(p) = if (cum >= target) v
+        else (if (b0.comp.isEmpty && sortedRaw.isEmpty) Double.NaN
+          else math.max(
+            if (b0.comp.isEmpty) Double.MinValue else b0.comp.last,
+            if (sortedRaw.isEmpty) Double.MinValue else sortedRaw.last))
+      p += 1
+    }
+    out
+  }
+
+  override def bufferEncoder: Encoder[QsBuffer] = Encoders.product[QsBuffer]
+  override def outputEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+}
+
+object QuantileSketch {
+  /** `df.agg(quantiles($"len", probes))` → array of discrete quantiles
+    * aligned with `probes` (exact while the group has ≤ capacity rows).
+    */
+  def quantiles(c: Column, probes: Seq[Double], capacity: Int = 4096): Column =
+    udaf(new QuantileSketchAgg(capacity, probes.toArray)).apply(c)
+}

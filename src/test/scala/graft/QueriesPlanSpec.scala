@@ -147,6 +147,30 @@ class QueriesPlanSpec extends SparkSpec {
       s"top-k should shuffle only k-bounded buffers:\n$plan")
   }
 
+  test("ivf-pq: probe join broadcasts; only bounded relations shuffle") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = graft.operators.Similarity.ivfPqTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
+      (0L until 8L), k = 5)
+    df.collect()
+    def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case _: BroadcastHashJoinExec => 1; case _ => 0 }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(bhj).sum
+    }
+    assert(bhj(df.queryExecution.executedPlan) >= 1,
+      s"the probes side must broadcast (the corpus side never shuffles " +
+        s"raw vectors):\n${df.queryExecution.executedPlan}")
+    // the only exchanges allowed are over the codes-wide relations
+    // (dedup guard + final per-query ranking) — never the vec column
+    assert(shuffles(df) <= 3,
+      s"PQ scoring must not shuffle the corpus:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q15 results match the plain join regardless of bucketing") {
     val bucketed = Queries.all("q15_bucketed_join")(spark, sfDir)
       .orderBy("o_orderpriority").collect().toSeq
