@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions.udaf
   * chunk sizes) for corpora where collecting a column to sort is not an
   * option. Single-compactor form of the level-compaction idea behind
   * KLL (Karnin, Lang, Liberty FOCS'16), made fully deterministic: no
-  * randomness anywhere, so results are partition-invariant and
-  * reproducible across engines and runs.
+  * randomness anywhere. In the exact window (n ≤ capacity) results are
+  * partition-invariant and engine-reproducible; in the compacted regime
+  * they are deterministic for a given partitioning/merge tree (which
+  * elements survive halving depends on merge order), with the rank-error
+  * bound holding for every order.
   *
   * Buffer: a weight-1 append array (`raw`, capacity-sized, watermark
   * `rawUsed`) plus a sorted compacted array (`comp`) whose elements each

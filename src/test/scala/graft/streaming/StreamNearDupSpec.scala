@@ -62,6 +62,55 @@ class StreamNearDupSpec extends SparkSpec {
     assert(expected.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("state carries across micro-batches (maxFilesPerTrigger=1, 3 files)") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "pack my box with five dozen liquor jugs for the long trip home"
+    // three id-ordered files: dup pairs SPAN files, so a match can only
+    // come from state written by an earlier micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("sndmb")
+    Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$dir/batch")
+    val part0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/batch"))
+    val parts =
+      try part0.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      finally part0.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(parts.head),
+      java.nio.file.Paths.get(s"$dir/f0.parquet"))
+    Seq((2L, a)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
+    val p1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b1"))
+    val q1 = try p1.toArray.map(_.toString).filter(_.endsWith(".parquet")) finally p1.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(q1.head),
+      java.nio.file.Paths.get(s"$dir/f1.parquet"))
+    Seq((3L, b + " tail")).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b2")
+    val p2 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b2"))
+    val q2 = try p2.toArray.map(_.toString).filter(_.endsWith(".parquet")) finally p2.close()
+    java.nio.file.Files.move(java.nio.file.Paths.get(q2.head),
+      java.nio.file.Paths.get(s"$dir/f2.parquet"))
+
+    // own harness: one file per micro-batch, lexicographic = id order
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamNearDup.bandMatches(stream, "doc_id", "text", 3, 64, 16)
+      .writeStream.outputMode("append").format("memory").queryName("snd_mb").start()
+    try q.processAllAvailable() finally q.stop()
+    val matches = session.table("snd_mb")
+      .groupBy(col("id")).agg(min(col("match_id")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matches.get(2L).contains(0L),
+      s"doc 2 (batch 2) must match doc 0 from batch 1's state: $matches")
+    assert(matches.get(3L).contains(1L),
+      s"doc 3 (batch 3) must match doc 1 from batch 1's state: $matches")
+    assert(!matches.contains(0L) && !matches.contains(1L),
+      s"firsts must not match: $matches")
+  }
+
   test("bandBucket is shared verbatim with the batch MinHash path") {
     // the streaming oracle joins the batch band relation — identical
     // banding is the contract, so pin it on a concrete signature
