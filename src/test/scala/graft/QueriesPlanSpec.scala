@@ -12,21 +12,28 @@ class QueriesPlanSpec extends SparkSpec {
 
   private val sfDir = sf()
 
+  /** Count executed-plan nodes matching `pred`, recursing through AQE's
+    * stage wrappers (which hide subtrees behind LEAF QueryStageExec
+    * nodes — a plain children walk undercounts). Callers must have
+    * collected the frame first so AQE is finalized.
+    */
+  private def countNodes(
+      p: org.apache.spark.sql.execution.SparkPlan)(
+      pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+    val self = if (pred(p)) 1 else 0
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    self + kids.map(countNodes(_)(pred)).sum
+  }
+
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // finalize AQE so the executed plan is the real one
-    // AQE hides subtrees behind LEAF QueryStageExec nodes (Result/Shuffle
-    // stages), so a plain collect undercounts — recurse through stage
-    // wrappers explicitly and count the exchanges themselves
-    def count(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self + kids.map(count).sum
+    countNodes(df.queryExecution.executedPlan) {
+      case _: ShuffleExchangeExec => true; case _ => false
     }
-    count(df.queryExecution.executedPlan)
   }
 
   test("bucketed join: co-located buckets, ZERO shuffle on the join itself") {
@@ -96,16 +103,9 @@ class QueriesPlanSpec extends SparkSpec {
     val scored = graft.operators.TextAnalysis.bigramLmScore(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
     scored.collect()
-    def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match { case _: BroadcastHashJoinExec => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self + kids.map(bhj).sum
-    }
-    assert(bhj(scored.queryExecution.executedPlan) == 2,
+    assert(countNodes(scored.queryExecution.executedPlan) {
+      case _: BroadcastHashJoinExec => true; case _ => false
+    } == 2,
       s"both model joins must broadcast:\n${scored.queryExecution.executedPlan}")
     // ONE corpus scan: the model counts derive from the same per-(doc,
     // bigram) shuffle the scoring join reads, so the executed plan must
@@ -152,22 +152,18 @@ class QueriesPlanSpec extends SparkSpec {
     val df = graft.operators.Similarity.ivfPqTopK(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id", "embedding",
       (0L until 8L), k = 5)
-    df.collect()
-    def bhj(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val self = p match { case _: BroadcastHashJoinExec => 1; case _ => 0 }
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      self + kids.map(bhj).sum
+    // shuffles() collects (finalizing AQE), so run it first — asserting
+    // bhj afterwards reuses the same single execution
+    val nShuffles = shuffles(df)
+    val nBhj = countNodes(df.queryExecution.executedPlan) {
+      case _: BroadcastHashJoinExec => true; case _ => false
     }
-    assert(bhj(df.queryExecution.executedPlan) >= 1,
+    assert(nBhj >= 1,
       s"the probes side must broadcast (the corpus side never shuffles " +
         s"raw vectors):\n${df.queryExecution.executedPlan}")
     // the only exchanges allowed are over the codes-wide relations
     // (dedup guard + final per-query ranking) — never the vec column
-    assert(shuffles(df) <= 3,
+    assert(nShuffles <= 3,
       s"PQ scoring must not shuffle the corpus:\n${df.queryExecution.executedPlan}")
   }
 

@@ -69,24 +69,19 @@ class StreamNearDupSpec extends SparkSpec {
     // three id-ordered files: dup pairs SPAN files, so a match can only
     // come from state written by an earlier micro-batch
     val dir = java.nio.file.Files.createTempDirectory("sndmb")
-    Seq((0L, a), (1L, b)).toDF("doc_id", "text")
-      .coalesce(1).write.parquet(s"$dir/batch")
-    val part0 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/batch"))
-    val parts =
-      try part0.toArray.map(_.toString).filter(_.endsWith(".parquet"))
-      finally part0.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(parts.head),
-      java.nio.file.Paths.get(s"$dir/f0.parquet"))
-    Seq((2L, a)).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b1")
-    val p1 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b1"))
-    val q1 = try p1.toArray.map(_.toString).filter(_.endsWith(".parquet")) finally p1.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(q1.head),
-      java.nio.file.Paths.get(s"$dir/f1.parquet"))
-    Seq((3L, b + " tail")).toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/b2")
-    val p2 = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/b2"))
-    val q2 = try p2.toArray.map(_.toString).filter(_.endsWith(".parquet")) finally p2.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(q2.head),
-      java.nio.file.Paths.get(s"$dir/f2.parquet"))
+    def writeOne(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = s"$dir/_tmp_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
+        finally listing.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(part.head),
+        java.nio.file.Paths.get(s"$dir/$name"))
+    }
+    writeOne(Seq((0L, a), (1L, b)), "f0.parquet")
+    writeOne(Seq((2L, a)), "f1.parquet")
+    writeOne(Seq((3L, b + " tail")), "f2.parquet")
 
     // own harness: one file per micro-batch, lexicographic = id order
     val session = spark.newSession()
