@@ -662,6 +662,48 @@ object Queries {
         col("sum_value"))
   }
 
+  /** Streaming distribution profile: per-hour value percentiles computed
+    * by the mergeable quantile sketch INSIDE the streaming aggregation
+    * ([[graft.streaming.EventStream.windowedQuantiles]]) — capacity-
+    * bounded state per window instead of a sort, the shape a percentile
+    * monitor needs on an unbounded stream. Exact in the catalog
+    * capacity window (max 175 rows/hour at sf0.1 vs capacity 4096), so
+    * the oracle is DuckDB `quantile_disc` per hour bucket.
+    */
+  private def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"evt_prof_${math.abs(sfDir.hashCode)}"
+    val result = graft.streaming.EventStream.runQuantilesOnce(
+      spark, s"$sfDir/events.parquet", name)
+    result
+      .withColumn("window_start_epoch", unix_timestamp(col("window_start")))
+      .select(col("window_start_epoch"), col("n"),
+        col("q0").as("p25"), col("q1").as("p50"), col("q2").as("p90"))
+  }
+
+  /** Dataset-version drift audit ([[graft.operators.SnapshotDiff]]):
+    * classify every doc_id of two snapshots as added / removed /
+    * changed / unchanged. The "new" snapshot is a deterministic,
+    * SQL-expressible revision of documents — doc_id % 11 == 0 dropped,
+    * text of doc_id % 7 == 0 gains a ' [rev2]' suffix, doc_id % 13 == 0
+    * cloned under doc_id + 10,000,000 — so the oracle rebuilds the same
+    * snapshot and classifies by direct text equality while the engine
+    * classifies by md5 digest (the 100 TB shape: only (key, digest)
+    * ever shuffles, never the payload).
+    */
+  private def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val oldSnap = docs.select(col("doc_id"), col("text"))
+    val revised = oldSnap.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+    val cloned = oldSnap.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat(lit("clone of "), col("text")).as("text"))
+    graft.operators.SnapshotDiff.diff(
+      oldSnap, revised.unionByName(cloned), "doc_id", Seq("text"))
+  }
+
   /** Streaming exact dedup through the state store (dropDuplicates over a
     * file-source stream, append-mode): each (user_id, event_type) key is
     * emitted exactly once at first occurrence, so the result is the
@@ -1091,6 +1133,8 @@ object Queries {
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
     "stream_neardup" -> (streamNearDup _),
+    "stream_profile" -> (streamProfile _),
+    "snapshot_diff" -> (snapshotDiff _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
@@ -1452,6 +1496,27 @@ object Queries {
         |  GROUP BY a.id)
         |SELECT d.doc_id, m.match_id, m.match_id IS NOT NULL AS is_neardup
         |FROM documents d LEFT JOIN m ON m.id = d.doc_id""".stripMargin,
+    "stream_profile" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_epoch,
+        |  COUNT(*) AS n,
+        |  quantile_disc(value, 0.25) AS p25,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90
+        |FROM events GROUP BY 1""".stripMargin,
+    "snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'clone of ' || text AS text
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
     // generated per-column (never hand-transcribed) so Spark and SQL can
     // not drift on the column list
     "table_profile" -> {

@@ -95,6 +95,34 @@ object EventStream {
         })
   }
 
+  /** Tumbling-window value-DISTRIBUTION profile: the mergeable quantile
+    * sketch ([[graft.functions.QuantileSketch]]) as the aggregation
+    * function of a watermarked streaming group-by, so per-window
+    * percentiles come out of bounded state instead of a sort. The
+    * sketch's buffer rides the streaming state store across
+    * micro-batches (partial buffers merge exactly like batch partial
+    * aggregation — the property the 500-partial-fold spec pins), which
+    * is what makes a percentile monitor viable on an unbounded stream:
+    * state per window is capacity-bounded, not row-bounded. Catalog
+    * capacity (4096) exceeds every hour-window at the correctness SFs
+    * (max 175 rows at sf0.1), so results sit in the sketch's exact
+    * window and the batch oracle is DuckDB `quantile_disc` per hour.
+    */
+  def windowedQuantiles(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours",
+      probes: Seq[Double] = Seq(0.25, 0.5, 0.9),
+      capacity: Int = 4096): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), window_))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.QuantileSketch.quantiles(col("value"), probes, capacity)
+          .as("qs"))
+      .select(Seq(col("window.start").as("window_start"), col("n")) ++
+        probes.indices.map(i => col("qs")(i).as(s"q$i")): _*)
+
   /** Streaming exact dedup: emit each (user_id, event_type) key once, at
     * its first occurrence, via the state store. Deliberately NO watermark:
     * the dedup keys exclude event time, so a watermark would evict no
@@ -170,6 +198,13 @@ object EventStream {
     */
   def runDedupOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runToMemory(spark, dir, queryName, dedupKeys(_), OutputMode.Append())
+
+  /** Run [[windowedQuantiles]] over a finite parquet input as a real
+    * streaming query (complete mode for the same finite-input reason as
+    * [[runWindowedOnce]]).
+    */
+  def runQuantilesOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
+    runToMemory(spark, dir, queryName, windowedQuantiles(_), OutputMode.Complete())
 
   /** Batch-driven smoke harness: run the windowed aggregation as a stream
     * over a parquet directory into a memory sink, synchronously — in

@@ -13,6 +13,34 @@ class EventStreamSpec extends SparkSpec {
     assert(result.select("event_type").distinct().count() > 0)
   }
 
+  test("streamed per-window quantiles equal batch discrete quantiles exactly") {
+    // the sketch buffer lives in the streaming state store and merges
+    // across micro-batches; within its exact window (every hour-window
+    // here is far under capacity) the result must equal the rank
+    // max(1, ceil(q*n)) order statistic computed by brute force
+    val src = sf() + "/events.parquet"
+    val result = EventStream.runQuantilesOnce(spark, src, "evt_quant")
+      .collect()
+      .map(r => (r.getTimestamp(0), (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val probes = Seq(0.25, 0.5, 0.9)
+    val expected = EventStream.withEventTime(spark.read.parquet(src))
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(collect_list(col("value")).as("vs"))
+      .select(col("window.start"), col("vs"))
+      .collect()
+      .map { r =>
+        val vs = r.getSeq[Double](1).sorted
+        val q = probes.map(p =>
+          vs((math.max(1L, math.ceil(p * vs.length).toLong) - 1).toInt))
+        (r.getTimestamp(0), (vs.length.toLong, q(0), q(1), q(2)))
+      }
+      .toMap
+    assert(result.keySet == expected.keySet)
+    assert(result == expected)
+  }
+
   test("windowed aggregation streams to a REAL parquet sink with checkpointing") {
     // the production path the memory-sink harness deliberately skips:
     // append-mode file sink + checkpoint dir. Append emits a window only
