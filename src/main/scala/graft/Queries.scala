@@ -691,8 +691,18 @@ object Queries {
     * ever shuffles, never the payload).
     */
   private def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val oldSnap = docs.select(col("doc_id"), col("text"))
+    val oldSnap = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.operators.SnapshotDiff.diff(
+      oldSnap, revisedSnapshot(oldSnap), "doc_id", Seq("text"))
+  }
+
+  /** The deterministic "next corpus cut" shared by snapshot_diff and
+    * dist_drift (kept SQL-expressible so both oracles rebuild it):
+    * doc_id % 11 == 0 dropped, doc_id % 7 == 0 revised, doc_id % 13
+    * == 0 cloned under doc_id + 10,000,000.
+    */
+  private def revisedSnapshot(oldSnap: DataFrame): DataFrame = {
     val revised = oldSnap.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
@@ -700,8 +710,24 @@ object Queries {
     val cloned = oldSnap.filter(col("doc_id") % 13 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"),
         concat(lit("clone of "), col("text")).as("text"))
-    graft.operators.SnapshotDiff.diff(
-      oldSnap, revised.unionByName(cloned), "doc_id", Seq("text"))
+    revised.unionByName(cloned)
+  }
+
+  /** Distribution-shift monitor ([[graft.operators.DriftStats]]): the
+    * per-bucket total-variation drift of the document BYTE-length
+    * histogram between the current corpus and the same revised snapshot
+    * snapshot_diff audits — byte lengths (octet_length) because
+    * character-count semantics differ across engines for non-BMP text,
+    * while UTF-8 byte counts are engine-free. Pure-arithmetic drift
+    * terms (no ln): cross-engine bit-exact, hash-oracled.
+    */
+  private def distDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.operators.DriftStats.histogramDrift(
+      docs, octet_length(col("text")),
+      revisedSnapshot(docs), octet_length(col("text")),
+      bucketWidth = 20L, nBuckets = 32)
   }
 
   /** Streaming exact dedup through the state store (dropDuplicates over a
@@ -1135,6 +1161,7 @@ object Queries {
     "stream_neardup" -> (streamNearDup _),
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
+    "dist_drift" -> (distDrift _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
@@ -1517,6 +1544,29 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+    "dist_drift" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, 'clone of ' || text AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+        |        COUNT(*) AS old_n FROM documents GROUP BY 1),
+        |n AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+        |        COUNT(*) AS new_n FROM newsnap GROUP BY 1),
+        |j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+        |        COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
+        |      FROM o FULL JOIN n ON o.bucket = n.bucket),
+        |t AS (SELECT CAST(SUM(old_n) AS BIGINT) AS ot,
+        |        CAST(SUM(new_n) AS BIGINT) AS nt FROM j)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, old_n, new_n,
+        |  old_n / ot AS old_frac, new_n / nt AS new_frac,
+        |  ABS(old_n / ot - new_n / nt) AS abs_drift,
+        |  CAST(FLOOR(ABS(old_n / ot - new_n / nt) * 1000000000 + 0.5) AS BIGINT)
+        |    AS drift_scaled
+        |FROM j, t""".stripMargin,
     // generated per-column (never hand-transcribed) so Spark and SQL can
     // not drift on the column list
     "table_profile" -> {

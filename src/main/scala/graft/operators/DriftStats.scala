@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Histogram drift between two snapshots of a numeric quantity — the
+  * distribution-shift monitor a pipeline runs between corpus cuts
+  * ("did the length/quality profile move?"). Values land in fixed-width
+  * buckets (top bucket open-ended), each side aggregates to per-bucket
+  * counts, and the per-bucket total-variation term |p_old − p_new|
+  * comes out of pure IEEE arithmetic: correctly-rounded divisions and
+  * subtractions ONLY, no ln() — the PSI/KL logarithm is not bit-stable
+  * across engines, while this drift relation is exactly reproducible
+  * anywhere (same reason lm_score ranks by probability ratios).
+  *
+  * Scale shape: two narrow map-side-combined count aggregations (one
+  * per snapshot scan), a full-outer join on ≤ nBuckets rows, and a
+  * single-row totals broadcast — nothing here grows with the corpus
+  * beyond the two scans.
+  */
+object DriftStats {
+
+  /** Per-bucket drift relation: (bucket, old_n, new_n, old_frac,
+    * new_frac, abs_drift, drift_scaled). `drift_scaled` is the term at
+    * 1e-9 resolution as a BIGINT (floor(x·1e9 + 0.5) — deterministic
+    * double arithmetic), summable without float-summation order
+    * concerns; Σ abs_drift / 2 is the total-variation distance.
+    */
+  def histogramDrift(
+      oldDf: DataFrame, oldVal: Column,
+      newDf: DataFrame, newVal: Column,
+      bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(nBuckets > 1, "need at least two buckets")
+    def hist(df: DataFrame, v: Column, cnt: String): DataFrame =
+      df.select(least(lit(nBuckets - 1L),
+          floor(v.cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
+    val joined = hist(oldDf, oldVal, "old_n")
+      .join(hist(newDf, newVal, "new_n"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("old_n", "new_n"))
+    val totals = joined.agg(sum(col("old_n")).as("old_total"),
+      sum(col("new_n")).as("new_total"))
+    val drift = abs(col("old_n") / col("old_total") -
+      col("new_n") / col("new_total"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("old_n"), col("new_n"),
+        (col("old_n") / col("old_total")).as("old_frac"),
+        (col("new_n") / col("new_total")).as("new_frac"),
+        drift.as("abs_drift"),
+        floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DriftStatsSpec extends SparkSpec {
+
+  test("identical snapshots drift zero in every bucket") {
+    val df = spark.range(1000).select((col("id") % 97).as("v"))
+    val got = DriftStats.histogramDrift(df, col("v"), df, col("v"), 10L, 8)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("old_n") == r.getAs[Long]("new_n"))
+      assert(r.getAs[Double]("abs_drift") == 0.0)
+      assert(r.getAs[Long]("drift_scaled") == 0L)
+    }
+  }
+
+  test("a known mass shift produces the exact TV terms") {
+    import spark.implicits._
+    // old: 4 values in bucket 0, 4 in bucket 1; new: all 8 in bucket 1
+    val old = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L).toDF("v")
+    val neu = Seq(10L, 11L, 12L, 13L, 14L, 15L, 16L, 17L).toDF("v")
+    val got = DriftStats.histogramDrift(old, col("v"), neu, col("v"), 10L, 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Double]("old_frac"), r.getAs[Double]("new_frac"),
+          r.getAs[Double]("abs_drift"))).toMap
+    assert(got(0L) == ((0.5, 0.0, 0.5)))
+    assert(got(1L) == ((0.5, 1.0, 0.5)))
+    // total variation = half the term sum = 0.5: the mass that moved
+    assert(got.values.map(_._3).sum / 2 == 0.5)
+  }
+
+  test("values beyond the range clamp into the open top bucket") {
+    import spark.implicits._
+    val old = Seq(5L, 1000000L).toDF("v")
+    val neu = Seq(5L, 35L).toDF("v")
+    val got = DriftStats.histogramDrift(old, col("v"), neu, col("v"), 10L, 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("old_n"), r.getAs[Long]("new_n"))).toMap
+    assert(got(3L) == ((1L, 1L)), s"top bucket must hold both: $got")
+    assert(!got.keySet.exists(_ > 3L))
+  }
+}
