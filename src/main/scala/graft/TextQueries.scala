@@ -298,7 +298,8 @@ object TextQueries {
     * would read.
     */
   private[graft] val sharedBuildConsumers: Map[String, Set[String]] = Map(
-    "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "pipeline_curate"),
+    "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "dedup_keep_best",
+      "pipeline_curate"),
     "doc_cdc_chunks" -> Set("doc_cdc", "source_similarity"))
 
   /** Duplicate clustering (connected components, min-id labels) over the
@@ -307,6 +308,21 @@ object TextQueries {
     */
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
+
+  /** Retention decision over the near-dup clusters
+    * ([[Dedupe.keepBestPerCluster]]): keep the highest-token-count member
+    * of each cluster (min doc_id on ties), singletons keep themselves.
+    * The score is the integer whitespace-token count so the argmax is
+    * engine-exact; shares the cached ngram-pair relation with
+    * dedup_ngram / dedup_clusters / pipeline_curate.
+    */
+  private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = docs(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.tokenCountCol(col("text")).cast("long").as("score"))
+    val clusters =
+      Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
+    Dedupe.keepBestPerCluster(scored, clusters)
+  }
 
   /** The per-document CDC chunk relation — (doc_id, source, hash, size)
     * at the doc-payload params (min 16 / max 256 / 5 mask bits) — feeds
@@ -559,6 +575,7 @@ object TextQueries {
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -818,6 +835,27 @@ object TextQueries {
         |  UNION
         |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
         |SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $NgramCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ngram_pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM ngram_pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cl AS (SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |sc AS (SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS score
+        |  FROM documents),
+        |wc AS (SELECT sc.doc_id, cl.cluster_id, sc.score
+        |  FROM sc LEFT JOIN cl ON cl.id = sc.doc_id)
+        |SELECT doc_id, COALESCE(cluster_id, doc_id) AS cluster_id, score,
+        |  CASE WHEN cluster_id IS NULL THEN TRUE
+        |    ELSE ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |           ORDER BY score DESC, doc_id ASC) = 1 END AS keep
+        |FROM wc""".stripMargin,
     "pipeline_curate" ->
       s"""WITH $NgramCtes,
         |q AS (

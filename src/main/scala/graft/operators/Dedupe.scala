@@ -812,6 +812,47 @@ object Dedupe {
     labels
   }
 
+  /** Quality-aware canonical selection — the pipeline step AFTER
+    * clustering: of each duplicate cluster, KEEP the member with the
+    * highest score (ties broken toward the smallest id, so the decision
+    * is total and deterministic); every document outside any cluster
+    * keeps itself. Min-id canonicals (exactDuplicates etc.) discard an
+    * arbitrary member; retention policy in real curation keeps the
+    * best-quality copy, which this encodes.
+    *
+    * Scale shape: the argmax aggregates ONLY the clustered subset
+    * (O(duplicate docs), usually ≪ corpus — no corpus-wide window or
+    * sort), and both joins are equi-joins on id / cluster_id that AQE
+    * broadcasts when the duplicate graph is small. Scores must be
+    * exact (integer) for the keep decision to be engine-reproducible.
+    *
+    * @param scored   one row per document: (idCol, scoreCol)
+    * @param clusters (id, cluster_id) as produced by [[duplicateClusters]]
+    *                 — docs absent from it are treated as singletons
+    * @return (idCol, cluster_id, scoreCol, keep)
+    */
+  def keepBestPerCluster(
+      scored: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame = {
+    val withCluster = scored.join(
+      clusters.select(col("id").as(idCol), col("cluster_id")),
+      Seq(idCol), "left")
+    // lexicographic struct max = (max score, then min id): one bounded
+    // partial+final aggregate over clustered docs only
+    val best = withCluster.filter(col("cluster_id").isNotNull)
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id")))
+        .as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("kept_id"))
+    withCluster.join(best, Seq("cluster_id"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        col(scoreCol),
+        (col("kept_id").isNull || col(idCol) === col("kept_id")).as("keep"))
+  }
+
   // --------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:

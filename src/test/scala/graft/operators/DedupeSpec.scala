@@ -199,4 +199,20 @@ class DedupeSpec extends SparkSpec {
       .collect()
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
+
+  test("keepBestPerCluster: argmax score, min-id ties, singletons keep") {
+    import spark.implicits._
+    // cluster {1,2,3}: doc 2 scores highest -> kept; cluster {10,11}:
+    // equal scores -> min id 10 kept; doc 50 is in no cluster -> kept
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (50L, 1L)).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val got = Dedupe.keepBestPerCluster(scored, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(got == Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      10L -> ((10L, true)), 11L -> ((10L, false)), 50L -> ((50L, true))))
+  }
 }
