@@ -168,8 +168,25 @@ object SimilarityQueries {
     "emb_neardup" -> nearDups _,
     "emb_neardup_exact" -> embNearDupExact _,
     "emb_dims" -> embDims _,
+    "emb_drift" -> embDrift _,
     "ann_dot_exact" -> annDotExact _
   )
+
+  /** Embedding-distribution drift monitor
+    * ([[graft.operators.DriftStats.centroidDrift]]): per-label centroid
+    * L1 shift between the embeddings table and a deterministic next cut
+    * (vec_id % 11 == 0 dropped; vec_id % 7 == 0 relabeled to
+    * (label+1) % 10 — pure integer edits, so the snapshot itself is
+    * engine-exact and the whole relation carries a cell-exact oracle).
+    */
+  private def embDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = emb(spark, sfDir)
+    val next = old.filter(col("vec_id") % 11 =!= 0)
+      .withColumn("label",
+        when(col("vec_id") % 7 === 0, (col("label") + 1) % 10)
+          .otherwise(col("label")))
+    graft.operators.DriftStats.centroidDrift(old, next, "label", "embedding")
+  }
 
   /** Sequential-double cosine between two FLOAT[] columns `a` and `b` —
     * the SQL twin of Similarity.cosine: per-element float→double casts,
@@ -317,6 +334,36 @@ object SimilarityQueries {
     "emb_dims" ->
       """SELECT label, CAST(len(embedding) AS BIGINT) AS dim, COUNT(*) AS n_vectors
         |FROM embeddings GROUP BY label, len(embedding)""".stripMargin,
+    "emb_drift" ->
+      """WITH newsnap AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN vec_id % 7 = 0 THEN CAST((label + 1) % 10 AS INTEGER)
+        |      ELSE label END AS label
+        |  FROM embeddings WHERE vec_id % 11 <> 0),
+        |oq AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_old,
+        |    COUNT(*) AS n_old
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |nq AS (
+        |  SELECT label, i - 1 AS dim,
+        |    CAST(SUM(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_new,
+        |    COUNT(*) AS n_new
+        |  FROM newsnap, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT COALESCE(oq.label, nq.label) AS label,
+        |    COALESCE(sum_old, 0) AS sum_old, COALESCE(n_old, 0) AS n_old,
+        |    COALESCE(sum_new, 0) AS sum_new, COALESCE(n_new, 0) AS n_new
+        |  FROM oq FULL JOIN nq ON oq.label = nq.label AND oq.dim = nq.dim)
+        |SELECT label, CAST(MAX(n_old) AS BIGINT) AS n_old,
+        |  CAST(MAX(n_new) AS BIGINT) AS n_new,
+        |  CAST(SUM(ABS(sum_old * n_new - sum_new * n_old)) AS BIGINT) AS l1_drift_num,
+        |  CASE WHEN MAX(n_old) > 0 AND MAX(n_new) > 0 THEN
+        |    CAST(SUM(ABS(sum_old * n_new - sum_new * n_old)) AS DOUBLE)
+        |      / CAST(MAX(n_old) * MAX(n_new) * 1000 AS DOUBLE) END AS l1_drift
+        |FROM j GROUP BY label""".stripMargin,
     "ann_dot_exact" ->
       """SELECT b.vec_id,
         |  CAST(SUM(CAST(FLOOR(CAST(b.embedding[i.i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)

@@ -51,4 +51,48 @@ object DriftStats {
         drift.as("abs_drift"),
         floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
   }
+
+  /** Per-group embedding-centroid L1 drift between two snapshots — the
+    * vector-space counterpart of [[histogramDrift]] ("did each class's
+    * embedding mass move?"). Every float quantizes to
+    * floor(x·scale + 0.5) as a BIGINT (the same exactness trick as the
+    * quantized ANN oracles), so all cross-row sums are integer and
+    * order-free; the drift numerator per group is
+    * Σ_dim |sum_old·n_new − sum_new·n_old| — the L1 distance between
+    * centroids at common denominator n_old·n_new — and the single final
+    * division is the only float op anywhere.
+    *
+    * Scale shape: two corpus scans, each exploding dims but collapsing
+    * map-side to (group, dim) partial sums — the shuffle carries
+    * |groups|·dim rows, not corpus rows. Exactness contract: products
+    * stay inside BIGINT while scale·n_group² < 2⁶³ (n_group ≲ 1.5e8 at
+    * scale=1000, |x|≤1); shard larger groups before calling.
+    * Fixed-dimension embeddings assumed (validate with an emb_dims-style
+    * profile first); a group absent on one side reports n=0 there and a
+    * zero numerator — visible, not silently dropped.
+    */
+  def centroidDrift(
+      oldDf: DataFrame, newDf: DataFrame,
+      groupCol: String, embCol: String, scale: Long = 1000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    def dimSums(df: DataFrame, sumName: String, nName: String): DataFrame =
+      df.select(col(groupCol), posexplode(col(embCol)))
+        .select(col(groupCol), col("pos").cast("long").as("dim"),
+          floor(col("col").cast("double") * lit(scale.toDouble) + lit(0.5))
+            .cast("long").as("q"))
+        .groupBy(col(groupCol), col("dim"))
+        .agg(sum(col("q")).as(sumName), count(lit(1)).as(nName))
+    val j = dimSums(oldDf, "sum_old", "n_old")
+      .join(dimSums(newDf, "sum_new", "n_new"), Seq(groupCol, "dim"),
+        "full_outer")
+      .na.fill(0L, Seq("sum_old", "n_old", "sum_new", "n_new"))
+    val num = abs(col("sum_old") * col("n_new") - col("sum_new") * col("n_old"))
+    j.groupBy(col(groupCol))
+      .agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(num).as("l1_drift_num"))
+      .withColumn("l1_drift",
+        when(col("n_old") > 0 && col("n_new") > 0,
+          col("l1_drift_num").cast("double") /
+            (col("n_old") * col("n_new") * lit(scale)).cast("double")))
+  }
 }

@@ -42,4 +42,35 @@ class DriftStatsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L)), s"top bucket must hold both: $got")
     assert(!got.keySet.exists(_ > 3L))
   }
+
+  test("centroidDrift: hand-computed L1 shift and a vanished group") {
+    import spark.implicits._
+    // group 1: old centroid (0.5, 0.5), new centroid (1, 1) -> L1 = 1.0
+    // group 2: present only in old -> n_new = 0, null drift, zero numerator
+    val old = Seq((1, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)),
+      (2, Seq(0.5f, 0.5f))).toDF("label", "embedding")
+    val neu = Seq((1, Seq(1.0f, 1.0f))).toDF("label", "embedding")
+    val got = DriftStats.centroidDrift(old, neu, "label", "embedding")
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(1).getAs[Long]("n_old") == 2L)
+    assert(got(1).getAs[Long]("n_new") == 1L)
+    assert(got(1).getAs[Long]("l1_drift_num") == 2000L)
+    assert(got(1).getAs[Double]("l1_drift") == 1.0)
+    assert(got(2).getAs[Long]("n_new") == 0L)
+    assert(got(2).getAs[Long]("l1_drift_num") == 0L)
+    assert(got(2).isNullAt(got(2).fieldIndex("l1_drift")))
+  }
+
+  test("centroidDrift: identical snapshots drift zero") {
+    import spark.implicits._
+    val df = spark.range(100).select((col("id") % 5).cast("int").as("label"),
+      array((col("id") % 7).cast("float") / 10f,
+        (col("id") % 3).cast("float") / 10f).as("embedding"))
+    val got = DriftStats.centroidDrift(df, df, "label", "embedding").collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      assert(r.getAs[Long]("l1_drift_num") == 0L)
+      assert(r.getAs[Double]("l1_drift") == 0.0)
+    }
+  }
 }
