@@ -702,6 +702,35 @@ object Queries {
     * doc_id % 11 == 0 dropped, doc_id % 7 == 0 revised, doc_id % 13
     * == 0 cloned under doc_id + 10,000,000.
     */
+  /** Shared oracle for dist_drift AND stream_drift: the byte-length
+    * histogram drift between documents and the revised snapshot, in
+    * DuckDB (octet_length needs a BLOB — encode() first; `//` int-div
+    * matches Spark's floor-div for the non-negative lengths here).
+    */
+  private val DriftSql: String =
+    """WITH newsnap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, 'clone of ' || text AS text
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |o AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+      |        COUNT(*) AS old_n FROM documents GROUP BY 1),
+      |n AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+      |        COUNT(*) AS new_n FROM newsnap GROUP BY 1),
+      |j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
+      |        COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
+      |      FROM o FULL JOIN n ON o.bucket = n.bucket),
+      |t AS (SELECT CAST(SUM(old_n) AS BIGINT) AS ot,
+      |        CAST(SUM(new_n) AS BIGINT) AS nt FROM j)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, old_n, new_n,
+      |  old_n / ot AS old_frac, new_n / nt AS new_frac,
+      |  ABS(old_n / ot - new_n / nt) AS abs_drift,
+      |  CAST(FLOOR(ABS(old_n / ot - new_n / nt) * 1000000000 + 0.5) AS BIGINT)
+      |    AS drift_scaled
+      |FROM j, t""".stripMargin
+
   private def revisedSnapshot(oldSnap: DataFrame): DataFrame = {
     val revised = oldSnap.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
@@ -728,6 +757,25 @@ object Queries {
       docs, octet_length(col("text")),
       revisedSnapshot(docs), octet_length(col("text")),
       bucketWidth = 20L, nBuckets = 32)
+  }
+
+  /** Streaming twin of dist_drift ([[graft.streaming.StreamDrift]]): the
+    * SAME drift relation, but the new-side histogram accumulates through
+    * the Structured Streaming state store (complete-mode count per
+    * bucket) while the revised snapshot arrives as a stream; the
+    * reference profile is batch. Same oracle SQL as dist_drift — the
+    * state-store accumulation must converge to the batch aggregation
+    * exactly.
+    */
+  private def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"doc_drift_${math.abs(sfDir.hashCode)}"
+    val reference = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.streaming.StreamDrift.runDriftOnce(
+      spark, s"$sfDir/documents.parquet", name,
+      reference, octet_length(col("text")), octet_length(col("text")),
+      bucketWidth = 20L, nBuckets = 32,
+      revise = revisedSnapshot)
   }
 
   /** Streaming exact dedup through the state store (dropDuplicates over a
@@ -1162,6 +1210,7 @@ object Queries {
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
     "dist_drift" -> (distDrift _),
+    "stream_drift" -> (streamDrift _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
@@ -1544,29 +1593,9 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
-    "dist_drift" ->
-      """WITH newsnap AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
-        |  FROM documents WHERE doc_id % 11 <> 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id, 'clone of ' || text AS text
-        |  FROM documents WHERE doc_id % 13 = 0),
-        |o AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
-        |        COUNT(*) AS old_n FROM documents GROUP BY 1),
-        |n AS (SELECT LEAST(31, octet_length(encode(text)) // 20) AS bucket,
-        |        COUNT(*) AS new_n FROM newsnap GROUP BY 1),
-        |j AS (SELECT COALESCE(o.bucket, n.bucket) AS bucket,
-        |        COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
-        |      FROM o FULL JOIN n ON o.bucket = n.bucket),
-        |t AS (SELECT CAST(SUM(old_n) AS BIGINT) AS ot,
-        |        CAST(SUM(new_n) AS BIGINT) AS nt FROM j)
-        |SELECT CAST(bucket AS BIGINT) AS bucket, old_n, new_n,
-        |  old_n / ot AS old_frac, new_n / nt AS new_frac,
-        |  ABS(old_n / ot - new_n / nt) AS abs_drift,
-        |  CAST(FLOOR(ABS(old_n / ot - new_n / nt) * 1000000000 + 0.5) AS BIGINT)
-        |    AS drift_scaled
-        |FROM j, t""".stripMargin,
+    "dist_drift" -> DriftSql,
+    // the streaming twin must land on the BATCH answer exactly — same SQL
+    "stream_drift" -> DriftSql,
     // generated per-column (never hand-transcribed) so Spark and SQL can
     // not drift on the column list
     "table_profile" -> {

@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object DriftStats {
 
+  /** Fixed-width bucket index for `v` (top bucket open-ended). */
+  def bucketize(v: Column, bucketWidth: Long, nBuckets: Int): Column =
+    least(lit(nBuckets - 1L),
+      floor(v.cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+
+  /** Per-bucket count histogram of `v` — the shape [[driftFromHists]]
+    * consumes; exposed so a STREAMING side can accumulate the same
+    * relation through the state store and drift against a batch one.
+    */
+  def histogram(df: DataFrame, v: Column, bucketWidth: Long, nBuckets: Int,
+      countName: String): DataFrame =
+    df.select(bucketize(v, bucketWidth, nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(countName))
+
   /** Per-bucket drift relation: (bucket, old_n, new_n, old_frac,
     * new_frac, abs_drift, drift_scaled). `drift_scaled` is the term at
     * 1e-9 resolution as a BIGINT (floor(x·1e9 + 0.5) — deterministic
@@ -32,13 +46,17 @@ object DriftStats {
       bucketWidth: Long, nBuckets: Int): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(nBuckets > 1, "need at least two buckets")
-    def hist(df: DataFrame, v: Column, cnt: String): DataFrame =
-      df.select(least(lit(nBuckets - 1L),
-          floor(v.cast("double") / lit(bucketWidth.toDouble)).cast("long"))
-          .as("bucket"))
-        .groupBy(col("bucket")).agg(count(lit(1)).as(cnt))
-    val joined = hist(oldDf, oldVal, "old_n")
-      .join(hist(newDf, newVal, "new_n"), Seq("bucket"), "full_outer")
+    driftFromHists(histogram(oldDf, oldVal, bucketWidth, nBuckets, "old_n"),
+      histogram(newDf, newVal, bucketWidth, nBuckets, "new_n"))
+  }
+
+  /** Drift relation from two pre-bucketed histograms ((bucket, old_n)
+    * and (bucket, new_n)) — the join/arithmetic half of
+    * [[histogramDrift]], reusable when one side was accumulated
+    * elsewhere (e.g. a streaming state store).
+    */
+  def driftFromHists(oldHist: DataFrame, newHist: DataFrame): DataFrame = {
+    val joined = oldHist.join(newHist, Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("old_n", "new_n"))
     val totals = joined.agg(sum(col("old_n")).as("old_total"),
       sum(col("new_n")).as("new_total"))
