@@ -304,12 +304,18 @@ object Queries {
   private val bucketedReady =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
+  /** Per-sfDir identifier tag: hex of a 64-bit hash — collision-safe
+    * where String.hashCode is not, and never a negative/hyphenated
+    * token, so it is always a valid unquoted SQL identifier piece
+    * (table names, memory-sink stream names).
+    */
+  private[graft] def dirTag(sfDir: String): String =
+    java.lang.Long.toHexString(
+      graft.cdc.XXH64.hash(sfDir.getBytes("UTF-8"), 42L))
+
   private[graft] def bucketedPair(
       spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    // table tag: hex of a 64-bit hash (collision-safe where String.hashCode
-    // is not, and never a negative/hyphenated identifier)
-    val tag = java.lang.Long.toHexString(
-      graft.cdc.XXH64.hash(sfDir.getBytes("UTF-8"), 42L))
+    val tag = dirTag(sfDir)
     val (liTbl, ordTbl) = (s"graft_li_b$tag", s"graft_ord_b$tag")
     // keyed by SESSION identity, not applicationId: saveAsTable registers
     // in the session-local catalog, so a sibling session must re-register
@@ -653,7 +659,7 @@ object Queries {
     * epoch-second window start for cross-engine comparability.
     */
   private def streamWindow(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"evt_win_${math.abs(sfDir.hashCode)}"
+    val name = s"evt_win_${dirTag(sfDir)}"
     val result = graft.streaming.EventStream.runWindowedOnce(
       spark, s"$sfDir/events.parquet", name)
     result
@@ -671,7 +677,7 @@ object Queries {
     * the oracle is DuckDB `quantile_disc` per hour bucket.
     */
   private def streamProfile(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"evt_prof_${math.abs(sfDir.hashCode)}"
+    val name = s"evt_prof_${dirTag(sfDir)}"
     val result = graft.streaming.EventStream.runQuantilesOnce(
       spark, s"$sfDir/events.parquet", name)
     result
@@ -697,11 +703,6 @@ object Queries {
       oldSnap, revisedSnapshot(oldSnap), "doc_id", Seq("text"))
   }
 
-  /** The deterministic "next corpus cut" shared by snapshot_diff and
-    * dist_drift (kept SQL-expressible so both oracles rebuild it):
-    * doc_id % 11 == 0 dropped, doc_id % 7 == 0 revised, doc_id % 13
-    * == 0 cloned under doc_id + 10,000,000.
-    */
   /** Shared oracle for dist_drift AND stream_drift: the byte-length
     * histogram drift between documents and the revised snapshot, in
     * DuckDB (octet_length needs a BLOB — encode() first; `//` int-div
@@ -731,6 +732,13 @@ object Queries {
       |    AS drift_scaled
       |FROM j, t""".stripMargin
 
+  /** The deterministic "next corpus cut" shared by snapshot_diff,
+    * dist_drift, and stream_drift (kept SQL-expressible so all three
+    * oracles rebuild it): doc_id % 11 == 0 dropped, doc_id % 7 == 0
+    * revised, doc_id % 13 == 0 cloned under doc_id + 10,000,000.
+    * Pure filter/project/union — stream-safe, so stream_drift applies
+    * it to the live stream unchanged.
+    */
   private def revisedSnapshot(oldSnap: DataFrame): DataFrame = {
     val revised = oldSnap.filter(col("doc_id") % 11 =!= 0)
       .select(col("doc_id"),
@@ -768,7 +776,7 @@ object Queries {
     * exactly.
     */
   private def streamDrift(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"doc_drift_${math.abs(sfDir.hashCode)}"
+    val name = s"doc_drift_${dirTag(sfDir)}"
     val reference = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     graft.streaming.StreamDrift.runDriftOnce(
@@ -785,7 +793,7 @@ object Queries {
     * SELECT DISTINCT to a batch engine.
     */
   private def streamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"evt_dedup_${math.abs(sfDir.hashCode)}"
+    val name = s"evt_dedup_${dirTag(sfDir)}"
     graft.streaming.EventStream.runDedupOnce(spark, s"$sfDir/events.parquet", name)
   }
 
@@ -794,7 +802,7 @@ object Queries {
     * the join state finite. Oracle = the plain batch self-join.
     */
   private def streamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val name = s"evt_join_${math.abs(sfDir.hashCode)}"
+    val name = s"evt_join_${dirTag(sfDir)}"
     graft.streaming.EventStream.runAttributionOnce(
       spark, s"$sfDir/events.parquet", name)
   }
@@ -814,7 +822,7 @@ object Queries {
     oracleSide(spark, sfDir, "stream_bands",
       graft.streaming.StreamNearDup.bandRelation(
         docs, "doc_id", "text", shingleK, numHashes, bands))
-    val name = s"doc_neardup_${math.abs(sfDir.hashCode)}"
+    val name = s"doc_neardup_${dirTag(sfDir)}"
     graft.streaming.StreamNearDup.runNearDupOnce(
       spark, s"$sfDir/documents.parquet", name, shingleK, numHashes, bands)
   }

@@ -265,11 +265,12 @@ object TextQueries {
       indexSigSink = df => Queries.oracleSide(spark, sfDir, "iminh_index_sigs", df))
   }
 
-  /** The exact ngram-Jaccard pair relation is consumed by THREE catalog
-    * queries (dedup_ngram, dedup_clusters, pipeline_curate) — compute it
-    * once per (session, sf dir) and share the cached result, the same
-    * sharing discipline as Queries.sfChunks. ngramJaccardPairs caches and
-    * materializes internally, so reuse is a cheap cached-scan.
+  /** The exact ngram-Jaccard pair relation is consumed by FOUR catalog
+    * queries (dedup_ngram, dedup_clusters, dedup_keep_best,
+    * pipeline_curate) — compute it once per (session, sf dir) and share
+    * the cached result, the same sharing discipline as Queries.sfChunks.
+    * ngramJaccardPairs caches and materializes internally, so reuse is a
+    * cheap cached-scan.
     */
   private val ngramPairsCache = new Queries.SessionRelationCache[DataFrame]
 
@@ -285,8 +286,9 @@ object TextQueries {
   /** Named builders for the session-shared relations, exposed so Bench can
     * pay and TIME each build once, up front — per-query numbers then report
     * steady-state cost instead of silently charging whichever consumer runs
-    * first (dedup_ngram/dedup_clusters/pipeline_curate share the ngram
-    * pairs; doc_cdc/source_similarity share the doc chunk pass).
+    * first (dedup_ngram/dedup_clusters/dedup_keep_best/pipeline_curate
+    * share the ngram pairs; doc_cdc/source_similarity share the doc
+    * chunk pass).
     */
   private[graft] def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
@@ -319,9 +321,8 @@ object TextQueries {
   private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = docs(spark, sfDir).select(col("doc_id"),
       TextAnalysis.tokenCountCol(col("text")).cast("long").as("score"))
-    val clusters =
-      Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
-    Dedupe.keepBestPerCluster(scored, clusters)
+    // the dedup_clusters relation itself — one clustering config to drift
+    Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
   }
 
   /** The per-document CDC chunk relation — (doc_id, source, hash, size)

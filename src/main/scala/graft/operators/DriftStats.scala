@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object DriftStats {
 
-  /** Fixed-width bucket index for `v` (top bucket open-ended). */
+  /** Fixed-width bucket index for `v` (top bucket open-ended). NULL
+    * values stay NULL — Spark's least() would otherwise skip the null
+    * operand and silently file missing data as maximal-length (and
+    * engines disagree on LEAST's null semantics, so the explicit guard
+    * is also what keeps the oracle cell-exact); a null-bucket row in the
+    * histogram is visible, a miscounted top bucket is not.
+    */
   def bucketize(v: Column, bucketWidth: Long, nBuckets: Int): Column =
-    least(lit(nBuckets - 1L),
-      floor(v.cast("double") / lit(bucketWidth.toDouble)).cast("long"))
+    when(v.isNotNull, least(lit(nBuckets - 1L),
+      floor(v.cast("double") / lit(bucketWidth.toDouble)).cast("long")))
 
   /** Per-bucket count histogram of `v` — the shape [[driftFromHists]]
     * consumes; exposed so a STREAMING side can accumulate the same

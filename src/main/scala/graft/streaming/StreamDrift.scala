@@ -21,11 +21,14 @@ import graft.operators.DriftStats
   */
 object StreamDrift {
 
-  /** Complete-mode per-bucket count over a streaming relation. */
+  /** Complete-mode per-bucket count over a streaming relation — the
+    * batch histogram verbatim (DriftStats.histogram is stream-safe);
+    * sharing the builder is what guarantees the stream accumulates the
+    * SAME relation the drift join expects.
+    */
   def liveHistogram(stream: DataFrame, v: Column, bucketWidth: Long,
       nBuckets: Int, countName: String): DataFrame =
-    stream.select(DriftStats.bucketize(v, bucketWidth, nBuckets).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as(countName))
+    DriftStats.histogram(stream, v, bucketWidth, nBuckets, countName)
 
   /** Run the live histogram over a finite parquet input (optionally
     * revised in-stream by `revise` — filters/projections/unions are all

@@ -91,8 +91,9 @@ object ScaleRun {
 
   private val ScaleQueries = Seq(
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_clusters", "semantic_dedup", "emb_neardup", "cdc_estimate",
-    "doc_select_topk", "lm_score", "ann_ivfpq_topk")
+    "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
+    "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
+    "dist_drift", "emb_drift")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

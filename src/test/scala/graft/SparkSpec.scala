@@ -9,6 +9,26 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
+
+  /** Write `df` as a FLAT single parquet file at dir/name — the driver
+    * testdata layout, which the streaming harness's file-name glob and
+    * the chunkers' plain-file readers require (a directory-shaped
+    * name.parquet would stream empty / fail to open).
+    */
+  def writeFlatParquet(df: org.apache.spark.sql.DataFrame,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val tmp = s"$dir/_tmp_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      finally listing.close()
+    require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+    java.nio.file.Files.move(java.nio.file.Paths.get(part.head),
+      java.nio.file.Paths.get(s"$dir/$name"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 }
 
 object SparkSpec {

@@ -43,6 +43,16 @@ class DriftStatsSpec extends SparkSpec {
     assert(!got.keySet.exists(_ > 3L))
   }
 
+  test("null values land in a visible null bucket, not the top bucket") {
+    import spark.implicits._
+    val df = Seq(Some(5L), None, Some(1000L)).toDF("v")
+    val hist = DriftStats.histogram(df, col("v"), 10L, 4, "n")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> r.getAs[Long]("n")).toMap
+    assert(hist == Map(Some(0L) -> 1L, Some(3L) -> 1L, None -> 1L),
+      s"null must not be filed as maximal: $hist")
+  }
+
   test("centroidDrift: hand-computed L1 shift and a vanished group") {
     import spark.implicits._
     // group 1: old centroid (0.5, 0.5), new centroid (1, 1) -> L1 = 1.0

@@ -6,20 +6,10 @@ import org.apache.spark.sql.functions._
 
 class StreamDriftSpec extends SparkSpec {
 
-  // flat single-file layout, like the driver's testdata tables — the
-  // streaming harness globs the file NAME, so a directory-shaped
-  // name.parquet would match nothing and stream empty
   private def writeFlat(dir: java.nio.file.Path,
       rows: Seq[(Long, String)], name: String): Unit = {
     import spark.implicits._
-    val tmp = s"$dir/_tmp_$name"
-    rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
-    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-    val part =
-      try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
-      finally listing.close()
-    java.nio.file.Files.move(java.nio.file.Paths.get(part.head),
-      java.nio.file.Paths.get(s"$dir/$name"))
+    writeFlatParquet(rows.toDF("doc_id", "text"), dir, name)
   }
 
   test("streamed histogram drifts identically to the batch computation") {

@@ -69,16 +69,8 @@ class StreamNearDupSpec extends SparkSpec {
     // three id-ordered files: dup pairs SPAN files, so a match can only
     // come from state written by an earlier micro-batch
     val dir = java.nio.file.Files.createTempDirectory("sndmb")
-    def writeOne(rows: Seq[(Long, String)], name: String): Unit = {
-      val tmp = s"$dir/_tmp_$name"
-      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
-      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      val part =
-        try listing.toArray.map(_.toString).filter(_.endsWith(".parquet"))
-        finally listing.close()
-      java.nio.file.Files.move(java.nio.file.Paths.get(part.head),
-        java.nio.file.Paths.get(s"$dir/$name"))
-    }
+    def writeOne(rows: Seq[(Long, String)], name: String): Unit =
+      writeFlatParquet(rows.toDF("doc_id", "text"), dir, name)
     writeOne(Seq((0L, a), (1L, b)), "f0.parquet")
     writeOne(Seq((2L, a)), "f1.parquet")
     writeOne(Seq((3L, b + " tail")), "f2.parquet")
