@@ -147,6 +147,39 @@ class QueriesPlanSpec extends SparkSpec {
       s"top-k should shuffle only k-bounded buffers:\n$plan")
   }
 
+  test("dedup_keep_best decides by aggregate+join, never a window sort") {
+    // the retention argmax must stay a bounded partial+final aggregate
+    // over the clustered subset — a per-cluster window over the corpus
+    // is the plan this operator exists to avoid
+    val df = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort crept back:\n$plan")
+  }
+
+  test("emb_drift shuffles only post-aggregate (label, dim) rows") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    val df = SparkEntry.queries("emb_drift")(spark, sfDir)
+    val nShuffles = shuffles(df) // collects, finalizing AQE
+    // every exchange must sit directly above a (partial) aggregate: the
+    // dim-exploded corpus rows collapse map-side and never cross the wire
+    @annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    val bare = countNodes(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec => !unwrap(e.child).isInstanceOf[BaseAggregateExec]
+      case _ => false
+    }
+    assert(bare == 0,
+      s"an exchange carries pre-aggregate rows:\n${df.queryExecution.executedPlan}")
+    assert(nShuffles <= 4,
+      s"expected dim-sum + final-agg exchanges only:\n${df.queryExecution.executedPlan}")
+  }
+
   test("ivf-pq: probe join broadcasts; only bounded relations shuffle") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val df = graft.operators.Similarity.ivfPqTopK(
