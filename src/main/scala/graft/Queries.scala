@@ -740,13 +740,15 @@ object Queries {
     * it to the live stream unchanged.
     */
   private def revisedSnapshot(oldSnap: DataFrame): DataFrame = {
+    // withColumn, not select: any extra columns (source, lang) ride along
+    // unchanged, so grouped consumers can revise a wider projection
     val revised = oldSnap.filter(col("doc_id") % 11 =!= 0)
-      .select(col("doc_id"),
+      .withColumn("text",
         when(col("doc_id") % 7 === 0, concat(col("text"), lit(" [rev2]")))
-          .otherwise(col("text")).as("text"))
+          .otherwise(col("text")))
     val cloned = oldSnap.filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"),
-        concat(lit("clone of "), col("text")).as("text"))
+      .withColumn("doc_id", col("doc_id") + 10000000L)
+      .withColumn("text", concat(lit("clone of "), col("text")))
     revised.unionByName(cloned)
   }
 
@@ -765,6 +767,22 @@ object Queries {
       docs, octet_length(col("text")),
       revisedSnapshot(docs), octet_length(col("text")),
       bucketWidth = 20L, nBuckets = 32)
+  }
+
+  /** Per-source segmentation of dist_drift
+    * ([[graft.operators.DriftStats.groupedHistogramDrift]]): the same
+    * byte-length TV drift, within each source — how a monitor localizes
+    * which source moved when the corpus-wide histogram averages the
+    * shift away. Fractions are within-source; corpus rows never shuffle
+    * (counts aggregate map-side on (source, bucket)).
+    */
+  private def driftBySource(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    graft.operators.DriftStats.groupedHistogramDrift(
+      docs, octet_length(col("text")),
+      revisedSnapshot(docs), octet_length(col("text")),
+      "source", bucketWidth = 20L, nBuckets = 32)
   }
 
   /** Streaming twin of dist_drift ([[graft.streaming.StreamDrift]]): the
@@ -1218,6 +1236,7 @@ object Queries {
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
     "dist_drift" -> (distDrift _),
+    "drift_by_source" -> (driftBySource _),
     "stream_drift" -> (streamDrift _),
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
@@ -1604,6 +1623,30 @@ object Queries {
     "dist_drift" -> DriftSql,
     // the streaming twin must land on the BATCH answer exactly — same SQL
     "stream_drift" -> DriftSql,
+    "drift_by_source" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, source, 'clone of ' || text AS text
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |o AS (SELECT source, LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+        |        COUNT(*) AS old_n FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, LEAST(31, octet_length(encode(text)) // 20) AS bucket,
+        |        COUNT(*) AS new_n FROM newsnap GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(o.source, n.source) AS source,
+        |        COALESCE(o.bucket, n.bucket) AS bucket,
+        |        COALESCE(old_n, 0) AS old_n, COALESCE(new_n, 0) AS new_n
+        |      FROM o FULL JOIN n ON o.source = n.source AND o.bucket = n.bucket),
+        |t AS (SELECT source, CAST(SUM(old_n) AS BIGINT) AS ot,
+        |        CAST(SUM(new_n) AS BIGINT) AS nt FROM j GROUP BY source)
+        |SELECT j.source, CAST(bucket AS BIGINT) AS bucket, old_n, new_n,
+        |  old_n / ot AS old_frac, new_n / nt AS new_frac,
+        |  ABS(old_n / ot - new_n / nt) AS abs_drift,
+        |  CAST(FLOOR(ABS(old_n / ot - new_n / nt) * 1000000000 + 0.5) AS BIGINT)
+        |    AS drift_scaled
+        |FROM j JOIN t ON j.source = t.source""".stripMargin,
     // generated per-column (never hand-transcribed) so Spark and SQL can
     // not drift on the column list
     "table_profile" -> {

@@ -76,6 +76,44 @@ object DriftStats {
         floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
   }
 
+  /** Per-GROUP histogram drift — [[histogramDrift]] segmented by a key
+    * column ("did src17's length profile move?"), which is how a
+    * monitor localizes a shift that a corpus-wide histogram averages
+    * away. Same arithmetic contract (divisions and subtractions only);
+    * fractions are within-group, so each group's Σ abs_drift / 2 is its
+    * own total-variation distance.
+    *
+    * Scale shape: one (group, bucket)-keyed count aggregation per side
+    * (map-side combined), a full-outer join on |groups|·nBuckets rows,
+    * a per-group totals re-aggregate of that same small relation, and a
+    * totals join that AQE broadcasts — corpus rows never shuffle.
+    */
+  def groupedHistogramDrift(
+      oldDf: DataFrame, oldVal: Column,
+      newDf: DataFrame, newVal: Column,
+      groupCol: String, bucketWidth: Long, nBuckets: Int): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(nBuckets > 1, "need at least two buckets")
+    def hist(df: DataFrame, v: Column, cnt: String): DataFrame =
+      df.select(col(groupCol), bucketize(v, bucketWidth, nBuckets).as("bucket"))
+        .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as(cnt))
+    val joined = hist(oldDf, oldVal, "old_n")
+      .join(hist(newDf, newVal, "new_n"), Seq(groupCol, "bucket"),
+        "full_outer")
+      .na.fill(0L, Seq("old_n", "new_n"))
+    val totals = joined.groupBy(col(groupCol))
+      .agg(sum(col("old_n")).as("old_total"),
+        sum(col("new_n")).as("new_total"))
+    val drift = abs(col("old_n") / col("old_total") -
+      col("new_n") / col("new_total"))
+    joined.join(totals, Seq(groupCol))
+      .select(col(groupCol), col("bucket"), col("old_n"), col("new_n"),
+        (col("old_n") / col("old_total")).as("old_frac"),
+        (col("new_n") / col("new_total")).as("new_frac"),
+        drift.as("abs_drift"),
+        floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
+  }
+
   /** Per-group embedding-centroid L1 drift between two snapshots — the
     * vector-space counterpart of [[histogramDrift]] ("did each class's
     * embedding mass move?"). Every float quantizes to

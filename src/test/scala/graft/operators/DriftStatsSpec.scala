@@ -43,6 +43,25 @@ class DriftStatsSpec extends SparkSpec {
     assert(!got.keySet.exists(_ > 3L))
   }
 
+  test("groupedHistogramDrift: fractions are within-group, shift localized") {
+    import spark.implicits._
+    // group a: mass moves bucket 0 -> 1 (TV = 0.5); group b: unchanged
+    val old = Seq(("a", 1L), ("a", 2L), ("a", 11L), ("a", 12L),
+      ("b", 5L), ("b", 15L)).toDF("g", "v")
+    val neu = Seq(("a", 11L), ("a", 12L), ("a", 13L), ("a", 14L),
+      ("b", 5L), ("b", 15L)).toDF("g", "v")
+    val got = DriftStats.groupedHistogramDrift(old, col("v"), neu, col("v"),
+      "g", 10L, 4).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) ->
+        r.getAs[Double]("abs_drift")).toMap
+    assert(got(("a", 0L)) == 0.5 && got(("a", 1L)) == 0.5)
+    assert(got(("b", 0L)) == 0.0 && got(("b", 1L)) == 0.0)
+    // per-group TV: a moved half its mass, b none
+    val tvA = got.collect { case (("a", _), d) => d }.sum / 2
+    val tvB = got.collect { case (("b", _), d) => d }.sum / 2
+    assert(tvA == 0.5 && tvB == 0.0)
+  }
+
   test("null values land in a visible null bucket, not the top bucket") {
     import spark.implicits._
     val df = Seq(Some(5L), None, Some(1000L)).toDF("v")
