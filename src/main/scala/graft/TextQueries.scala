@@ -325,6 +325,15 @@ object TextQueries {
     Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
   }
 
+  /** Term-novelty curve over the corpus in doc_id order
+    * ([[TextAnalysis.termNovelty]]): per doc, the fraction of its
+    * distinct words first introduced by it. Docs with no words have no
+    * row (no terms — nothing to measure), matching the oracle's UNNEST
+    * of an empty list.
+    */
+  private def docNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.termNovelty(docs(spark, sfDir), "doc_id")
+
   /** The per-document CDC chunk relation — (doc_id, source, hash, size)
     * at the doc-payload params (min 16 / max 256 / 5 mask bits) — feeds
     * BOTH doc_cdc and source_similarity: one chunking pass per (session,
@@ -577,6 +586,7 @@ object TextQueries {
     "dedup_ngram" -> ngramPairs _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
+    "doc_novelty" -> docNovelty _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -1095,6 +1105,19 @@ object TextQueries {
       """SELECT doc_id, length(text) AS n_chars_m,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |FROM documents""".stripMargin,
+    "doc_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS word
+        |  FROM documents),
+        |f AS (SELECT word, MIN(doc_id) AS first_id FROM w GROUP BY word)
+        |SELECT w.doc_id, COUNT(*) AS n_terms,
+        |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS novelty
+        |FROM w JOIN f USING (word)
+        |GROUP BY w.doc_id""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(

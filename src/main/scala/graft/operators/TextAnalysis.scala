@@ -439,4 +439,33 @@ object TextAnalysis {
       .withColumn("repetition_pass", col("r_top_bigram") && col("r_dup_bigram"))
       .drop("__words", "__bigrams", "__trigrams")
   }
+
+  /** Per-document term novelty in id order — the curation/curriculum
+    * signal "how much does this doc add that no earlier doc had?": of a
+    * document's DISTINCT words, the fraction first introduced by this
+    * document (first introduction = smallest id containing the word;
+    * ties inside one id are one introduction). Novelty collapsing to ~0
+    * over an id-ordered corpus slice is the saturation signal that
+    * stops further same-source ingestion.
+    *
+    * Scale shape: distinct (id, word) pairs shuffle once on word for the
+    * min-id first-seen, then once on id for the per-doc ratio — both
+    * map-side combined; no windows, no corpus-order sort (the "order" is
+    * the id itself).
+    */
+  def termNovelty(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame = {
+    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
+    val docWords = df
+      .select(col(idCol), explode(array_distinct(words)).as("word"))
+    val firstSeen = docWords.groupBy(col("word"))
+      .agg(min(col(idCol)).as("first_id"))
+    docWords.join(firstSeen, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(when(col(idCol) === col("first_id"), 1L).otherwise(0L))
+          .as("n_new"))
+      .withColumn("novelty",
+        col("n_new").cast("double") / col("n_terms").cast("double"))
+  }
 }

@@ -240,4 +240,22 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r(id).getAs[Boolean]("repetition_pass"))
     }
   }
+
+  test("termNovelty: first introduction wins, repeats inside a doc count once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta alpha"),   // introduces alpha, beta    -> 2/2
+      (2L, "beta gamma"),         // introduces gamma          -> 1/2
+      (3L, "alpha beta gamma"),   // nothing new               -> 0/3
+      (4L, "")                    // no words -> no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.termNovelty(df, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("n_new"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((3L, 0L, 0.0))))
+  }
 }
