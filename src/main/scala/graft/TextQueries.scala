@@ -334,6 +334,16 @@ object TextQueries {
   private def docNovelty(spark: SparkSession, sfDir: String): DataFrame =
     TextAnalysis.termNovelty(docs(spark, sfDir), "doc_id")
 
+  /** Streaming twin of doc_novelty ([[graft.streaming.StreamNovelty]]):
+    * first-introduction events through a word-keyed state store, then
+    * the batch finish — same oracle SQL; the stream must land on the
+    * batch relation exactly (id-ordered ingest contract).
+    */
+  private def streamNovelty(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamNovelty.runNoveltyOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"doc_novelty_${Queries.dirTag(sfDir)}", "doc_id")
+
   /** The per-document CDC chunk relation — (doc_id, source, hash, size)
     * at the doc-payload params (min 16 / max 256 / 5 mask bits) — feeds
     * BOTH doc_cdc and source_similarity: one chunking pass per (session,
@@ -587,6 +597,7 @@ object TextQueries {
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "doc_novelty" -> docNovelty _,
+    "stream_novelty" -> streamNovelty _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -603,6 +614,23 @@ object TextQueries {
     "substring_dup" -> substringDup _,
     "doc_cdc" -> docCdc _
   )
+
+  /** Shared oracle for doc_novelty AND stream_novelty: per-doc distinct
+    * words vs the min-doc_id first introduction of each word.
+    */
+  private val NoveltySql: String =
+    """WITH w AS (
+      |  SELECT doc_id, UNNEST(list_distinct(
+      |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS word
+      |  FROM documents),
+      |f AS (SELECT word, MIN(doc_id) AS first_id FROM w GROUP BY word)
+      |SELECT w.doc_id, COUNT(*) AS n_terms,
+      |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS novelty
+      |FROM w JOIN f USING (word)
+      |GROUP BY w.doc_id""".stripMargin
 
   /** Shared CTE block deriving the exact ngram-Jaccard pair relation
     * (threshold 0.3) — the SQL twin of `sharedNgramPairs`, reused by the
@@ -1105,19 +1133,9 @@ object TextQueries {
       """SELECT doc_id, length(text) AS n_chars_m,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |FROM documents""".stripMargin,
-    "doc_novelty" ->
-      """WITH w AS (
-        |  SELECT doc_id, UNNEST(list_distinct(
-        |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS word
-        |  FROM documents),
-        |f AS (SELECT word, MIN(doc_id) AS first_id FROM w GROUP BY word)
-        |SELECT w.doc_id, COUNT(*) AS n_terms,
-        |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_new,
-        |  CAST(SUM(CASE WHEN w.doc_id = f.first_id THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / COUNT(*) AS novelty
-        |FROM w JOIN f USING (word)
-        |GROUP BY w.doc_id""".stripMargin,
+    "doc_novelty" -> NoveltySql,
+    // streaming twin must land on the batch answer exactly — same SQL
+    "stream_novelty" -> NoveltySql,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(
