@@ -344,6 +344,28 @@ object TextQueries {
       spark, s"$sfDir/documents.parquet",
       s"doc_novelty_${Queries.dirTag(sfDir)}", "doc_id")
 
+  /** One-row corpus executive summary — the dashboard aggregate a
+    * curation run opens with: doc/token/byte volume, exact-duplicate
+    * mass (distinct md5 fingerprints), and source/language breadth.
+    * All integer aggregates plus two single divisions of exact BIGINTs,
+    * so the row is engine-exact. ONE scan; the three COUNT(DISTINCT)s
+    * expand map-side and collapse before the single exchange.
+    */
+  private def corpusReport(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCountCol(col("text")).cast("long"))
+        .as("n_tokens"),
+      sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+      countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    .withColumn("dup_ratio",
+      (col("n_docs") - col("n_distinct_texts")).cast("double") /
+        col("n_docs").cast("double"))
+    .withColumn("mean_doc_bytes",
+      col("n_bytes").cast("double") / col("n_docs").cast("double"))
+
   /** The per-document CDC chunk relation — (doc_id, source, hash, size)
     * at the doc-payload params (min 16 / max 256 / 5 mask bits) — feeds
     * BOTH doc_cdc and source_similarity: one chunking pass per (session,
@@ -598,6 +620,7 @@ object TextQueries {
     "dedup_keep_best" -> dedupKeepBest _,
     "doc_novelty" -> docNovelty _,
     "stream_novelty" -> streamNovelty _,
+    "corpus_report" -> corpusReport _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -1136,6 +1159,19 @@ object TextQueries {
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,
+    "corpus_report" ->
+      """SELECT COUNT(*) AS n_docs,
+        |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*)
+        |    AS dup_ratio,
+        |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / COUNT(*)
+        |    AS mean_doc_bytes
+        |FROM documents""".stripMargin,
     "text_tokens_bpe" ->
       """SELECT doc_id,
         |  CAST(COALESCE(list_sum(list_transform(
