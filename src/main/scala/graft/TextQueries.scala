@@ -344,6 +344,20 @@ object TextQueries {
       spark, s"$sfDir/documents.parquet",
       s"doc_novelty_${Queries.dirTag(sfDir)}", "doc_id")
 
+  /** Compressibility quality signal ([[TextAnalysis.compressionRatio]]):
+    * per-doc LZ4 ratio + entropy band flag. The engine-computed LZ4
+    * sizes persist as the `doc_lz4` side table (no LZ4 in SQL engines —
+    * the same discipline as the chunk relations); the oracle re-derives
+    * byte counts, the ratio division, and the flag independently from
+    * documents + that relation.
+    */
+  private def docCompress(spark: SparkSession, sfDir: String): DataFrame = {
+    val rel = TextAnalysis.compressionRatio(docs(spark, sfDir), "doc_id")
+    Queries.oracleSide(spark, sfDir, "doc_lz4",
+      rel.select(col("doc_id"), col("lz4_bytes")))
+    rel
+  }
+
   /** One-row corpus executive summary — the dashboard aggregate a
     * curation run opens with: doc/token/byte volume, exact-duplicate
     * mass (distinct md5 fingerprints), and source/language breadth.
@@ -621,6 +635,7 @@ object TextQueries {
     "doc_novelty" -> docNovelty _,
     "stream_novelty" -> streamNovelty _,
     "corpus_report" -> corpusReport _,
+    "doc_compress" -> docCompress _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "text_quality" -> textQuality _,
@@ -886,6 +901,20 @@ object TextQueries {
       s"""WITH $NgramCtes
         |SELECT id_a, id_b, jaccard, containment_a, containment_b
         |FROM ngram_pairs""".stripMargin,
+    "doc_compress" ->
+      s"""SELECT d.doc_id,
+        |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+        |  z.lz4_bytes,
+        |  CASE WHEN octet_length(encode(d.text)) > 0
+        |    THEN CAST(z.lz4_bytes AS DOUBLE) / CAST(octet_length(encode(d.text)) AS DOUBLE)
+        |    ELSE 1.0 END AS compress_ratio,
+        |  CASE WHEN octet_length(encode(d.text)) > 0
+        |    THEN CAST(z.lz4_bytes AS DOUBLE) / CAST(octet_length(encode(d.text)) AS DOUBLE)
+        |      BETWEEN 0.3 AND 1.0
+        |    ELSE TRUE END AS entropy_pass
+        |FROM documents d
+        |JOIN read_parquet('${Queries.oracleSidePath("doc_lz4")}') z
+        |  ON d.doc_id = z.doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $NgramCtes,
         |edges AS (

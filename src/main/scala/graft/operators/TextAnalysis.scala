@@ -440,6 +440,36 @@ object TextAnalysis {
       .drop("__words", "__bigrams", "__trigrams")
   }
 
+  /** Per-document LZ4 compressibility — the entropy-proxy quality
+    * filter (highly compressible text = repetitive boilerplate;
+    * near-incompressible = binary spill / high-entropy junk): UTF-8
+    * byte count, LZ4-compressed size, their exact-division ratio, and
+    * the band flags. Narrow per-row work (one deterministic UDF over
+    * the repo's own Lz4Len kernel — the same codec the chunk estimator
+    * sizes with), no shuffle. The compressed size is engine-computed
+    * (no LZ4 in SQL engines), so catalog oracling persists it as a side
+    * table and re-derives the relational half independently.
+    */
+  def compressionRatio(df: DataFrame, idCol: String,
+      textCol: String = "text",
+      minRatio: Double = 0.3, maxRatio: Double = 1.0): DataFrame = {
+    // a plain (deterministic) UDF: Lz4Len is pure, so Catalyst stays free
+    // to collapse or reorder the projection
+    val lz4Det = udf((s: String) =>
+      if (s == null) 0L
+      else graft.cdc.Lz4Len(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toLong)
+    df.select(col(idCol),
+        octet_length(col(textCol)).cast("long").as("n_bytes"),
+        lz4Det(col(textCol)).as("lz4_bytes"))
+      .withColumn("compress_ratio",
+        when(col("n_bytes") > 0,
+          col("lz4_bytes").cast("double") / col("n_bytes").cast("double"))
+          .otherwise(lit(1.0)))
+      .withColumn("entropy_pass",
+        col("compress_ratio") >= minRatio && col("compress_ratio") <= maxRatio)
+  }
+
   /** Per-document term novelty in id order — the curation/curriculum
     * signal "how much does this doc add that no earlier doc had?": of a
     * document's DISTINCT words, the fraction first introduced by this

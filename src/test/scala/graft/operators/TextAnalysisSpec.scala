@@ -241,6 +241,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("compressionRatio: repetitive text flagged, normal text passes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ab " * 400),                      // pure repetition -> tiny ratio
+      (2L, (0 until 300).map(i =>
+        s"w${i * 7919 % 1000}x${i}").mkString(" ")), // varied -> high ratio
+      (3L, "")                                // empty -> ratio 1.0, pass
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(df, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = got(1L).getAs[Double]("compress_ratio")
+    val r2 = got(2L).getAs[Double]("compress_ratio")
+    assert(r1 < 0.1, s"repetition must compress hard: $r1")
+    assert(!got(1L).getAs[Boolean]("entropy_pass"))
+    assert(r2 > 0.3 && got(2L).getAs[Boolean]("entropy_pass"), s"r2=$r2")
+    assert(got(3L).getAs[Double]("compress_ratio") == 1.0 &&
+      got(3L).getAs[Boolean]("entropy_pass"))
+    // byte accounting is exact: lz4_bytes is a real compressed size
+    assert(got(1L).getAs[Long]("lz4_bytes") > 0L)
+    assert(got(1L).getAs[Long]("n_bytes") == 1200L)
+  }
+
   test("termNovelty: first introduction wins, repeats inside a doc count once") {
     import spark.implicits._
     val df = Seq(
