@@ -1057,6 +1057,24 @@ object Queries {
         col("channels"), least(col("n_bytes"), lit(256L)).as("thumb_bytes"))
   }
 
+  /** Audio enrichment with REAL javax.sound WAV decode (the image path's
+    * discipline, one modality over): deterministic PCM16 fixtures whose
+    * channel count and frame-exact duration come from arithmetic truth,
+    * decoded for real through the same `enrich` pass; a hash match
+    * certifies the decode (no codec in the truth path).
+    */
+  private def mmAudio(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    val blobs = oracleSide(spark, sfDir, "mma_blobs",
+      Multimodal.audioBlobs(ids, "doc_id"))
+    oracleSide(spark, sfDir, "mma_truth", Multimodal.audioTruth(ids, "doc_id"))
+    Multimodal
+      .enrich(blobs, "blob_id", "content")
+      .select(col("blob_id"), col("n_bytes"), col("channels"),
+        col("duration_ms"))
+  }
+
   /** Video-shaped frame sampling through the multimodal plumbing: one blob
     * row in → N frame rows out (stride-block stand-ins for decoded frames;
     * the generator shape is what's exercised). Frames are exact byte
@@ -1242,6 +1260,7 @@ object Queries {
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
     "mm_enrich" -> (mmEnrich _),
+    "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
     "chunk_matrix" -> (chunkMatrix _),
@@ -1586,6 +1605,16 @@ object Queries {
         |  CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
         |  t.width, t.height, t.channels,
         |  CAST(LEAST(octet_length(b.content), 256) AS BIGINT) AS thumb_bytes
+        |FROM t JOIN b USING (blob_id)""".stripMargin,
+    "mm_audio" ->
+      // channels/duration_ms come from the codec-free ground-truth table;
+      // the engine row carries the REAL javax.sound decode of the same
+      // WAV blob — a hash match certifies the decode
+      s"""WITH b AS (SELECT * FROM read_parquet('${oracleSidePath("mma_blobs")}')),
+        |t AS (SELECT * FROM read_parquet('${oracleSidePath("mma_truth")}'))
+        |SELECT t.blob_id,
+        |  CAST(octet_length(b.content) AS BIGINT) AS n_bytes,
+        |  t.channels, t.duration_ms
         |FROM t JOIN b USING (blob_id)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

@@ -55,11 +55,37 @@ object Multimodal {
       durationMs = math.floorMod(h >>> 40, 600000L))
   }
 
-  /** Decode dispatch: real ImageIO decode first; the stub only for blobs no
-    * JDK reader understands.
+  /** REAL audio decode via javax.sound.sampled (stock JDK, like ImageIO):
+    * channel count and frame-exact duration for WAV/AIFF/AU PCM payloads.
+    * `durationMs` = frames·1000 / frameRate in integer arithmetic —
+    * exactly reproducible, which is what lets the oracle assert it
+    * against arithmetic fixture truth. None for non-audio payloads.
+    */
+  def decodeAudioMeta(content: Array[Byte]): Option[MediaMeta] =
+    if (content == null || content.length < 12) None
+    else try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      try {
+        val fmt = ais.getFormat
+        val frames = ais.getFrameLength
+        if (frames <= 0 || fmt.getFrameRate <= 0f) None
+        else Some(MediaMeta(0, 0, fmt.getChannels,
+          frames * 1000L / fmt.getFrameRate.toLong))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case scala.util.control.NonFatal(_) => None
+    }
+
+  /** Decode dispatch: real JDK codecs first (ImageIO for rasters, then
+    * javax.sound for audio); the stub only for blobs no JDK reader
+    * understands (video containers).
     */
   def decodeMeta(content: Array[Byte]): MediaMeta =
-    decodeImageMeta(content).getOrElse(decodeMetaStub(content))
+    decodeImageMeta(content)
+      .orElse(decodeAudioMeta(content))
+      .getOrElse(decodeMetaStub(content))
 
   // ------------------------------------------------- deterministic fixtures
 
@@ -110,6 +136,72 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, bos)
     bos.toByteArray
+  }
+
+  /** Ground-truth metadata for [[audioFixture]] — pure arithmetic on
+    * `id`, NO codec involved: mono/stereo alternating, 8 kHz PCM16,
+    * frame count 8·(100 + id·13 mod 200) so durationMs = frames/8 is an
+    * exact integer (100–299 ms).
+    */
+  def audioFixtureTruth(id: Long): MediaMeta = {
+    val frames = 8L * (100L + math.floorMod(id * 13L, 200L))
+    MediaMeta(0, 0, channels = 1 + math.floorMod(id, 2L).toInt,
+      durationMs = frames * 1000L / 8000L)
+  }
+
+  /** Deterministic audio blob: a real RIFF/WAV (PCM16 little-endian,
+    * 8 kHz) whose channel count and frame length are
+    * [[audioFixtureTruth]] of `id` and whose samples are a pure function
+    * of (id, frame, channel). Encoded with the same javax.sound codec
+    * the decode path reads with — the TRUTH comes from arithmetic.
+    */
+  def audioFixture(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val m = audioFixtureTruth(id)
+    val frames = m.durationMs * 8 // exact inverse of truth's frames/8
+    val bytes = new Array[Byte]((frames * m.channels * 2).toInt)
+    var f = 0L
+    var o = 0
+    while (f < frames) {
+      var c = 0
+      while (c < m.channels) {
+        val s = ((id * 31L + f * 7L + c * 977L) % 65536L - 32768L).toShort
+        bytes(o) = (s & 0xff).toByte
+        bytes(o + 1) = ((s >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, m.channels, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Distributed fixture corpora: one real encoded blob per id row —
+    * (blob_id, content). Narrow map, blobs never shuffle.
+    */
+  def audioBlobs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, audioFixture(id)))
+      .toDF("blob_id", "content")
+  }
+
+  /** Codec-free audio ground truth — (blob_id, channels, duration_ms). */
+  def audioTruth(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val m = audioFixtureTruth(id)
+        (id, m.channels, m.durationMs)
+      }
+      .toDF("blob_id", "channels", "duration_ms")
   }
 
   /** Distributed fixture corpus: one real encoded image per id row —

@@ -93,4 +93,25 @@ class MultimodalSpec extends SparkSpec {
     val topk = Similarity.bruteForceTopK(e, "blob_id", "features", Seq(0L), k = 3)
     assert(topk.count() == 3)
   }
+
+  test("real decode: javax.sound reads every WAV fixture to its arithmetic truth") {
+    // mono and stereo ids, frame-exact duration — no codec in the truth
+    for (id <- 0L until 12L) {
+      val want = Multimodal.audioFixtureTruth(id)
+      val got = Multimodal.decodeAudioMeta(Multimodal.audioFixture(id))
+      assert(got.contains(
+        Multimodal.MediaMeta(0, 0, want.channels, want.durationMs)),
+        s"id=$id: $got vs $want")
+      // the dispatch must route WAV bytes to the audio codec, not the stub
+      val dispatched = Multimodal.decodeMeta(Multimodal.audioFixture(id))
+      assert(dispatched.channels == want.channels &&
+        dispatched.durationMs == want.durationMs)
+    }
+  }
+
+  test("audio decode: image and junk blobs return None") {
+    assert(Multimodal.decodeAudioMeta(Multimodal.imageFixture(3L)).isEmpty)
+    assert(Multimodal.decodeAudioMeta(Array.fill[Byte](64)(7)).isEmpty)
+    assert(Multimodal.decodeAudioMeta(null).isEmpty)
+  }
 }
