@@ -444,24 +444,22 @@ object TextAnalysis {
     * filter (highly compressible text = repetitive boilerplate;
     * near-incompressible = binary spill / high-entropy junk): UTF-8
     * byte count, LZ4-compressed size, their exact-division ratio, and
-    * the band flags. Narrow per-row work (one deterministic UDF over
-    * the repo's own Lz4Len kernel — the same codec the chunk estimator
-    * sizes with), no shuffle. The compressed size is engine-computed
-    * (no LZ4 in SQL engines), so catalog oracling persists it as a side
-    * table and re-derives the relational half independently.
+    * the band flags. Narrow per-row work through a codegen Catalyst
+    * expression ([[graft.plans.Lz4Length]] — no UDF serialization, the
+    * projection stays inside whole-stage codegen), same codec the chunk
+    * estimator sizes with; no shuffle. The compressed size is
+    * engine-computed (no LZ4 in SQL engines), so catalog oracling
+    * persists it as a side table and re-derives the relational half
+    * independently.
     */
   def compressionRatio(df: DataFrame, idCol: String,
       textCol: String = "text",
       minRatio: Double = 0.3, maxRatio: Double = 1.0): DataFrame = {
-    // a plain (deterministic) UDF: Lz4Len is pure, so Catalyst stays free
-    // to collapse or reorder the projection
-    val lz4Det = udf((s: String) =>
-      if (s == null) 0L
-      else graft.cdc.Lz4Len(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toLong)
+    import graft.plans.Lz4Length.lz4_len
     df.select(col(idCol),
         octet_length(col(textCol)).cast("long").as("n_bytes"),
-        lz4Det(col(textCol)).as("lz4_bytes"))
+        coalesce(lz4_len(encode(col(textCol), "UTF-8")), lit(0L))
+          .as("lz4_bytes"))
       .withColumn("compress_ratio",
         when(col("n_bytes") > 0,
           col("lz4_bytes").cast("double") / col("n_bytes").cast("double"))
