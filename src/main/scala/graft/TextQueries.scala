@@ -352,10 +352,16 @@ object TextQueries {
     * documents + that relation.
     */
   private def docCompress(spark: SparkSession, sfDir: String): DataFrame = {
-    val rel = TextAnalysis.compressionRatio(docs(spark, sfDir), "doc_id")
-    Queries.oracleSide(spark, sfDir, "doc_lz4",
-      rel.select(col("doc_id"), col("lz4_bytes")))
-    rel
+    import graft.plans.Lz4Length.lz4_len
+    // side-table the LZ4 pass, then finish from its read-back: Verify
+    // compresses the corpus ONCE (the write), not once per consumer;
+    // with side tables off, oracleSide returns the computation unchanged
+    val sizes = Queries.oracleSide(spark, sfDir, "doc_lz4",
+      docs(spark, sfDir).select(col("doc_id"),
+        coalesce(lz4_len(encode(col("text"), "UTF-8")), lit(0L))
+          .as("lz4_bytes")))
+    TextAnalysis.compressionFromSizes(docs(spark, sfDir), "doc_id", "text",
+      sizes)
   }
 
   /** One-row corpus executive summary — the dashboard aggregate a

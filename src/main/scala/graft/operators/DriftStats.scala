@@ -56,6 +56,21 @@ object DriftStats {
       histogram(newDf, newVal, bucketWidth, nBuckets, "new_n"))
   }
 
+  /** The one source of truth for the drift output columns: fractions,
+    * the TV term, and its 1e-9 BIGINT scaling, computed over a relation
+    * carrying (old_n, new_n, old_total, new_total). `keys` prefixes the
+    * projection (bucket, or group + bucket).
+    */
+  private def driftOutput(withTotals: DataFrame, keys: Column*): DataFrame = {
+    val drift = abs(col("old_n") / col("old_total") -
+      col("new_n") / col("new_total"))
+    withTotals.select(keys ++ Seq(col("old_n"), col("new_n"),
+      (col("old_n") / col("old_total")).as("old_frac"),
+      (col("new_n") / col("new_total")).as("new_frac"),
+      drift.as("abs_drift"),
+      floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled")): _*)
+  }
+
   /** Drift relation from two pre-bucketed histograms ((bucket, old_n)
     * and (bucket, new_n)) — the join/arithmetic half of
     * [[histogramDrift]], reusable when one side was accumulated
@@ -66,14 +81,7 @@ object DriftStats {
       .na.fill(0L, Seq("old_n", "new_n"))
     val totals = joined.agg(sum(col("old_n")).as("old_total"),
       sum(col("new_n")).as("new_total"))
-    val drift = abs(col("old_n") / col("old_total") -
-      col("new_n") / col("new_total"))
-    joined.crossJoin(broadcast(totals))
-      .select(col("bucket"), col("old_n"), col("new_n"),
-        (col("old_n") / col("old_total")).as("old_frac"),
-        (col("new_n") / col("new_total")).as("new_frac"),
-        drift.as("abs_drift"),
-        floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
+    driftOutput(joined.crossJoin(broadcast(totals)), col("bucket"))
   }
 
   /** Per-GROUP histogram drift — [[histogramDrift]] segmented by a key
@@ -87,6 +95,12 @@ object DriftStats {
     * (map-side combined), a full-outer join on |groups|·nBuckets rows,
     * a per-group totals re-aggregate of that same small relation, and a
     * totals join that AQE broadcasts — corpus rows never shuffle.
+    *
+    * NULL group keys are EXCLUDED on both sides (same documented
+    * contract as topTermsPerGroup, mirroring SQL's COUNT(DISTINCT g)):
+    * the joins here are null-unsafe, so a null segment would otherwise
+    * split across join sides and silently vanish from the output —
+    * filter explicitly, and key the relation on a real segment column.
     */
   def groupedHistogramDrift(
       oldDf: DataFrame, oldVal: Column,
@@ -95,7 +109,8 @@ object DriftStats {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(nBuckets > 1, "need at least two buckets")
     def hist(df: DataFrame, v: Column, cnt: String): DataFrame =
-      df.select(col(groupCol), bucketize(v, bucketWidth, nBuckets).as("bucket"))
+      df.filter(col(groupCol).isNotNull)
+        .select(col(groupCol), bucketize(v, bucketWidth, nBuckets).as("bucket"))
         .groupBy(col(groupCol), col("bucket")).agg(count(lit(1)).as(cnt))
     val joined = hist(oldDf, oldVal, "old_n")
       .join(hist(newDf, newVal, "new_n"), Seq(groupCol, "bucket"),
@@ -104,14 +119,8 @@ object DriftStats {
     val totals = joined.groupBy(col(groupCol))
       .agg(sum(col("old_n")).as("old_total"),
         sum(col("new_n")).as("new_total"))
-    val drift = abs(col("old_n") / col("old_total") -
-      col("new_n") / col("new_total"))
-    joined.join(totals, Seq(groupCol))
-      .select(col(groupCol), col("bucket"), col("old_n"), col("new_n"),
-        (col("old_n") / col("old_total")).as("old_frac"),
-        (col("new_n") / col("new_total")).as("new_frac"),
-        drift.as("abs_drift"),
-        floor(drift * lit(1e9) + lit(0.5)).cast("long").as("drift_scaled"))
+    driftOutput(joined.join(totals, Seq(groupCol)),
+      col(groupCol), col("bucket"))
   }
 
   /** Per-group embedding-centroid L1 drift between two snapshots — the

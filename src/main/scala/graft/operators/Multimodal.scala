@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition in bounded batches.
   *
-  * Image decode is REAL: `javax.imageio` ships in every JDK and reads
-  * PNG/BMP/GIF/JPEG, so width/height/channels come from an actual decode
-  * ([[decodeImageMeta]]). Only formats the JDK has no reader for (audio,
-  * video containers) keep the clearly-marked deterministic stub for their
-  * duration field.
+  * Image AND audio decode are REAL: `javax.imageio` (PNG/BMP/GIF/JPEG)
+  * and `javax.sound.sampled` (WAV/AIFF/AU) ship in every JDK, so
+  * width/height/channels and frame-derived durations come from actual
+  * decodes ([[decodeImageMeta]], [[decodeAudioMeta]]). Only video
+  * containers — no JDK reader exists — keep the clearly-marked
+  * deterministic stub for their duration field.
   *
   * At scale: rows carry blobs, so partitions are sized by
   * `spark.sql.files.maxPartitionBytes` on read and the transforms are
@@ -42,9 +43,10 @@ object Multimodal {
       else Some(MediaMeta(img.getWidth, img.getHeight, img.getRaster.getNumBands, 0L))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** STUB decode for media the JDK cannot read (audio/video duration):
-    * deterministic pseudo-metadata derived from the blob hash. Images never
-    * reach this — [[decodeMeta]] dispatches them to the real codec.
+  /** STUB decode for media the JDK cannot read (video containers —
+    * duration only): deterministic pseudo-metadata derived from the blob
+    * hash. Images and audio never reach this — [[decodeMeta]] dispatches
+    * them to the real ImageIO / javax.sound codecs.
     */
   def decodeMetaStub(content: Array[Byte]): MediaMeta = {
     val h = graft.cdc.XXH64.hash(if (content == null) Array.emptyByteArray else content, 42L)
@@ -56,10 +58,14 @@ object Multimodal {
   }
 
   /** REAL audio decode via javax.sound.sampled (stock JDK, like ImageIO):
-    * channel count and frame-exact duration for WAV/AIFF/AU PCM payloads.
-    * `durationMs` = frames·1000 / frameRate in integer arithmetic —
-    * exactly reproducible, which is what lets the oracle assert it
-    * against arithmetic fixture truth. None for non-audio payloads.
+    * channel count and frame-count-derived duration for WAV/AIFF/AU PCM
+    * payloads. `durationMs` = round(frames·1000 / frameRate) — a single
+    * correctly-rounded double division then round, so it is exactly
+    * reproducible AND honest for fractional frame rates (classic .au is
+    * 8012.821 Hz; naive integer truncation would misreport it). For
+    * integer rates (all fixtures here) it equals the pure integer
+    * arithmetic the oracle's truth table uses. None for non-audio
+    * payloads.
     */
   def decodeAudioMeta(content: Array[Byte]): Option[MediaMeta] =
     if (content == null || content.length < 12) None
@@ -71,7 +77,7 @@ object Multimodal {
         val frames = ais.getFrameLength
         if (frames <= 0 || fmt.getFrameRate <= 0f) None
         else Some(MediaMeta(0, 0, fmt.getChannels,
-          frames * 1000L / fmt.getFrameRate.toLong))
+          math.round(frames * 1000.0 / fmt.getFrameRate)))
       } finally ais.close()
     } catch {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None

@@ -456,17 +456,35 @@ object TextAnalysis {
       textCol: String = "text",
       minRatio: Double = 0.3, maxRatio: Double = 1.0): DataFrame = {
     import graft.plans.Lz4Length.lz4_len
-    df.select(col(idCol),
+    ratioFlag(minRatio, maxRatio)(
+      df.select(col(idCol),
         octet_length(col(textCol)).cast("long").as("n_bytes"),
         coalesce(lz4_len(encode(col(textCol), "UTF-8")), lit(0L))
-          .as("lz4_bytes"))
-      .withColumn("compress_ratio",
+          .as("lz4_bytes")))
+  }
+
+  /** [[compressionRatio]]'s finish from pre-computed (idCol, lz4_bytes)
+    * sizes — lets a caller that already persisted the LZ4 pass (e.g. an
+    * oracle side table) derive the ratio relation without re-compressing
+    * the corpus.
+    */
+  def compressionFromSizes(df: DataFrame, idCol: String, textCol: String,
+      sizes: DataFrame,
+      minRatio: Double = 0.3, maxRatio: Double = 1.0): DataFrame =
+    ratioFlag(minRatio, maxRatio)(
+      df.select(col(idCol), octet_length(col(textCol)).cast("long")
+        .as("n_bytes"))
+        .join(sizes, Seq(idCol)))
+
+  /** The one source of truth for the ratio/flag columns. */
+  private def ratioFlag(minRatio: Double, maxRatio: Double)(
+      df: DataFrame): DataFrame =
+    df.withColumn("compress_ratio",
         when(col("n_bytes") > 0,
           col("lz4_bytes").cast("double") / col("n_bytes").cast("double"))
           .otherwise(lit(1.0)))
       .withColumn("entropy_pass",
         col("compress_ratio") >= minRatio && col("compress_ratio") <= maxRatio)
-  }
 
   /** Per-document term novelty in id order — the curation/curriculum
     * signal "how much does this doc add that no earlier doc had?": of a
@@ -483,11 +501,26 @@ object TextAnalysis {
     */
   def termNovelty(df: DataFrame, idCol: String,
       textCol: String = "text"): DataFrame = {
-    val words = filter(split(lower(col(textCol)), " "), w => w =!= "")
-    val docWords = df
-      .select(col(idCol), explode(array_distinct(words)).as("word"))
-    val firstSeen = docWords.groupBy(col("word"))
-      .agg(min(col(idCol)).as("first_id"))
+    val docWords = docWordsRelation(df, idCol, textCol)
+    noveltyFromFirstSeen(docWords,
+      docWords.groupBy(col("word")).agg(min(col(idCol)).as("first_id")),
+      idCol)
+  }
+
+  /** The (id, distinct word) relation both novelty paths derive from —
+    * THE word semantics; batch and stream sharing this is what the
+    * shared oracle's exactness rests on.
+    */
+  def docWordsRelation(df: DataFrame, idCol: String,
+      textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(array_distinct(
+      filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("word"))
+
+  /** Novelty finish from any (word, first_id) source — the batch min-id
+    * aggregate or a streaming state store's first-introduction events.
+    */
+  def noveltyFromFirstSeen(docWords: DataFrame, firstSeen: DataFrame,
+      idCol: String): DataFrame =
     docWords.join(firstSeen, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_terms"),
@@ -495,5 +528,4 @@ object TextAnalysis {
           .as("n_new"))
       .withColumn("novelty",
         col("n_new").cast("double") / col("n_terms").cast("double"))
-  }
 }

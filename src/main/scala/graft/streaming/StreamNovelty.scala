@@ -34,11 +34,8 @@ object StreamNovelty {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(explode(array_distinct(
-          filter(split(lower(col(textCol)), " "), w => w =!= "")))
-          .as("word"),
-        col(idCol).cast("long").as("id"))
+    graft.operators.TextAnalysis.docWordsRelation(docs, idCol, textCol)
+      .select(col("word"), col(idCol).cast("long").as("id"))
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -64,17 +61,12 @@ object StreamNovelty {
       queryName: String,
       idCol: String,
       textCol: String = "text"): DataFrame = {
+    import graft.operators.TextAnalysis
     val firsts = EventStream.runToMemory(spark, docsPath, queryName,
       firstIntroductions(_, idCol, textCol), OutputMode.Append())
-    val docWords = spark.read.parquet(docsPath)
-      .select(col(idCol), explode(array_distinct(
-        filter(split(lower(col(textCol)), " "), w => w =!= ""))).as("word"))
-    docWords.join(firsts, "word")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms"),
-        sum(when(col(idCol) === col("first_id"), 1L).otherwise(0L))
-          .as("n_new"))
-      .withColumn("novelty",
-        col("n_new").cast("double") / col("n_terms").cast("double"))
+    TextAnalysis.noveltyFromFirstSeen(
+      TextAnalysis.docWordsRelation(spark.read.parquet(docsPath), idCol,
+        textCol),
+      firsts, idCol)
   }
 }
