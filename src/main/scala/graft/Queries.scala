@@ -414,6 +414,52 @@ object Queries {
         col("event_id"), col("event_type"))
   }
 
+  /** Batch sessionization (gaps-and-islands): per-user events split into
+    * sessions at >6 h silence, with per-session stats — the batch twin of
+    * `stream_sessions`. Two stacked windows over ONE hash partitioning
+    * (lag to flag session starts, running sum to number them), then the
+    * session rollup reuses the same (user_id, …) keys — Spark plans a
+    * single exchange on user_id for the whole query. Timestamps compare as
+    * integer microseconds (`ts div 1000` over the nanos-long column vs
+    * DuckDB `epoch_us`), so gap arithmetic is cross-engine exact.
+    */
+  private def eventSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000 // 6 h session gap (corpus median ~7 h)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx", sum(col("new_sess")).over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_id")).as("first_event_id"),
+        max(col("event_id")).as("last_event_id"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+  }
+
+  /** Semi-structured extraction: pull the integer `$.k` field out of the
+    * JSON `props` column with codegen'd `get_json_object` (no UDF), then
+    * aggregate per event type — the log-enrichment shape where 100 TB of
+    * raw JSON reduces to a narrow typed projection before the (tiny)
+    * shuffle. Oracle extracts the same path with DuckDB's json_extract.
+    */
+  private def eventProps(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` both linearly interpolate; rounding to 4
     * decimals absorbs last-ulp interpolation-order differences).
@@ -1231,6 +1277,8 @@ object Queries {
     "q10_rollup" -> q10Rollup _,
     "q11_semi_join" -> q11SemiJoin _,
     "q12_event_seq" -> q12EventSeq _,
+    "event_sessions" -> eventSessions _,
+    "event_props" -> eventProps _,
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
     "q15_bucketed_join" -> q15BucketedJoin _,
@@ -1385,6 +1433,33 @@ object Queries {
         |  SELECT user_id, event_id, event_type,
         |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id ASC) AS seq
         |  FROM events) WHERE seq <= 5""".stripMargin,
+    "event_sessions" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      > 21600000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER
+        |      (PARTITION BY user_id ORDER BY ts_us, event_id) AS session_idx
+        |  FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(*) AS n_events,
+        |  MIN(event_id) AS first_event_id,
+        |  MAX(event_id) AS last_event_id,
+        |  CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "event_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events, COUNT(k) AS n_with_k,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k,
+        |  MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM e GROUP BY event_type""".stripMargin,
     "q14_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

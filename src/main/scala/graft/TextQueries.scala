@@ -614,6 +614,112 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("n_passages"), col("n_boilerplate"),
         col("boilerplate_ratio"), col("clean_text"))
 
+  /** Duplicate-span accounting (the ExactSubstr / C4-line-dedup shape at
+    * span granularity — this corpus has no newlines, so fixed 8-token
+    * spans stand in for lines): each document's token stream is cut into
+    * non-overlapping 8-token spans, spans dedupe globally by content hash
+    * with the first occurrence in (doc_id, span_idx) order winning, and
+    * each document reports how much of it was already seen elsewhere.
+    * Span ids pack (doc_id, span_idx) into one long — span_idx < 10⁶
+    * keeps the packing order-isomorphic to the pair — so
+    * `Dedupe.exactDuplicates` (one hash-partitioned window, one shuffle)
+    * is reused verbatim; the doc rollup groups on a prefix of the same
+    * key, so no second wide exchange materializes at scale.
+    */
+  private def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = filter(split(lower(col("text")), " "), x => x =!= lit(""))
+    val spans = docs(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), words.as("words"))
+      .withColumn("dl", size(col("words")).cast("long"))
+      .filter(col("dl") > 0)
+      .select(col("doc_id"), col("words"),
+        explode(sequence(lit(0L),
+          call_function("div", col("dl") + 7L, lit(8L)) - 1L)).as("span_idx"))
+    val withId = spans.select(
+      (col("doc_id") * 1000000L + col("span_idx")).as("span_id"),
+      array_join(
+        slice(col("words"), (col("span_idx") * 8L + 1L).cast("int"), lit(8)),
+        " ").as("span_text"))
+    Dedupe.exactDuplicates(withId, "span_id", col("span_text"))
+      .select(call_function("div", col("span_id"), lit(1000000L)).as("doc_id"),
+        col("is_dup"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("is_dup").cast("long")).as("n_dup"),
+        (sum(col("is_dup").cast("long")).cast("double") / count(lit(1)))
+          .as("dup_frac"))
+  }
+
+  /** The fixed retrieval query set for bm25_rank — (query_id, free-text)
+    * over the corpus vocabulary. */
+  private val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark join",
+    1L -> "hash table scan",
+    2L -> "window batch filter",
+    3L -> "stream vector merge")
+
+  /** BM25 top-10 retrieval (k1 = 1.2, b = 0.75) for a broadcast query set,
+    * in lm_score's integer-scaled style so every (doc, term) score is the
+    * same BIGINT in both engines. With A = ⌊1000·ΣDL/N⌋ (per-mil average
+    * doc length), tf normalization is the exact integer ratio
+    *   10⁶·220·tf·A // (10·tf·A + 3·A + 9000·dl)
+    * (= tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) at the 10⁶ scale), and idf is
+    * the log-free rational 10⁶·N // df — the documented deviation from
+    * textbook BM25 (no transcendental cross-engine parity risk; rare-term
+    * weighting stays monotone in 1/df, dampening comes from the tf
+    * saturation term). Exact while 220·tf·A·10⁶ < 2⁶³ — documents to ~40k
+    * tokens at avgdl 1000; corpus size only enters through N and the
+    * pre-divided A, never as a raw Σdl product.
+    *
+    * Plan shape for 100 TB: the exploded term stream is broadcast-filtered
+    * to query terms BEFORE the only wide exchange (groupBy (doc, dl,
+    * term)); df and the corpus totals are query-set-width broadcasts; the
+    * final ranking is the bounded TopKByScore partial+final aggregate —
+    * no window sort, no unbounded shuffle.
+    */
+  private def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val wordsExpr = filter(split(lower(col("text")), " "), x => x =!= lit(""))
+    val d = docs(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), wordsExpr.as("words"))
+      .select(col("doc_id"), col("words"),
+        size(col("words")).cast("long").as("dl"))
+    val totals = d.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val nDocs = totals.getLong(0)
+    val avgdlMil = 1000L * totals.getLong(1) / nDocs // exact: ⌊1000·ΣDL/N⌋
+    require(nDocs > 0 && avgdlMil > 0, "bm25_rank: empty corpus")
+    val qterms = Bm25Queries
+      .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = call_function("div", lit(1000000L) * nDocs, col("df"))
+    val tfn = call_function("div",
+      lit(1000000L * 220L) * col("tf") * avgdlMil,
+      lit(10L) * col("tf") * avgdlMil + lit(3L) * avgdlMil +
+        lit(9000L) * col("dl"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("s", call_function("div", idf * tfn, lit(1000000L)))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("score_scaled"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK
+        .top_k_by_score(col("score_scaled").cast("double"), col("doc_id"), 10)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("doc_id"),
+        col("col._1").cast("long").as("score_scaled"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
@@ -656,7 +762,9 @@ object TextQueries {
     "lang_id" -> langId _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
-    "doc_cdc" -> docCdc _
+    "doc_cdc" -> docCdc _,
+    "span_dedup" -> spanDedup _,
+    "bm25_rank" -> bm25Rank _
   )
 
   /** Shared oracle for doc_novelty AND stream_novelty: per-doc distinct
@@ -780,6 +888,59 @@ object TextQueries {
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |nz AS (SELECT doc_id, words, len(words) AS dl FROM d WHERE len(words) > 0),
+        |s AS (SELECT doc_id, words, dl,
+        |    UNNEST(range(0, (dl + 7) // 8)) AS span_idx FROM nz),
+        |sp AS (SELECT doc_id, span_idx,
+        |    md5(array_to_string(
+        |      list_slice(words, span_idx * 8 + 1, LEAST(span_idx * 8 + 8, dl)),
+        |      ' ')) AS fp
+        |  FROM s),
+        |f AS (SELECT fp, MIN(doc_id * 1000000 + span_idx) AS first_span
+        |  FROM sp GROUP BY fp)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(CASE WHEN sp.doc_id * 1000000 + sp.span_idx <> f.first_span
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |  CAST(SUM(CASE WHEN sp.doc_id * 1000000 + sp.span_idx <> f.first_span
+        |       THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+        |FROM sp JOIN f USING (fp) GROUP BY sp.doc_id""".stripMargin,
+    "bm25_rank" ->
+      """WITH q AS (SELECT * FROM (VALUES
+        |    (0, 'spark'), (0, 'join'),
+        |    (1, 'hash'), (1, 'table'), (1, 'scan'),
+        |    (2, 'window'), (2, 'batch'), (2, 'filter'),
+        |    (3, 'stream'), (3, 'vector'), (3, 'merge')) AS t(query_id, term)),
+        |d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |dd AS (SELECT doc_id, words, CAST(len(words) AS BIGINT) AS dl FROM d),
+        |n AS (SELECT COUNT(*) AS n_docs,
+        |    (1000 * SUM(dl)) // COUNT(*) AS a FROM dd),
+        |w AS (SELECT doc_id, dl, UNNEST(words) AS term FROM dd),
+        |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+        |  FROM w JOIN (SELECT DISTINCT term FROM q) USING (term)
+        |  GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    ((1000000 * n.n_docs // df.df) *
+        |     ((1000000 * 220 * tf.tf * n.a) //
+        |      (10 * tf.tf * n.a + 3 * n.a + 9000 * tf.dl))) // 1000000 AS s
+        |  FROM tf JOIN df USING (term), n),
+        |qs AS (SELECT q.query_id, sc.doc_id, SUM(s) AS score_scaled
+        |  FROM sc JOIN q USING (term) GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score_scaled DESC, doc_id) AS rank
+        |  FROM qs)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+        |  doc_id, CAST(score_scaled AS BIGINT) AS score_scaled
+        |FROM r WHERE rank <= 10""".stripMargin,
     "text_search" -> TextSearchSql,
     "doc_decontam_bloom" -> DecontamSql,
     "doc_boilerplate" ->
