@@ -109,12 +109,56 @@ object Bench {
 
     // min of 2 runs per query: a loaded shared box inflates single-shot
     // wall times 2-3× (adjudicated in round 5); the min of two runs is
-    // load-robust at the cost of ~2× bench wall time
-    val results = selected.map { case (name, fn) =>
+    // load-robust at the cost of ~2× bench wall time.
+    //
+    // Self-diagnosis: min-of-2 rescues sub-second queries but multi-second
+    // queries straddle load bursts in both runs (adjudicated in round 6:
+    // driver 9.68 s vs idle 2.50 s for the same binary). A fixed ~0.2-0.3 s
+    // sentinel (q01) interleaved every `sentinelEvery` queries measures the
+    // box, not the code: load_index = max(sentinel)/min(sentinel). Reading
+    // rule (also in README): load_index <= 1.5 ⇒ numbers are steady-state;
+    // load_index > 2 ⇒ the box was bursty and per-query times are UPPER
+    // bounds — re-measure idle before calling a regression.
+    val sentinelName = "q01_pricing_summary"
+    val sentinelFn = SparkEntry.queries.get(sentinelName)
+    val sentinelEvery = 10
+    val sentinelSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // each sample is itself min-of-2 (same methodology as the queries): a
+    // one-off JIT/GC hiccup on a single ~0.2 s run would fake a 3× load
+    // index on an idle box, while a burst long enough to cover both
+    // back-to-back runs is exactly the sustained load worth flagging
+    def runSentinel(): Unit = sentinelFn.foreach { fn =>
+      val a = timed(() => { fn(spark, sfDir).count(); () })
+      val b = timed(() => { fn(spark, sfDir).count(); () })
+      val t = if (a < 0) b else if (b < 0) a else math.min(a, b)
+      if (t >= 0) sentinelSecs += t
+    }
+    // untimed priming runs until the sentinel's wall time stabilizes (two
+    // consecutive runs within 25%, up to 8 runs): C2 JIT ramps this query
+    // over several executions (measured 0.59 → 0.47 → 0.20 s on an idle
+    // box), and an un-primed first sample would fake a ~3× load_index
+    sentinelFn.foreach { fn =>
+      var prev = Double.MaxValue
+      var i = 0
+      var stable = false
+      while (i < 8 && !stable) {
+        val t = timed(() => { fn(spark, sfDir).count(); () })
+        if (t >= 0 && prev < Double.MaxValue && t <= prev * 1.25 && prev <= t * 1.25)
+          stable = true
+        prev = t
+        i += 1
+      }
+    }
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % sentinelEvery == 0) runSentinel()
       val first = timed(() => { fn(spark, sfDir).count(); () })
       name -> (if (first < 0) first
                else math.min(first, timed(() => { fn(spark, sfDir).count(); () })))
     }
+    runSentinel() // closing sample so the last stretch of queries is covered
+    val loadIndex =
+      if (sentinelSecs.size < 2 || sentinelSecs.min <= 0) -1.0
+      else sentinelSecs.max / sentinelSecs.min
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total = steady-state query mins + the one-time shared builds, so the
@@ -123,7 +167,8 @@ object Bench {
     val total = (results.map(_._2) ++ shared.map(_._2)).filter(_ >= 0).sum
     val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val sentinelJson = sentinelSecs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
     // compact duplicate as the VERY LAST line: the driver keeps only the
     // final ~2 KB of output, which truncates the front of the full-precision
     // line once the catalog is large — this 10 ms-rounded copy stays intact
@@ -134,8 +179,9 @@ object Bench {
     val compactShared = shared.map { case (k, v) => "\"" + k + "\":" + n2(v) }
       .mkString("{", ",", "}")
     // no "timing" key here: the compact line runs ~1.9 KB against the
-    // driver's ~2 KB tail — the full-precision line above carries it
-    println(s"""{"total":${n2(total)},"sb":$compactShared,"q":$compact}""")
+    // driver's ~2 KB tail — the full-precision line above carries it;
+    // "li" is the load_index (the one diagnostic worth its bytes here)
+    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"sb":$compactShared,"q":$compact}""")
     spark.stop()
   }
 }
