@@ -23,7 +23,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless read as long
+      // backward compat: pre-2026-08 testdata shipped events.ts as
+      // TIMESTAMP(NANOS), which Spark 4 rejects unless read as long; the
+      // current TIMESTAMP(MICROS) layout is unaffected by this flag and
+      // both are handled adaptively by graft.Events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -61,8 +64,8 @@ object Bench {
       // encoders — none of which the streaming warmups above touch
       graft.streaming.EventStream.sessionize(
         (0L until 64L).map(i => graft.streaming.EventStream.EventRow(
-          i, i * 1000000000L, i % 4, "click", 1.0)).toDS(),
-        gapNanos = 5L * 1000000000L).toDF().count()
+          i, i * 1000000L, i % 4, "click", 1.0)).toDS(),
+        gapMicros = 5L * 1000000L).toDF().count()
       // top-k aggregate + quality feature stack: first use compiles the
       // udaf bridge, the buffer/output ExpressionEncoders, the posexplode-
       // over-struct-array stage, and qualityScore's higher-order-function

@@ -420,16 +420,17 @@ object Queries {
     * (lag to flag session starts, running sum to number them), then the
     * session rollup reuses the same (user_id, …) keys — Spark plans a
     * single exchange on user_id for the whole query. Timestamps compare as
-    * integer microseconds (`ts div 1000` over the nanos-long column vs
-    * DuckDB `epoch_us`), so gap arithmetic is cross-engine exact.
+    * integer microseconds ([[Events.microsExpr]], adaptive on the file's
+    * physical ts type, vs DuckDB `epoch_us`), so gap arithmetic is
+    * cross-engine exact.
     */
   private def eventSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val gapUs = 6L * 3600 * 1000000 // 6 h session gap (corpus median ~7 h)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
-    t(spark, sfDir, "events")
-      .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"))
+    val ev = t(spark, sfDir, "events")
+    ev.select(col("event_id"), col("user_id"),
+        Events.microsExpr(ev).as("ts_us"))
       .withColumn("new_sess",
         when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
           .otherwise(lit(0L)))
@@ -483,7 +484,7 @@ object Queries {
     AsOfJoin
       .asof(events, ordersDedup,
         leftKey = col("user_id"), rightKey = col("o_custkey"),
-        leftTime = expr("ts div 1000"),
+        leftTime = Events.microsExpr(events),
         // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast an
         // identity on the wall-clock instant (matches DuckDB's naive cmp)
         rightTime = unix_micros(col("o_orderdate").cast("timestamp")),
@@ -901,9 +902,10 @@ object Queries {
     */
   private def q16IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val events = t(spark, sfDir, "events")
+    val raw = t(spark, sfDir, "events")
+    val events = raw
       .select(col("event_id"), col("user_id"), col("event_type"),
-        expr("ts div 1000").as("t_us"))
+        Events.microsExpr(raw).as("t_us"))
     val anchors = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("a_user"), col("t_us").as("start_us"))
@@ -925,24 +927,26 @@ object Queries {
     * min-aggregate over a stage-gated join (no window over the whole
     * event stream), so every step is one shuffle on user_id and the
     * per-stage relations shrink monotonically. Timestamps compare in
-    * epoch-ns longs end to end — no truncation to reconcile.
+    * epoch-µs longs end to end ([[Events.microsExpr]] vs DuckDB
+    * `epoch_us`) — exact at the file's µs precision.
     */
   private def q21Funnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val DayNs = 24L * 3600L * 1000000000L
-    val ev = t(spark, sfDir, "events")
-      .select(col("user_id"), col("event_type"), col("ts").as("tns"))
+    val DayUs = 24L * 3600L * 1000000L
+    val raw = t(spark, sfDir, "events")
+    val ev = raw
+      .select(col("user_id"), col("event_type"), Events.microsExpr(raw).as("tus"))
     val views = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("tns")).as("t1"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t1"))
     val clicks = ev.filter(col("event_type") === "click").as("e")
       .join(views.as("v"), col("e.user_id") === col("v.user_id"))
-      .filter(col("e.tns") > col("v.t1") &&
-        col("e.tns") <= col("v.t1") + lit(DayNs))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tns")).as("t2"))
+      .filter(col("e.tus") > col("v.t1") &&
+        col("e.tus") <= col("v.t1") + lit(DayUs))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tus")).as("t2"))
     val purchases = ev.filter(col("event_type") === "purchase").as("e")
       .join(clicks.as("c"), col("e.user_id") === col("c.user_id"))
-      .filter(col("e.tns") > col("c.t2") &&
-        col("e.tns") <= col("c.t2") + lit(DayNs))
-      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tns")).as("t3"))
+      .filter(col("e.tus") > col("c.t2") &&
+        col("e.tus") <= col("c.t2") + lit(DayUs))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.tus")).as("t3"))
     views.agg(count(lit(1)).as("n_view_users"))
       .crossJoin(clicks.agg(count(lit(1)).as("n_click_after_view")))
       .crossJoin(purchases.agg(count(lit(1)).as("n_purchase_after_click")))
@@ -977,22 +981,22 @@ object Queries {
     * session stays in state). That is exactly classic SQL sessionization
     * (gap-flag cumulative sum) minus each user's last session, so the
     * DuckDB oracle is cell-exact. Output sticks to integer-exact columns
-    * (counts + closed_at nanos); float value sums would be
+    * (counts + closed_at micros); float value sums would be
     * accumulation-order-dependent across engines.
     */
   private def streamSessions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.EventStream
-    val events = t(spark, sfDir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
+    val raw = t(spark, sfDir, "events")
+    // EventRow.ts is epoch-µs by contract: normalize before the typed cast
+    val events = raw
+      .select(col("event_id"), Events.microsExpr(raw).as("ts"), col("user_id"),
+        col("event_type"), col("value"))
       .as[EventStream.EventRow]
-    EventStream.sessionize(events, gapNanos = 30L * 60 * 1000000000L)
+    EventStream.sessionize(events, gapMicros = 30L * 60 * 1000000L)
       .toDF()
-      // DuckDB reads the nanos parquet timestamps at µs precision, so the
-      // comparison surface truncates to µs (integer div — ts is positive)
       .select(col("user_id"), col("n_events"),
-        expr("closed_at div 1000").as("closed_at_us"))
+        col("closed_at").as("closed_at_us"))
   }
 
   /** A6 per-doc chunk presence matrix: explode the merged relation's
@@ -1498,23 +1502,23 @@ object Queries {
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id
-        |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(c.ts) // 1000
-        |  AND epoch_ns(p.ts) // 1000 <= epoch_ns(c.ts) // 1000 + 3600000000""".stripMargin,
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin,
     "q21_funnel" ->
       """WITH ev AS (
-        |  SELECT user_id, event_type, epoch_ns(ts) AS tns FROM events),
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
         |v AS (
-        |  SELECT user_id, MIN(tns) AS t1 FROM ev
+        |  SELECT user_id, MIN(tus) AS t1 FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id),
         |c AS (
-        |  SELECT e.user_id, MIN(e.tns) AS t2
-        |  FROM ev e JOIN v ON e.user_id = v.user_id AND e.tns > v.t1
-        |    AND e.tns <= v.t1 + 86400000000000
+        |  SELECT e.user_id, MIN(e.tus) AS t2
+        |  FROM ev e JOIN v ON e.user_id = v.user_id AND e.tus > v.t1
+        |    AND e.tus <= v.t1 + 86400000000
         |  WHERE e.event_type = 'click' GROUP BY e.user_id),
         |p AS (
-        |  SELECT e.user_id, MIN(e.tns) AS t3
-        |  FROM ev e JOIN c ON e.user_id = c.user_id AND e.tns > c.t2
-        |    AND e.tns <= c.t2 + 86400000000000
+        |  SELECT e.user_id, MIN(e.tus) AS t3
+        |  FROM ev e JOIN c ON e.user_id = c.user_id AND e.tus > c.t2
+        |    AND e.tus <= c.t2 + 86400000000
         |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
         |SELECT (SELECT COUNT(*) FROM v) AS n_view_users,
         |  (SELECT COUNT(*) FROM c) AS n_click_after_view,
@@ -1533,20 +1537,20 @@ object Queries {
         |GROUP BY c.c_mktsegment, e.event_type""".stripMargin,
     "stream_sessions" ->
       """WITH e AS (
-        |  SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |s AS (
-        |  SELECT user_id, event_id, tns,
-        |    CASE WHEN tns - LAG(tns) OVER (PARTITION BY user_id ORDER BY tns, event_id)
-        |              > 1800000000000 THEN 1 ELSE 0 END AS new_s
+        |  SELECT user_id, event_id, tus,
+        |    CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM e),
         |g AS (
-        |  SELECT user_id, tns,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |  SELECT user_id, tus,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
         |      ROWS UNBOUNDED PRECEDING) AS sess
         |  FROM s),
         |agg AS (
         |  SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
-        |    CAST(MAX(tns) // 1000 AS BIGINT) AS closed_at_us
+        |    CAST(MAX(tus) AS BIGINT) AS closed_at_us
         |  FROM g GROUP BY user_id, sess),
         |lastx AS (SELECT user_id, MAX(sess) AS last_sess FROM agg GROUP BY user_id)
         |SELECT a.user_id, a.n_events, a.closed_at_us

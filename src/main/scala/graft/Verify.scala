@@ -19,15 +19,34 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.ts is TIMESTAMP(NANOS); Spark 4 rejects it unless read as long
+      // backward compat: pre-2026-08 testdata shipped events.ts as
+      // TIMESTAMP(NANOS), which Spark 4 rejects unless read as long; the
+      // current TIMESTAMP(MICROS) layout is unaffected by this flag and
+      // both are handled adaptively by graft.Events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // schema-drift tripwire: a silent testdata regeneration must at least
+    // leave a named trace in the verify log (SchemaContractSpec is the
+    // hard gate; this covers driver runs that never execute sbt test)
+    SchemaContract.diff(spark, sfDir)
+      .foreach(d => System.err.println(s"[verify] SCHEMA DRIFT: $d"))
     // builder-side iteration aid: comma-separated subset filter (the
     // driver never sets it, so driver runs always dump the full catalog)
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      // a typo must fail loudly, not silently select zero queries and
+      // produce an empty (vacuously "passing") verify dump
+      val unknown = s.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty) {
+        System.err.println(
+          s"[verify] unknown SPARK_GRAFT_VERIFY_ONLY names: ${unknown.toSeq.sorted.mkString(", ")}")
+        spark.stop()
+        sys.exit(2)
+      }
+    }
     val selected = only match {
       case Some(s) => SparkEntry.queries.view.filterKeys(s).toMap
       case None    => SparkEntry.queries

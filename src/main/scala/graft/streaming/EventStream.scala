@@ -9,11 +9,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermarked windowed aggregation and stateful sessionization via
   * `flatMapGroupsWithState`.
   *
-  * The events parquet stores ts as TIMESTAMP(NANOS) (read as long under
-  * nanosAsLong); `withEventTime` converts to a proper timestamp column.
+  * The events parquet has shipped `ts` as both epoch-nanos INT64 and
+  * TIMESTAMP(MICROS) across testdata regenerations; `withEventTime`
+  * adapts via [[graft.Events.eventTimeExpr]] so both layouts stream.
   */
 object EventStream {
 
+  /** Typed event row for the stateful paths. `ts` is EPOCH MICROSECONDS:
+    * callers normalize the raw column first (e.g. with
+    * [[graft.Events.microsExpr]]) — the typed encoder can't adapt to the
+    * file's physical timestamp type the way the DataFrame paths do.
+    */
   final case class EventRow(event_id: Long, ts: Long, user_id: Long,
       event_type: String, value: Double)
 
@@ -23,9 +29,7 @@ object EventStream {
       closed_at: Long)
 
   def withEventTime(df: DataFrame): DataFrame =
-    // integer division: `/` on longs is double division in Spark SQL and
-    // loses sub-µs precision for epoch-nanos beyond 2^53
-    df.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    df.withColumn("event_time", graft.Events.eventTimeExpr(df))
 
   /** Tumbling-window counts/sums per event type with a watermark: the
     * canonical streaming aggregation (append-mode compatible).
@@ -54,10 +58,14 @@ object EventStream {
     */
   def sessionize(
       events: Dataset[EventRow],
-      gapNanos: Long): Dataset[SessionOut] = {
+      gapMicros: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = math.max(1L, gapNanos / 1000000L)
-    val timed = withEventTime(events.toDF())
+    val gapMs = math.max(1L, gapMicros / 1000L)
+    // EventRow.ts is micros BY CONTRACT (see case-class doc), so event_time
+    // is built directly — the schema-adaptive withEventTime would misread
+    // this LongType column as legacy epoch-nanos
+    val timed = events.toDF()
+      .withColumn("event_time", timestamp_micros(col("ts")))
       .withWatermark("event_time", s"$gapMs milliseconds")
       .as[EventRow] // event_time rides along for the watermark; rows decode the same
     timed
@@ -76,7 +84,7 @@ object EventStream {
             var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
             sorted.foreach { e =>
-              if (cur.count > 0 && e.ts - cur.lastTs > gapNanos) {
+              if (cur.count > 0 && e.ts - cur.lastTs > gapMicros) {
                 closed += SessionOut(userId, cur.count, cur.sumValue, cur.lastTs)
                 cur = SessionState(0L, 0.0, Long.MinValue)
               }
@@ -89,7 +97,7 @@ object EventStream {
             }
             state.update(cur)
             // close when event time (not wall clock) passes the gap
-            state.setTimeoutTimestamp(cur.lastTs / 1000000L + gapMs)
+            state.setTimeoutTimestamp(cur.lastTs / 1000L + gapMs)
             closed.iterator
           }
         })

@@ -99,8 +99,8 @@ class EventStreamSpec extends SparkSpec {
     val result = EventStream
       .runAttributionOnce(spark, sf() + "/events.parquet", "evt_attr")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
-    val ev = spark.read.parquet(sf() + "/events.parquet")
-      .withColumn("t_us", expr("ts div 1000"))
+    val evRaw = spark.read.parquet(sf() + "/events.parquet")
+    val ev = evRaw.withColumn("t_us", graft.Events.microsExpr(evRaw))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("ct"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -137,13 +137,13 @@ class EventStreamSpec extends SparkSpec {
 
   test("sessionize groups events by gap") {
     import spark.implicits._
-    val sec = 1000000000L // ns
+    val sec = 1000000L // µs (EventRow.ts contract)
     val events = Seq(
       EventStream.EventRow(1, 0 * sec, 1L, "a", 1.0),
       EventStream.EventRow(2, 1 * sec, 1L, "a", 2.0),
       EventStream.EventRow(3, 100 * sec, 1L, "a", 3.0), // new session
       EventStream.EventRow(4, 0 * sec, 2L, "b", 5.0)).toDS()
-    val closed = EventStream.sessionize(events, gapNanos = 10 * sec).collect()
+    val closed = EventStream.sessionize(events, gapMicros = 10 * sec).collect()
     // batch semantics: only sessions closed by a later event appear
     assert(closed.length == 1)
     assert(closed.head.user_id == 1L)
