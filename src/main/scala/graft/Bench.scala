@@ -117,35 +117,49 @@ object Bench {
     // Self-diagnosis: min-of-2 rescues sub-second queries but multi-second
     // queries straddle load bursts in both runs (adjudicated in round 6:
     // driver 9.68 s vs idle 2.50 s for the same binary). A fixed ~0.2-0.3 s
-    // sentinel (q01) interleaved every `sentinelEvery` queries measures the
-    // box, not the code: load_index = max(sentinel)/min(sentinel). Reading
+    // sentinel interleaved every `sentinelEvery` queries measures the box,
+    // not the code: load_index = max(sentinel)/min(sentinel). Reading
     // rule (also in README): load_index <= 1.5 ⇒ numbers are steady-state;
     // load_index > 2 ⇒ the box was bursty and per-query times are UPPER
     // bounds — re-measure idle before calling a regression.
-    val sentinelName = "q01_pricing_summary"
-    val sentinelFn = SparkEntry.queries.get(sentinelName)
+    //
+    // The sentinel is a DEDICATED scan-agg, deliberately NOT a catalog
+    // query: round 7 used q01 itself, whose interleaved extra runs made
+    // q01's reported time warmer than every other query's and broke its
+    // round-over-round comparability.
+    val sentinelName = "sentinel_lineitem_scan_agg"
+    val sentinelQuery: () => Unit = () => {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .agg(org.apache.spark.sql.functions.sum(col("l_extendedprice"))
+          .as("sum_price"),
+          org.apache.spark.sql.functions.avg(col("l_discount")).as("avg_disc"))
+        .count()
+      ()
+    }
     val sentinelEvery = 10
     val sentinelSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     // each sample is itself min-of-2 (same methodology as the queries): a
     // one-off JIT/GC hiccup on a single ~0.2 s run would fake a 3× load
     // index on an idle box, while a burst long enough to cover both
     // back-to-back runs is exactly the sustained load worth flagging
-    def runSentinel(): Unit = sentinelFn.foreach { fn =>
-      val a = timed(() => { fn(spark, sfDir).count(); () })
-      val b = timed(() => { fn(spark, sfDir).count(); () })
+    def runSentinel(): Unit = {
+      val a = timed(sentinelQuery)
+      val b = timed(sentinelQuery)
       val t = if (a < 0) b else if (b < 0) a else math.min(a, b)
       if (t >= 0) sentinelSecs += t
     }
     // untimed priming runs until the sentinel's wall time stabilizes (two
-    // consecutive runs within 25%, up to 8 runs): C2 JIT ramps this query
-    // over several executions (measured 0.59 → 0.47 → 0.20 s on an idle
-    // box), and an un-primed first sample would fake a ~3× load_index
-    sentinelFn.foreach { fn =>
+    // consecutive runs within 25%, up to 8 runs): C2 JIT ramps a small
+    // scan-agg over several executions (measured 0.59 → 0.47 → 0.20 s on
+    // an idle box), and an un-primed first sample would fake a ~3× load
+    // index
+    {
       var prev = Double.MaxValue
       var i = 0
       var stable = false
       while (i < 8 && !stable) {
-        val t = timed(() => { fn(spark, sfDir).count(); () })
+        val t = timed(sentinelQuery)
         if (t >= 0 && prev < Double.MaxValue && t <= prev * 1.25 && prev <= t * 1.25)
           stable = true
         prev = t
@@ -170,7 +184,11 @@ object Bench {
     val total = (results.map(_._2) ++ shared.map(_._2)).filter(_ >= 0).sum
     val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sentinelJson = sentinelSecs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    // formatLocal(Locale.ROOT): the default-locale f-interpolator would
+    // emit comma decimals (0,123) on comma-decimal JVMs and corrupt the JSON
+    val sentinelJson = sentinelSecs
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
     // compact duplicate as the VERY LAST line: the driver keeps only the
     // final ~2 KB of output, which truncates the front of the full-precision
@@ -185,6 +203,11 @@ object Bench {
     // driver's ~2 KB tail — the full-precision line above carries it;
     // "li" is the load_index (the one diagnostic worth its bytes here)
     println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"sb":$compactShared,"q":$compact}""")
+    // headline + load_index once more as the VERY LAST (≤100-byte) line:
+    // with 106 queries even the compact line overflows the driver's ~2 KB
+    // tail and its leading fields get cut — round 7's load_index vanished
+    // exactly when it had something to say
+    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)}}""")
     spark.stop()
   }
 }

@@ -626,9 +626,15 @@ object TextQueries {
     * is reused verbatim; the doc rollup groups on a prefix of the same
     * key, so no second wide exchange materializes at scale.
     */
-  private def spanDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  private def spanDedup(spark: SparkSession, sfDir: String): DataFrame =
+    spanDedupOn(docs(spark, sfDir))
+
+  /** [[spanDedup]] over an arbitrary (doc_id, text) frame — split out so
+    * the packing guard is testable with a planted oversized document.
+    */
+  private[graft] def spanDedupOn(d: DataFrame): DataFrame = {
     val words = filter(split(lower(col("text")), " "), x => x =!= lit(""))
-    val spans = docs(spark, sfDir)
+    val spans = d
       .filter(col("text").isNotNull)
       .select(col("doc_id"), words.as("words"))
       .withColumn("dl", size(col("words")).cast("long"))
@@ -636,8 +642,17 @@ object TextQueries {
       .select(col("doc_id"), col("words"),
         explode(sequence(lit(0L),
           call_function("div", col("dl") + 7L, lit(8L)) - 1L)).as("span_idx"))
+    // the (doc_id, span_idx) → doc_id·10⁶ + span_idx packing is only
+    // order-isomorphic while span_idx < 10⁶ (docs ≤ 8M tokens); an
+    // oversized doc must fail loudly here, not silently alias another
+    // doc's spans and corrupt the dedup accounting
+    val guardedIdx = when(col("span_idx") < 1000000L, col("span_idx"))
+      .otherwise(raise_error(concat(
+        lit("span_dedup: doc "), col("doc_id").cast("string"),
+        lit(" exceeds 8M tokens (span_idx "), col("span_idx").cast("string"),
+        lit(" breaks the 10^6 span_id packing))"))))
     val withId = spans.select(
-      (col("doc_id") * 1000000L + col("span_idx")).as("span_id"),
+      (col("doc_id") * 1000000L + guardedIdx).as("span_id"),
       array_join(
         slice(col("words"), (col("span_idx") * 8L + 1L).cast("int"), lit(8)),
         " ").as("span_text"))
@@ -671,7 +686,10 @@ object TextQueries {
     * weighting stays monotone in 1/df, dampening comes from the tf
     * saturation term). Exact while 220·tf·A·10⁶ < 2⁶³ — documents to ~40k
     * tokens at avgdl 1000; corpus size only enters through N and the
-    * pre-divided A, never as a raw Σdl product.
+    * pre-divided A, never as a raw Σdl product. Both halves of that
+    * envelope are enforced (`require` on N; a per-row raise on tf), and
+    * the final ranking compares the BIGINT scores exactly (long-keyed
+    * top-k — no 2^53 double collapse).
     *
     * Plan shape for 100 TB: the exploded term stream is broadcast-filtered
     * to query terms BEFORE the only wide exchange (groupBy (doc, dl,
@@ -691,14 +709,28 @@ object TextQueries {
     val nDocs = totals.getLong(0)
     val avgdlMil = 1000L * totals.getLong(1) / nDocs // exact: ⌊1000·ΣDL/N⌋
     require(nDocs > 0 && avgdlMil > 0, "bm25_rank: empty corpus")
+    // the scaladoc's 2^63 envelope, enforced: idf·tfn ≤ 10⁶·N · 2.2·10⁷
+    // must not wrap (idf ≤ 10⁶·N at df=1; tfn < 10⁶·220/10)
+    require(nDocs <= Long.MaxValue / (1000000L * 22000000L),
+      s"bm25_rank: $nDocs docs overflows the 10^6-scaled integer idf*tfn " +
+        "envelope (~4.1e5 docs max); rescale idf (10^6 -> 10^3) first")
     val qterms = Bm25Queries
       .flatMap { case (qid, s) => s.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
+    // per-row half of the envelope: the tfn numerator 2.2·10⁸·tf·A needs
+    // tf ≤ 2^63 / (2.2·10⁸·A) — the scaladoc's "~40k tokens at avgdl
+    // 1000"; an oversized doc must raise, not silently wrap
+    val maxTf = Long.MaxValue / (220L * 1000000L * avgdlMil)
     val tf = d
       .select(col("doc_id"), col("dl"), explode(col("words")).as("term"))
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("tf",
+        when(col("tf") <= lit(maxTf), col("tf"))
+          .otherwise(raise_error(concat(
+            lit("bm25_rank: tf "), col("tf").cast("string"),
+            lit(s" exceeds the 2^63 envelope (max $maxTf at this avgdl)")))))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = call_function("div", lit(1000000L) * nDocs, col("df"))
     val tfn = call_function("div",
@@ -711,13 +743,15 @@ object TextQueries {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s")).as("score_scaled"))
       .groupBy(col("query_id"))
+      // long-keyed top-k: scores are integer-scaled BIGINTs, and a double
+      // buffer key would collapse distinct scores past 2^53
       .agg(graft.functions.TopK
-        .top_k_by_score(col("score_scaled").cast("double"), col("doc_id"), 10)
+        .top_k_by_long_score(col("score_scaled"), col("doc_id"), 10)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("doc_id"),
-        col("col._1").cast("long").as("score_scaled"))
+        col("col._1").as("score_scaled"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -89,6 +89,72 @@ class TopKByScore(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }
 
+/** [[TopKByScore]] with BIGINT scores compared as exact integers — for
+  * rankings whose scores are integer-scaled fixed-point values (bm25_rank's
+  * score_scaled): a double-keyed buffer would collapse scores past 2^53 to
+  * the same key and break the (score DESC, id ASC) total order exactly
+  * where ties matter. Same partial+final shape and determinism contract.
+  */
+class TopKByLongScore(k: Int)
+    extends Aggregator[(Long, Long), TopKLongBuffer, Seq[(Long, Long)]] {
+  require(k > 0, "k must be positive")
+
+  @inline private def before(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
+    sa > sb || (sa == sb && ia < ib)
+
+  override def zero: TopKLongBuffer =
+    TopKLongBuffer(Array.emptyLongArray, Array.emptyLongArray)
+
+  override def reduce(b: TopKLongBuffer, in: (Long, Long)): TopKLongBuffer = {
+    val (s, id) = in
+    val n = b.scores.length
+    if (n >= k && !before(s, id, b.scores(n - 1), b.ids(n - 1))) b
+    else {
+      var ins = 0
+      while (ins < n && before(b.scores(ins), b.ids(ins), s, id)) ins += 1
+      val m = math.min(n + 1, k)
+      val ss = new Array[Long](m)
+      val is = new Array[Long](m)
+      System.arraycopy(b.scores, 0, ss, 0, ins)
+      System.arraycopy(b.ids, 0, is, 0, ins)
+      ss(ins) = s
+      is(ins) = id
+      System.arraycopy(b.scores, ins, ss, ins + 1, m - ins - 1)
+      System.arraycopy(b.ids, ins, is, ins + 1, m - ins - 1)
+      TopKLongBuffer(ss, is)
+    }
+  }
+
+  override def merge(a: TopKLongBuffer, b: TopKLongBuffer): TopKLongBuffer = {
+    if (a.scores.isEmpty) return b
+    if (b.scores.isEmpty) return a
+    val m = math.min(a.scores.length + b.scores.length, k)
+    val ss = new Array[Long](m)
+    val is = new Array[Long](m)
+    var i = 0
+    var j = 0
+    var o = 0
+    while (o < m) {
+      val takeA = j >= b.scores.length ||
+        (i < a.scores.length && before(a.scores(i), a.ids(i), b.scores(j), b.ids(j)))
+      if (takeA) { ss(o) = a.scores(i); is(o) = a.ids(i); i += 1 }
+      else { ss(o) = b.scores(j); is(o) = b.ids(j); j += 1 }
+      o += 1
+    }
+    TopKLongBuffer(ss, is)
+  }
+
+  override def finish(b: TopKLongBuffer): Seq[(Long, Long)] =
+    b.scores.indices.map(i => (b.scores(i), b.ids(i)))
+
+  override def bufferEncoder: Encoder[TopKLongBuffer] =
+    Encoders.product[TopKLongBuffer]
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+final case class TopKLongBuffer(scores: Array[Long], ids: Array[Long])
+
 object TopK {
   /** Column function: `df.groupBy(g).agg(top_k_by_score($"score", $"id", 5))`
     * → array of (score, id) structs ordered by (score DESC, id ASC); explode
@@ -96,4 +162,10 @@ object TopK {
     */
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     udaf(new TopKByScore(k)).apply(score, id)
+
+  /** [[top_k_by_score]] over BIGINT scores with exact integer comparison
+    * (no 2^53 double collapse); same (score DESC, id ASC) order contract.
+    */
+  def top_k_by_long_score(score: Column, id: Column, k: Int): Column =
+    udaf(new TopKByLongScore(k)).apply(score, id)
 }

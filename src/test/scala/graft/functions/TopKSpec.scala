@@ -74,6 +74,26 @@ class TopKSpec extends SparkSpec with Matchers {
       ("a", 1L, 11L, 2.0), ("a", 2L, 10L, 1.0), ("b", 1L, 12L, 0.0))
   }
 
+  test("long-keyed variant stays exact past 2^53 where doubles collapse") {
+    import spark.implicits._
+    val base = 1L << 53
+    // base+1 .. base+3 are NOT all representable as doubles (adjacent
+    // doubles are 2 apart up there): a double-keyed buffer would tie or
+    // misorder them; the long-keyed buffer must rank them exactly
+    val rows = Seq(("g", base + 1L, 1L), ("g", base + 2L, 2L),
+      ("g", base + 3L, 3L), ("g", base + 3L, 0L))
+    val out = rows.toDF("g", "score", "id").repartition(3)
+      .groupBy(col("g"))
+      .agg(TopK.top_k_by_long_score(col("score"), col("id"), 3).as("top"))
+      .select(posexplode(col("top")))
+      .select(col("pos"), col("col._1"), col("col._2"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    // ties broken by ascending id, same contract as the double form
+    assert(out == Seq((0, base + 3L, 0L), (1, base + 3L, 3L),
+      (2, base + 2L, 2L)))
+  }
+
   test("plan is partial+final aggregate, not a window sort") {
     import spark.implicits._
     val df = (0L until 100L).map(i => ("g" + (i % 3), i * 0.5, i))
