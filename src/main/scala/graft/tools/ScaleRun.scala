@@ -87,13 +87,37 @@ object ScaleRun {
       val src = spark.read.parquet(s"$base/$t.parquet")
       writeSingleFile(Seq.fill(factor)(src).reduce(_ unionAll _), out, s"$t.parquet")
     }
+
+    // events ×N: user_id/event_id offset per replica, ts/type/value/props
+    // untouched — the realistic scale axis is MORE USERS over the SAME
+    // period, so per-user session/funnel structure is identical per
+    // replica and the event-time family (sessionization, as-of, interval
+    // join, funnel) should scale ≈linearly in the user-keyed shuffles.
+    // ts is replicated as-is, whatever physical type the testdata ships
+    // (the queries adapt via graft.Events).
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val nUsers = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    val nEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val evReps = (0 until factor).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * nEv)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(k * nUsers)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
+    writeSingleFile(evReps.reduce(_ unionAll _), out, "events.parquet")
   }
 
   private val ScaleQueries = Seq(
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
-    "dist_drift", "emb_drift")
+    "dist_drift", "emb_drift",
+    // event-time family (replica-offset user_ids: more users, same
+    // period). q13's N× user_ids miss the un-offset orders dim by design —
+    // the asof probe side, which is what grows, is still fully exercised.
+    "event_sessions", "q13_asof_join", "q16_interval_join", "q21_funnel",
+    "stream_sessions")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
