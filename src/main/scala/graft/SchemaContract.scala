@@ -65,12 +65,13 @@ object SchemaContract {
       "label" -> Set("int")))
 
   /** Human-readable drift lines ("table.column: got X, contract allows Y"),
-    * empty when the sfDir matches the contract. Extra columns are reported
-    * too — new driver columns are a (benign) contract update signal, not an
-    * error the queries would hit, but they should never pass silently.
+    * empty when the sfDir matches the contract. Extra columns AND extra
+    * tables are reported too — new driver surfaces are a (benign) contract
+    * update signal, not an error the queries would hit, but they should
+    * never pass silently.
     */
-  def diff(spark: SparkSession, sfDir: String): Seq[String] =
-    Expected.flatMap { case (table, cols) =>
+  def diff(spark: SparkSession, sfDir: String): Seq[String] = {
+    val tableDrift = Expected.flatMap { case (table, cols) =>
       val path = s"$sfDir/$table.parquet"
       try {
         val actual = spark.read.parquet(path).schema
@@ -93,4 +94,14 @@ object SchemaContract {
         case e: Throwable => Seq(s"$table: unreadable at $path: ${e.getMessage}")
       }
     }
+    val knownTables = Expected.map(_._1 + ".parquet").toSet
+    val extraTables =
+      try {
+        val dir = new java.io.File(sfDir)
+        Option(dir.list()).getOrElse(Array.empty[String]).toSeq.sorted
+          .filter(f => f.endsWith(".parquet") && !knownTables(f))
+          .map(f => s"$f: EXTRA table not in contract")
+      } catch { case _: Throwable => Nil }
+    tableDrift ++ extraTables
+  }
 }
