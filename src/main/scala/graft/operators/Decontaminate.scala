@@ -103,10 +103,23 @@ object Decontaminate {
     val bf =
       try benchGrams.stat.bloomFilter("gram", math.max(benchGrams.count(), 1L), fpp)
       finally benchGrams.unpersist(blocking = false)
-    // captured in the UDF closure (per-stage torrent broadcast) rather
-    // than an explicit sticky broadcast: the ContextCleaner reclaims it
-    // when the returned plan becomes unreachable
-    val bloomHit = udf((g: Long) => bf.mightContainLong(g))
+    // the probe is Spark's own codegen BloomFilterMightContain predicate
+    // (the expression runtime row-level filtering injects), fed the
+    // serialized filter as a binary literal: a primitive long→boolean
+    // path inside WholeStageCodegen, vs the boxing ScalaUDF bridge. The
+    // literal rides the task binary exactly like a UDF closure capture
+    // would, so the broadcast/cleanup story is unchanged.
+    val serializedBf = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    def bloomHit(value: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftBridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            serializedBf, org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.GraftBridge.expression(value)))
 
     // stage 1: doc universe + distinct-gram counts, narrow (report's
     // output universe is docs with >= 1 gram; empty docs emit none)
