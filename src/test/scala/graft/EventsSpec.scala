@@ -36,6 +36,26 @@ class EventsSpec extends SparkSpec {
     assert(instants.toSet == Set(instantUs), instants.toString)
   }
 
+  test("layout agreement holds across a spread of instants (incl. pre-epoch)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // epoch-negative through 2100, µs precision — the full range the
+    // TIMESTAMP(MICROS) physical type can ship
+    val instants = Seq(-1234567L, 0L, 1L, 999999L) ++
+      Seq.fill(100)((rng.nextDouble() * 4.1e15).toLong - 5e14.toLong)
+    val asLong = instants.map(_ * 1000L).toDF("ts")
+    def micros(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.select(Events.microsExpr(df).as("us")).collect().map(_.getLong(0)).toSeq
+    val viaLong = micros(asLong)
+    val viaNtz = micros(asLong.select(
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").as("ts")))
+    val viaTs = micros(asLong.select(
+      timestamp_micros(expr("ts div 1000")).as("ts")))
+    assert(viaLong == instants)
+    assert(viaNtz == instants)
+    assert(viaTs == instants)
+  }
+
   test("an unsupported ts type fails loudly, not with shifted arithmetic") {
     import spark.implicits._
     val df = Seq("2024-01-01").toDF("ts")
