@@ -622,9 +622,6 @@ object Dedupe {
     }
   }
 
-  private val simhashUdf = udf { (text: String) => simhash(text) }
-  def simhashCol(text: Column): Column = simhashUdf(text)
-
   /** SimHash near-dup pairs with hamming distance ≤ maxDistance, candidates
     * via pigeonhole block match: with 4 blocks of 16 bits, any pair at
     * hamming ≤ 3 agrees on ≥ 1 whole block — full recall, no n² join.
