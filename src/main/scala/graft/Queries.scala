@@ -892,6 +892,22 @@ object Queries {
       spark, s"$sfDir/documents.parquet", name, shingleK, numHashes, bands)
   }
 
+  /** Streaming CDC dedup estimate ([[graft.streaming.StreamCdc]]): the
+    * flagship estimator run continuously over the documents stream, with
+    * the per-hash merge as the one stateful operator. The oracle reads the
+    * batch-twin chunk relation (same codegen chunker expression, same
+    * doc-payload params — chunking is deterministic per payload, so the
+    * stream and the batch scan produce the identical relation) persisted
+    * as the `doc_chunks` side table shared with `doc_cdc`.
+    */
+  private def streamCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    oracleSide(spark, sfDir, "doc_chunks",
+      TextQueries.sharedDocChunks(spark, sfDir)
+        .select(col("source"), col("hash"), col("size")))
+    graft.streaming.StreamCdc.runEstimateOnce(
+      spark, s"$sfDir/documents.parquet", s"doc_cdc_est_${dirTag(sfDir)}")
+  }
+
   /** Interval (range) join via the binned decomposition (RangeJoin): each
     * purchase event anchors a 24-hour follow-up window; every event of the
     * same user inside [anchor, anchor+24h] matches — the attribution-
@@ -1303,6 +1319,7 @@ object Queries {
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
     "stream_neardup" -> (streamNearDup _),
+    "stream_cdc" -> (streamCdc _),
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
     "dist_drift" -> (distDrift _),
@@ -1697,6 +1714,15 @@ object Queries {
         |FROM t JOIN b USING (blob_id)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_cdc" ->
+      s"""WITH per AS (
+        |  SELECT hash, MIN(size) AS size, SUM(size) AS occ
+        |  FROM read_parquet('${oracleSidePath("doc_chunks")}') GROUP BY hash)
+        |SELECT CAST(SUM(occ) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(size) AS BIGINT) AS unique_bytes,
+        |  CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+        |  CAST(SUM(size) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE) AS dedup_ratio
+        |FROM per""".stripMargin,
     "stream_neardup" ->
       s"""WITH b AS (
         |  SELECT band, bucket, id FROM read_parquet('${oracleSidePath("stream_bands")}')),

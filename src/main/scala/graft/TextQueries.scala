@@ -395,7 +395,7 @@ object TextQueries {
     */
   private val docChunksCache = new Queries.SessionRelationCache[DataFrame]
 
-  private def sharedDocChunks(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def sharedDocChunks(spark: SparkSession, sfDir: String): DataFrame =
     docChunksCache.getOrElseUpdate(spark, sfDir) {
       import graft.plans.CdcChunks
       val df = docs(spark, sfDir)
