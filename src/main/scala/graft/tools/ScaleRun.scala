@@ -117,7 +117,9 @@ object ScaleRun {
     // period). q13's N× user_ids miss the un-offset orders dim by design —
     // the asof probe side, which is what grows, is still fully exercised.
     "event_sessions", "q13_asof_join", "q16_interval_join", "q21_funnel",
-    "stream_sessions")
+    "stream_sessions",
+    // streaming estimator: chunk volume and per-hash state both grow 10×
+    "stream_cdc")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
