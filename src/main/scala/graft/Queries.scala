@@ -908,6 +908,23 @@ object Queries {
       spark, s"$sfDir/documents.parquet", s"doc_cdc_est_${dirTag(sfDir)}")
   }
 
+  /** Bounded-state twin of [[streamCdc]]: the KMV-sketch estimate whose
+    * streaming state is k longs + two counters regardless of corpus size —
+    * the configuration an unbounded 100 TB ingest monitor actually runs.
+    * The oracle mirrors the KMV order-statistics estimator (kth minimum in
+    * unsigned order → k/v̂ − 1) operation-for-operation in SQL over the
+    * same `doc_chunks` side table, double rounding included — the reason
+    * this sketch (and not HLL, whose register estimate is Spark-internal)
+    * backs the approximate monitor.
+    */
+  private def streamCdcApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    oracleSide(spark, sfDir, "doc_chunks",
+      TextQueries.sharedDocChunks(spark, sfDir)
+        .select(col("source"), col("hash"), col("size")))
+    graft.streaming.StreamCdc.runApproxEstimateOnce(
+      spark, s"$sfDir/documents.parquet", s"doc_cdc_kmv_${dirTag(sfDir)}")
+  }
+
   /** Interval (range) join via the binned decomposition (RangeJoin): each
     * purchase event anchors a 24-hour follow-up window; every event of the
     * same user inside [anchor, anchor+24h] matches — the attribution-
@@ -1320,6 +1337,7 @@ object Queries {
     "stream_join" -> (streamJoin _),
     "stream_neardup" -> (streamNearDup _),
     "stream_cdc" -> (streamCdc _),
+    "stream_cdc_approx" -> (streamCdcApprox _),
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
     "dist_drift" -> (distDrift _),
@@ -1714,6 +1732,38 @@ object Queries {
         |FROM t JOIN b USING (blob_id)""".stripMargin,
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_cdc_approx" ->
+      // mirrors KmvSketch.finish exactly: values compare in unsigned order
+      // (xor with Long.MinValue), v̂ = double(kth) − double(Long.MinValue)
+      // over 2^64, estimate = max(k, ⌊k/v̂ − 1 + 0.5⌋); m < k ⇒ exact m
+      s"""WITH c AS (
+        |  SELECT DISTINCT hash
+        |  FROM read_parquet('${oracleSidePath("doc_chunks")}')),
+        |t AS (
+        |  SELECT CAST(COALESCE(SUM(size), 0) AS BIGINT) AS total_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS occurrences
+        |  FROM read_parquet('${oracleSidePath("doc_chunks")}')),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM c),
+        |kth AS (
+        |  SELECT fv FROM (
+        |    SELECT xor(hash, (-9223372036854775807 - 1)) AS fv FROM c)
+        |  ORDER BY fv LIMIT 1 OFFSET 1023),
+        |est AS (
+        |  SELECT CASE WHEN m.m < 1024 THEN m.m ELSE (
+        |    SELECT GREATEST(1024, CAST(FLOOR(
+        |      1024.0 / ((CAST(fv AS DOUBLE) + 9223372036854775808.0)
+        |        / 18446744073709551616.0) - 1.0 + 0.5) AS BIGINT))
+        |    FROM kth) END AS kmv
+        |  FROM m)
+        |SELECT t.total_bytes, t.occurrences,
+        |  est.kmv AS kmv_unique_chunks,
+        |  CAST(est.kmv AS DOUBLE)
+        |    * (CAST(t.total_bytes AS DOUBLE) / CAST(t.occurrences AS DOUBLE))
+        |    AS approx_unique_bytes,
+        |  CAST(est.kmv AS DOUBLE)
+        |    * (CAST(t.total_bytes AS DOUBLE) / CAST(t.occurrences AS DOUBLE))
+        |    / CAST(t.total_bytes AS DOUBLE) AS approx_dedup_ratio
+        |FROM t, est""".stripMargin,
     "stream_cdc" ->
       s"""WITH per AS (
         |  SELECT hash, MIN(size) AS size, SUM(size) AS occ

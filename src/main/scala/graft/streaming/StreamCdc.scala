@@ -16,8 +16,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * per-hash merge `groupBy(hash).agg(min(size), sum(size))` — the A1
   * estimator shuffle as a complete-mode streaming aggregation, whose state
   * is exactly the merged chunk relation a batch run would shuffle.
-  * Unbounded-corpus deployments would swap the exact per-hash state for
-  * the HLL approximate path (`cdc_estimate_approx`'s sketch) or emit
+  * Unbounded-corpus deployments swap the exact per-hash state for
+  * [[runApproxEstimateOnce]]'s KMV sketch (fixed-size state) or emit
   * windowed deltas; the exact mode here is the finite-backfill /
   * bounded-chunk-space contract, same as [[EventStream.dedupKeys]].
   */
@@ -52,5 +52,47 @@ object StreamCdc {
         count(lit(1)).as("unique_chunks"))
       .withColumn("dedup_ratio",
         col("unique_bytes").cast("double") / col("total_bytes").cast("double"))
+  }
+
+  /** BOUNDED-STATE variant for genuinely unbounded streams — the shape
+    * [[runEstimateOnce]]'s scaladoc promises: no per-hash state at all.
+    * The whole streaming state is one mergeable KMV sketch (k sorted
+    * longs, [[graft.functions.KmvSketch]]) plus two counters, so the
+    * monitor runs forever at fixed memory; unique bytes are estimated as
+    * kmv_distinct × mean chunk size (the `statsApprox` formula).
+    *
+    * KMV over HLL here on purpose: Spark's HLL++ register estimate is not
+    * reproducible outside Spark, while the KMV estimator is deterministic
+    * order-statistics arithmetic a SQL oracle mirrors operation-for-
+    * operation — so even the approximate monitor stays cell-exact
+    * verifiable (`stream_cdc_approx`).
+    */
+  def runApproxEstimateOnce(
+      spark: SparkSession,
+      dir: String,
+      queryName: String,
+      textCol: String = "text",
+      minLen: Int = 16,
+      maxLen: Int = 256,
+      maskBits: Int = 5,
+      k: Int = 1024): DataFrame = {
+    val agg = EventStream.runToMemory(spark, dir, queryName,
+      df => df
+        .select(graft.plans.CdcChunks.cdc_chunks(
+          encode(col(textCol), "UTF-8"), minLen, maxLen, maskBits))
+        .select(col("hash"), col("size"))
+        .agg(
+          coalesce(sum(col("size")), lit(0L)).as("total_bytes"),
+          count(lit(1)).as("occurrences"),
+          graft.functions.KmvSketch.kmv_distinct(col("hash"), k)
+            .as("kmv_unique_chunks")),
+      OutputMode.Complete())
+    // mirror the oracle's double arithmetic operation-for-operation
+    val approxBytes = col("kmv_unique_chunks").cast("double") *
+      (col("total_bytes").cast("double") / col("occurrences").cast("double"))
+    agg.select(
+      col("total_bytes"), col("occurrences"), col("kmv_unique_chunks"),
+      approxBytes.as("approx_unique_bytes"),
+      (approxBytes / col("total_bytes").cast("double")).as("approx_dedup_ratio"))
   }
 }
