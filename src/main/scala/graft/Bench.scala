@@ -129,12 +129,15 @@ object Bench {
     // round-over-round comparability.
     val sentinelName = "sentinel_lineitem_scan_agg"
     val sentinelQuery: () => Unit = () => {
+      // collect(), not count(): count() would let Catalyst prune the
+      // aggregate expressions and reduce the sentinel to a one-column
+      // scan — the result is ≤ |l_linestatus| rows, so collect is free
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy(col("l_linestatus"))
         .agg(org.apache.spark.sql.functions.sum(col("l_extendedprice"))
           .as("sum_price"),
           org.apache.spark.sql.functions.avg(col("l_discount")).as("avg_disc"))
-        .count()
+        .collect()
       ()
     }
     val sentinelEvery = 10
@@ -190,9 +193,10 @@ object Bench {
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
-    // compact duplicate as the VERY LAST line: the driver keeps only the
-    // final ~2 KB of output, which truncates the front of the full-precision
-    // line once the catalog is large — this 10 ms-rounded copy stays intact
+    // compact 10 ms-rounded duplicate: the driver keeps only the final
+    // ~2 KB of output, which truncates the front of the full-precision
+    // line once the catalog is large — and the tiny {"total","li"} line
+    // printed after this one is the last-resort copy that always survives
     def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val compact = results
       .map { case (k, v) => "\"" + k + "\":" + n2(v) }

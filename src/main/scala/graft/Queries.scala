@@ -129,13 +129,25 @@ object Queries {
       .orElse(sys.env.get("GRAFT_ORACLE_ROOT"))
       .getOrElse(new java.io.File("target/oracle").getAbsolutePath)
 
+  // side tables are deterministic functions of (sfDir, name), so within a
+  // JVM the first write is authoritative — later callers sharing a table
+  // (doc_cdc + the two stream_cdc variants all persist doc_chunks) read it
+  // back instead of re-writing identical bytes
+  private val sideWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** `df` is BY-NAME on purpose: when side tables are disabled (every
+    * timed Bench run) the relation must not even be constructed — eager
+    * evaluation here once charged a full corpus chunk+persist pass to
+    * stream_cdc's first timed run.
+    */
   private[graft] def oracleSide(
-      spark: SparkSession, sfDir: String, name: String, df: DataFrame): DataFrame =
+      spark: SparkSession, sfDir: String, name: String, df: => DataFrame): DataFrame =
     if (!sideTablesEnabled) df
     else {
       val base = new java.io.File(sfDir).getName
       val path = s"$oracleRoot/$base/$name"
-      df.write.mode("overwrite").parquet(path)
+      if (sideWritten.add(path)) df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
 
@@ -901,9 +913,13 @@ object Queries {
     * as the `doc_chunks` side table shared with `doc_cdc`.
     */
   private def streamCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    oracleSide(spark, sfDir, "doc_chunks",
-      TextQueries.sharedDocChunks(spark, sfDir)
-        .select(col("source"), col("hash"), col("size")))
+    // guarded: the stream chunks for itself, so timed runs must not even
+    // construct the batch-twin relation (sharedDocChunks materializes
+    // eagerly); only verification runs persist it for the oracle
+    if (sideTablesEnabled)
+      oracleSide(spark, sfDir, "doc_chunks",
+        TextQueries.sharedDocChunks(spark, sfDir)
+          .select(col("source"), col("hash"), col("size")))
     graft.streaming.StreamCdc.runEstimateOnce(
       spark, s"$sfDir/documents.parquet", s"doc_cdc_est_${dirTag(sfDir)}")
   }
@@ -918,9 +934,11 @@ object Queries {
     * backs the approximate monitor.
     */
   private def streamCdcApprox(spark: SparkSession, sfDir: String): DataFrame = {
-    oracleSide(spark, sfDir, "doc_chunks",
-      TextQueries.sharedDocChunks(spark, sfDir)
-        .select(col("source"), col("hash"), col("size")))
+    // same guard (and write-once dedup vs doc_cdc/stream_cdc) as streamCdc
+    if (sideTablesEnabled)
+      oracleSide(spark, sfDir, "doc_chunks",
+        TextQueries.sharedDocChunks(spark, sfDir)
+          .select(col("source"), col("hash"), col("size")))
     graft.streaming.StreamCdc.runApproxEstimateOnce(
       spark, s"$sfDir/documents.parquet", s"doc_cdc_kmv_${dirTag(sfDir)}")
   }

@@ -302,6 +302,9 @@ object TextQueries {
   private[graft] val sharedBuildConsumers: Map[String, Set[String]] = Map(
     "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "dedup_keep_best",
       "pipeline_curate"),
+    // NOT stream_cdc/stream_cdc_approx: they reference the relation only
+    // as oracleSide's by-name side-table argument, which timed runs
+    // (side tables off) never evaluate — the stream chunks for itself
     "doc_cdc_chunks" -> Set("doc_cdc", "source_similarity"))
 
   /** Duplicate clustering (connected components, min-id labels) over the
@@ -650,7 +653,7 @@ object TextQueries {
       .otherwise(raise_error(concat(
         lit("span_dedup: doc "), col("doc_id").cast("string"),
         lit(" exceeds 8M tokens (span_idx "), col("span_idx").cast("string"),
-        lit(" breaks the 10^6 span_id packing))"))))
+        lit(" breaks the 10^6 span_id packing)"))))
     val withId = spans.select(
       (col("doc_id") * 1000000L + guardedIdx).as("span_id"),
       array_join(

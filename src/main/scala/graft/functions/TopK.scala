@@ -94,6 +94,13 @@ class TopKByScore(k: Int)
   * score_scaled): a double-keyed buffer would collapse scores past 2^53 to
   * the same key and break the (score DESC, id ASC) total order exactly
   * where ties matter. Same partial+final shape and determinism contract.
+  *
+  * DELIBERATE mirror of TopKByScore's reduce/merge/finish rather than a
+  * shared generic core: the Aggregator encoder needs a concrete buffer
+  * case class per score type, and the double variant's comparator carries
+  * NaN/-0.0 total-order semantics a shared comparator would have to
+  * re-encode. Any logic fix to one MUST be applied to both — TopKSpec
+  * pins both variants against the same window-form reference.
   */
 class TopKByLongScore(k: Int)
     extends Aggregator[(Long, Long), TopKLongBuffer, Seq[(Long, Long)]] {
