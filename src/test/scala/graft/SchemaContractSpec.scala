@@ -15,15 +15,19 @@ class SchemaContractSpec extends SparkSpec {
         "consumer of the drifted column:\n  " + drift.mkString("\n  "))
   }
 
-  test("contract detector actually fires on a wrong type") {
+  test("contract detector actually fires on a wrong type and an extra table") {
     // sanity-check the tripwire itself: a deliberately mistyped view of
-    // events must produce a named, column-specific drift line
+    // events must produce a named, column-specific drift line, and an
+    // unknown table file must surface as EXTRA
     val dir = java.nio.file.Files.createTempDirectory("contract-neg")
     val ev = spark.read.parquet(sf() + "/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("string"))
     ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    ev.limit(1).write.mode("overwrite").parquet(s"$dir/surprise.parquet")
     val drift = SchemaContract.diff(spark, dir.toString)
     assert(drift.exists(d => d.startsWith("events.ts:") && d.contains("string")),
       s"expected an events.ts drift line, got: $drift")
+    assert(drift.exists(d => d.startsWith("surprise.parquet:") && d.contains("EXTRA table")),
+      s"expected an extra-table drift line, got: $drift")
   }
 }
