@@ -455,6 +455,21 @@ object Queries {
         (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
   }
 
+  /** Z-order vs linear layout experiment over events (time × user): which
+    * physical clustering lets footer min/max stats prune more of the 64
+    * simulated files for a 2-D probe box? All integer arithmetic (the
+    * quantize/interleave SQL is generated once and shared with the DuckDB
+    * oracle, [[graft.operators.ZOrder]]); one aggregation shuffle, bounds
+    * via broadcast cross join — no driver collect. At 100 TB the winning
+    * key feeds `repartitionByRange` + write; this query prices that
+    * rewrite before paying for it.
+    */
+  private def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ZOrder.layoutStats(
+      ev.select(Events.microsExpr(ev).as("x"), col("user_id").as("y")))
+  }
+
   /** Semi-structured extraction: pull the integer `$.k` field out of the
     * JSON `props` column with codegen'd `get_json_object` (no UDF), then
     * aggregate per event type — the log-enrichment shape where 100 TB of
@@ -1246,6 +1261,16 @@ object Queries {
         col("length").as("n_bytes"))
   }
 
+  /** Compaction plan over the sf dir's table files: greedy ordered
+    * bin-packing of file metadata into ~1 MiB output groups — the
+    * small-files maintenance op ([[graft.operators.Compaction]]). The
+    * oracle replays the greedy fold file-for-file with a recursive CTE
+    * over the identical listing.
+    */
+  private val compactTargetBytes = 1L << 20
+  private def compactPlan(spark: SparkSession, sfDir: String): DataFrame =
+    Compaction.plan(spark, sfDir, compactTargetBytes)
+
   /** PII redaction audit over a deterministic profile string synthesized
     * from customer columns (the trimmed schema has no phone/address
     * columns, so the query manufactures emails / phones / IPs / digit runs
@@ -1334,6 +1359,7 @@ object Queries {
     "q12_event_seq" -> q12EventSeq _,
     "event_sessions" -> eventSessions _,
     "event_props" -> eventProps _,
+    "zorder_layout" -> zorderLayout _,
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
     "q15_bucketed_join" -> q15BucketedJoin _,
@@ -1371,6 +1397,7 @@ object Queries {
     "chunk_matrix" -> (chunkMatrix _),
     "git_revisions" -> (gitRevisions _),
     "glob_expand" -> (globExpand _),
+    "compact_plan" -> (compactPlan _),
     "chunk_segments" -> (chunkSegments _),
     "chunk_dump" -> (chunkDump _),
     "chunk_size_stats" -> (chunkSizeStats _)
@@ -1435,6 +1462,15 @@ object Queries {
         |  CAST(octet_length(content) AS BIGINT) AS n_bytes
         |FROM read_blob('$oracleSfDir/*.parquet')
         |WHERE NOT regexp_matches(regexp_extract(filename, '[^/]+$$'), '^[_.]')""".stripMargin,
+    "compact_plan" ->
+      // same listing contract as glob_expand, then the greedy first-fit
+      // fold replayed exactly by a one-row-per-step recursive CTE
+      s"""WITH RECURSIVE __files AS (
+        |  SELECT regexp_extract(filename, '[^/]+$$') AS file_name,
+        |    CAST(octet_length(content) AS BIGINT) AS n_bytes
+        |  FROM read_blob('$oracleSfDir/*.parquet')
+        |  WHERE NOT regexp_matches(regexp_extract(filename, '[^/]+$$'), '^[_.]')),
+        |${Compaction.planOracleSql(compactTargetBytes)}""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1517,6 +1553,11 @@ object Queries {
         |  CAST(SUM(k) AS BIGINT) AS sum_k,
         |  MIN(k) AS min_k, MAX(k) AS max_k
         |FROM e GROUP BY event_type""".stripMargin,
+    "zorder_layout" ->
+      s"""WITH __ev AS (
+        |  SELECT epoch_us(ts) AS x, user_id AS y FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |${ZOrder.layoutStatsOracleSql()}""".stripMargin,
     "q14_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
