@@ -200,6 +200,22 @@ class QueriesPlanSpec extends SparkSpec {
       s"PQ scoring must not shuffle the corpus:\n${df.queryExecution.executedPlan}")
   }
 
+  test("zorder_layout: bounds broadcast, exactly one aggregation shuffle") {
+    val df = Queries.all("zorder_layout")(spark, sfDir)
+    val n = shuffles(df)
+    // the bounds row reaches every task via broadcast cross join and the
+    // quantize/interleave pass is narrow — the per-bucket stats agg is
+    // the query's only exchange (its partial/final split may surface as
+    // one exchange per layout branch under AQE, never more)
+    assert(n <= 2,
+      s"zorder_layout must shuffle only the bucket agg:\n${df.queryExecution.executedPlan}")
+    val bc = countNodes(df.queryExecution.executedPlan) {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+      case _ => false
+    }
+    assert(bc >= 1, "bounds row must broadcast, not shuffle")
+  }
+
   test("q15 results match the plain join regardless of bucketing") {
     val bucketed = Queries.all("q15_bucketed_join")(spark, sfDir)
       .orderBy("o_orderpriority").collect().toSeq
