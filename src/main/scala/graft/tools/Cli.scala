@@ -221,6 +221,48 @@ object Cli {
         .orderBy("source", "fate").show(100, truncate = false)
       spark.stop()
 
+    case "compact" :: rest0 =>
+      // small-file maintenance: plan (always printed) and, with an output
+      // dir, execute — one output file per bin, no shuffle
+      val (tFlags, rest) = rest0.partition(_.startsWith("--target-mb="))
+      val targetBytes = tFlags match {
+        case Nil => 128L * 1024 * 1024
+        case f :: Nil => f.stripPrefix("--target-mb=").toLong * 1024 * 1024
+        case _ =>
+          System.err.println("at most one --target-mb=N"); sys.exit(2)
+      }
+      rest match {
+        case dir :: maybeOut if maybeOut.size <= 1 =>
+          val spark = session()
+          val plan = graft.operators.Compaction.plan(spark, dir, targetBytes)
+          plan.orderBy("bin", "file_name").show(1000, truncate = false)
+          maybeOut.foreach { out =>
+            val stats = graft.operators.Compaction
+              .compact(spark, dir, targetBytes, out)
+            stats.show(1000, truncate = false)
+            println(s"wrote ${stats.count()} compacted files under $out")
+          }
+          spark.stop()
+        case _ =>
+          System.err.println("usage: compact [--target-mb=N] DIR [OUTDIR]  (default 128 MiB)")
+          sys.exit(2)
+      }
+
+    case "layout" :: file :: xCol :: yCol :: Nil =>
+      // z-order vs linear clustering experiment over two numeric columns
+      val spark = session()
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.parquet(file)
+      val stats = graft.operators.ZOrder.layoutStats(
+        df.select(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y")))
+      stats.orderBy("layout", "bucket").show(200, truncate = false)
+      val summary = stats.groupBy("layout")
+        .agg(org.apache.spark.sql.functions.sum("probe_hit").as("files_opened"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("files_total"))
+      summary.orderBy("layout").show(truncate = false)
+      spark.stop()
+
     case "viz-html" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -286,6 +328,8 @@ object Cli {
            |  profile TABLE.parquet
            |  query list | query NAME [SF_DIR]
            |  curate DOCUMENTS.parquet
+           |  compact [--target-mb=N] DIR [OUTDIR]
+           |  layout TABLE.parquet XCOL YCOL
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)

@@ -118,6 +118,8 @@ object ScaleRun {
     // the asof probe side, which is what grows, is still fully exercised.
     "event_sessions", "q13_asof_join", "q16_interval_join", "q21_funnel",
     "stream_sessions",
+    // layout analysis: narrow quantize pass + one bucket agg over N× events
+    "zorder_layout",
     // streaming estimator: chunk volume and per-hash state both grow 10×
     "stream_cdc")
 
