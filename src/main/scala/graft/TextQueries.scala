@@ -57,6 +57,15 @@ object TextQueries {
       .select(col("doc_id"),
         TextAnalysis.bpeishTokenCount(col("text")).as("n_tokens_bpe"))
 
+  /** BPE tokenizer training over the corpus ([[graft.operators.BpeTrain]]):
+    * the first 12 learned merge rules with their pair frequencies. The
+    * oracle replays training end-to-end (vocab seed + 12 recursive
+    * working-table iterations).
+    */
+  private val bpeTrainK = 12
+  private def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.BpeTrain.learn(docs(spark, sfDir), "text", bpeTrainK)
+
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
     val nChars = length(text)
@@ -787,6 +796,7 @@ object TextQueries {
     "doc_compress" -> docCompress _,
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
+    "bpe_train" -> bpeTrain _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -1389,6 +1399,8 @@ object TextQueries {
       """SELECT doc_id, length(text) AS n_chars_m,
         |  length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
         |FROM documents""".stripMargin,
+    "bpe_train" ->
+      graft.operators.BpeTrain.learnOracleSql("documents", "text", bpeTrainK),
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,

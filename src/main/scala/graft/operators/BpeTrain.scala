@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer TRAINING — learn the first k merge rules
+  * over a document corpus (Sennrich et al. 2016, the byte-pair-encoding
+  * step every LLM tokenizer pipeline runs before anything else).
+  *
+  * Scale shape: the corpus is touched ONCE (word-count shuffle). Every
+  * training iteration then runs over the distinct-word VOCABULARY
+  * relation — Zipf-bounded, orders of magnitude smaller than the corpus
+  * (100 TB of text is ~1e8–1e9 distinct words ≈ a few GB of vocab rows,
+  * comfortably distributed). Per iteration: one narrow pair-explode +
+  * one aggregation on (lhs, rhs), an argmax of ONE collected row, and a
+  * narrow merge pass. Driver state is k merge rows — never data.
+  *
+  * Cross-engine exactness (the DuckDB oracle replays training
+  * end-to-end — vocab build, k iterations, the learned rules):
+  *  - pair counts include overlapping occurrences ("a a a" counts
+  *    (a,a) twice), the classic get_stats semantics;
+  *  - merges apply left-to-right non-overlapping ("a a a" → "aa a"),
+  *    exactly DuckDB `replace` on a space-delimited symbol string;
+  *  - argmax tie-breaks on (freq DESC, lhs ASC, rhs ASC) and the
+  *    comparison happens IN Spark SQL, so string order is UTF-8 byte
+  *    order on both engines (a driver-side Scala sort would be UTF-16
+  *    code-unit order and could disagree on supplementary characters);
+  *  - words split to Unicode CODEPOINTS (`String.codePoints`), matching
+  *    DuckDB's `string_split(w, '')`.
+  */
+object BpeTrain {
+
+  /** Left-to-right non-overlapping merge of the (l, r) symbol pair —
+    * the same scan `replace(seqstr, ' l r ', ' lr ')` performs on the
+    * padded string encoding.
+    */
+  def mergePair(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Split to Unicode codepoints (surrogate-pair safe). */
+  def codepoints(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  /** Learn `k` merges from `docs(textCol)`. Returns (merge_idx, lhs,
+    * rhs, freq) — merge_idx in training order.
+    */
+  def learn(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(k >= 0, s"k must be non-negative: $k")
+
+    // the only corpus-scale pass: distinct words with counts
+    val words = docs
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+
+    var vocab: Dataset[(Array[String], Long)] =
+      words.map { case (w, f) => (codepoints(w), f) }
+    vocab.persist()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    while (i < k) {
+      // overlapping adjacent pairs, weighted by word frequency
+      val pairs = vocab.flatMap { case (syms, f) =>
+        (0 until syms.length - 1).iterator.map(j => (syms(j), syms(j + 1), f))
+      }.toDF("lhs", "rhs", "freq")
+        .groupBy("lhs", "rhs").agg(sum("freq").as("freq"))
+      // argmax INSIDE Spark SQL: UTF-8 byte-order ties, one collected row
+      val top = pairs
+        .orderBy(col("freq").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) { i = k } // vocab fully merged: nothing left to learn
+      else {
+        val r = top.head
+        val (l, rr, f) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += ((i.toLong, l, rr, f))
+        val next = vocab.map { case (syms, fr) => (mergePair(syms, l, rr), fr) }
+        next.persist()
+        // materialize before dropping the parent so each iteration's
+        // lineage stays one map deep, not k maps
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        i += 1
+      }
+    }
+    vocab.unpersist()
+    spark.createDataset(merges.toSeq).toDF("merge_idx", "lhs", "rhs", "freq")
+  }
+
+  /** The DuckDB oracle: replays [[learn]] end-to-end — vocab seed, k
+    * recursive iterations over the working table (DuckDB's recursive
+    * CTE carries exactly the previous iteration's rows), merge rules
+    * reconstructed per iteration by the same argmax. Caller supplies a
+    * `documents`-style relation name and text column.
+    */
+  def learnOracleSql(table: String, textCol: String, k: Int): String =
+    s"""WITH RECURSIVE __words AS (
+       |  SELECT w AS word, COUNT(*) AS freq FROM (
+       |    SELECT unnest(string_split_regex($textCol, '\\s+')) AS w FROM $table)
+       |  WHERE w <> '' GROUP BY w),
+       |__seed AS (
+       |  SELECT 0 AS it, freq,
+       |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS seqstr
+       |  FROM __words),
+       |__bpe AS (
+       |  SELECT it, freq, seqstr FROM __seed
+       |  UNION ALL
+       |  SELECT b.it + 1, b.freq, replace(b.seqstr, best.pat, best.rep)
+       |  FROM __bpe b,
+       |    (SELECT ' ' || lhs || ' ' || rhs || ' ' AS pat,
+       |            ' ' || lhs || rhs || ' ' AS rep
+       |     FROM (
+       |       SELECT parts[g.i] AS lhs, parts[g.i + 1] AS rhs, SUM(freq) AS f
+       |       FROM (SELECT string_split(trim(seqstr), ' ') AS parts, freq
+       |             FROM __bpe),
+       |            LATERAL (SELECT unnest(range(1, len(parts))) AS i) g
+       |       GROUP BY 1, 2)
+       |     ORDER BY f DESC, lhs, rhs LIMIT 1) best
+       |  WHERE b.it < $k)
+       |SELECT it AS merge_idx, lhs, rhs, f AS freq FROM (
+       |  SELECT it, lhs, rhs, SUM(freq) AS f,
+       |    ROW_NUMBER() OVER (PARTITION BY it
+       |                       ORDER BY SUM(freq) DESC, lhs, rhs) AS rn
+       |  FROM (SELECT it, string_split(trim(seqstr), ' ') AS parts, freq
+       |        FROM __bpe),
+       |       LATERAL (SELECT unnest(range(1, len(parts))) AS i) g,
+       |       LATERAL (SELECT parts[g.i] AS lhs, parts[g.i + 1] AS rhs) p
+       |  GROUP BY it, lhs, rhs)
+       |WHERE rn = 1 AND it < $k""".stripMargin
+
+  /** Tokenize `word` with learned merges applied in training order —
+    * the standard greedy BPE apply (used by the spec to sanity-check
+    * that learned rules compose).
+    */
+  def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] =
+    merges.foldLeft(codepoints(word)) { case (syms, (l, r)) => mergePair(syms, l, r) }
+}
