@@ -66,6 +66,14 @@ object TextQueries {
   private def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.BpeTrain.learn(docs(spark, sfDir), "text", bpeTrainK)
 
+  /** Train-then-apply: per-document token counts under the learned
+    * tokenizer (merge rules broadcast into one narrow map pass — the
+    * corpus never shuffles for the apply).
+    */
+  private def bpeApply(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.BpeTrain.tokenize(
+      docs(spark, sfDir), "text", "doc_id", bpeTrainK)
+
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
     val nChars = length(text)
@@ -797,6 +805,7 @@ object TextQueries {
     "text_tokens" -> textTokens _,
     "text_tokens_bpe" -> textTokensBpe _,
     "bpe_train" -> bpeTrain _,
+    "bpe_apply" -> bpeApply _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -1401,6 +1410,9 @@ object TextQueries {
         |FROM documents""".stripMargin,
     "bpe_train" ->
       graft.operators.BpeTrain.learnOracleSql("documents", "text", bpeTrainK),
+    "bpe_apply" ->
+      graft.operators.BpeTrain.tokenizeOracleSql(
+        "documents", "text", "doc_id", bpeTrainK),
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,

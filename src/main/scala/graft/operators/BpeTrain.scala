@@ -107,14 +107,13 @@ object BpeTrain {
     spark.createDataset(merges.toSeq).toDF("merge_idx", "lhs", "rhs", "freq")
   }
 
-  /** The DuckDB oracle: replays [[learn]] end-to-end — vocab seed, k
-    * recursive iterations over the working table (DuckDB's recursive
-    * CTE carries exactly the previous iteration's rows), merge rules
-    * reconstructed per iteration by the same argmax. Caller supplies a
-    * `documents`-style relation name and text column.
+  /** The learn CTE chain (everything up to, not including, a final
+    * SELECT): vocab seed + k recursive working-table iterations +
+    * `__merges` reconstructing the rule chosen at each iteration by the
+    * same argmax. Shared by [[learnOracleSql]] and [[tokenizeOracleSql]].
     */
-  def learnOracleSql(table: String, textCol: String, k: Int): String =
-    s"""WITH RECURSIVE __words AS (
+  private def learnCtesSql(table: String, textCol: String, k: Int): String =
+    s"""__words AS (
        |  SELECT w AS word, COUNT(*) AS freq FROM (
        |    SELECT unnest(string_split_regex($textCol, '\\s+')) AS w FROM $table)
        |  WHERE w <> '' GROUP BY w),
@@ -136,17 +135,28 @@ object BpeTrain {
        |            LATERAL (SELECT unnest(range(1, len(parts))) AS i) g
        |       GROUP BY 1, 2)
        |     ORDER BY f DESC, lhs, rhs LIMIT 1) best
-       |  WHERE b.it < $k)
-       |SELECT it AS merge_idx, lhs, rhs, f AS freq FROM (
-       |  SELECT it, lhs, rhs, SUM(freq) AS f,
-       |    ROW_NUMBER() OVER (PARTITION BY it
-       |                       ORDER BY SUM(freq) DESC, lhs, rhs) AS rn
-       |  FROM (SELECT it, string_split(trim(seqstr), ' ') AS parts, freq
-       |        FROM __bpe),
-       |       LATERAL (SELECT unnest(range(1, len(parts))) AS i) g,
-       |       LATERAL (SELECT parts[g.i] AS lhs, parts[g.i + 1] AS rhs) p
-       |  GROUP BY it, lhs, rhs)
-       |WHERE rn = 1 AND it < $k""".stripMargin
+       |  WHERE b.it < $k),
+       |__merges AS (
+       |  SELECT it AS merge_idx, lhs, rhs, f AS freq FROM (
+       |    SELECT it, lhs, rhs, SUM(freq) AS f,
+       |      ROW_NUMBER() OVER (PARTITION BY it
+       |                         ORDER BY SUM(freq) DESC, lhs, rhs) AS rn
+       |    FROM (SELECT it, string_split(trim(seqstr), ' ') AS parts, freq
+       |          FROM __bpe),
+       |         LATERAL (SELECT unnest(range(1, len(parts))) AS i) g,
+       |         LATERAL (SELECT parts[g.i] AS lhs, parts[g.i + 1] AS rhs) p
+       |    GROUP BY it, lhs, rhs)
+       |  WHERE rn = 1 AND it < $k)""".stripMargin
+
+  /** The DuckDB oracle: replays [[learn]] end-to-end — vocab seed, k
+    * recursive iterations over the working table (DuckDB's recursive
+    * CTE carries exactly the previous iteration's rows), merge rules
+    * reconstructed per iteration by the same argmax. Caller supplies a
+    * `documents`-style relation name and text column.
+    */
+  def learnOracleSql(table: String, textCol: String, k: Int): String =
+    s"""WITH RECURSIVE ${learnCtesSql(table, textCol, k)}
+       |SELECT merge_idx, lhs, rhs, freq FROM __merges""".stripMargin
 
   /** Tokenize `word` with learned merges applied in training order —
     * the standard greedy BPE apply (used by the spec to sanity-check
@@ -154,4 +164,70 @@ object BpeTrain {
     */
   def applyMerges(word: String, merges: Seq[(String, String)]): Array[String] =
     merges.foldLeft(codepoints(word)) { case (syms, (l, r)) => mergePair(syms, l, r) }
+
+  /** Tokenize the corpus with rules learned by [[learn]]: per document,
+    * the token count under the learned tokenizer plus the raw codepoint
+    * count (the compression the merges bought). The merge table is k
+    * collected rows broadcast into one narrow pass — the corpus never
+    * shuffles; at 100 TB this is a map-only job.
+    */
+  def tokenize(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val merges = learn(docs, textCol, k).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val bc = spark.sparkContext.broadcast(merges)
+    docs.select(col(idCol), col(textCol)).as[(Long, String)].map {
+      case (id, text0) =>
+        val text = if (text0 == null) "" else text0
+        val words = text.split("\\s+").filter(_.nonEmpty)
+        var nTok = 0L
+        var nCp = 0L
+        words.foreach { w =>
+          val cps = codepoints(w)
+          nCp += cps.length
+          nTok += bc.value.foldLeft(cps) {
+            case (syms, (l, r)) => mergePair(syms, l, r)
+          }.length
+        }
+        (id, nTok, nCp)
+    }.toDF(idCol, "n_tokens_learned", "n_codepoints")
+  }
+
+  /** DuckDB oracle for [[tokenize]]: learns the same merges (shared
+    * [[learnCtesSql]] chain) and applies them with a second recursive
+    * CTE over (doc x iteration) - step i replaces merge rule i in every
+    * document's padded symbol string, exactly the engine's fold. Words
+    * are separated by DOUBLE spaces in the doc string, so the
+    * single-space pair patterns can never merge across a word boundary
+    * - mirroring the engine's per-word tokenization.
+    */
+  def tokenizeOracleSql(table: String, textCol: String, idCol: String,
+      k: Int): String =
+    s"""WITH RECURSIVE ${learnCtesSql(table, textCol, k)},
+       |__docs AS (
+       |  SELECT $idCol,
+       |    ' ' || array_to_string(list_transform(
+       |        list_filter(string_split_regex($textCol, '\\s+'), w -> w <> ''),
+       |        w -> array_to_string(string_split(w, ''), ' ')), '  ') || ' '
+       |      AS seqstr
+       |  FROM $table),
+       |__applied AS (
+       |  SELECT $idCol, 0 AS it, seqstr FROM __docs
+       |  UNION ALL
+       |  SELECT a.$idCol, a.it + 1,
+       |    replace(a.seqstr, ' ' || m.lhs || ' ' || m.rhs || ' ',
+       |            ' ' || m.lhs || m.rhs || ' ')
+       |  FROM __applied a JOIN __merges m ON m.merge_idx = a.it
+       |  WHERE a.it < $k)
+       |SELECT f.$idCol,
+       |  CAST(len(list_filter(string_split(trim(f.seqstr), ' '),
+       |       s -> s <> '')) AS BIGINT) AS n_tokens_learned,
+       |  CAST(len(list_filter(string_split(trim(d.seqstr), ' '),
+       |       s -> s <> '')) AS BIGINT) AS n_codepoints
+       |FROM __applied f JOIN __docs d ON d.$idCol = f.$idCol
+       |WHERE f.it = (SELECT COALESCE(MAX(merge_idx) + 1, 0) FROM __merges)""".stripMargin
+
 }

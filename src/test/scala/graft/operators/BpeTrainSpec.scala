@@ -66,6 +66,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(toks.length < "lowest".length)
   }
 
+  test("tokenize: learned merges compress the corpus, counts are exact") {
+    import spark.implicits._
+    val docs = Seq((0L, "low low low"), (1L, "lowest"), (2L, ""))
+      .toDF("doc_id", "text")
+    val out = tokenize(docs, "text", "doc_id", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // merges on this corpus: (l,o) f=4, then (lo,w) f=4
+    // doc0: 3 words "low" -> 1 token each = 3 tokens, 9 codepoints
+    assert(out(0) === ((0L, 3L, 9L)))
+    // doc1: "lowest" -> low e s t = 4 tokens, 6 codepoints
+    assert(out(1) === ((1L, 4L, 6L)))
+    assert(out(2) === ((2L, 0L, 0L)))
+  }
+
   test("learn over the sf0.001 documents matches the DuckDB-prototyped head") {
     // the oracle prototype (same semantics, run against the same file)
     // produced: er/4650, or/2880, in/2858, ow/2763, st/2721, lu/1928 —
