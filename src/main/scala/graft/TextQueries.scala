@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedupe, TextAnalysis}
+import graft.operators.{Dedupe, Sampling, TextAnalysis}
 
 /** Text-pipeline query catalog: dedup + text-analysis operators over the
   * `documents` table. Oracle SQL provided wherever DuckDB can express the
@@ -73,6 +73,15 @@ object TextQueries {
   private def bpeApply(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.BpeTrain.tokenize(
       docs(spark, sfDir), "text", "doc_id", bpeTrainK)
+
+  /** Deterministic epoch-order shuffle of the corpus
+    * ([[graft.operators.Sampling.globalShuffleOrder]]): explicit
+    * position 0..n-1 in a key-pure pseudo-random permutation, assigned
+    * by distributed prefix-sum — no global window.
+    */
+  private def docShuffle(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.globalShuffleOrder(docs(spark, sfDir), col("doc_id"), "epoch0")
+      .select(col("id").as("doc_id"), col("sort_key"), col("position"))
 
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
@@ -806,6 +815,7 @@ object TextQueries {
     "text_tokens_bpe" -> textTokensBpe _,
     "bpe_train" -> bpeTrain _,
     "bpe_apply" -> bpeApply _,
+    "doc_shuffle" -> docShuffle _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -1413,6 +1423,13 @@ object TextQueries {
     "bpe_apply" ->
       graft.operators.BpeTrain.tokenizeOracleSql(
         "documents", "text", "doc_id", bpeTrainK),
+    "doc_shuffle" ->
+      """SELECT doc_id,
+        |  md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+        |  ROW_NUMBER() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS position
+        |FROM documents""".stripMargin,
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,

@@ -152,6 +152,58 @@ object Sampling {
         thresholdCase(sourceCol, thresholds, default = "0000"))
   }
 
+  /** Deterministic global training-order shuffle: every row gets an
+    * explicit position 0..n-1 in a pseudo-random permutation that is a
+    * pure function of the row key — the epoch-ordering primitive of a
+    * training dataloader, stable across runs, partitionings, and
+    * engines (`df.orderBy(rand())` is none of those).
+    *
+    * Order key: md5("<salt>:<key>") hex, key as tiebreak. Positions are
+    * assigned DISTRIBUTED: range-repartition on the order key, then the
+    * Packing-style two-pass prefix-sum (per-partition counts →
+    * broadcast offsets → narrow rank pass) — no global window, no
+    * single partition anywhere. localCheckpoint pins the partitioning
+    * between the two passes for the same reason tokenStreamPack does.
+    *
+    * Oracle: `ROW_NUMBER() OVER (ORDER BY md5(...), key) - 1`.
+    */
+  def globalShuffleOrder(df: DataFrame, keyCol: Column, salt: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(
+        keyCol.cast("long").as("id"),
+        md5(concat(lit(s"$salt:"),
+          when(keyCol.isNull,
+              raise_error(lit("globalShuffleOrder: null key — the permutation " +
+                "must be a pure function of a non-null key")))
+            .otherwise(keyCol.cast("string"))).cast("binary")).as("sort_key"))
+      .repartitionByRange(col("sort_key"), col("id"))
+      .sortWithinPartitions(col("sort_key"), col("id"))
+      .as[(Long, String)]
+      .localCheckpoint(true)
+
+    val partCounts = keyed.mapPartitions { it =>
+      Iterator.single((org.apache.spark.TaskContext.getPartitionId(), it.size.toLong))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](partCounts.length + 1)
+    partCounts.foreach { case (pid, n) =>
+      require(pid < partCounts.length, s"non-contiguous partition id $pid")
+      offsets(pid + 1) = n
+    }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    keyed.mapPartitions { it =>
+      var pos = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (id, sk) =>
+        val p = pos; pos += 1
+        (id, sk, p)
+      }
+    }.toDF("id", "sort_key", "position")
+  }
+
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame = {
     require(!df.columns.contains("__graft_split"),

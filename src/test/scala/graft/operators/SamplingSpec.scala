@@ -132,4 +132,34 @@ class SamplingSpec extends SparkSpec {
     val ok = Sampling.hashSplit(df.filter(col("id").isNotNull), col("id"), 10)
     assert(ok.count() == 2L)
   }
+
+  test("globalShuffleOrder: a bijective, key-pure, partition-invariant permutation") {
+    import spark.implicits._
+    val df = spark.range(0, 500).toDF("doc_id")
+    val out = Sampling.globalShuffleOrder(df, col("doc_id"), "epoch0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // positions are exactly 0..n-1, each id once
+    assert(out.map(_._3).sorted.toSeq === (0L until 500L))
+    assert(out.map(_._1).distinct.length === 500)
+    // order agrees with a driver-side sort of the same keys
+    val expected = out.sortBy(t => (t._2, t._1)).map(_._1).toSeq
+    assert(out.sortBy(_._3).map(_._1).toSeq === expected)
+    // partition-invariant: a different input layout yields the same permutation
+    val out2 = Sampling.globalShuffleOrder(df.repartition(7), col("doc_id"), "epoch0")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out2.toSeq === out.map(t => (t._1, t._3)).sortBy(_._1).toSeq)
+    // a different salt is a different permutation
+    val out3 = Sampling.globalShuffleOrder(df, col("doc_id"), "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(out3.map(_._2).toSeq != out.map(t => (t._1, t._3)).sortBy(_._1).map(_._2).toSeq)
+  }
+
+  test("globalShuffleOrder rejects null keys") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(3L)).toDF("doc_id")
+    val e = intercept[Exception] {
+      Sampling.globalShuffleOrder(df, col("doc_id"), "s").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
