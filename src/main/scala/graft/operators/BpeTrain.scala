@@ -60,7 +60,16 @@ object BpeTrain {
   /** Learn `k` merges from `docs(textCol)`. Returns (merge_idx, lhs,
     * rhs, freq) — merge_idx in training order.
     */
-  def learn(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  /** Above this many distinct words, iterations run distributed; at or
+    * below it the vocab is collected once and iterated on the driver
+    * (≤ ~10 MB of strings) with byte-identical kernels — the same
+    * size-adaptive strategy switch Spark applies to broadcast joins.
+    * k Spark jobs over a 31-word vocab is all scheduler overhead.
+    */
+  val LocalVocabLimit = 100000
+
+  def learn(docs: DataFrame, textCol: String, k: Int,
+      localVocabLimit: Int = LocalVocabLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(k >= 0, s"k must be non-negative: $k")
@@ -71,7 +80,70 @@ object BpeTrain {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .as[(String, Long)]
+      .persist()
 
+    // one cheap probe decides the strategy: limit+1 rows, not a count
+    val probe = words.limit(localVocabLimit + 1).collect()
+    val merges =
+      if (probe.length <= localVocabLimit) learnLocal(probe, k)
+      else learnDistributed(spark, words, k)
+    words.unpersist()
+    spark.createDataset(merges.toSeq).toDF("merge_idx", "lhs", "rhs", "freq")
+  }
+
+  /** UTF-8 byte-order comparison — MUST match Spark SQL's string
+    * ordering (and DuckDB's binary collation); String.compareTo is
+    * UTF-16 code-unit order and disagrees on supplementary planes.
+    */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
+  /** Driver-side iterations over a collected small vocab; semantics are
+    * pin-identical to [[learnDistributed]] (same pair counts, same
+    * UTF-8 argmax tie-break).
+    */
+  private def learnLocal(vocab0: Array[(String, Long)],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    var vocab = vocab0.map { case (w, f) => (codepoints(w), f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < k && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var j = 0
+        while (j + 1 < syms.length) {
+          counts.merge((syms(j), syms(j + 1)), f, _ + _)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.forEach { (p, f) =>
+          if (best == null || f > best._2 ||
+            (f == best._2 && (utf8Lt(p._1, best._1._1) ||
+              (p._1 == best._1._1 && utf8Lt(p._2, best._1._2)))))
+            best = (p, f)
+        }
+        val ((l, r), f) = best
+        merges += ((i.toLong, l, r, f))
+        vocab = vocab.map { case (syms, fr) => (mergePair(syms, l, r), fr) }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed iterations — the 1e8+-word-vocab path: per iteration
+    * one pair-explode aggregation and a one-row argmax collect.
+    */
+  private def learnDistributed(spark: SparkSession,
+      words: Dataset[(String, Long)],
+      k: Int): Seq[(Long, String, String, Long)] = {
+    import spark.implicits._
     var vocab: Dataset[(Array[String], Long)] =
       words.map { case (w, f) => (codepoints(w), f) }
     vocab.persist()
@@ -104,7 +176,7 @@ object BpeTrain {
       }
     }
     vocab.unpersist()
-    spark.createDataset(merges.toSeq).toDF("merge_idx", "lhs", "rhs", "freq")
+    merges.toSeq
   }
 
   /** The learn CTE chain (everything up to, not including, a final

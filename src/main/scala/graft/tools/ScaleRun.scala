@@ -120,6 +120,9 @@ object ScaleRun {
     "stream_sessions",
     // layout analysis: narrow quantize pass + one bucket agg over N× events
     "zorder_layout",
+    // tokenizer training: replica-tagged words grow the VOCAB ~N× (the
+    // relation every iteration runs over), not just the corpus
+    "bpe_train",
     // streaming estimator: chunk volume and per-hash state both grow 10×
     "stream_cdc")
 

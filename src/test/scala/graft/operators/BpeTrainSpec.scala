@@ -66,6 +66,16 @@ class BpeTrainSpec extends SparkSpec {
     assert(toks.length < "lowest".length)
   }
 
+  test("local and distributed strategies learn identical merges") {
+    val docs = docs0()
+    val local = learn(docs, "text", 6).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // localVocabLimit = 0 forces the distributed path on the same corpus
+    val dist = learn(docs, "text", 6, localVocabLimit = 0).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(local.toSeq === dist.toSeq)
+  }
+
   test("tokenize: learned merges compress the corpus, counts are exact") {
     import spark.implicits._
     val docs = Seq((0L, "low low low"), (1L, "lowest"), (2L, ""))
