@@ -83,6 +83,16 @@ object TextQueries {
     Sampling.globalShuffleOrder(docs(spark, sfDir), col("doc_id"), "epoch0")
       .select(col("id").as("doc_id"), col("sort_key"), col("position"))
 
+  /** Round-robin curriculum interleave across sources
+    * ([[graft.operators.Sampling.interleaveBySource]]): reading in slot
+    * order takes one doc per source in turn.
+    */
+  private def docInterleave(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.interleaveBySource(
+      docs(spark, sfDir), col("doc_id"), col("source"), "epoch0")
+      .select(col("id").as("doc_id"), col("source"),
+        col("rank_in_source"), col("source_idx"), col("slot"))
+
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
     val nChars = length(text)
@@ -816,6 +826,7 @@ object TextQueries {
     "bpe_train" -> bpeTrain _,
     "bpe_apply" -> bpeApply _,
     "doc_shuffle" -> docShuffle _,
+    "doc_interleave" -> docInterleave _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -1430,6 +1441,19 @@ object TextQueries {
         |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
         |    AS position
         |FROM documents""".stripMargin,
+    "doc_interleave" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    DENSE_RANK() OVER (ORDER BY source) - 1 AS source_idx,
+        |    COUNT(DISTINCT source) OVER () AS n_sources,
+        |    doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS rank_in_source
+        |  FROM documents)
+        |SELECT doc_id, source, rank_in_source, source_idx,
+        |  rank_in_source * n_sources + source_idx AS slot
+        |FROM s""".stripMargin,
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,

@@ -173,11 +173,7 @@ object Sampling {
     val keyed = df
       .select(
         keyCol.cast("long").as("id"),
-        md5(concat(lit(s"$salt:"),
-          when(keyCol.isNull,
-              raise_error(lit("globalShuffleOrder: null key — the permutation " +
-                "must be a pure function of a non-null key")))
-            .otherwise(keyCol.cast("string"))).cast("binary")).as("sort_key"))
+        md5SaltedKey(keyCol, salt, "globalShuffleOrder").as("sort_key"))
       .repartitionByRange(col("sort_key"), col("id"))
       .sortWithinPartitions(col("sort_key"), col("id"))
       .as[(Long, String)]
@@ -203,6 +199,49 @@ object Sampling {
       }
     }.toDF("id", "sort_key", "position")
   }
+
+  /** Round-robin source interleave — the curriculum-ordering dual of
+    * [[globalShuffleOrder]]: within each source, docs get a
+    * deterministic hash rank; globally, slot = rank · n_sources +
+    * source_idx, so reading in slot order takes one document from each
+    * source in turn (sources exhaust gracefully, leaving slot gaps).
+    * The per-source rank is a hash-partitioned window (never global);
+    * the source index is a collect bounded by the number of SOURCES,
+    * broadcast as a literal map. Oracled with the same two windows.
+    */
+  def interleaveBySource(df: DataFrame, keyCol: Column,
+      sourceCol: Column, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sources = df.select(sourceCol.cast("string").as("s"))
+      .distinct().collect().map(_.getString(0))
+    require(!sources.contains(null),
+      "interleaveBySource: null source — every row needs a source label")
+    val ordered = sources.sorted
+    val idx = ordered.zipWithIndex.toMap
+    val idxCol = ordered.foldLeft(lit(-1L)) { (acc, s) =>
+      when(col("source") === lit(s), lit(idx(s).toLong)).otherwise(acc)
+    }
+    df.select(
+        keyCol.cast("long").as("id"),
+        sourceCol.cast("string").as("source"))
+      .withColumn("rank_in_source",
+        row_number().over(Window.partitionBy(col("source"))
+          .orderBy(md5SaltedKey(col("id"), salt, "interleaveBySource"),
+            col("id").asc)).cast("long") - 1L)
+      .withColumn("source_idx", idxCol)
+      .withColumn("slot",
+        col("rank_in_source") * lit(ordered.length.toLong) + col("source_idx"))
+  }
+
+  /** Full md5 hex of "<salt>:<key>" — the order key shared with the
+    * DuckDB oracle (`md5('<salt>:' || CAST(key AS VARCHAR))`).
+    */
+  private def md5SaltedKey(keyCol: Column, salt: String, opName: String): Column =
+    md5(concat(lit(s"$salt:"),
+      when(keyCol.isNull,
+          raise_error(lit(s"$opName: null key — ordering must be a pure " +
+            "function of a non-null key")))
+        .otherwise(keyCol.cast("string"))).cast("binary"))
 
   /** Keep a deterministic ≈pct% sample keyed on `keyCol`. */
   def hashSample(df: DataFrame, keyCol: Column, pct: Int): DataFrame = {

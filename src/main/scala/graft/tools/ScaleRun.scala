@@ -123,6 +123,8 @@ object ScaleRun {
     // tokenizer training: replica-tagged words grow the VOCAB ~N× (the
     // relation every iteration runs over), not just the corpus
     "bpe_train",
+    // epoch shuffle: range sort + two-pass rank over N× docs
+    "doc_shuffle",
     // streaming estimator: chunk volume and per-hash state both grow 10×
     "stream_cdc")
 

@@ -162,4 +162,35 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("interleaveBySource: round-robin slots, per-source ranks dense") {
+    import spark.implicits._
+    val df = (0L until 90L).map(i => (i, s"src${(i % 3).toInt}")).toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(df, col("doc_id"), col("source"), "e0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // slots are a bijection onto 0..n-1 when sources are equal-sized
+    assert(out.map(_._5).sorted.toSeq === (0L until 90L))
+    // reading in slot order alternates sources strictly
+    val bySlot = out.sortBy(_._5).map(_._2)
+    bySlot.grouped(3).foreach(g => assert(g.toSet.size === 3))
+    // rank_in_source dense 0..29 per source
+    out.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0L until 30L))
+    }
+    // deterministic under repartition
+    val out2 = Sampling.interleaveBySource(df.repartition(7), col("doc_id"), col("source"), "e0")
+      .collect().map(r => (r.getLong(0), r.getLong(4))).sortBy(_._1)
+    assert(out2.toSeq === out.map(t => (t._1, t._5)).sortBy(_._1).toSeq)
+  }
+
+  test("interleaveBySource: unequal sources leave slot gaps but keep order sane") {
+    import spark.implicits._
+    val df = ((0L until 10L).map(i => (i, "a")) ++ (100L until 103L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(df, col("doc_id"), col("source"), "e0")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    // all slots distinct; source b occupies odd slots 1,3,5 only while alive
+    assert(out.map(_._3).distinct.length === 13)
+    assert(out.filter(_._1 == "b").map(_._3).sorted.toSeq === Seq(1L, 3L, 5L))
+  }
 }
