@@ -74,14 +74,22 @@ object Compaction {
       outDir: String): DataFrame = {
     import spark.implicits._
     val planned = plan(spark, dir, targetBytes).as[PlannedFile].collect()
-    val stats = planned.groupBy(_.bin).toSeq.sortBy(_._1).map {
-      case (bin, fs) =>
+    // bins are independent: submit their jobs CONCURRENTLY (each is one
+    // scan→write task after coalesce(1)); Spark's scheduler runs them in
+    // parallel across executor slots
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = planned.groupBy(_.bin).toSeq.sortBy(_._1).map {
+      case (bin, fs) => Future {
         val paths = fs.map(f => s"$dir/${f.file_name}")
         val df = spark.read.parquet(paths: _*)
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/bin=$bin")
         (bin, fs.length.toLong, df.count())
+      }
     }
+    val stats = futures.map(f => Await.result(f, Duration.Inf))
     spark.createDataset(stats).toDF("bin", "n_files_in", "n_rows")
   }
 

@@ -216,7 +216,18 @@ object Sampling {
       .distinct().collect().map(_.getString(0))
     require(!sources.contains(null),
       "interleaveBySource: null source — every row needs a source label")
-    val ordered = sources.sorted
+    require(sources.length <= 10000,
+      s"interleaveBySource: ${sources.length} sources — the per-source " +
+        "index is a literal expression; thousands of sources need a join, " +
+        "not an interleave")
+    // UTF-8 byte order, matching the oracle's DENSE_RANK collation —
+    // Scala's default string sort is UTF-16 code-unit order and would
+    // assign different indexes for supplementary-plane source names
+    val ordered = sources.sortWith { (a, b) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+    }
     val idx = ordered.zipWithIndex.toMap
     val idxCol = ordered.foldLeft(lit(-1L)) { (acc, s) =>
       when(col("source") === lit(s), lit(idx(s).toLong)).otherwise(acc)
