@@ -93,6 +93,13 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("source"),
         col("rank_in_source"), col("source_idx"), col("slot"))
 
+  /** Batch-shape planning ([[graft.operators.Packing.lengthBuckets]]):
+    * power-of-two context-length buckets with per-bucket padding waste.
+    */
+  private def docLengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Packing.lengthBuckets(
+      docs(spark, sfDir), TextAnalysis.tokenCountCol(col("text")))
+
   private def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val text = col("text")
     val nChars = length(text)
@@ -827,6 +834,7 @@ object TextQueries {
     "bpe_apply" -> bpeApply _,
     "doc_shuffle" -> docShuffle _,
     "doc_interleave" -> docInterleave _,
+    "doc_length_buckets" -> docLengthBuckets _,
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
@@ -1454,6 +1462,20 @@ object TextQueries {
         |SELECT doc_id, source, rank_in_source, source_idx,
         |  rank_in_source * n_sources + source_idx AS slot
         |FROM s""".stripMargin,
+    "doc_length_buckets" ->
+      s"""WITH t AS (
+        |  SELECT length(text) - length(replace(text, ' ', '')) + 1
+        |    AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    ${graft.operators.Packing.pow2BucketSql("n_tokens")} AS bucket_len
+        |  FROM t)
+        |SELECT bucket_len, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(GREATEST(bucket_len - n_tokens, 0)) AS BIGINT)
+        |    AS sum_padding
+        |FROM b GROUP BY bucket_len""".stripMargin,
     "doc_novelty" -> NoveltySql,
     // streaming twin must land on the batch answer exactly — same SQL
     "stream_novelty" -> NoveltySql,

@@ -26,6 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Largest power-of-two bucket the batch-shape planner uses. */
+  val MaxLenBucket = 1 << 20
+
+  /** SQL for the smallest power-of-two ≥ n (min bucket `minBucket`,
+    * clamped to [[MaxLenBucket]]) — a CASE ladder so the SAME string
+    * runs in Spark (`expr`) and DuckDB (no float log2 on either side,
+    * so the bucketing is integer-exact cross-engine).
+    */
+  def pow2BucketSql(n: String, minBucket: Int = 16): String = {
+    require(Integer.bitCount(minBucket) == 1, s"minBucket must be a power of 2: $minBucket")
+    val whens = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ < MaxLenBucket)
+      .map(b => s"WHEN ($n) <= $b THEN $b")
+      .mkString(" ")
+    s"(CASE $whens ELSE $MaxLenBucket END)"
+  }
+
+  /** Batch-shape report: whitespace token counts bucketed to the
+    * smallest power-of-two context length, with the padding each bucket
+    * wastes — the length-bucketing efficiency analysis a training
+    * dataloader runs before choosing batch shapes. One narrow pass +
+    * one small aggregation; all integer arithmetic, oracled by the same
+    * generated CASE ladder.
+    */
+  def lengthBuckets(docs: DataFrame, tokensCol: Column): DataFrame =
+    docs
+      .select(coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("bucket_len", expr(pow2BucketSql("n_tokens")).cast("long"))
+      .groupBy(col("bucket_len"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        // docs past MaxLenBucket clamp to it (slidingWindows splits them
+        // upstream in a real pipeline): their padding reads 0, not negative
+        sum(greatest(col("bucket_len") - col("n_tokens"), lit(0L)))
+          .as("sum_padding"))
+
   /** The dual of packing: split each document's token span into
     * fixed-size context windows with stride-controlled overlap (the
     * long-document chunking step for pretraining and retrieval indexing).

@@ -83,4 +83,29 @@ class PackingSpec extends SparkSpec {
   private implicit class Map2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
   }
+
+  test("pow2BucketSql: exact integer bucket ladder, engine-evaluated") {
+    import spark.implicits._
+    val cases = Seq(0L -> 16L, 1L -> 16L, 16L -> 16L, 17L -> 32L,
+      1000L -> 1024L, 1024L -> 1024L, 1025L -> 2048L,
+      (1L << 20) -> (1L << 20), (1L << 20) + 1 -> (1L << 20))
+    val got = cases.map(_._1).toDF("n_tokens")
+      .select(col("n_tokens"),
+        expr(Packing.pow2BucketSql("n_tokens")).cast("long").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.foreach { case (n, want) => assert(got(n) === want, s"n=$n") }
+  }
+
+  test("lengthBuckets: padding accounting is exact, overlong docs clamp to 0") {
+    import spark.implicits._
+    val docs = Seq(10L, 16L, 17L, 100L, (1L << 20) + 5L).toDF("n")
+    val out = Packing.lengthBuckets(docs, col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(out === Seq(
+      (16L, 2L, 26L, 6L),          // 10 and 16: padding 6 + 0
+      (32L, 1L, 17L, 15L),
+      (128L, 1L, 100L, 28L),
+      ((1L << 20), 1L, (1L << 20) + 5L, 0L))) // clamped, never negative
+  }
 }
