@@ -263,6 +263,24 @@ object Cli {
       summary.orderBy("layout").show(truncate = false)
       spark.stop()
 
+    case "bpe" :: file :: rest if rest.size <= 1 =>
+      // tokenizer training: learn K merges over a documents parquet and
+      // report the compression they buy
+      val k = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val docs = spark.read.parquet(file)
+      graft.operators.BpeTrain.learn(docs, "text", k)
+        .show(k, truncate = false)
+      val stats = graft.operators.BpeTrain
+        .tokenize(docs, "text", "doc_id", k)
+        .agg(org.apache.spark.sql.functions.sum("n_tokens_learned").as("tokens"),
+          org.apache.spark.sql.functions.sum("n_codepoints").as("codepoints"))
+        .head()
+      val (tok, cp) = (stats.getLong(0), stats.getLong(1))
+      println(f"corpus: $cp%d codepoints -> $tok%d tokens " +
+        f"(${cp.toDouble / tok}%.2f chars/token after $k merges)")
+      spark.stop()
+
     case "viz-html" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -330,6 +348,7 @@ object Cli {
            |  curate DOCUMENTS.parquet
            |  compact [--target-mb=N] DIR [OUTDIR]
            |  layout TABLE.parquet XCOL YCOL
+           |  bpe DOCUMENTS.parquet [K]
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)
