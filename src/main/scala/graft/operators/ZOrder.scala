@@ -127,6 +127,34 @@ object ZOrder {
           .cast("long"))
   }
 
+  /** Execute the rewrite [[layoutStats]] prices: write `df` z-ordered
+    * on (xCol, yCol) as `nFiles` range-partitioned parquet files, each
+    * sorted by z-value — so the written files' footer min/max boxes
+    * tile the 2-D space and multi-dimensional probes prune at file
+    * granularity (proven against real footers in ZOrderWriteSpec). All
+    * original columns are preserved; the z machinery never persists.
+    * One range shuffle — the same cost as any global sort-write.
+    */
+  def rewrite(df: DataFrame, xCol: String, yCol: String, outDir: String,
+      nFiles: Int): Unit = {
+    val ev = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val bounds = ev.agg(
+      min(col(xCol).cast("long")).as("__xmin"),
+      max(col(xCol).cast("long")).as("__xmax"),
+      min(col(yCol).cast("long")).as("__ymin"),
+      max(col(yCol).cast("long")).as("__ymax"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("__qx", expr(quantizeSql(
+        s"CAST(`$xCol` AS BIGINT)", "__xmin", "__xmax", SparkIDiv)))
+      .withColumn("__qy", expr(quantizeSql(
+        s"CAST(`$yCol` AS BIGINT)", "__ymin", "__ymax", SparkIDiv)))
+      .withColumn("__z", expr(interleaveSql("__qx", "__qy")))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy", "__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** The same arithmetic as [[layoutStats]] rendered as engine-neutral
     * SQL over a `__ev(x, y)` CTE the caller must provide — the DuckDB
     * oracle body. Kept here, next to the Spark plan, so the two can only

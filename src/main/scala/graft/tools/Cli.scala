@@ -248,8 +248,9 @@ object Cli {
           sys.exit(2)
       }
 
-    case "layout" :: file :: xCol :: yCol :: Nil =>
-      // z-order vs linear clustering experiment over two numeric columns
+    case "layout" :: file :: xCol :: yCol :: rest if rest.size <= 1 =>
+      // z-order vs linear clustering experiment over two numeric columns;
+      // with OUTDIR, execute the z-order rewrite the analysis priced
       val spark = session()
       import org.apache.spark.sql.functions.col
       val df = spark.read.parquet(file)
@@ -261,6 +262,10 @@ object Cli {
           org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("files_total"))
       summary.orderBy("layout").show(truncate = false)
+      rest.foreach { out =>
+        graft.operators.ZOrder.rewrite(df, xCol, yCol, out, 32)
+        println(s"wrote z-ordered copy ($xCol x $yCol, 32 files) to $out")
+      }
       spark.stop()
 
     case "bpe" :: file :: rest if rest.size <= 1 =>
@@ -347,7 +352,7 @@ object Cli {
            |  query list | query NAME [SF_DIR]
            |  curate DOCUMENTS.parquet
            |  compact [--target-mb=N] DIR [OUTDIR]
-           |  layout TABLE.parquet XCOL YCOL
+           |  layout TABLE.parquet XCOL YCOL [OUTDIR]
            |  bpe DOCUMENTS.parquet [K]
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)

@@ -75,6 +75,19 @@ class ZOrderWriteSpec extends SparkSpec {
     val (bz, bl) = (footerBoxes(dirZ), footerBoxes(dirL))
     assert(bz.map(_.rows).sum === n.toLong && bl.map(_.rows).sum === n.toLong)
 
+    // the packaged rewrite operator must land the same z layout while
+    // preserving every row and non-key column
+    val dirR = java.nio.file.Files.createTempDirectory("zw-r").toString
+    ZOrder.rewrite(base.withColumn("payload", col("x") + col("y")),
+      "x", "y", dirR, 32)
+    val back = spark.read.parquet(dirR)
+    assert(back.count() === n.toLong)
+    assert(back.columns.sorted.toSeq ===
+      Seq("linkey", "payload", "x", "y", "zkey"))
+    val br = footerBoxes(dirR)
+    assert(hits(br).size <= br.size / 4,
+      s"rewrite() files must prune like the hand-built layout: ${hits(br).size}/${br.size}")
+
     val (hz, hl) = (hits(bz), hits(bl))
     info(s"files opened: zorder ${hz.size}/${bz.size}, linear ${hl.size}/${bl.size}")
     info(s"rows scanned: zorder ${hz.map(_.rows).sum}, linear ${hl.map(_.rows).sum}")
