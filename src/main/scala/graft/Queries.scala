@@ -470,6 +470,17 @@ object Queries {
       ev.select(Events.microsExpr(ev).as("x"), col("user_id").as("y")))
   }
 
+  /** Three-layout pruning shootout (linear / z-order / Hilbert) over
+    * the same events dims — [[graft.operators.Hilbert]]. The Hilbert
+    * fold runs as a per-level column chain in Spark and the identical
+    * generated SQL as chained CTEs in the oracle.
+    */
+  private def hilbertLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    Hilbert.layoutStats3(
+      ev.select(Events.microsExpr(ev).as("x"), col("user_id").as("y")))
+  }
+
   /** Semi-structured extraction: pull the integer `$.k` field out of the
     * JSON `props` column with codegen'd `get_json_object` (no UDF), then
     * aggregate per event type — the log-enrichment shape where 100 TB of
@@ -1360,6 +1371,7 @@ object Queries {
     "event_sessions" -> eventSessions _,
     "event_props" -> eventProps _,
     "zorder_layout" -> zorderLayout _,
+    "hilbert_layout" -> hilbertLayout _,
     "q13_asof_join" -> q13AsofJoin _,
     "q14_percentiles" -> q14Percentiles _,
     "q15_bucketed_join" -> q15BucketedJoin _,
@@ -1558,6 +1570,11 @@ object Queries {
         |  SELECT epoch_us(ts) AS x, user_id AS y FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
         |${ZOrder.layoutStatsOracleSql()}""".stripMargin,
+    "hilbert_layout" ->
+      s"""WITH __ev AS (
+        |  SELECT epoch_us(ts) AS x, user_id AS y FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |${Hilbert.layoutStats3OracleSql()}""".stripMargin,
     "q14_percentiles" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
