@@ -136,22 +136,30 @@ object ZOrder {
     * One range shuffle — the same cost as any global sort-write.
     */
   def rewrite(df: DataFrame, xCol: String, yCol: String, outDir: String,
-      nFiles: Int): Unit = {
+      nFiles: Int, curve: String = "zorder"): Unit = {
+    require(curve == "zorder" || curve == "hilbert",
+      s"curve must be zorder or hilbert: $curve")
     val ev = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val bounds = ev.agg(
       min(col(xCol).cast("long")).as("__xmin"),
       max(col(xCol).cast("long")).as("__xmax"),
       min(col(yCol).cast("long")).as("__ymin"),
       max(col(yCol).cast("long")).as("__ymax"))
-    ev.crossJoin(broadcast(bounds))
+    val quantized = ev.crossJoin(broadcast(bounds))
       .withColumn("__qx", expr(quantizeSql(
         s"CAST(`$xCol` AS BIGINT)", "__xmin", "__xmax", SparkIDiv)))
       .withColumn("__qy", expr(quantizeSql(
         s"CAST(`$yCol` AS BIGINT)", "__ymin", "__ymax", SparkIDiv)))
-      .withColumn("__z", expr(interleaveSql("__qx", "__qy")))
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy", "__z")
+    val keyed =
+      if (curve == "zorder")
+        quantized.withColumn("__curvekey", expr(interleaveSql("__qx", "__qy")))
+      else
+        Hilbert.hilbertKey(quantized, "__qx", "__qy")
+          .withColumnRenamed("hkey", "__curvekey")
+    keyed
+      .repartitionByRange(nFiles, col("__curvekey"))
+      .sortWithinPartitions(col("__curvekey"))
+      .drop("__xmin", "__xmax", "__ymin", "__ymax", "__qx", "__qy", "__curvekey")
       .write.mode("overwrite").parquet(outDir)
   }
 

@@ -88,6 +88,15 @@ class ZOrderWriteSpec extends SparkSpec {
     assert(hits(br).size <= br.size / 4,
       s"rewrite() files must prune like the hand-built layout: ${hits(br).size}/${br.size}")
 
+    // the hilbert variant must prune at least as well on real footers
+    val dirH = java.nio.file.Files.createTempDirectory("zw-h").toString
+    ZOrder.rewrite(base, "x", "y", dirH, 32, curve = "hilbert")
+    val bh = footerBoxes(dirH)
+    assert(spark.read.parquet(dirH).count() === n.toLong)
+    assert(hits(bh).size <= hits(br).size,
+      s"hilbert ${hits(bh).size} vs zorder ${hits(br).size}")
+    info(s"rewrite footer pruning: zorder ${hits(br).size}/32, hilbert ${hits(bh).size}/32")
+
     val (hz, hl) = (hits(bz), hits(bl))
     info(s"files opened: zorder ${hz.size}/${bz.size}, linear ${hl.size}/${bl.size}")
     info(s"rows scanned: zorder ${hz.map(_.rows).sum}, linear ${hl.map(_.rows).sum}")
