@@ -266,6 +266,50 @@ object Queries {
         |  (event_type, user_id % 10), ())""".stripMargin)
   }
 
+  /** Correlated scalar subquery (TPC-H Q17 family): small-quantity
+    * lineitems vs each part's own average. Written as correlated SQL on
+    * purpose — Catalyst decorrelates each scalar aggregate into a grouped
+    * aggregate broadcast-joined back on the correlation key
+    * (RewriteCorrelatedScalarSubquery; plan-asserted in QueriesSpec), so
+    * the physical plan is two per-part aggregations over lineitem plus
+    * broadcast joins, never a per-part nested loop. The threshold
+    * `l_q < 0.2·avg` is cross-multiplied to exact integers
+    * (5·cnt·l_q < sum — quantities are integral doubles ≤ 50) so both
+    * engines compare BIGINTs, never a float division.
+    */
+  private def q22ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_li_ssq")
+    t(spark, sfDir, "part").createOrReplaceTempView("graft_part_ssq")
+    spark.sql(
+      """SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_small
+        |FROM graft_li_ssq JOIN graft_part_ssq ON p_partkey = l_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) *
+        |    (SELECT COUNT(*) FROM graft_li_ssq l2 WHERE l2.l_partkey = p_partkey)
+        |  < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM graft_li_ssq l3
+        |     WHERE l3.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
+  /** Set operations (INTERSECT / EXCEPT): customer cohorts by behavior —
+    * big-spender ∩ urgent-buyer, and big-spender ∖ urgent-buyer. Catalyst
+    * rewrites both into semi/anti joins over the deduplicated cohorts
+    * (ReplaceIntersectWithSemiJoin / ReplaceExceptWithAntiJoin), so the
+    * plan is two broadcast-able joins, not a sort-merge set pass.
+    */
+  private def q23SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val bigSpend = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val both = bigSpend.intersect(urgent).withColumn("cohort", lit("both"))
+    val onlyBig = bigSpend.except(urgent).withColumn("cohort", lit("big_only"))
+    both.unionByName(onlyBig)
+      .join(t(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("cohort"), col("c_custkey"), col("c_mktsegment"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
@@ -1402,6 +1446,8 @@ object Queries {
     "table_profile" -> (tableProfile _),
     "q17_pivot" -> (q17Pivot _),
     "q18_grouping_sets" -> (q18GroupingSets _),
+    "q22_scalar_subquery" -> (q22ScalarSubquery _),
+    "q23_setops" -> (q23SetOps _),
     "mm_enrich" -> (mmEnrich _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
@@ -1931,6 +1977,28 @@ object Queries {
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10),
         |  (event_type, user_id % 10), ())""".stripMargin,
+    "q22_scalar_subquery" ->
+      """SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_small
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) *
+        |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |  < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+        |     WHERE l3.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+    "q23_setops" ->
+      """WITH big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        |urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |cohorts AS (
+        |  SELECT 'both' AS cohort, o_custkey FROM (
+        |    SELECT o_custkey FROM big INTERSECT SELECT o_custkey FROM urgent)
+        |  UNION ALL
+        |  SELECT 'big_only' AS cohort, o_custkey FROM (
+        |    SELECT o_custkey FROM big EXCEPT SELECT o_custkey FROM urgent))
+        |SELECT cohort, c_custkey, c_mktsegment
+        |FROM cohorts JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q17_pivot" ->
       """SELECT user_id % 10 AS user_bucket,
         |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,

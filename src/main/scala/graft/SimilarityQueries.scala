@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedupe, Similarity}
+import graft.operators.{Dedupe, KMeansExact, Similarity}
 
 /** Similarity-search query catalog over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -141,6 +141,70 @@ object SimilarityQueries {
       threshold = 0.4, numCentroids = 8,
       assignSink = df => Queries.oracleSide(spark, sfDir, "sem_assign", df))
 
+  // ------------------------------------------------------------- k-means
+
+  /** Catalog parameters for the full (non-sample) clustering operator:
+    * k matches the corpus's 10 labels; 5 Lloyd iterations.
+    */
+  private val KmK = 10
+  private val KmIters = 5
+
+  /** Final centroid set per sfDir, trained once per JVM (both k-means
+    * queries and any later consumer share it). The centroids round-trip
+    * through the `km_centroids` side table so the assignment provably
+    * uses exactly the integers the oracle reads (longs — lossless).
+    */
+  private val kmCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+
+  private def kmCentroids(spark: SparkSession, sfDir: String): Array[Array[Long]] =
+    kmCache.computeIfAbsent(sfDir, { _ =>
+      val model = KMeansExact.fit(emb(spark, sfDir), "vec_id", "embedding",
+        k = KmK, iters = KmIters)
+      Queries.oracleSide(spark, sfDir, "km_centroids",
+          KMeansExact.centroidsDF(spark, model.centroids))
+        .select(col("cluster"), col("cw"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+        .map(_._2)
+    })
+
+  /** Distributed integer-exact Lloyd's assignment
+    * ([[graft.operators.KMeansExact]]): every vector's cluster + exact
+    * scaled squared distance. The oracle replays the assignment from the
+    * persisted centroids in pure integer arithmetic.
+    */
+  private def embKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    KMeansExact.assign(emb(spark, sfDir), "vec_id", "embedding",
+        kmCentroids(spark, sfDir))
+      .withColumnRenamed("id", "vec_id")
+
+  /** Cluster-balance / label-purity report over the k-means assignment —
+    * the curation view (SemDeDup-style cluster-then-prune, mixture
+    * rebalancing): per cluster its size, exact inertia, modal label and
+    * purity. Modal tie breaks to the lowest label, mirroring the oracle's
+    * `ORDER BY n DESC, label ASC`.
+    */
+  private def embClusterStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = embKmeans(spark, sfDir)
+    val g = a.join(emb(spark, sfDir).select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2_scaled")).as("inertia_part"))
+    val tot = g.groupBy(col("cluster"))
+      .agg(sum(col("n")).as("n_vectors"), sum(col("inertia_part")).as("inertia_scaled"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("n").desc, col("label").asc)
+    val modal = g
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster"), col("label").as("modal_label"), col("n").as("modal_count"))
+    tot.join(modal, "cluster")
+      .select(col("cluster"), col("n_vectors"), col("inertia_scaled"),
+        col("modal_label"), col("modal_count"),
+        (col("modal_count").cast("double") / col("n_vectors").cast("double")).as("purity"))
+  }
+
   /** Embedding sanity/outlier filter: integer-quantized squared norms
     * (the ann_dot_exact technique — exact in both engines) with fixed
     * acceptance bounds. The embedding-QA pass before any similarity
@@ -169,6 +233,8 @@ object SimilarityQueries {
     "emb_neardup_exact" -> embNearDupExact _,
     "emb_dims" -> embDims _,
     "emb_drift" -> embDrift _,
+    "emb_kmeans" -> embKmeans _,
+    "emb_cluster_stats" -> embClusterStats _,
     "ann_dot_exact" -> annDotExact _
   )
 
@@ -208,10 +274,58 @@ object SimilarityQueries {
        |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
        |END""".stripMargin
 
+  /** Shared k-means assignment replay: from the persisted integer
+    * centroids, the exact scaled squared distance to every centroid and
+    * the argmin with ties to the lowest cluster — pure BIGINT arithmetic,
+    * the exact twin of [[graft.operators.KMeansExact.nearest]].
+    */
+  private def kmAssignSql: String =
+    s"""c AS (
+       |  SELECT cluster, cw FROM read_parquet('${Queries.oracleSidePath("km_centroids")}')),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dd AS (
+       |  SELECT qv.vec_id, c.cluster,
+       |    CAST(list_sum(list_transform(range(1, len(qv.qv) + 1),
+       |      i -> (qv.qv[i] - c.cw[i]) * (qv.qv[i] - c.cw[i]))) AS BIGINT) AS dist2
+       |  FROM qv CROSS JOIN c),
+       |asg AS (
+       |  SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dist2
+       |  FROM (SELECT vec_id, cluster, dist2,
+       |          ROW_NUMBER() OVER (PARTITION BY vec_id
+       |            ORDER BY dist2 ASC, cluster ASC) AS rk
+       |        FROM dd)
+       |  WHERE rk = 1)""".stripMargin
+
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
   def oracles: Map[String, String] = Map(
+    "emb_kmeans" ->
+      s"""WITH $kmAssignSql
+        |SELECT vec_id, cluster, dist2 AS dist2_scaled FROM asg""".stripMargin,
+    "emb_cluster_stats" ->
+      s"""WITH $kmAssignSql,
+        |g AS (
+        |  SELECT a.cluster, e.label, COUNT(*) AS n,
+        |    CAST(SUM(a.dist2) AS BIGINT) AS inertia_part
+        |  FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vectors,
+        |    CAST(SUM(inertia_part) AS BIGINT) AS inertia_scaled
+        |  FROM g GROUP BY 1),
+        |m AS (
+        |  SELECT cluster, label AS modal_label, CAST(n AS BIGINT) AS modal_count,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY n DESC, label ASC) AS rk
+        |  FROM g)
+        |SELECT t.cluster, t.n_vectors, t.inertia_scaled,
+        |  m.modal_label, m.modal_count,
+        |  CAST(m.modal_count AS DOUBLE) / CAST(t.n_vectors AS DOUBLE) AS purity
+        |FROM tot t JOIN m ON m.cluster = t.cluster AND m.rk = 1""".stripMargin,
     "emb_norms" ->
       """WITH q AS (
         |  SELECT vec_id,

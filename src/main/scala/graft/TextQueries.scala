@@ -1469,7 +1469,8 @@ object TextQueries {
         |  FROM documents),
         |b AS (
         |  SELECT n_tokens,
-        |    ${graft.operators.Packing.pow2BucketSql("n_tokens")} AS bucket_len
+        |    CAST(${graft.operators.Packing.pow2BucketSql("n_tokens")} AS BIGINT)
+        |      AS bucket_len
         |  FROM t)
         |SELECT bucket_len, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,

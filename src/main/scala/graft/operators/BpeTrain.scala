@@ -209,7 +209,10 @@ object BpeTrain {
        |     ORDER BY f DESC, lhs, rhs LIMIT 1) best
        |  WHERE b.it < $k),
        |__merges AS (
-       |  SELECT it AS merge_idx, lhs, rhs, f AS freq FROM (
+       |  -- CAST to BIGINT: `it` is an INT32 literal chain and SUM yields
+       |  -- HUGEINT — both must land on the Spark side's (long, long)
+       |  SELECT CAST(it AS BIGINT) AS merge_idx, lhs, rhs,
+       |    CAST(f AS BIGINT) AS freq FROM (
        |    SELECT it, lhs, rhs, SUM(freq) AS f,
        |      ROW_NUMBER() OVER (PARTITION BY it
        |                         ORDER BY SUM(freq) DESC, lhs, rhs) AS rn

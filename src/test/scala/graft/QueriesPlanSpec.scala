@@ -229,4 +229,27 @@ class QueriesPlanSpec extends SparkSpec {
       .orderBy("o_orderpriority").collect().toSeq
     assert(bucketed == plain)
   }
+
+  test("q22's correlated scalar subqueries decorrelate — no nested-loop join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val df = SparkEntry.queries("q22_scalar_subquery")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(countNodes(plan) {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    } == 0, s"scalar subqueries must decorrelate to aggregate-joins:\n$plan")
+    // and the decorrelated per-part aggregates are really there (count +
+    // sum, each a grouped aggregate joined back on l_partkey)
+    val s = plan.toString
+    assert(s.contains("HashAggregate"), s"expected decorrelated aggregates:\n$s")
+  }
+
+  test("q23's INTERSECT/EXCEPT rewrite to semi/anti joins") {
+    val df = SparkEntry.queries("q23_setops")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftSemi"), s"INTERSECT must plan as a semi join:\n$s")
+    assert(s.contains("LeftAnti"), s"EXCEPT must plan as an anti join:\n$s")
+  }
 }
