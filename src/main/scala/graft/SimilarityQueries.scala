@@ -205,6 +205,20 @@ object SimilarityQueries {
         (col("modal_count").cast("double") / col("n_vectors").cast("double")).as("purity"))
   }
 
+  /** SemDeDup over the exact-k-means clusters: the same within-bucket
+    * cosine pruning as `semantic_dedup`, but bucketed by the full-corpus
+    * integer-exact Lloyd's model instead of a sampled quantizer — so the
+    * oracle re-derives the buckets themselves from the persisted centroids
+    * (nothing about the bucketing is taken on faith) and then replays the
+    * pair pruning. Demonstrates the cluster-then-prune composition the
+    * k-means operator exists for.
+    */
+  private def semDedupKmeans(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedupFromAssignment(
+      KMeansExact.assignWithVec(emb(spark, sfDir), "vec_id", "embedding",
+        kmCentroids(spark, sfDir)),
+      threshold = 0.4)
+
   /** Embedding sanity/outlier filter: integer-quantized squared norms
     * (the ann_dot_exact technique — exact in both engines) with fixed
     * acceptance bounds. The embedding-QA pass before any similarity
@@ -235,6 +249,7 @@ object SimilarityQueries {
     "emb_drift" -> embDrift _,
     "emb_kmeans" -> embKmeans _,
     "emb_cluster_stats" -> embClusterStats _,
+    "semantic_dedup_kmeans" -> semDedupKmeans _,
     "ann_dot_exact" -> annDotExact _
   )
 
@@ -326,6 +341,21 @@ object SimilarityQueries {
         |  m.modal_label, m.modal_count,
         |  CAST(m.modal_count AS DOUBLE) / CAST(t.n_vectors AS DOUBLE) AS purity
         |FROM tot t JOIN m ON m.cluster = t.cluster AND m.rk = 1""".stripMargin,
+    "semantic_dedup_kmeans" ->
+      s"""WITH $kmAssignSql,
+        |p AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |    ${cosineSql("ex.embedding", "ey.embedding")} AS cosine
+        |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+        |d AS (
+        |  SELECT id_b AS vid, MIN(id_a) AS dup_of
+        |  FROM p WHERE cosine >= 0.4 GROUP BY id_b)
+        |SELECT a.vec_id AS id, a.cluster AS bucket,
+        |  COALESCE(d.dup_of, a.vec_id) AS canonical_id,
+        |  d.dup_of IS NOT NULL AS is_dup
+        |FROM asg a LEFT JOIN d ON d.vid = a.vec_id""".stripMargin,
     "emb_norms" ->
       """WITH q AS (
         |  SELECT vec_id,

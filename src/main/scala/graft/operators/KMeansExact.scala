@@ -184,6 +184,27 @@ object KMeansExact extends Serializable {
       .toDF("id", "cluster", "dist2_scaled")
   }
 
+  /** Assignment carrying the raw float vector: `(bucket, id, vec)` — the
+    * input contract of [[Similarity.semanticDedupFromAssignment]]. Buckets
+    * come from the exact integer argmin; the float vector rides along for
+    * the downstream cosine kernel.
+    */
+  def assignWithVec(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Long]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        (nearest(bc.value, v.map(q1000)).toLong, id, v)
+      }
+      .toDF("bucket", "id", "vec")
+  }
+
   /** Centroids as a relation (cluster, cw) — the oracle side table. */
   def centroidsDF(spark: SparkSession, centroids: Array[Array[Long]]): DataFrame = {
     import spark.implicits._

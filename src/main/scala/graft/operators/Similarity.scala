@@ -444,12 +444,28 @@ object Similarity extends Serializable {
     // the persist the identity-sink path would re-run the scan and the
     // per-row centroid assignment for the second consumer. Released
     // after the eager materialization below.
-    val assigned = assignSink(base
+    val assigned0 = assignSink(base
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         (nearestCentroids(bcCentroids.value, v, 1).head, id, v)
       }
       .toDF("bucket", "id", "vec"))
+    semanticDedupFromAssignment(assigned0, threshold, maxBucketSize)
+  }
+
+  /** SemDeDup's within-cluster pruning over a PRECOMPUTED assignment
+    * relation `(bucket, id, vec)` — the shared back half of
+    * [[semanticDedup]], also driven directly by other bucketers (the
+    * exact-k-means catalog variant). Same cap discipline, same output
+    * contract.
+    */
+  def semanticDedupFromAssignment(
+      assigned0: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val spark = assigned0.sparkSession
+    import spark.implicits._
+    val assigned = assigned0.select(col("bucket"), col("id"), col("vec"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bucket-size split (the embeddingNearDups cap discipline): under-cap
     // buckets do the full within-bucket self-join; over-cap buckets only

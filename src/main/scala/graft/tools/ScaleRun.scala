@@ -126,7 +126,16 @@ object ScaleRun {
     // epoch shuffle: range sort + two-pass rank over N× docs
     "doc_shuffle",
     // streaming estimator: chunk volume and per-hash state both grow 10×
-    "stream_cdc")
+    "stream_cdc",
+    // full-corpus Lloyd's: per-iteration narrow sweep over N× vectors,
+    // partials stay k×dim regardless — the linear-scan scale shape
+    "emb_kmeans",
+    // SemDeDup over those buckets: jittered replicas spread across
+    // clusters, within-cluster pair volume grows ~N×, never N²
+    "semantic_dedup_kmeans",
+    // decorrelated scalar subqueries: two per-part aggregates over N×
+    // lineitem + broadcast joins back
+    "q22_scalar_subquery")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

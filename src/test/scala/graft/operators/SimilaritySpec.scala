@@ -223,4 +223,30 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.kmeansLite(sample, 4, 3, 42L)
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("semanticDedupFromAssignment over exact-k-means buckets collapses planted dups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new java.util.Random(13)
+    val base = (0L until 60L).map(i => (i, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    def jitter(v: Array[Float], eps: Float) = v.map(_ + eps)
+    val planted = Seq((100L, jitter(base(5)._2, 1e-4f)), (101L, jitter(base(5)._2, 2e-4f)))
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    val m = KMeansExact.fit(df, "vec_id", "embedding", k = 4, iters = 3)
+    val assigned = KMeansExact.assignWithVec(df, "vec_id", "embedding", m.centroids)
+    // the assignment bridge buckets exactly like KMeansExact.assign
+    val viaAssign = KMeansExact.assign(df, "vec_id", "embedding", m.centroids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assigned.collect().foreach { r =>
+      assert(r.getLong(1 /* id */) >= 0)
+      assert(viaAssign(r.getLong(1)) == r.getLong(0), s"bucket mismatch for ${r.getLong(1)}")
+    }
+    val r = Similarity.semanticDedupFromAssignment(assigned, threshold = 0.95)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getBoolean(3)))
+      .toMap
+    assert(r.size == 62, "one row per vector")
+    assert(r(100L) == ((5L, true)) && r(101L) == ((5L, true)) && r(5L) == ((5L, false)))
+    assert(r.count(_._2._2) == 2, "only the planted dups are marked")
+  }
 }
