@@ -832,6 +832,69 @@ object Queries {
       oldSnap, revisedSnapshot(oldSnap), "doc_id", Seq("text"))
   }
 
+  /** Deterministic changelog for the merge_apply query — every change
+    * rule is a filter/project of documents so the oracle rebuilds it in
+    * SQL, and each rule carries a DISTINCT seq so last-writer-wins is
+    * never tie-ambiguous: seq1 revises %7, seq2 deletes %11, seq3
+    * re-revises %21 (shadowing seq1), seq4 reinserts %33 (shadowing the
+    * seq2 delete — the delete-then-reinsert path), plus %13 clones
+    * inserted under doc_id + 20,000,000 (the WHEN NOT MATCHED path).
+    */
+  private def mergeChangelog(docs: DataFrame): DataFrame = {
+    def rule(modulo: Long, seq: Long, op: String, text: Column,
+        key: Column, source: Column): DataFrame =
+      docs.filter(col("doc_id") % modulo === 0)
+        .select(key.as("doc_id"), lit(seq).as("seq"), lit(op).as("op"),
+          text.as("text"), source.as("source"))
+    val nullS = lit(null).cast("string")
+    rule(7L, 1L, "U", concat(col("text"), lit(" [u1]")), col("doc_id"), col("source"))
+      .unionByName(rule(11L, 2L, "D", nullS, col("doc_id"), nullS))
+      .unionByName(rule(21L, 3L, "U", concat(col("text"), lit(" [u2]")), col("doc_id"), col("source")))
+      .unionByName(rule(33L, 4L, "U", concat(lit("resurrected "), col("text")), col("doc_id"), col("source")))
+      .unionByName(rule(13L, 1L, "U", concat(lit("ins of "), col("text")), col("doc_id") + 20000000L, col("source")))
+  }
+
+  /** Lakehouse MERGE ([[graft.operators.MergeApply]]): fold a changelog
+    * of keyed upserts/deletes into the documents snapshot with
+    * last-writer-wins versioning — the apply-side dual of
+    * snapshot_diff's audit. The delta pays the only exchange (collapsed
+    * to its max-seq row per key); the snapshot meets it in a full-outer
+    * join AQE can broadcast, so at 100 TB the corpus scan stays narrow.
+    * The oracle replays the changelog and the last-writer fold as a
+    * ROW_NUMBER window over the rebuilt delta.
+    */
+  private def mergeApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    graft.operators.MergeApply.merge(
+      docs, mergeChangelog(docs), "doc_id", Seq("text", "source"))
+  }
+
+  /** Dry-run accounting of the same merge
+    * ([[graft.operators.MergeApply.mergeStats]]): one row of
+    * updated / inserted / deleted / unchanged key counts — what a
+    * pipeline inspects before committing the fold. Snapshot contributes
+    * only doc_id (payload never read; column pruning to the scan).
+    */
+  private def mergeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    graft.operators.MergeApply.mergeStats(docs, mergeChangelog(docs), "doc_id")
+  }
+
+  /** Join-key skew profile ([[graft.operators.KeySkew]]): the top-20
+    * hottest events.user_id values with corpus totals, per-key skew
+    * ratio and the salt-bucket count that would level each back to mean
+    * load — the measurement that decides whether q19's salted join (or
+    * AQE skew handling) is worth its dim replication. One
+    * map-side-combined count shuffle; totals broadcast back; top-k via
+    * TakeOrderedAndProject. Ratios are single correctly-rounded double
+    * divisions of exact integers — bit-stable across engines.
+    */
+  private def keySkew(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.KeySkew.profile(
+      spark.read.parquet(s"$sfDir/events.parquet"), col("user_id"), k = 20)
+
   /** Shared oracle for dist_drift AND stream_drift: the byte-length
     * histogram drift between documents and the revised snapshot, in
     * DuckDB (octet_length needs a BLOB — encode() first; `//` int-div
@@ -860,6 +923,23 @@ object Queries {
       |  CAST(FLOOR(ABS(old_n / ot - new_n / nt) * 1000000000 + 0.5) AS BIGINT)
       |    AS drift_scaled
       |FROM j, t""".stripMargin
+
+  /** The merge_apply / merge_stats changelog rebuilt in SQL — rule for
+    * rule the same filters/projections as [[mergeChangelog]], with the
+    * same per-rule seqs, so the oracle's last-writer fold sees the
+    * identical delta.
+    */
+  private val MergeChangelogSql: String =
+    """SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+      |    text || ' [u1]' AS text, source FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id, 2, 'D', NULL, NULL
+      |    FROM documents WHERE doc_id % 11 = 0
+      |  UNION ALL SELECT doc_id, 3, 'U', text || ' [u2]', source
+      |    FROM documents WHERE doc_id % 21 = 0
+      |  UNION ALL SELECT doc_id, 4, 'U', 'resurrected ' || text, source
+      |    FROM documents WHERE doc_id % 33 = 0
+      |  UNION ALL SELECT doc_id + 20000000, 1, 'U', 'ins of ' || text, source
+      |    FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
   /** The deterministic "next corpus cut" shared by snapshot_diff,
     * dist_drift, and stream_drift (kept SQL-expressible so all three
@@ -1440,6 +1520,9 @@ object Queries {
     "stream_cdc_approx" -> (streamCdcApprox _),
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
+    "merge_apply" -> (mergeApply _),
+    "merge_stats" -> (mergeStats _),
+    "key_skew" -> (keySkew _),
     "dist_drift" -> (distDrift _),
     "drift_by_source" -> (driftBySource _),
     "stream_drift" -> (streamDrift _),
@@ -1926,6 +2009,46 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+    "merge_apply" ->
+      s"""WITH ch AS ($MergeChangelogSql),
+        |latest AS (
+        |  SELECT doc_id, op, text, source FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+        |  CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
+        |  CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END AS source
+        |FROM documents s FULL JOIN latest l ON s.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "merge_stats" ->
+      s"""WITH ch AS ($MergeChangelogSql),
+        |latest AS (
+        |  SELECT doc_id, op FROM (
+        |    SELECT doc_id, op, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT
+        |  CAST(SUM(CASE WHEN l.op = 'U' AND s.doc_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+        |  CAST(SUM(CASE WHEN l.op = 'U' AND s.doc_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS inserted,
+        |  CAST(SUM(CASE WHEN l.op = 'D' AND s.doc_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+        |  CAST(SUM(CASE WHEN l.op IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS unchanged
+        |FROM documents s FULL JOIN latest l ON s.doc_id = l.doc_id""".stripMargin,
+    "key_skew" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+        |  COUNT(*) AS n_keys FROM c),
+        |top AS (SELECT key, cnt FROM c
+        |  ORDER BY cnt DESC, CAST(key AS VARCHAR) LIMIT 20)
+        |SELECT CAST(key AS VARCHAR) AS key, cnt, total_rows, n_keys,
+        |  cnt * n_keys / total_rows AS skew_ratio,
+        |  CAST(CEIL(cnt * n_keys / total_rows) AS BIGINT) AS salt_buckets
+        |FROM top, t""".stripMargin,
     "dist_drift" -> DriftSql,
     // the streaming twin must land on the BATCH answer exactly — same SQL
     "stream_drift" -> DriftSql,
