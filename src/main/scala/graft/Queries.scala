@@ -840,7 +840,7 @@ object Queries {
     * seq2 delete — the delete-then-reinsert path), plus %13 clones
     * inserted under doc_id + 20,000,000 (the WHEN NOT MATCHED path).
     */
-  private def mergeChangelog(docs: DataFrame): DataFrame = {
+  private[graft] def mergeChangelog(docs: DataFrame): DataFrame = {
     def rule(modulo: Long, seq: Long, op: String, text: Column,
         key: Column, source: Column): DataFrame =
       docs.filter(col("doc_id") % modulo === 0)
@@ -882,6 +882,24 @@ object Queries {
     graft.operators.MergeApply.mergeStats(docs, mergeChangelog(docs), "doc_id")
   }
 
+  /** Streaming twin of merge_apply ([[graft.streaming.StreamMerge]]):
+    * the changelog derives from the documents STREAM in-flight (the
+    * StreamDrift revise contract) and folds through a merge-key-keyed
+    * state store emitting only seq-improving upserts; the finish runs
+    * the batch MergeApply over the emitted events. Shares merge_apply's
+    * oracle — the state-store fold must land on the batch answer
+    * exactly.
+    */
+  private def streamMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"doc_merge_${dirTag(sfDir)}"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    graft.streaming.StreamMerge.runMergeOnce(
+      spark, s"$sfDir/documents.parquet", name,
+      s => mergeChangelog(s.select(col("doc_id"), col("text"), col("source"))),
+      docs, "doc_id", Seq("text", "source"))
+  }
+
   /** Join-key skew profile ([[graft.operators.KeySkew]]): the top-20
     * hottest events.user_id values with corpus totals, per-key skew
     * ratio and the salt-bucket count that would level each back to mean
@@ -894,6 +912,18 @@ object Queries {
   private def keySkew(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.KeySkew.profile(
       spark.read.parquet(s"$sfDir/events.parquet"), col("user_id"), k = 20)
+
+  /** Exact join-size forecast ([[graft.operators.KeySkew.joinSizeProfile]])
+    * for the events×events self-join on user_id — the stream_join /
+    * attribution shape, where per-key row products make output size
+    * quadratic in the hot keys. |A ⋈ B| = Σ cntA(k)·cntB(k) from the two
+    * count relations; corpus rows never join, only |keys|-sized counts.
+    */
+  private def joinSizeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.operators.KeySkew.joinSizeProfile(
+      ev, col("user_id"), ev, col("user_id"))
+  }
 
   /** Shared oracle for dist_drift AND stream_drift: the byte-length
     * histogram drift between documents and the revised snapshot, in
@@ -940,6 +970,24 @@ object Queries {
       |    FROM documents WHERE doc_id % 33 = 0
       |  UNION ALL SELECT doc_id + 20000000, 1, 'U', 'ins of ' || text, source
       |    FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** Shared oracle for merge_apply AND stream_merge: rebuild the
+    * changelog, collapse it to its last writer per key, and fold into
+    * documents — the streaming state-store fold must land on this batch
+    * answer exactly.
+    */
+  private def MergeApplySql: String =
+    s"""WITH ch AS ($MergeChangelogSql),
+      |latest AS (
+      |  SELECT doc_id, op, text, source FROM (
+      |    SELECT ch.*, ROW_NUMBER() OVER (
+      |      PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch)
+      |  WHERE rn = 1)
+      |SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+      |  CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
+      |  CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END AS source
+      |FROM documents s FULL JOIN latest l ON s.doc_id = l.doc_id
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin
 
   /** The deterministic "next corpus cut" shared by snapshot_diff,
     * dist_drift, and stream_drift (kept SQL-expressible so all three
@@ -1522,7 +1570,9 @@ object Queries {
     "snapshot_diff" -> (snapshotDiff _),
     "merge_apply" -> (mergeApply _),
     "merge_stats" -> (mergeStats _),
+    "stream_merge" -> (streamMerge _),
     "key_skew" -> (keySkew _),
+    "join_size_profile" -> (joinSizeProfile _),
     "dist_drift" -> (distDrift _),
     "drift_by_source" -> (driftBySource _),
     "stream_drift" -> (streamDrift _),
@@ -2009,18 +2059,9 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
-    "merge_apply" ->
-      s"""WITH ch AS ($MergeChangelogSql),
-        |latest AS (
-        |  SELECT doc_id, op, text, source FROM (
-        |    SELECT ch.*, ROW_NUMBER() OVER (
-        |      PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch)
-        |  WHERE rn = 1)
-        |SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
-        |  CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
-        |  CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END AS source
-        |FROM documents s FULL JOIN latest l ON s.doc_id = l.doc_id
-        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
+    "merge_apply" -> MergeApplySql,
+    // the streaming fold must land on the BATCH merge exactly — same SQL
+    "stream_merge" -> MergeApplySql,
     "merge_stats" ->
       s"""WITH ch AS ($MergeChangelogSql),
         |latest AS (
@@ -2049,6 +2090,26 @@ object Queries {
         |  cnt * n_keys / total_rows AS skew_ratio,
         |  CAST(CEIL(cnt * n_keys / total_rows) AS BIGINT) AS salt_buckets
         |FROM top, t""".stripMargin,
+    "join_size_profile" ->
+      """WITH a AS (SELECT user_id AS key, COUNT(*) AS cnt_a
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT user_id AS key, COUNT(*) AS cnt_b
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.key, cnt_a * cnt_b AS prod
+        |  FROM a JOIN b USING (key)),
+        |ta AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_left,
+        |  COUNT(*) AS n_keys_left FROM a),
+        |tb AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS n_right,
+        |  COUNT(*) AS n_keys_right FROM b),
+        |tj AS (SELECT CAST(COALESCE(SUM(prod), 0) AS BIGINT) AS join_rows,
+        |  COUNT(*) AS n_common_keys FROM j),
+        |top AS (SELECT CAST(key AS VARCHAR) AS top_key, prod AS top_key_rows
+        |  FROM j ORDER BY prod DESC, CAST(key AS VARCHAR) LIMIT 1)
+        |SELECT n_left, n_right, n_keys_left, n_keys_right, n_common_keys,
+        |  join_rows, top_key, top_key_rows,
+        |  join_rows / n_left AS amplification,
+        |  top_key_rows / join_rows AS top_key_share
+        |FROM ta, tb, tj, top""".stripMargin,
     "dist_drift" -> DriftSql,
     // the streaming twin must land on the BATCH answer exactly — same SQL
     "stream_drift" -> DriftSql,

@@ -23,6 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object KeySkew {
 
+  /** Exact join-size forecast — what an equi-join on `lKey`/`rKey`
+    * would produce, BEFORE paying for it: |A ⋈ B| = Σ_k cntA(k)·cntB(k)
+    * computed from the two per-key count relations (each a
+    * map-side-combined aggregate; their join carries |keys| rows, never
+    * corpus rows — the 100 TB shape). One row out: side totals, key
+    * cardinalities, exact join rows, the hottest key and its
+    * contribution, and the output amplification vs the left side. All
+    * integers except two correctly-rounded double divisions —
+    * cross-engine bit-stable. The planning dual of [[profile]]: profile
+    * says where the shuffle stragglers will be, this says how big the
+    * output gets (the join-explosion guard for self-joins and
+    * many-to-many keys).
+    */
+  def joinSizeProfile(
+      left: DataFrame, lKey: Column,
+      right: DataFrame, rKey: Column): DataFrame = {
+    val a = left.select(lKey.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("cnt_a"))
+    val b = right.select(rKey.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("cnt_b"))
+    val j = a.join(b, Seq("key"))
+      .select(col("key"), (col("cnt_a") * col("cnt_b")).as("prod"))
+    val ta = a.agg(sum(col("cnt_a")).as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val tb = b.agg(sum(col("cnt_b")).as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    val tj = j.agg(coalesce(sum(col("prod")), lit(0L)).as("join_rows"),
+      count(lit(1)).as("n_common_keys"))
+    // hottest key: deterministic ties (prod desc, then key string asc)
+    val top = j.orderBy(col("prod").desc, col("key").cast("string").asc)
+      .limit(1)
+      .select(col("key").cast("string").as("top_key"),
+        col("prod").as("top_key_rows"))
+    // left join on a constant (not crossJoin) so a disjoint-key profile
+    // still yields its one summary row with a NULL top_key
+    ta.crossJoin(tb).crossJoin(tj).withColumn("_k", lit(1))
+      .join(broadcast(top.withColumn("_k", lit(1))), Seq("_k"), "left")
+      .select(col("n_left"), col("n_right"),
+        col("n_keys_left"), col("n_keys_right"), col("n_common_keys"),
+        col("join_rows"), col("top_key"), col("top_key_rows"),
+        (col("join_rows") / col("n_left")).as("amplification"),
+        (col("top_key_rows") / col("join_rows")).as("top_key_share"))
+  }
+
   /** Top-`k` heaviest values of `key` in `rows`, with corpus totals and
     * per-key skew metrics. Deterministic: ties on count break by key
     * (ascending string form), so the top-k SET is stable across runs

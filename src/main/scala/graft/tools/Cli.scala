@@ -313,6 +313,32 @@ object Cli {
       println(s"wrote $alignedOut")
       spark.stop()
 
+    case "merge" :: snapPath :: changesPath :: keyCol :: rest if rest.size <= 1 =>
+      // changelog MERGE: CHANGES needs (KEYCOL, seq, op) plus the
+      // snapshot's payload columns; stats always print, OUTDIR also
+      // writes the merged table
+      val spark = session()
+      val snap = spark.read.parquet(snapPath)
+      val changes = spark.read.parquet(changesPath)
+      require(snap.columns.contains(keyCol),
+        s"snapshot has no column '$keyCol' (has ${snap.columns.mkString(", ")})")
+      for (c <- Seq(keyCol, "seq", "op"))
+        require(changes.columns.contains(c), s"changes needs column '$c'")
+      val payload = snap.columns.filterNot(_ == keyCol).toSeq
+      val missing = payload.filterNot(changes.columns.contains)
+      require(missing.isEmpty,
+        s"changes is missing payload columns: ${missing.mkString(", ")}")
+      val stats = graft.operators.MergeApply
+        .mergeStats(snap, changes, keyCol).head()
+      println(s"updated=${stats.getLong(0)} inserted=${stats.getLong(1)} " +
+        s"deleted=${stats.getLong(2)} unchanged=${stats.getLong(3)}")
+      rest.headOption.foreach { outDir =>
+        graft.operators.MergeApply.merge(snap, changes, keyCol, payload)
+          .write.mode("overwrite").parquet(outDir)
+        println(s"wrote merged table to $outDir")
+      }
+      spark.stop()
+
     case "viz" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -354,6 +380,7 @@ object Cli {
            |  compact [--target-mb=N] DIR [OUTDIR]
            |  layout TABLE.parquet XCOL YCOL [OUTDIR]
            |  bpe DOCUMENTS.parquet [K]
+           |  merge SNAPSHOT.parquet CHANGES.parquet KEYCOL [OUTDIR]
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)

@@ -135,7 +135,13 @@ object ScaleRun {
     "semantic_dedup_kmeans",
     // decorrelated scalar subqueries: two per-part aggregates over N×
     // lineitem + broadcast joins back
-    "q22_scalar_subquery")
+    "q22_scalar_subquery",
+    // MERGE fold: N× snapshot must stay map-only (delta broadcasts);
+    // the delta itself also grows N× here — the worst case of both
+    "merge_apply",
+    // join planning profilers: count relations grow with |keys| (N×
+    // replica-offset user_ids), corpus rows never join
+    "key_skew", "join_size_profile")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("runMergeOnce equals the batch MergeApply fold") {
+    val dir = java.nio.file.Files.createTempDirectory("smrg")
+    val changes = Seq(
+      (1L, 1L, "U", "one-v1", "s"),
+      (1L, 2L, "U", "one-v2", "s"),   // shadows v1
+      (2L, 1L, "D", null, null),
+      (5L, 1L, "U", "five", "s"))     // insert
+      .toDF("doc_id", "seq", "op", "text", "source")
+    writeFlatParquet(changes, dir, "ch.parquet")
+    val snap = Seq((1L, "one", "a"), (2L, "two", "a"), (3L, "three", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = StreamMerge.runMergeOnce(spark, s"$dir/ch.parquet", "smrg_q",
+        identity, snap, "doc_id", Seq("text", "source"))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    val want = graft.operators.MergeApply
+      .merge(snap, changes, "doc_id", Seq("text", "source"))
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got == want)
+    assert(got == Seq((1L, "one-v2", "s"), (3L, "three", "b"), (5L, "five", "s")))
+  }
+
+  test("state carries across micro-batches; stale seqs never regress") {
+    // three files, one per micro-batch: key 1 upserted in batch 1 (seq 5),
+    // a STALE seq-3 change arrives in batch 2 (must not emit), a fresh
+    // seq-9 in batch 3 wins; key 2 deleted in batch 2 after batch 1's
+    // upsert
+    val dir = java.nio.file.Files.createTempDirectory("smrgmb")
+    def w(rows: Seq[(Long, Long, String, String, String)], name: String): Unit =
+      writeFlatParquet(rows.toDF("doc_id", "seq", "op", "text", "source"),
+        dir, name)
+    w(Seq((1L, 5L, "U", "v5", "s"), (2L, 1L, "U", "two-new", "s")), "f0.parquet")
+    w(Seq((1L, 3L, "U", "v3-stale", "s"), (2L, 2L, "D", null, null)), "f1.parquet")
+    w(Seq((1L, 9L, "U", "v9", "s")), "f2.parquet")
+
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamMerge.latestChanges(stream, "doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("smrg_mb")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val events = session.table("smrg_mb")
+      .as[(Long, Long, String, String, String)].collect().toSeq.sorted
+    // key 1: seq 5 then seq 9 emitted, stale seq 3 suppressed by state;
+    // key 2: seq 1 upsert then seq 2 delete both emitted
+    assert(events == Seq(
+      (1L, 5L, "U", "v5", "s"), (1L, 9L, "U", "v9", "s"),
+      (2L, 1L, "U", "two-new", "s"), (2L, 2L, "D", null, null)))
+  }
+}
