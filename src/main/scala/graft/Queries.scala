@@ -310,6 +310,57 @@ object Queries {
       .select(col("cohort"), col("c_custkey"), col("c_mktsegment"))
   }
 
+  /** Cumulative window (running total): per-priority daily revenue with
+    * its running sum. The pre-aggregation keys one shuffle on
+    * (priority, day); the window then runs per priority over DAYS —
+    * a few-thousand-row frame regardless of corpus size, never a
+    * per-row corpus window. Engine-exact by the catalog's decimal rule:
+    * day totals AND the running sum accumulate in DECIMAL (order-free),
+    * cast to double only at the edge; the RANGE-frame default makes
+    * tie handling irrelevant because the orderBy key (day) is the
+    * partition's grain.
+    */
+  private def q24RunningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = t(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority").as("priority"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(sum(dec(col("o_totalprice"))).as("day_dec"))
+    daily
+      .withColumn("running_dec",
+        sum(col("day_dec")).over(
+          Window.partitionBy(col("priority")).orderBy(col("d"))))
+      .select(col("priority"), date_format(col("d"), "yyyy-MM-dd").as("d"),
+        col("day_dec").cast("double").as("day_total"),
+        col("running_dec").cast("double").as("running_total"))
+  }
+
+  /** Time-series gap-fill (resample): per-event-type HOURLY counts over
+    * the corpus's full hour span, absent hours zero-filled — the
+    * monitoring resample `groupBy(hour)` alone can't produce (gaps
+    * simply vanish). The dense (type × hour) grid generates from a
+    * one-row span aggregate via sequence+explode (never a driver loop),
+    * then left-joins the counts; grid size is |types|·|hours|,
+    * independent of corpus row count. Hour = epoch-µs floor-div 3.6e9
+    * through the type-adaptive [[Events.microsExpr]].
+    */
+  private def eventResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val hours = ev.select(col("event_type"),
+      // integer `div`, not `/`: double division + cast would hang exact
+      // floor semantics on float rounding at hour boundaries
+      call_function("div", Events.microsExpr(ev), lit(3600000000L)).as("h"))
+    val counts = hours.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = hours.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
@@ -1581,6 +1632,8 @@ object Queries {
     "q18_grouping_sets" -> (q18GroupingSets _),
     "q22_scalar_subquery" -> (q22ScalarSubquery _),
     "q23_setops" -> (q23SetOps _),
+    "q24_running_total" -> (q24RunningTotal _),
+    "event_resample" -> (eventResample _),
     "mm_enrich" -> (mmEnrich _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
@@ -2059,6 +2112,29 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+    "q24_running_total" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT priority, strftime(d, '%Y-%m-%d') AS d,
+        |  CAST(day_dec AS DOUBLE) AS day_total,
+        |  CAST(SUM(day_dec) OVER (
+        |    PARTITION BY priority ORDER BY d) AS DOUBLE) AS running_total
+        |FROM daily""".stripMargin,
+    "event_resample" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+        |  FROM events),
+        |c AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |s AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+        |t AS (SELECT DISTINCT event_type FROM e),
+        |g AS (SELECT t.event_type,
+        |  UNNEST(generate_series((SELECT h0 FROM s), (SELECT h1 FROM s)))
+        |    AS h FROM t)
+        |SELECT g.event_type, CAST(g.h AS BIGINT) AS h,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
     "merge_apply" -> MergeApplySql,
     // the streaming fold must land on the BATCH merge exactly — same SQL
     "stream_merge" -> MergeApplySql,

@@ -106,6 +106,13 @@ object ScaleRun {
         col("event_type"), col("value"), col("props"))
     }
     writeSingleFile(evReps.reduce(_ unionAll _), out, "events.parquet")
+
+    // part stays 1× (the dim side): lineitem fact rows grow ×N against
+    // the same part keys, so q22's per-part correlated aggregates see N×
+    // deeper groups — the realistic dim/fact scale split. Replicating
+    // part would instead duplicate its keys and break key semantics.
+    writeSingleFile(spark.read.parquet(s"$base/part.parquet"), out,
+      "part.parquet")
   }
 
   private val ScaleQueries = Seq(
