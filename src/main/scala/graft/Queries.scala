@@ -1407,6 +1407,25 @@ object Queries {
         col("channels"), least(col("n_bytes"), lit(256L)).as("thumb_bytes"))
   }
 
+  /** Visual dedup over RE-ENCODED image duplicates
+    * ([[graft.operators.Multimodal.perceptualDedup]]): groups of 4 ids
+    * share one image, alternating PNG/BMP containers — byte-hash dedup
+    * cannot see across the codec boundary; the dHash perceptual
+    * fingerprint must collapse each group to its min-id canonical. The
+    * oracle is fully CODEC-FREE: it re-derives the 9×8 grayscale
+    * thumbnail from the fixture's arithmetic pixel truth (same integer
+    * downsample indices and luma), packs the same 64 bits through a
+    * HUGEINT two's-complement wrap, and replays the grouping — so the
+    * real ImageIO decode, the downsample, the hash, and the dedup are
+    * all certified end-to-end against arithmetic, no side tables.
+    */
+  private def mmPhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    Multimodal.perceptualDedup(
+      Multimodal.reencodedBlobs(ids, "doc_id"), "blob_id", "content")
+  }
+
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose
     * channel count and frame-exact duration come from arithmetic truth,
@@ -1635,6 +1654,7 @@ object Queries {
     "q24_running_total" -> (q24RunningTotal _),
     "event_resample" -> (eventResample _),
     "mm_enrich" -> (mmEnrich _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
@@ -2112,6 +2132,43 @@ object Queries {
         |       WHEN o.text = n.text THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM documents o FULL JOIN newsnap n ON o.doc_id = n.doc_id""".stripMargin,
+    // codec-free replay of decode→downsample→dHash→dedup: the grayscale
+    // thumbnail re-derives from the fixture's arithmetic pixel truth
+    // (identical integer downsample indices + luma), the 64 bits pack
+    // through a HUGEINT two's-complement wrap, and the grouping replays
+    // relationally — certifying the engine's REAL ImageIO path bit-exactly
+    "mm_phash_dedup" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS blob_id, doc_id // 4 AS seed,
+        |    4 + (doc_id // 4) % 29 AS w, 4 + ((doc_id // 4) * 7) % 23 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT blob_id, cyg AS cy, cxg AS cx,
+        |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+        |      + 114 * (v & 255)) // 1000 AS luma
+        |  FROM (
+        |    SELECT blob_id, cy.g AS cyg, cx.g AS cxg,
+        |      (seed * 1000003 + ((cx.g * w) // 9) * 31
+        |        + ((cy.g * h) // 8) * 131) & 16777215 AS v
+        |    FROM dims, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
+        |hv AS (
+        |  SELECT a.blob_id,
+        |    SUM(CASE WHEN b.luma > a.luma
+        |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
+        |      ELSE CAST(0 AS HUGEINT) END) AS hh
+        |  FROM lum a JOIN lum b
+        |    ON a.blob_id = b.blob_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 GROUP BY 1),
+        |ph AS (
+        |  SELECT blob_id,
+        |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+        |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
+        |      AS BIGINT) AS phash
+        |  FROM hv)
+        |SELECT blob_id, phash,
+        |  MIN(blob_id) OVER (PARTITION BY phash) AS visual_canonical,
+        |  blob_id <> MIN(blob_id) OVER (PARTITION BY phash) AS is_visual_dup
+        |FROM ph""".stripMargin,
     "q24_running_total" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

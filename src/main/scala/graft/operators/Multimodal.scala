@@ -235,6 +235,112 @@ object Multimodal {
       .toDF("blob_id", "width", "height", "channels")
   }
 
+  /** Re-encoded duplicate fixture: groups of 4 consecutive ids share one
+    * VISUAL image (seed = id/4 drives dims and every pixel) but alternate
+    * the container codec (even ids PNG TYPE_INT_RGB, odd ids BMP
+    * TYPE_3BYTE_BGR — both lossless 24-bit RGB, so decoded pixels are
+    * identical while the BYTES differ wherever the codec does). The
+    * corpus byte-hash dedup ([[graft.operators.Dedupe]]) cannot see
+    * across the codec boundary; [[perceptualDedup]] must.
+    */
+  def reencodedImageFixture(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val seed = id / 4
+    val w = 4 + math.floorMod(seed, 29L).toInt
+    val h = 4 + math.floorMod(seed * 7L, 23L).toInt
+    val (imgType, fmt) =
+      if (id % 2 == 0) (BufferedImage.TYPE_INT_RGB, "png")
+      else (BufferedImage.TYPE_3BYTE_BGR, "bmp")
+    val img = new BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = seed * 1000003L + x * 31L + y * 131L
+        img.setRGB(x, y, 0xff000000 | (v & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    imageIoNoDiskCache
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** (blob_id, content) corpus of [[reencodedImageFixture]] blobs —
+    * narrow map, blobs never shuffle.
+    */
+  def reencodedBlobs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, reencodedImageFixture(id)))
+      .toDF("blob_id", "content")
+  }
+
+  /** REAL decode → `gw`×`gh` grayscale thumbnail in pure-integer
+    * arithmetic: nearest-neighbor sample at (cx·W/gw, cy·H/gh) (integer
+    * floor division — every index reproducible in SQL), integer
+    * ITU-601-style luma (299r+587g+114b)/1000. Row-major, length gw·gh.
+    */
+  def grayThumb(content: Array[Byte], gw: Int = 9, gh: Int = 8): Array[Int] = {
+    imageIoNoDiskCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "grayThumb: undecodable image")
+    Array.tabulate(gh * gw) { i =>
+      val cy = i / gw
+      val cx = i % gw
+      val rgb = img.getRGB(cx * img.getWidth / gw, cy * img.getHeight / gh)
+      val r = (rgb >> 16) & 255
+      val g = (rgb >> 8) & 255
+      val b = rgb & 255
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+  }
+
+  /** 64-bit difference hash (dHash) over a 9×8 grayscale thumbnail: bit
+    * (cy·8+cx) set iff the right neighbor is strictly brighter. The
+    * STANDARD perceptual near-dup fingerprint (robust to re-encode,
+    * resize, small edits); hamming distance ranks visual similarity.
+    */
+  def dHash64(gray: Array[Int], gw: Int = 9, gh: Int = 8): Long = {
+    require(gray.length == gw * gh, s"expected ${gw * gh} cells, got ${gray.length}")
+    var hash = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        if (gray(cy * gw + cx + 1) > gray(cy * gw + cx))
+          hash |= 1L << (cy * (gw - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    hash
+  }
+
+  /** Visual (perceptual-hash) dedup: decode → dHash → hash-keyed
+    * grouping to a min-id canonical — the image-corpus dedup that
+    * catches RE-ENCODED duplicates byte-hash dedup misses. One narrow
+    * decode pass (blobs never shuffle; only (id, 8-byte hash) rows do),
+    * then the A1 merge shape: groupBy(phash) + a join back that AQE
+    * broadcasts.
+    */
+  def perceptualDedup(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    val hashed = blobs.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, content) => (id, dHash64(grayThumb(content))) }
+      .toDF(idCol, "phash")
+    val canon = hashed.groupBy(col("phash"))
+      .agg(min(col(idCol)).as("visual_canonical"))
+    hashed.join(canon, Seq("phash"))
+      .select(col(idCol), col("phash"), col("visual_canonical"),
+        (col(idCol) =!= col("visual_canonical")).as("is_visual_dup"))
+  }
+
   /** REAL feature extraction: 64-bin byte histogram normalized to unit L1 —
     * an honest content feature usable by the Similarity operators.
     */

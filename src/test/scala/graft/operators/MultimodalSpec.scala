@@ -114,4 +114,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudioMeta(Array.fill[Byte](64)(7)).isEmpty)
     assert(Multimodal.decodeAudioMeta(null).isEmpty)
   }
+
+  test("phash: PNG and BMP re-encodes of one image hash identically, bytes differ") {
+    for (seed <- 0L until 6L) {
+      val png = Multimodal.reencodedImageFixture(seed * 4)     // even: PNG
+      val bmp = Multimodal.reencodedImageFixture(seed * 4 + 1) // odd: BMP
+      assert(!java.util.Arrays.equals(png, bmp),
+        s"seed=$seed: containers must differ at the byte level")
+      assert(Multimodal.dHash64(Multimodal.grayThumb(png)) ==
+        Multimodal.dHash64(Multimodal.grayThumb(bmp)),
+        s"seed=$seed: perceptual hash must see through the re-encode")
+    }
+    // distinct seeds (different dims AND pixels) must not collide here
+    val hashes = (0L until 24L by 4L)
+      .map(id => Multimodal.dHash64(Multimodal.grayThumb(
+        Multimodal.reencodedImageFixture(id))))
+    assert(hashes.distinct.size == hashes.size, s"collisions in $hashes")
+  }
+
+  test("perceptualDedup collapses each 4-id re-encode group to its min id") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val out = Multimodal.perceptualDedup(
+        Multimodal.reencodedBlobs(ids, "doc_id"), "blob_id", "content")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 40)
+    out.foreach { case (id, (canonical, isDup)) =>
+      assert(canonical == (id / 4) * 4, s"id=$id canonical=$canonical")
+      assert(isDup == (id % 4 != 0), s"id=$id isDup=$isDup")
+    }
+  }
 }
