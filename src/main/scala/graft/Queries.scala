@@ -1022,6 +1022,53 @@ object Queries {
       |  UNION ALL SELECT doc_id + 20000000, 1, 'U', 'ins of ' || text, source
       |    FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  /** Shared CTE chain deriving each blob's 64-bit dHash from the image
+    * fixtures' ARITHMETIC pixel truth — no codec anywhere: integer
+    * nearest-neighbor downsample indices, integer luma, bit packing via
+    * a HUGEINT two's-complement wrap. `jitter` adds the near-dup
+    * fixture's corner-pixel-white term ([[graft.operators.Multimodal
+    * .jitteredImageFixture]]); without it the chain matches
+    * [[graft.operators.Multimodal.reencodedImageFixture]]. Ends with
+    * `ph(blob_id, phash)`.
+    */
+  private def phashTruthCtes(jitter: Boolean): String = {
+    val vExpr =
+      if (jitter)
+        """CASE WHEN blob_id % 4 = 3 AND (cx.g * w) // 9 = 0
+          |        AND (cy.g * h) // 8 = 0 THEN 16777215
+          |      ELSE (seed * 1000003 + ((cx.g * w) // 9) * 31
+          |        + ((cy.g * h) // 8) * 131) & 16777215 END AS v""".stripMargin
+      else
+        """(seed * 1000003 + ((cx.g * w) // 9) * 31
+          |        + ((cy.g * h) // 8) * 131) & 16777215 AS v""".stripMargin
+    s"""dims AS (
+      |  SELECT doc_id AS blob_id, doc_id // 4 AS seed,
+      |    4 + (doc_id // 4) % 29 AS w, 4 + ((doc_id // 4) * 7) % 23 AS h
+      |  FROM documents),
+      |lum AS (
+      |  SELECT blob_id, cyg AS cy, cxg AS cx,
+      |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
+      |      + 114 * (v & 255)) // 1000 AS luma
+      |  FROM (
+      |    SELECT blob_id, cy.g AS cyg, cx.g AS cxg,
+      |      $vExpr
+      |    FROM dims, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
+      |hv AS (
+      |  SELECT a.blob_id,
+      |    SUM(CASE WHEN b.luma > a.luma
+      |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
+      |      ELSE CAST(0 AS HUGEINT) END) AS hh
+      |  FROM lum a JOIN lum b
+      |    ON a.blob_id = b.blob_id AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8 GROUP BY 1),
+      |ph AS (
+      |  SELECT blob_id,
+      |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+      |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
+      |      AS BIGINT) AS phash
+      |  FROM hv)""".stripMargin
+  }
+
   /** Shared oracle for merge_apply AND stream_merge: rebuild the
     * changelog, collapse it to its last writer per key, and fold into
     * documents — the streaming state-store fold must land on this batch
@@ -1426,6 +1473,27 @@ object Queries {
       Multimodal.reencodedBlobs(ids, "doc_id"), "blob_id", "content")
   }
 
+  /** Hamming-ball perceptual matching
+    * ([[graft.operators.Multimodal.phashRelation]] →
+    * [[graft.operators.Dedupe.hammingPairs]]): the near-dup extension
+    * of mm_phash_dedup — ids with id%4==3 carry a small visual edit
+    * (one corner pixel forced white), so their dHash lands a few bits
+    * from the group's; the 4×16-bit pigeonhole banding finds every
+    * pair at hamming ≤ 3 without an n² join, sharing the text
+    * simhash path's machinery verbatim. Codec-free oracle: arithmetic
+    * phash truth (with the jitter term) + brute-force bit_count(xor)
+    * ≤ 3 — banding recall at ≤ maxDistance is exactly the all-pairs
+    * set, the dedup_simhash contract.
+    */
+  private def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    Dedupe.hammingPairs(
+      Multimodal.phashRelation(
+        Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
+      maxDistance = 3)
+  }
+
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose
     * channel count and frame-exact duration come from arithmetic truth,
@@ -1655,6 +1723,7 @@ object Queries {
     "event_resample" -> (eventResample _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
+    "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
@@ -2138,37 +2207,20 @@ object Queries {
     // through a HUGEINT two's-complement wrap, and the grouping replays
     // relationally — certifying the engine's REAL ImageIO path bit-exactly
     "mm_phash_dedup" ->
-      """WITH dims AS (
-        |  SELECT doc_id AS blob_id, doc_id // 4 AS seed,
-        |    4 + (doc_id // 4) % 29 AS w, 4 + ((doc_id // 4) * 7) % 23 AS h
-        |  FROM documents),
-        |lum AS (
-        |  SELECT blob_id, cyg AS cy, cxg AS cx,
-        |    (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255)
-        |      + 114 * (v & 255)) // 1000 AS luma
-        |  FROM (
-        |    SELECT blob_id, cy.g AS cyg, cx.g AS cxg,
-        |      (seed * 1000003 + ((cx.g * w) // 9) * 31
-        |        + ((cy.g * h) // 8) * 131) & 16777215 AS v
-        |    FROM dims, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
-        |hv AS (
-        |  SELECT a.blob_id,
-        |    SUM(CASE WHEN b.luma > a.luma
-        |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
-        |      ELSE CAST(0 AS HUGEINT) END) AS hh
-        |  FROM lum a JOIN lum b
-        |    ON a.blob_id = b.blob_id AND a.cy = b.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8 GROUP BY 1),
-        |ph AS (
-        |  SELECT blob_id,
-        |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
-        |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
-        |      AS BIGINT) AS phash
-        |  FROM hv)
+      s"""WITH ${phashTruthCtes(jitter = false)}
         |SELECT blob_id, phash,
         |  MIN(blob_id) OVER (PARTITION BY phash) AS visual_canonical,
         |  blob_id <> MIN(blob_id) OVER (PARTITION BY phash) AS is_visual_dup
         |FROM ph""".stripMargin,
+    // the near-dup twin: same arithmetic truth plus the jitter term;
+    // pigeonhole banding has full recall at hamming <= 3, so the oracle
+    // is brute-force bit_count(xor) — the dedup_simhash contract
+    "mm_phash_neardup" ->
+      s"""WITH ${phashTruthCtes(jitter = true)}
+        |SELECT a.blob_id AS id_a, b.blob_id AS id_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.blob_id < b.blob_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
     "q24_running_total" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

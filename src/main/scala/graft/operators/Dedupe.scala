@@ -642,14 +642,34 @@ object Dedupe {
       sigSink: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    hammingPairs(
+      sigSink(df
+        .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .map { case (id, text) => (id, simhash(text)) }
+        .toDF("id", "sig")),
+      maxDistance, maxBucketSize)
+  }
+
+  /** Generic hamming-ball pair search over ANY 64-bit fingerprint
+    * relation `(id LONG, sig LONG)` — the pigeonhole machinery behind
+    * [[simhashPairs]], factored out so other fingerprint families (the
+    * multimodal perceptual dHash, fuzzy content hashes) share one
+    * banding/skew/verify implementation. Returns (id_a, id_b, hamming)
+    * with id_a < id_b and hamming ≤ maxDistance; full recall at ≤
+    * maxDistance by the pigeonhole argument, over-cap buckets degrade
+    * to star pairs around the min id (same contract as the text path).
+    */
+  def hammingPairs(
+      sigRelation: DataFrame,
+      maxDistance: Int = 3,
+      maxBucketSize: Int = 2000): DataFrame = {
+    val spark = sigRelation.sparkSession
+    import spark.implicits._
     val blocks = maxDistance + 1
     val bits = 64 / blocks
 
-    val sigs = sigSink(df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, text) => (id, simhash(text)) }
-      .toDF("id", "sig"))
+    val sigs = sigRelation.select(col("id").cast("long"), col("sig").cast("long"))
       .cache()
 
     val blocked = sigs

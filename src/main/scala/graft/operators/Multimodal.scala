@@ -279,6 +279,66 @@ object Multimodal {
       .toDF("blob_id", "content")
   }
 
+  /** Near-dup variant of [[reencodedImageFixture]]: ids with
+    * id % 4 == 3 get the SAME image except the (0,0) corner pixel
+    * forced to white — a small, arithmetic-replayable visual edit, so
+    * their dHash lands a few bits from the group's (≤ the number of
+    * thumbnail cells that sample pixel (0,0): exactly 1 for images
+    * ≥ 9×8, a handful below). The planted corpus for hamming-ball
+    * perceptual matching.
+    */
+  def jitteredImageFixture(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val seed = id / 4
+    val w = 4 + math.floorMod(seed, 29L).toInt
+    val h = 4 + math.floorMod(seed * 7L, 23L).toInt
+    val (imgType, fmt) =
+      if (id % 2 == 0) (BufferedImage.TYPE_INT_RGB, "png")
+      else (BufferedImage.TYPE_3BYTE_BGR, "bmp")
+    val img = new BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (id % 4 == 3 && x == 0 && y == 0) 0xffffff
+          else {
+            val v = seed * 1000003L + x * 31L + y * 131L
+            (v & 0xffffff).toInt
+          }
+        img.setRGB(x, y, 0xff000000 | rgb)
+        x += 1
+      }
+      y += 1
+    }
+    imageIoNoDiskCache
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** (blob_id, content) corpus of [[jitteredImageFixture]] blobs. */
+  def jitteredBlobs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, jitteredImageFixture(id)))
+      .toDF("blob_id", "content")
+  }
+
+  /** (id, sig) perceptual-fingerprint relation of a blob corpus — REAL
+    * decode through [[grayThumb]]+[[dHash64]], shaped for
+    * [[Dedupe.hammingPairs]]. Narrow; blobs never shuffle.
+    */
+  def phashRelation(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, content) => (id, dHash64(grayThumb(content))) }
+      .toDF("id", "sig")
+  }
+
   /** REAL decode → `gw`×`gh` grayscale thumbnail in pure-integer
     * arithmetic: nearest-neighbor sample at (cx·W/gw, cy·H/gh) (integer
     * floor division — every index reproducible in SQL), integer
@@ -328,12 +388,8 @@ object Multimodal {
     * broadcasts.
     */
   def perceptualDedup(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val spark = blobs.sparkSession
-    import spark.implicits._
-    val hashed = blobs.select(col(idCol).cast("long"), col(contentCol))
-      .as[(Long, Array[Byte])]
-      .map { case (id, content) => (id, dHash64(grayThumb(content))) }
-      .toDF(idCol, "phash")
+    val hashed = phashRelation(blobs, idCol, contentCol)
+      .select(col("id").as(idCol), col("sig").as("phash"))
     val canon = hashed.groupBy(col("phash"))
       .agg(min(col(idCol)).as("visual_canonical"))
     hashed.join(canon, Seq("phash"))

@@ -132,6 +132,30 @@ class MultimodalSpec extends SparkSpec {
     assert(hashes.distinct.size == hashes.size, s"collisions in $hashes")
   }
 
+  test("phash near-dup: jittered variant lands a few bits away, pigeonhole finds it") {
+    import spark.implicits._
+    // seed 10 → w=14, h=4+(70%23)=4+1=5... use a seed with w≥9 AND h≥8 so
+    // the white corner touches exactly one thumbnail cell: seed 13 →
+    // w=4+13=17, h=4+(91%23)=4+22=26 — hamming to the group must be ≤ 1
+    val ids = Seq(52L, 53L, 54L, 55L).toDF("doc_id") // seed 13 group
+    val sigs = Multimodal.phashRelation(
+      Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(52L) == sigs(53L) && sigs(52L) == sigs(54L),
+      "unjittered re-encodes must hash identically")
+    val d = java.lang.Long.bitCount(sigs(52L) ^ sigs(55L))
+    assert(d >= 0 && d <= 1, s"corner-pixel jitter flipped $d bits (want <=1)")
+    // the generic hamming machinery (shared with text simhash) finds the
+    // jittered pair without any n^2 join
+    val pairs = Dedupe.hammingPairs(
+        Multimodal.phashRelation(
+          Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
+        maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((52L, 55L)), s"jittered pair missing from $pairs")
+    assert(pairs.contains((52L, 53L)) && pairs.contains((53L, 54L)))
+  }
+
   test("perceptualDedup collapses each 4-id re-encode group to its min id") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
