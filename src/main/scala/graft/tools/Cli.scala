@@ -339,6 +339,38 @@ object Cli {
       }
       spark.stop()
 
+    case "phash-dedup" :: files if files.nonEmpty =>
+      // perceptual (visual) dedup over real image files: decode → dHash →
+      // exact groups + hamming<=3 near matches; file_idx keys the report
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val blobs = spark.read.format("binaryFile")
+        .load(files: _*)
+        .select(input_file_name().as("path"), col("content"))
+      val paths = blobs.select("path").collect().map(_.getString(0)).sorted
+      val idx = paths.zipWithIndex.toMap
+      val withIds = {
+        import spark.implicits._
+        val b = spark.sparkContext.broadcast(idx)
+        blobs.as[(String, Array[Byte])]
+          .map { case (p, c) => (b.value(p).toLong, c) }
+          .toDF("blob_id", "content")
+      }
+      val dedup = graft.operators.Multimodal
+        .perceptualDedup(withIds, "blob_id", "content")
+        .collect().sortBy(_.getLong(0))
+      dedup.foreach { r =>
+        val mark = if (r.getBoolean(3))
+          s"DUP of ${paths(r.getLong(2).toInt)}" else "canonical"
+        println(f"${paths(r.getLong(0).toInt)}%s  phash=${r.getLong(1)}%016x  $mark")
+      }
+      val near = graft.operators.Dedupe.hammingPairs(
+        graft.operators.Multimodal.phashRelation(withIds, "blob_id", "content"))
+        .filter(col("hamming") > 0).collect()
+      near.foreach(r => println(
+        f"NEAR (hamming ${r.getLong(2)}): ${paths(r.getLong(0).toInt)}%s ~ ${paths(r.getLong(1).toInt)}%s"))
+      spark.stop()
+
     case "viz" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -381,6 +413,7 @@ object Cli {
            |  layout TABLE.parquet XCOL YCOL [OUTDIR]
            |  bpe DOCUMENTS.parquet [K]
            |  merge SNAPSHOT.parquet CHANGES.parquet KEYCOL [OUTDIR]
+           |  phash-dedup IMAGE_FILE...
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)
