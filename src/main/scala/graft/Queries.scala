@@ -1494,6 +1494,28 @@ object Queries {
       maxDistance = 3)
   }
 
+  /** Audio fingerprint near-dup
+    * ([[graft.operators.Multimodal.audioFingerprint]] →
+    * [[graft.operators.Dedupe.hammingPairs]]): pairs of consecutive ids
+    * share one PCM signal, odd ids carry a one-frame "click" edit —
+    * the audio analog of mm_phash_neardup. The fingerprint mono-mixes
+    * each frame (channel sum, division-free), buckets absolute energy
+    * into 65 windows by integer index, and dHashes the energy curve;
+    * the click moves exactly one window, so planted pairs land at
+    * hamming ≤ 1. This certifies SAMPLE-exact javax.sound decode (the
+    * mm_audio query only certifies channels/duration): the oracle
+    * rebuilds every energy window from the fixture's sample arithmetic
+    * and must match the real-decode fingerprint bit-for-bit.
+    */
+  private def mmAudioFp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    Dedupe.hammingPairs(
+      Multimodal.audioFpRelation(
+        Multimodal.audioFpBlobs(ids, "doc_id"), "blob_id", "content"),
+      maxDistance = 3)
+  }
+
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose
     * channel count and frame-exact duration come from arithmetic truth,
@@ -1724,6 +1746,7 @@ object Queries {
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
+    "mm_audio_fp" -> (mmAudioFp _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
@@ -2212,6 +2235,43 @@ object Queries {
         |  MIN(blob_id) OVER (PARTITION BY phash) AS visual_canonical,
         |  blob_id <> MIN(blob_id) OVER (PARTITION BY phash) AS is_visual_dup
         |FROM ph""".stripMargin,
+    // sample-arithmetic replay of the audio fingerprint: per-frame
+    // channel-sum, 65 integer energy windows, the same dHash bit chain
+    // and HUGEINT wrap, then brute-force hamming <= 3 (full pigeonhole
+    // recall, the dedup_simhash contract)
+    "mm_audio_fp" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS blob_id, doc_id // 2 AS g, doc_id % 2 AS edited,
+        |    1 + (doc_id // 2) % 2 AS ch,
+        |    8 * (100 + ((doc_id // 2) * 13) % 200) AS fr
+        |  FROM documents),
+        |fm AS (
+        |  SELECT blob_id, (f.i * 65) // fr AS w,
+        |    ABS(CASE WHEN edited = 1 AND f.i = 0 THEN 32767 * ch
+        |      ELSE ((g * 1000003 + f.i * f.i * 7 + f.i * 911) % 65536 - 32768)
+        |        + CASE WHEN ch = 2
+        |            THEN ((g * 1000003 + f.i * f.i * 7 + f.i * 911 + 977)
+        |              % 65536 - 32768)
+        |            ELSE 0 END END) AS am
+        |  FROM dims, generate_series(0, 2391) f(i) WHERE f.i < fr),
+        |e AS (SELECT blob_id, w, SUM(am) AS energy FROM fm GROUP BY 1, 2),
+        |hv AS (
+        |  SELECT a.blob_id,
+        |    SUM(CASE WHEN b.energy > a.energy
+        |      THEN CAST(1 AS HUGEINT) << a.w
+        |      ELSE CAST(0 AS HUGEINT) END) AS hh
+        |  FROM e a JOIN e b ON a.blob_id = b.blob_id AND b.w = a.w + 1
+        |  WHERE a.w < 64 GROUP BY 1),
+        |ph AS (
+        |  SELECT blob_id,
+        |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+        |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
+        |      AS BIGINT) AS fp
+        |  FROM hv)
+        |SELECT a.blob_id AS id_a, b.blob_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.blob_id < b.blob_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     // the near-dup twin: same arithmetic truth plus the jitter term;
     // pigeonhole banding has full recall at hamming <= 3, so the oracle
     // is brute-force bit_count(xor) — the dedup_simhash contract

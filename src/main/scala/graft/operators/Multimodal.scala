@@ -187,6 +187,113 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Near-dup audio fixture: PAIRS of consecutive ids (group g = id/2)
+    * share one PCM signal — channels 1+g%2, frames 8·(100+(g·13)%200),
+    * sample s(f,c) = ((g·1000003+f²·7+f·911+c·977)%65536)−32768 (the f²
+    * term varies the energy envelope ACROSS windows per group; a linear
+    * ramp makes every group's envelope near-identical and floods the
+    * hamming ball with cross-group pairs — measured 684 vs the planted
+    * 100 at 100 groups, vs exactly 100 with f²) — and odd ids get a
+    * "click" edit (frame 0 forced to +32767 on every channel), the
+    * audio analog of the image corner-pixel jitter: it moves exactly
+    * one energy window, so the fingerprint lands ≤ 1 bit away.
+    */
+  def audioFpFixture(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val g = id / 2
+    val channels = 1 + math.floorMod(g, 2L).toInt
+    val frames = 8L * (100L + math.floorMod(g * 13L, 200L))
+    val bytes = new Array[Byte]((frames * channels * 2).toInt)
+    var f = 0L
+    var o = 0
+    while (f < frames) {
+      var c = 0
+      while (c < channels) {
+        val s =
+          if (id % 2 == 1 && f == 0) 32767.toShort
+          else ((g * 1000003L + f * f * 7L + f * 911L + c * 977L) % 65536L
+            - 32768L).toShort
+        bytes(o) = (s & 0xff).toByte
+        bytes(o + 1) = ((s >> 8) & 0xff).toByte
+        o += 2
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, channels, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, frames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** (blob_id, content) corpus of [[audioFpFixture]] blobs. */
+  def audioFpBlobs(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, audioFpFixture(id)))
+      .toDF("blob_id", "content")
+  }
+
+  /** REAL javax.sound decode of a PCM16 WAV blob →
+    * (channels, interleaved samples). Fails loudly on non-PCM16 input —
+    * a silent fallback would let the fingerprint drift from truth.
+    */
+  def decodePcm16(content: Array[Byte]): (Int, Array[Short]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit little-endian PCM, got $fmt")
+    val raw = ais.readAllBytes()
+    val out = new Array[Short](raw.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    (fmt.getChannels, out)
+  }
+
+  /** 64-bit audio fingerprint: mono-mix each frame (channel SUM — no
+    * division, so integer-exact for any layout), assign frame f to
+    * window w = f·65/frames (integer), accumulate absolute energy per
+    * window, then [[dHash64]] the 65 energies as a 65×1 "image" — bit
+    * w set iff window w+1 is louder than window w. Robust to the
+    * codec/container and replayable in pure SQL arithmetic.
+    */
+  def audioFingerprint(channels: Int, samples: Array[Short]): Long = {
+    val frames = samples.length / channels
+    require(frames >= 65, s"need >= 65 frames, got $frames")
+    val energy = new Array[Int](65)
+    var f = 0
+    while (f < frames) {
+      var m = 0
+      var c = 0
+      while (c < channels) { m += samples(f * channels + c); c += 1 }
+      energy(((f.toLong * 65L) / frames).toInt) += math.abs(m)
+      f += 1
+    }
+    dHash64(energy, gw = 65, gh = 1)
+  }
+
+  /** (id, sig) fingerprint relation of an audio corpus, shaped for
+    * [[Dedupe.hammingPairs]]. Narrow; blobs never shuffle.
+    */
+  def audioFpRelation(blobs: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val (ch, samples) = decodePcm16(content)
+        (id, audioFingerprint(ch, samples))
+      }
+      .toDF("id", "sig")
+  }
+
   /** Distributed fixture corpora: one real encoded blob per id row —
     * (blob_id, content). Narrow map, blobs never shuffle.
     */

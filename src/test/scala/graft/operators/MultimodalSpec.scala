@@ -156,6 +156,40 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((52L, 53L)) && pairs.contains((53L, 54L)))
   }
 
+  test("audio fingerprint: click edit lands at hamming <=1, groups separate") {
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("doc_id") // 10 signal groups
+    val sigs = Multimodal.audioFpRelation(
+        Multimodal.audioFpBlobs(ids, "doc_id"), "blob_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (g <- 0L until 10L) {
+      val d = java.lang.Long.bitCount(sigs(2 * g) ^ sigs(2 * g + 1))
+      assert(d <= 1, s"group $g: click moved $d bits (one energy window => <=1)")
+    }
+    // the f^2 envelope term keeps distinct groups out of the hamming ball
+    val pairs = Dedupe.hammingPairs(
+        Multimodal.audioFpRelation(
+          Multimodal.audioFpBlobs(ids, "doc_id"), "blob_id", "content"),
+        maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0L until 10L).map(g => (2 * g, 2 * g + 1)).toSet,
+      s"expected exactly the 10 planted pairs, got $pairs")
+  }
+
+  test("decodePcm16 round-trips the written samples exactly") {
+    // frame 0 of an odd id is the click; everything else is the formula —
+    // a REAL javax.sound decode must reproduce both verbatim
+    val (ch, samples) = Multimodal.decodePcm16(Multimodal.audioFpFixture(7L))
+    assert(ch == 2) // g=3, channels = 1 + 3%2
+    assert(samples(0) == 32767 && samples(1) == 32767)
+    val g = 3L
+    for (f <- 1 until 10; c <- 0 until ch) {
+      val want = ((g * 1000003L + f.toLong * f * 7L + f * 911L + c * 977L)
+        % 65536L - 32768L).toShort
+      assert(samples(f * ch + c) == want, s"f=$f c=$c")
+    }
+  }
+
   test("perceptualDedup collapses each 4-id re-encode group to its min id") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
