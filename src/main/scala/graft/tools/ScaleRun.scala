@@ -148,7 +148,11 @@ object ScaleRun {
     "merge_apply",
     // join planning profilers: count relations grow with |keys| (N×
     // replica-offset user_ids), corpus rows never join
-    "key_skew", "join_size_profile")
+    "key_skew", "join_size_profile",
+    // perceptual fingerprints: N× real codec encodes+decodes in the
+    // narrow pass — the kernel-bound linear-scan shape; band join stays
+    // group-bounded
+    "mm_phash_dedup", "mm_audio_fp")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
