@@ -147,6 +147,35 @@ class QueriesPlanSpec extends SparkSpec {
       s"top-k should shuffle only k-bounded buffers:\n$plan")
   }
 
+  test("key_skew plans as TakeOrdered top-k over partial-combined counts") {
+    // the profiler's contract: one map-side-combined count exchange plus a
+    // k-bounded TakeOrderedAndProject — never a global sort of the count
+    // relation or a per-row corpus window
+    val df = SparkEntry.queries("key_skew")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"no window over the counts:\n$plan")
+    assert(plan.toLowerCase.contains("partial"),
+      s"count aggregation must combine map-side:\n$plan")
+  }
+
+  test("join_size_profile joins count relations, never corpus rows") {
+    // |A join B| forecast: the only join inputs are the per-key count
+    // aggregates (each partial-combined); events rows themselves never
+    // meet in a join
+    val df = SparkEntry.queries("join_size_profile")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("partial"),
+      s"count aggregation must combine map-side:\n$plan")
+    assert(!plan.contains("Window"), s"no window anywhere:\n$plan")
+    // sanity: the one-row totals meet via broadcast, not exchanges
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"totals should broadcast:\n$plan")
+  }
+
   test("dedup_keep_best decides by aggregate+join, never a window sort") {
     // the retention argmax must stay a bounded partial+final aggregate
     // over the clustered subset — a per-cluster window over the corpus

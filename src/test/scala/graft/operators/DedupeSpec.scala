@@ -169,6 +169,34 @@ class DedupeSpec extends SparkSpec {
     assert(uncapped.count() == 30L * 29 / 2)
   }
 
+  test("hammingPairs equals brute force on a pseudo-random sig relation") {
+    import spark.implicits._
+    // deterministic splitmix-style sigs + planted near pairs: id 2k+1 is
+    // id 2k with one low bit flipped for k % 3 == 0
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+    val sigs = (0L until 200L).map { id =>
+      val base = mix(id / 2)
+      val sig =
+        if (id % 2 == 1 && (id / 2) % 3 == 0) base ^ (1L << (id % 60).toInt)
+        else if (id % 2 == 1) mix(id * 77L + 13L)
+        else base
+      (id, sig)
+    }
+    val got = Dedupe.hammingPairs(sigs.toDF("id", "sig"), maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == want, s"banded=${got.size} brute=${want.size}")
+    assert(want.nonEmpty, "fixture must plant at least one near pair")
+  }
+
   test("simhash: identical text => distance 0; near text small; far text large") {
     val s0 = Dedupe.simhash(docsDf.collect()(0).getString(1))
     val s1 = Dedupe.simhash(docsDf.collect()(1).getString(1))
