@@ -349,10 +349,18 @@ object Queries {
       // integer `div`, not `/`: double division + cast would hang exact
       // floor semantics on float rounding at hour boundaries
       call_function("div", Events.microsExpr(ev), lit(3600000000L)).as("h"))
+    // cached: three consumers (span, type list, final join) over a
+    // |types|·|hours|-bounded relation — without the cache each would
+    // re-run the aggregation and re-scan the corpus
     val counts = hours.groupBy(col("event_type"), col("h"))
       .agg(count(lit(1)).as("n"))
-    val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-    val grid = hours.select(col("event_type")).distinct()
+      .cache()
+    // span and the type list derive from the counts relation, NOT from
+    // re-scanning the corpus — every (type, hour) with a row has n >= 1,
+    // so min/max/distinct are identical and the fact table is scanned
+    // exactly once
+    val span = counts.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = counts.select(col("event_type")).distinct()
       .crossJoin(broadcast(span))
       .select(col("event_type"),
         explode(sequence(col("h0"), col("h1"))).as("h"))

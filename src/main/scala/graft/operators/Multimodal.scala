@@ -245,8 +245,9 @@ object Multimodal {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(content))
     val fmt = ais.getFormat
-    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-      s"expected 16-bit little-endian PCM, got $fmt")
+    require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit little-endian SIGNED PCM, got $fmt")
     val raw = ais.readAllBytes()
     val out = new Array[Short](raw.length / 2)
     var i = 0
@@ -267,16 +268,19 @@ object Multimodal {
   def audioFingerprint(channels: Int, samples: Array[Short]): Long = {
     val frames = samples.length / channels
     require(frames >= 65, s"need >= 65 frames, got $frames")
-    val energy = new Array[Int](65)
+    // Long accumulation: an Int would overflow around 33k frames/window
+    // (|m| <= 65534·channels) — minutes of real audio, far beyond the
+    // fixtures, and the wrap would silently corrupt the fingerprint
+    val energy = new Array[Long](65)
     var f = 0
     while (f < frames) {
-      var m = 0
+      var m = 0L
       var c = 0
       while (c < channels) { m += samples(f * channels + c); c += 1 }
       energy(((f.toLong * 65L) / frames).toInt) += math.abs(m)
       f += 1
     }
-    dHash64(energy, gw = 65, gh = 1)
+    dHash64Long(energy, gw = 65, gh = 1)
   }
 
   /** (id, sig) fingerprint relation of an audio corpus, shaped for
@@ -350,7 +354,15 @@ object Multimodal {
     * corpus byte-hash dedup ([[graft.operators.Dedupe]]) cannot see
     * across the codec boundary; [[perceptualDedup]] must.
     */
-  def reencodedImageFixture(id: Long): Array[Byte] = {
+  def reencodedImageFixture(id: Long): Array[Byte] =
+    groupImageFixture(id, jitterCorner = false)
+
+  /** Shared builder for the re-encode fixture family: one pixel/codec
+    * recipe, the jitter branch as the ONLY fork — the two public
+    * fixtures (and the oracle's `phashTruthCtes` mirror) can never
+    * drift apart on dims/codec/pixel arithmetic.
+    */
+  private def groupImageFixture(id: Long, jitterCorner: Boolean): Array[Byte] = {
     import java.awt.image.BufferedImage
     val seed = id / 4
     val w = 4 + math.floorMod(seed, 29L).toInt
@@ -363,8 +375,13 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val v = seed * 1000003L + x * 31L + y * 131L
-        img.setRGB(x, y, 0xff000000 | (v & 0xffffff).toInt)
+        val rgb =
+          if (jitterCorner && id % 4 == 3 && x == 0 && y == 0) 0xffffff
+          else {
+            val v = seed * 1000003L + x * 31L + y * 131L
+            (v & 0xffffff).toInt
+          }
+        img.setRGB(x, y, 0xff000000 | rgb)
         x += 1
       }
       y += 1
@@ -394,35 +411,8 @@ object Multimodal {
     * ≥ 9×8, a handful below). The planted corpus for hamming-ball
     * perceptual matching.
     */
-  def jitteredImageFixture(id: Long): Array[Byte] = {
-    import java.awt.image.BufferedImage
-    val seed = id / 4
-    val w = 4 + math.floorMod(seed, 29L).toInt
-    val h = 4 + math.floorMod(seed * 7L, 23L).toInt
-    val (imgType, fmt) =
-      if (id % 2 == 0) (BufferedImage.TYPE_INT_RGB, "png")
-      else (BufferedImage.TYPE_3BYTE_BGR, "bmp")
-    val img = new BufferedImage(w, h, imgType)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb =
-          if (id % 4 == 3 && x == 0 && y == 0) 0xffffff
-          else {
-            val v = seed * 1000003L + x * 31L + y * 131L
-            (v & 0xffffff).toInt
-          }
-        img.setRGB(x, y, 0xff000000 | rgb)
-        x += 1
-      }
-      y += 1
-    }
-    imageIoNoDiskCache
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
-    bos.toByteArray
-  }
+  def jitteredImageFixture(id: Long): Array[Byte] =
+    groupImageFixture(id, jitterCorner = true)
 
   /** (blob_id, content) corpus of [[jitteredImageFixture]] blobs. */
   def jitteredBlobs(ids: DataFrame, idCol: String): DataFrame = {
@@ -471,14 +461,20 @@ object Multimodal {
     * STANDARD perceptual near-dup fingerprint (robust to re-encode,
     * resize, small edits); hamming distance ranks visual similarity.
     */
-  def dHash64(gray: Array[Int], gw: Int = 9, gh: Int = 8): Long = {
-    require(gray.length == gw * gh, s"expected ${gw * gh} cells, got ${gray.length}")
+  def dHash64(gray: Array[Int], gw: Int = 9, gh: Int = 8): Long =
+    dHash64Long(gray.map(_.toLong), gw, gh)
+
+  /** Long-cell variant for accumulators that exceed Int (audio window
+    * energies); identical bit layout.
+    */
+  def dHash64Long(cells: Array[Long], gw: Int, gh: Int): Long = {
+    require(cells.length == gw * gh, s"expected ${gw * gh} cells, got ${cells.length}")
     var hash = 0L
     var cy = 0
     while (cy < gh) {
       var cx = 0
       while (cx < gw - 1) {
-        if (gray(cy * gw + cx + 1) > gray(cy * gw + cx))
+        if (cells(cy * gw + cx + 1) > cells(cy * gw + cx))
           hash |= 1L << (cy * (gw - 1) + cx)
         cx += 1
       }

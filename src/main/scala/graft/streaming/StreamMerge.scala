@@ -25,19 +25,26 @@ object StreamMerge {
 
   /** Public (not private) because the codegen'd encoder projection
     * lives outside this object and can't touch a private class. */
-  case class Change(
-      key: Long, seq: Long, op: String, text: String, source: String)
+  case class Change(key: Long, seq: Long, op: String, payload: String)
 
-  /** Monotone upsert-event stream: one (key, seq, op, payload) row per
+  /** Monotone upsert-event stream: one (key, seq, op, payload…) row per
     * micro-batch-and-key whose best change improves on the state's seq.
-    * Expects changelog columns (keyCol, seq, op, text, source).
+    * Works for ANY payload column set: the payload rides through the
+    * typed stateful operator as a JSON-packed struct (the encoder needs
+    * a fixed shape; a hard-coded column list would silently break on
+    * other changelogs) and is unpacked to its original schema after.
     */
-  def latestChanges(changes: DataFrame, keyCol: String): DataFrame = {
+  def latestChanges(
+      changes: DataFrame, keyCol: String, payloadCols: Seq[String]): DataFrame = {
     val spark = changes.sparkSession
     import spark.implicits._
+    require(payloadCols.nonEmpty, "payloadCols must not be empty")
+    val payloadSchema = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => changes.schema(c)))
     changes
       .select(col(keyCol).cast("long").as("key"), col("seq").cast("long"),
-        col("op"), col("text"), col("source"))
+        col("op"),
+        to_json(struct(payloadCols.map(col): _*)).as("payload"))
       .as[Change]
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
@@ -48,7 +55,10 @@ object StreamMerge {
             Iterator.single(best)
           } else Iterator.empty
         })
-      .toDF("key", "seq", "op", "text", "source")
+      .toDF("key", "seq", "op", "payload")
+      .withColumn("_p", from_json(col("payload"), payloadSchema))
+      .select(col("key") +: col("seq") +: col("op") +:
+        payloadCols.map(c => col(s"_p.$c").as(c)): _*)
   }
 
   /** Run the changelog stream over a finite parquet input (transformed
@@ -69,7 +79,8 @@ object StreamMerge {
       keyCol: String,
       payloadCols: Seq[String]): DataFrame = {
     val events = EventStream.runToMemory(spark, inputPath, queryName,
-      s => latestChanges(changelogOf(s), keyCol), OutputMode.Append())
+      s => latestChanges(changelogOf(s), keyCol, payloadCols),
+      OutputMode.Append())
       .withColumnRenamed("key", keyCol)
     graft.operators.MergeApply.merge(
       snapshot, events, keyCol, payloadCols)

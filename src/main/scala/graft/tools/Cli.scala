@@ -356,16 +356,25 @@ object Cli {
           .map { case (p, c) => (b.value(p).toLong, c) }
           .toDF("blob_id", "content")
       }
-      val dedup = graft.operators.Multimodal
-        .perceptualDedup(withIds, "blob_id", "content")
-        .collect().sortBy(_.getLong(0))
+      // decode+hash ONCE; both the exact grouping and the near-pair
+      // search consume the same cached (id, sig) relation
+      val sigs = graft.operators.Multimodal
+        .phashRelation(withIds, "blob_id", "content").cache()
+      val dedup = {
+        import org.apache.spark.sql.functions.min
+        val canon = sigs.groupBy(col("sig"))
+          .agg(min(col("id")).as("visual_canonical"))
+        sigs.join(canon, Seq("sig"))
+          .select(col("id"), col("sig"), col("visual_canonical"),
+            (col("id") =!= col("visual_canonical")).as("is_visual_dup"))
+          .collect().sortBy(_.getLong(0))
+      }
       dedup.foreach { r =>
         val mark = if (r.getBoolean(3))
           s"DUP of ${paths(r.getLong(2).toInt)}" else "canonical"
         println(f"${paths(r.getLong(0).toInt)}%s  phash=${r.getLong(1)}%016x  $mark")
       }
-      val near = graft.operators.Dedupe.hammingPairs(
-        graft.operators.Multimodal.phashRelation(withIds, "blob_id", "content"))
+      val near = graft.operators.Dedupe.hammingPairs(sigs)
         .filter(col("hamming") > 0).collect()
       near.foreach(r => println(
         f"NEAR (hamming ${r.getLong(2)}): ${paths(r.getLong(0).toInt)}%s ~ ${paths(r.getLong(1).toInt)}%s"))

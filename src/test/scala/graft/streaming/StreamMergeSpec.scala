@@ -27,6 +27,18 @@ class StreamMergeSpec extends SparkSpec {
     assert(got == Seq((1L, "one-v2", "s"), (3L, "three", "b"), (5L, "five", "s")))
   }
 
+  test("payload columns are generic — a non-(text,source) changelog merges") {
+    val dir = java.nio.file.Files.createTempDirectory("smrgp")
+    val changes = Seq((1L, 1L, "U", 42L), (3L, 1L, "D", 0L), (9L, 1L, "U", 7L))
+      .toDF("k", "seq", "op", "value")
+    writeFlatParquet(changes, dir, "ch.parquet")
+    val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "value")
+    val got = StreamMerge.runMergeOnce(spark, s"$dir/ch.parquet", "smrgp_q",
+        identity, snap, "k", Seq("value"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 42L), (2L, 20L), (9L, 7L)))
+  }
+
   test("state carries across micro-batches; stale seqs never regress") {
     // three files, one per micro-batch: key 1 upserted in batch 1 (seq 5),
     // a STALE seq-3 change arrives in batch 2 (must not emit), a fresh
@@ -39,6 +51,14 @@ class StreamMergeSpec extends SparkSpec {
     w(Seq((1L, 5L, "U", "v5", "s"), (2L, 1L, "U", "two-new", "s")), "f0.parquet")
     w(Seq((1L, 3L, "U", "v3-stale", "s"), (2L, 2L, "D", null, null)), "f1.parquet")
     w(Seq((1L, 9L, "U", "v9", "s")), "f2.parquet")
+    // FileStreamSource orders pending files by modification time; files
+    // written back-to-back can share a coarse-granularity mtime, which
+    // would let f1 process before f0 — pin strictly increasing mtimes
+    Seq("f0.parquet", "f1.parquet", "f2.parquet").zipWithIndex.foreach {
+      case (n, i) => java.nio.file.Files.setLastModifiedTime(
+        dir.resolve(n),
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
 
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", "8")
@@ -48,7 +68,7 @@ class StreamMergeSpec extends SparkSpec {
       .option("latestFirst", "false")
       .option("pathGlobFilter", "f*.parquet")
       .parquet(dir.toString)
-    val q = StreamMerge.latestChanges(stream, "doc_id")
+    val q = StreamMerge.latestChanges(stream, "doc_id", Seq("text", "source"))
       .writeStream.outputMode("append").format("memory").queryName("smrg_mb")
       .start()
     try q.processAllAvailable() finally q.stop()
