@@ -44,6 +44,7 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    graft.operators.Dedupe.releaseTrackedCaches()
     // code-path warmup on a TINY in-session dataset (never the sf data —
     // that would pre-fill the catalog's shared caches and move real work
     // out of the timed section): JITs the typed-kernel encoders,
@@ -169,11 +170,18 @@ object Bench {
         i += 1
       }
     }
+    // release operator-tracked caches (hammingPairs results) after each
+    // run: every fn() call builds and registers its own, so without the
+    // release a min-of-2 sweep leaks two cached RDDs per consumer query
+    def timedQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t = timed(() => { fn(spark, sfDir).count(); () })
+      graft.operators.Dedupe.releaseTrackedCaches()
+      t
+    }
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % sentinelEvery == 0) runSentinel()
-      val first = timed(() => { fn(spark, sfDir).count(); () })
-      name -> (if (first < 0) first
-               else math.min(first, timed(() => { fn(spark, sfDir).count(); () })))
+      val first = timedQuery(fn)
+      name -> (if (first < 0) first else math.min(first, timedQuery(fn)))
     }
     runSentinel() // closing sample so the last stretch of queries is covered
     val loadIndex =

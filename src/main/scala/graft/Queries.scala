@@ -906,11 +906,19 @@ object Queries {
         .select(key.as("doc_id"), lit(seq).as("seq"), lit(op).as("op"),
           text.as("text"), source.as("source"))
     val nullS = lit(null).cast("string")
+    // the clone-insert offset assumes max(doc_id) < 20M; a larger corpus
+    // (e.g. a heavily-replicated ScaleRun build) would collide synthesized
+    // insert keys with real doc_ids, making the (key, seq=1) pair ambiguous
+    // between engines — fail loudly in-flow instead of diverging silently
+    val insertKey = when(col("doc_id") < 20000000L, col("doc_id") + 20000000L)
+      .otherwise(raise_error(concat(
+        lit("mergeChangelog: doc_id "), col("doc_id"),
+        lit(" >= 20000000 collides with synthesized insert keys"))).cast("long"))
     rule(7L, 1L, "U", concat(col("text"), lit(" [u1]")), col("doc_id"), col("source"))
       .unionByName(rule(11L, 2L, "D", nullS, col("doc_id"), nullS))
       .unionByName(rule(21L, 3L, "U", concat(col("text"), lit(" [u2]")), col("doc_id"), col("source")))
       .unionByName(rule(33L, 4L, "U", concat(lit("resurrected "), col("text")), col("doc_id"), col("source")))
-      .unionByName(rule(13L, 1L, "U", concat(lit("ins of "), col("text")), col("doc_id") + 20000000L, col("source")))
+      .unionByName(rule(13L, 1L, "U", concat(lit("ins of "), col("text")), insertKey, col("source")))
   }
 
   /** Lakehouse MERGE ([[graft.operators.MergeApply]]): fold a changelog
@@ -1496,10 +1504,17 @@ object Queries {
   private def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val ids = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"))
+    // maxBucketSize = MaxValue: the oracle is brute-force all-pairs
+    // bit_count(xor), so the star-pair degradation for over-cap buckets
+    // must NEVER engage here — full recall has to hold at any corpus
+    // size, not just while buckets happen to stay under the default cap.
+    // Safe for the fixture family: group sigs are seed-unique, so a
+    // 16-bit band bucket holds ~|groups|/65536 groups (≈ 8 members even
+    // at a 100× corpus). Production callers keep the default skew cap.
     Dedupe.hammingPairs(
       Multimodal.phashRelation(
         Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
-      maxDistance = 3)
+      maxDistance = 3, maxBucketSize = Int.MaxValue)
   }
 
   /** Audio fingerprint near-dup
@@ -1518,10 +1533,12 @@ object Queries {
   private def mmAudioFp(spark: SparkSession, sfDir: String): DataFrame = {
     val ids = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"))
+    // maxBucketSize = MaxValue for the same reason as mm_phash_neardup:
+    // the brute-force oracle demands full recall at any corpus size
     Dedupe.hammingPairs(
       Multimodal.audioFpRelation(
         Multimodal.audioFpBlobs(ids, "doc_id"), "blob_id", "content"),
-      maxDistance = 3)
+      maxDistance = 3, maxBucketSize = Int.MaxValue)
   }
 
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
@@ -2362,7 +2379,7 @@ object Queries {
         |  join_rows, top_key, top_key_rows,
         |  join_rows / n_left AS amplification,
         |  top_key_rows / join_rows AS top_key_share
-        |FROM ta, tb, tj, top""".stripMargin,
+        |FROM ta, tb, tj LEFT JOIN top ON TRUE""".stripMargin,
     "dist_drift" -> DriftSql,
     // the streaming twin must land on the BATCH answer exactly — same SQL
     "stream_drift" -> DriftSql,

@@ -286,8 +286,13 @@ object TextQueries {
     Dedupe.minhashPairs(docs(spark, sfDir), "doc_id", "text", threshold = 0.3,
       sigSink = df => Queries.oracleSide(spark, sfDir, "minhash_sigs", df))
 
+  // maxBucketSize = MaxValue: the oracle is brute-force all-pairs over
+  // the persisted sigs, so the over-cap star-pair degradation must never
+  // engage for this registration (same contract as mm_phash_neardup);
+  // production callers keep the default skew cap
   private def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.simhashPairs(docs(spark, sfDir), "doc_id", "text", maxDistance = 3,
+      maxBucketSize = Int.MaxValue,
       sigSink = df => Queries.oracleSide(spark, sfDir, "simhash_sigs", df))
 
   /** Incremental MinHash near-dup: even doc_ids play the already-kept

@@ -57,6 +57,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // cache hygiene: operators that return materialized relations
+      // (hammingPairs) register them; the result is written, so release —
+      // otherwise a full catalog run accumulates one cached RDD per call
+      graft.operators.Dedupe.releaseTrackedCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

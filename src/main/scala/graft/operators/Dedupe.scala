@@ -720,7 +720,41 @@ object Dedupe {
     result.count()
     blockSizes.unpersist()
     sigs.unpersist()
-    result
+    // the returned relation is materialized (its inputs were just
+    // unpersisted above, so a lazy plan would recompute the sig pass —
+    // including any expensive upstream decode — on every consumption).
+    // Cache lifecycle: the session would otherwise leak one cached
+    // relation per call; register it so harness loops (Verify, Bench,
+    // ScaleRun — and any long-lived session) can release after consuming.
+    track(result)
+  }
+
+  // ------------------------------------------- tracked-cache lifecycle
+
+  /** Cached relations returned by [[hammingPairs]] that are still
+    * persisted. Operators that RETURN a cached DataFrame (because their
+    * intermediate caches are scoped out before returning) register it
+    * here; [[releaseTrackedCaches]] is the consumption-side hook.
+    */
+  private val trackedCaches =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = trackedCaches.synchronized {
+    trackedCaches += df
+    df
+  }
+
+  /** Unpersist every tracked relation handed out since the last release.
+    * Call after fully consuming a hammingPairs-derived result (the
+    * harness loops call it once per query); a released relation is still
+    * valid, it just recomputes if consumed again.
+    */
+  def releaseTrackedCaches(): Unit = trackedCaches.synchronized {
+    trackedCaches.foreach { df =>
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    trackedCaches.clear()
   }
 
   // ------------------------------------------------- duplicate clustering

@@ -23,42 +23,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamMerge {
 
-  /** Public (not private) because the codegen'd encoder projection
-    * lives outside this object and can't touch a private class. */
-  case class Change(key: Long, seq: Long, op: String, payload: String)
-
   /** Monotone upsert-event stream: one (key, seq, op, payload…) row per
     * micro-batch-and-key whose best change improves on the state's seq.
-    * Works for ANY payload column set: the payload rides through the
-    * typed stateful operator as a JSON-packed struct (the encoder needs
-    * a fixed shape; a hard-coded column list would silently break on
-    * other changelogs) and is unpacked to its original schema after.
+    * Works for ANY payload column set AND type: the payload rides
+    * through the typed stateful operator as a generic Row under an
+    * `Encoders.row` encoder built from the changelog's own schema — a
+    * lossless binary-safe packing (double bit patterns, binary blobs,
+    * and nulls survive exactly; the earlier JSON packing rested on
+    * Jackson's round-trip for doubles and base64 for binary).
+    *
+    * @param opCol / seqCol changelog column names, same defaults as the
+    *   batch [[graft.operators.MergeApply.merge]] — a changelog that
+    *   works in the batch path must work in the streaming twin.
     */
   def latestChanges(
-      changes: DataFrame, keyCol: String, payloadCols: Seq[String]): DataFrame = {
+      changes: DataFrame, keyCol: String, payloadCols: Seq[String],
+      opCol: String = "op", seqCol: String = "seq"): DataFrame = {
     val spark = changes.sparkSession
     import spark.implicits._
     require(payloadCols.nonEmpty, "payloadCols must not be empty")
-    val payloadSchema = org.apache.spark.sql.types.StructType(
-      payloadCols.map(c => changes.schema(c)))
-    changes
-      .select(col(keyCol).cast("long").as("key"), col("seq").cast("long"),
-        col("op"),
-        to_json(struct(payloadCols.map(col): _*)).as("payload"))
-      .as[Change]
-      .groupByKey(_.key)
+    val packed = changes
+      .select(col(keyCol).cast("long").as("key"),
+        col(seqCol).cast("long").as("seq"), col(opCol).as("op"),
+        struct(payloadCols.map(col): _*).as("payload"))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(packed.schema)
+    packed
+      .groupByKey(_.getLong(0))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (key: Long, rows: Iterator[Change], state: GroupState[Long]) => {
-          val best = rows.maxBy(_.seq)
-          if (state.getOption.forall(best.seq > _)) {
-            state.update(best.seq)
+        (key: Long, rows: Iterator[org.apache.spark.sql.Row],
+            state: GroupState[Long]) => {
+          val best = rows.maxBy(_.getLong(1))
+          if (state.getOption.forall(best.getLong(1) > _)) {
+            state.update(best.getLong(1))
             Iterator.single(best)
           } else Iterator.empty
         })
-      .toDF("key", "seq", "op", "payload")
-      .withColumn("_p", from_json(col("payload"), payloadSchema))
       .select(col("key") +: col("seq") +: col("op") +:
-        payloadCols.map(c => col(s"_p.$c").as(c)): _*)
+        payloadCols.map(c => col(s"payload.$c").as(c)): _*)
   }
 
   /** Run the changelog stream over a finite parquet input (transformed
@@ -77,12 +79,16 @@ object StreamMerge {
       changelogOf: DataFrame => DataFrame,
       snapshot: DataFrame,
       keyCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
     val events = EventStream.runToMemory(spark, inputPath, queryName,
-      s => latestChanges(changelogOf(s), keyCol, payloadCols),
+      s => latestChanges(changelogOf(s), keyCol, payloadCols, opCol, seqCol),
       OutputMode.Append())
       .withColumnRenamed("key", keyCol)
+      .withColumnRenamed("seq", seqCol)
+      .withColumnRenamed("op", opCol)
     graft.operators.MergeApply.merge(
-      snapshot, events, keyCol, payloadCols)
+      snapshot, events, keyCol, payloadCols, opCol, seqCol)
   }
 }

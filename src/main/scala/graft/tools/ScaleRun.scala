@@ -132,7 +132,7 @@ object ScaleRun {
     "bpe_train",
     // epoch shuffle: range sort + two-pass rank over N× docs
     "doc_shuffle",
-    // streaming estimator: chunk volume and per-hash state both grow 10×
+    // streaming estimator: chunk volume and per-hash state both grow N×
     "stream_cdc",
     // full-corpus Lloyd's: per-iteration narrow sweep over N× vectors,
     // partials stay k×dim regardless — the linear-scan scale shape
@@ -153,6 +153,19 @@ object ScaleRun {
     // narrow pass — the kernel-bound linear-scan shape; band join stays
     // group-bounded
     "mm_phash_dedup", "mm_audio_fp")
+
+  /** The 100× tier: the ~12 heaviest query families by honest cost, each
+    * a distinct scale-critical shape (LSH band join, hamming pigeonhole,
+    * PQ codes, MERGE broadcast decomposition, streaming chunker state,
+    * prefix-sum packing, heavy-hitter sketch, Lloyd's sweep, range-sort
+    * shuffle, CDC kernel, session window, codec kernel). Two decades of
+    * growth is where a hidden quadratic or a state/collect bound actually
+    * breaks; the rest of ScaleQueries is covered by the 10× tier.
+    */
+  private val Scale100Queries = Seq(
+    "dedup_minhash", "dedup_simhash", "ann_ivfpq_topk", "merge_apply",
+    "stream_cdc", "doc_pack", "text_heavy_hitters", "emb_kmeans",
+    "cdc_estimate", "doc_shuffle", "event_sessions", "mm_phash_dedup")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
@@ -194,17 +207,32 @@ object ScaleRun {
     }
     def minOf2(fn: () => Unit): Double = {
       val a = once(fn)
-      if (a.isNaN) a else math.min(a, once(fn))
+      graft.operators.Dedupe.releaseTrackedCaches()
+      val r = if (a.isNaN) a else math.min(a, once(fn))
+      graft.operators.Dedupe.releaseTrackedCaches()
+      r
+    }
+
+    // tier selection: factors past the 10× tier run the heavy-family
+    // subset — two decades of growth on the shapes where a quadratic or
+    // a state/collect bound would actually break
+    val queries = if (factor > 20) Scale100Queries else ScaleQueries
+    val qSet = queries.toSet
+    // only the shared builds some selected query consumes (Bench's
+    // attribution rule): the ngram-pairs build for an unselected consumer
+    // would dominate a 100× run it has nothing to do with
+    val sharedSelected = graft.TextQueries.sharedBuilds.filter { case (n, _) =>
+      graft.TextQueries.sharedBuildConsumers(n).exists(qSet)
     }
 
     // shared builds timed separately per dir (same attribution as Bench) —
     // ONE timed run: the second call would hit the session cache and
     // min-of-2 would report the cached scan, not the build
     def timeDir(dir: String): (Map[String, Double], Map[String, Double]) = {
-      val shared = graft.TextQueries.sharedBuilds.map { case (name, build) =>
+      val shared = sharedSelected.map { case (name, build) =>
         name -> once(() => build(spark, dir))
       }.toMap
-      val qs = ScaleQueries.map { name =>
+      val qs = queries.map { name =>
         name -> minOf2(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
       }.toMap
       (shared, qs)
@@ -213,18 +241,32 @@ object ScaleRun {
     val (shared1, t1) = timeDir(base)
     val (sharedN, tN) = timeDir(out)
 
-    println(f"[scale] shared builds 1x/${factor}x: " + graft.TextQueries.sharedBuilds.map {
-      case (n, _) => f"$n ${shared1(n)}%.2f/${sharedN(n)}%.2f (${sharedN(n) / shared1(n)}%.1fx)"
-    }.mkString(", "))
+    // Locale.ROOT everywhere: the JSON line is machine-parsed, and even
+    // the human table must not flip to comma decimals on another JVM
+    def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    def n1(d: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, d)
+    if (sharedSelected.nonEmpty)
+      println(s"[scale] shared builds 1x/${factor}x: " + sharedSelected.map {
+        case (n, _) =>
+          s"$n ${n2(shared1(n))}/${n2(sharedN(n))} (${n1(sharedN(n) / shared1(n))}x)"
+      }.mkString(", "))
     println(s"| query | 1x (s) | ${factor}x (s) | ratio |")
     println("|---|---|---|---|")
-    ScaleQueries.foreach { n =>
-      println(f"| $n | ${t1(n)}%.2f | ${tN(n)}%.2f | ${tN(n) / t1(n)}%.1fx |")
+    queries.foreach { n =>
+      println(s"| $n | ${n2(t1(n))} | ${n2(tN(n))} | ${n1(tN(n) / t1(n))}x |")
     }
-    val js = ScaleQueries.map(n =>
-      f""""$n":{"t1":${t1(n)}%.2f,"tN":${tN(n)}%.2f,"ratio":${tN(n) / t1(n)}%.2f}""")
+    // memory headroom after the Nx sweep: a post-GC used-heap reading —
+    // the resident state (caches, broadcasts, state stores) the sweep
+    // leaves behind, against the configured ceiling
+    System.gc()
+    val rt = Runtime.getRuntime
+    val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+    val maxMb = rt.maxMemory() / (1024 * 1024)
+    println(s"[scale] heap after ${factor}x sweep: ${usedMb} MiB used of ${maxMb} MiB max")
+    val js = queries.map(n =>
+      s""""$n":{"t1":${n2(t1(n))},"tN":${n2(tN(n))},"ratio":${n2(tN(n) / t1(n))}}""")
       .mkString("{", ",", "}")
-    println(s"""{"scale_factor":$factor,"queries":$js}""")
+    println(s"""{"scale_factor":$factor,"heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"queries":$js}""")
     spark.stop()
   }
 }

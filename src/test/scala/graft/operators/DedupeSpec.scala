@@ -228,6 +228,23 @@ class DedupeSpec extends SparkSpec {
     assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
   }
 
+  test("hammingPairs cache lifecycle: releaseTrackedCaches leaves no net cached RDDs") {
+    import spark.implicits._
+    Dedupe.releaseTrackedCaches() // drain anything a prior test registered
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val sigs = (0L until 200L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+      .toDF("id", "sig")
+    val pairs = Dedupe.hammingPairs(sigs, maxDistance = 3)
+    pairs.count() // consume the materialized result
+    // the operator's intermediates (sigs, blockSizes) are scoped inside;
+    // the returned result is the ONE registered cache
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    Dedupe.releaseTrackedCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after.diff(before).isEmpty,
+      s"net new cached RDDs after release: ${after.diff(before)}")
+  }
+
   test("keepBestPerCluster: argmax score, min-id ties, singletons keep") {
     import spark.implicits._
     // cluster {1,2,3}: doc 2 scores highest -> kept; cluster {10,11}:

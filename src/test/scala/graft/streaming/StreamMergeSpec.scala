@@ -39,6 +39,60 @@ class StreamMergeSpec extends SparkSpec {
     assert(got == Seq((1L, 42L), (2L, 20L), (9L, 7L)))
   }
 
+  test("payload fidelity: double, binary, and null columns survive the packing") {
+    // adversarial payloads for the stateful packing: doubles whose decimal
+    // round-trip is historically lossy (0.1+0.2, the smallest subnormal,
+    // -0.0, NaN), raw binary (would need base64 under a JSON packing),
+    // and nulls in every payload column — the Row-encoder packing must
+    // hand all of them through BIT-exactly
+    val dir = java.nio.file.Files.createTempDirectory("smrgf")
+    val changes = Seq(
+      (1L, 1L, "U", 0.1 + 0.2, Array[Byte](0, 1, -128, 127), "x"),
+      (2L, 1L, "U", Double.NaN, null.asInstanceOf[Array[Byte]],
+        null.asInstanceOf[String]),
+      (3L, 1L, "U", java.lang.Double.MIN_VALUE, Array.emptyByteArray, "y"),
+      (9L, 1L, "U", -0.0, Array[Byte](-1), "z"))
+      .toDF("k", "seq", "op", "d", "b", "s")
+    writeFlatParquet(changes, dir, "ch.parquet")
+    val snap = Seq((1L, 1.5, Array[Byte](9), "old"), (4L, 2.5, Array[Byte](8), "keep"))
+      .toDF("k", "d", "b", "s")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("k").collect().toSeq
+      .map { r =>
+        (r.getLong(0),
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          Option(r.getAs[Array[Byte]](2)).map(_.toSeq),
+          Option(r.getAs[String](3)))
+      }
+    val got = rows(StreamMerge.runMergeOnce(spark, s"$dir/ch.parquet", "smrgf_q",
+      identity, snap, "k", Seq("d", "b", "s")))
+    val want = rows(graft.operators.MergeApply
+      .merge(snap, changes, "k", Seq("d", "b", "s")))
+    assert(got == want)
+    def bits(d: Double) = java.lang.Double.doubleToRawLongBits(d)
+    assert(got == Seq(
+      (1L, bits(0.1 + 0.2), Some(Seq[Byte](0, 1, -128, 127)), Some("x")),
+      (2L, bits(Double.NaN), None, None),
+      (3L, bits(java.lang.Double.MIN_VALUE), Some(Seq.empty[Byte]), Some("y")),
+      (4L, bits(2.5), Some(Seq[Byte](8)), Some("keep")),
+      (9L, bits(-0.0), Some(Seq[Byte](-1)), Some("z"))))
+  }
+
+  test("opCol/seqCol are parameterized — renamed op/seq columns stream") {
+    // the batch MergeApply exposes opCol/seqCol; a changelog using e.g.
+    // (version, action) must work identically in the streaming twin
+    val dir = java.nio.file.Files.createTempDirectory("smrgr")
+    val changes = Seq(
+      (1L, 1L, "U", 42L), (1L, 2L, "U", 43L), (3L, 1L, "D", 0L),
+      (9L, 1L, "U", 7L))
+      .toDF("k", "version", "action", "value")
+    writeFlatParquet(changes, dir, "ch.parquet")
+    val snap = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "value")
+    val got = StreamMerge.runMergeOnce(spark, s"$dir/ch.parquet", "smrgr_q",
+        identity, snap, "k", Seq("value"), opCol = "action", seqCol = "version")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 43L), (2L, 20L), (9L, 7L)))
+  }
+
   test("state carries across micro-batches; stale seqs never regress") {
     // three files, one per micro-batch: key 1 upserted in batch 1 (seq 5),
     // a STALE seq-3 change arrives in batch 2 (must not emit), a fresh
