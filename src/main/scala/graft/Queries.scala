@@ -949,6 +949,24 @@ object Queries {
     graft.operators.MergeApply.mergeStats(docs, mergeChangelog(docs), "doc_id")
   }
 
+  /** Schema-evolving MERGE ([[graft.operators.MergeApply.mergeEvolve]]):
+    * the same changelog now carries a `rev` column the snapshot lacks
+    * (rev = seq·100 + key%7 — deterministic and SQL-replayable on the
+    * FINAL key, so insert keys compute it identically both sides). The
+    * snapshot is null-widened and the standard delta-broadcast merge
+    * applies: untouched rows get NULL rev, touched rows the winning
+    * change's rev — the "changelog adds a column mid-stream" lakehouse
+    * path.
+    */
+  private def mergeApplyEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val changes = mergeChangelog(docs)
+      .withColumn("rev", col("seq") * 100L + col("doc_id") % 7L)
+    graft.operators.MergeApply.mergeEvolve(
+      docs, changes, "doc_id", Seq("text", "source"), Seq("rev"))
+  }
+
   /** Streaming twin of merge_apply ([[graft.streaming.StreamMerge]]):
     * the changelog derives from the documents STREAM in-flight (the
     * StreamDrift revise contract) and folds through a merge-key-keyed
@@ -1754,6 +1772,7 @@ object Queries {
     "stream_profile" -> (streamProfile _),
     "snapshot_diff" -> (snapshotDiff _),
     "merge_apply" -> (mergeApply _),
+    "merge_apply_evolve" -> (mergeApplyEvolve _),
     "merge_stats" -> (mergeStats _),
     "stream_merge" -> (streamMerge _),
     "key_skew" -> (keySkew _),
@@ -2330,6 +2349,20 @@ object Queries {
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
     "merge_apply" -> MergeApplySql,
+    "merge_apply_evolve" ->
+      s"""WITH ch AS (
+        |  SELECT *, seq * 100 + doc_id % 7 AS rev FROM ($MergeChangelogSql)),
+        |latest AS (
+        |  SELECT doc_id, op, text, source, rev FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(s.doc_id, l.doc_id) AS doc_id,
+        |  CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
+        |  CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END AS source,
+        |  CASE WHEN l.doc_id IS NULL THEN NULL ELSE l.rev END AS rev
+        |FROM documents s FULL JOIN latest l ON s.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     // the streaming fold must land on the BATCH merge exactly — same SQL
     "stream_merge" -> MergeApplySql,
     "merge_stats" ->

@@ -82,6 +82,36 @@ object MergeApply {
     applied.unionByName(inserts)
   }
 
+  /** Schema-evolving MERGE — the common lakehouse wrinkle where the
+    * changelog ADDS payload columns the snapshot doesn't have yet (a
+    * crawler starts emitting a new field mid-stream). `evolvedCols` are
+    * columns present in `changes` but absent from `snapshot`: the
+    * snapshot is widened with null-filled columns of the changelog's
+    * types (the `WHEN NOT MATCHED` default for pre-evolution rows),
+    * then the standard [[merge]] decomposition applies. Untouched rows
+    * carry NULL in every evolved column; updated and inserted rows
+    * carry the changelog's values. Same scale shape as [[merge]]: the
+    * widening is a map-only projection, the snapshot still never
+    * shuffles.
+    */
+  def mergeEvolve(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      payloadCols: Seq[String],
+      evolvedCols: Seq[String],
+      opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(evolvedCols.nonEmpty, "evolvedCols must not be empty")
+    val clash = evolvedCols.filter(snapshot.columns.contains)
+    require(clash.isEmpty,
+      s"evolvedCols already exist in the snapshot: ${clash.mkString(", ")}")
+    val widened = evolvedCols.foldLeft(snapshot) { (df, c) =>
+      df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
+    merge(widened, changes, keyCol, payloadCols ++ evolvedCols, opCol, seqCol)
+  }
+
   /** One-row accounting of what a merge would do — the dry-run report:
     * counts of updated / inserted / deleted / unchanged keys. The
     * snapshot contributes only its key column (column-pruned at the

@@ -40,6 +40,33 @@ class MergeApplySpec extends SparkSpec {
       (2L, "back", "z"), (3L, "three", "b"), (4L, "four", "b")))
   }
 
+  test("mergeEvolve: changelog-only columns null-fill untouched rows") {
+    // changelog carries `rev` (long) and `tag` (string) the snapshot lacks
+    val changes = Seq(
+      (2L, 1L, "U", "TWO", "a2", 7L, "t7"),    // update: carries rev/tag
+      (5L, 1L, "U", "five", "c", 9L, null),    // insert: rev, null tag
+      (3L, 1L, "D", null, null, 0L, null))     // delete
+      .toDF("id", "seq", "op", "text", "src", "rev", "tag")
+    val out = MergeApply.mergeEvolve(
+        snap, changes, "id", Seq("text", "src"), Seq("rev", "tag"))
+      .orderBy("id")
+      .as[(Long, String, String, Option[Long], Option[String])].collect()
+    assert(out.toSeq == Seq(
+      (1L, "one", "a", None, None),            // untouched: NULL evolved cols
+      (2L, "TWO", "a2", Some(7L), Some("t7")),
+      (4L, "four", "b", None, None),
+      (5L, "five", "c", Some(9L), None)))
+  }
+
+  test("mergeEvolve rejects evolved columns the snapshot already has") {
+    val changes = Seq((2L, 1L, "U", "TWO", "a2"))
+      .toDF("id", "seq", "op", "text", "src")
+    val e = intercept[IllegalArgumentException] {
+      MergeApply.mergeEvolve(snap, changes, "id", Seq("text"), Seq("src"))
+    }
+    assert(e.getMessage.contains("already exist"))
+  }
+
   test("mergeStats: updated / inserted / deleted / unchanged counts") {
     val changes = Seq(
       (1L, 1L, "U", "x", "x"), (2L, 1L, "U", "y", "y"), // 2 updates
