@@ -34,6 +34,36 @@ object SimilarityQueries {
       booksSink = df => Queries.oracleSide(spark, sfDir, "pq_books", df),
       probesSink = df => Queries.oracleSide(spark, sfDir, "pq_probes", df))
 
+  /** Incremental IVF maintenance ([[graft.operators.Similarity
+    * .ivfAppendAssign]]): vec_id % 4 == 2 plays the newly-arrived batch,
+    * the rest the already-indexed corpus. The quantizer trains on the
+    * BASE only (the pre-existing index state, [[graft.operators
+    * .KMeansExact]] integer-exact Lloyd's); the fold then assigns new
+    * vectors to their nearest FROZEN centroid and appends — no retrain,
+    * and the fold's plan touches only the batch plus ≤ k rows of bucket
+    * metadata. The oracle REPLAYS the frozen-centroid assignment from
+    * the persisted integer centroids (argmin dist2, tie to lowest
+    * bucket) — unlike ann_ivf_topk it does not take the assignment on
+    * faith — and rebuilds before/after bucket sizes from the persisted
+    * base assignment.
+    */
+  private def annIvfIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = emb(spark, sfDir)
+    val base = all.filter(col("vec_id") % 4 =!= 2)
+    val newBatch = all.filter(col("vec_id") % 4 === 2)
+    val model = KMeansExact.fit(base, "vec_id", "embedding", k = 8, iters = 2)
+    Queries.oracleSide(spark, sfDir, "ivf_inc_cents",
+      KMeansExact.centroidsDF(spark, model.centroids))
+    val baseAssign = Queries.oracleSide(spark, sfDir, "ivf_inc_base",
+      KMeansExact.assign(base, "vec_id", "embedding", model.centroids)
+        .select(col("cluster").as("bucket"), col("id")))
+    val baseCounts = baseAssign.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_base"))
+    Similarity.ivfAppendAssign(newBatch, "vec_id", "embedding",
+        model.centroids, baseCounts)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
       planes = 8, minCosine = 0.3,
@@ -242,6 +272,7 @@ object SimilarityQueries {
     "emb_norms" -> embNorms _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
+    "ann_ivf_incremental" -> annIvfIncremental _,
     "ann_ivfpq_topk" -> annIvfPq _,
     "emb_neardup" -> nearDups _,
     "emb_neardup_exact" -> embNearDupExact _,
@@ -396,6 +427,34 @@ object SimilarityQueries {
         |  FROM c)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
         |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivf_incremental" ->
+      s"""WITH c AS (
+        |  SELECT cluster, cw FROM read_parquet('${Queries.oracleSidePath("ivf_inc_cents")}')),
+        |nb AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id % 4 = 2),
+        |dd AS (
+        |  SELECT nb.vec_id, c.cluster,
+        |    CAST(list_sum(list_transform(range(1, len(nb.qv) + 1),
+        |      i -> (nb.qv[i] - c.cw[i]) * (nb.qv[i] - c.cw[i]))) AS BIGINT) AS dist2
+        |  FROM nb CROSS JOIN c),
+        |asg AS (
+        |  SELECT vec_id, CAST(cluster AS BIGINT) AS bucket, dist2
+        |  FROM (SELECT vec_id, cluster, dist2,
+        |          ROW_NUMBER() OVER (PARTITION BY vec_id
+        |            ORDER BY dist2 ASC, cluster ASC) AS rk
+        |        FROM dd)
+        |  WHERE rk = 1),
+        |bc AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_base
+        |  FROM read_parquet('${Queries.oracleSidePath("ivf_inc_base")}') GROUP BY 1),
+        |nc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM asg GROUP BY 1)
+        |SELECT asg.vec_id, asg.bucket, asg.dist2 AS dist2_scaled,
+        |  COALESCE(bc.n_base, 0) AS n_before,
+        |  COALESCE(bc.n_base, 0) + nc.n_new AS n_after
+        |FROM asg LEFT JOIN bc USING (bucket) JOIN nc USING (bucket)""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH a AS (
         |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("ivf_assign")}')),

@@ -211,6 +211,45 @@ object Similarity extends Serializable {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Incremental IVF index maintenance — fold a NEW-vectors batch into
+    * an existing coarse quantizer WITHOUT retraining (the
+    * `dedup_*_incremental` pattern applied to ANN): each new vector is
+    * assigned to its nearest FROZEN centroid by exact integer squared-L2
+    * argmin ([[KMeansExact.nearest]] — tie to the lowest bucket, the
+    * oracle-replayable rule) and appended to that bucket's list. The
+    * old corpus is structurally out of reach: this method receives only
+    * the frozen centroid array and the index's per-bucket size relation
+    * (≤ k rows — index METADATA, not data), so no plan it produces can
+    * rescan or retrain over the indexed vectors. Periodic re-training
+    * when drift accumulates is the caller's explicit, separate decision.
+    *
+    * Scale shape: one narrow map over the new batch (centroids
+    * broadcast), one ≤ k-row count aggregate, two broadcast joins of
+    * ≤ k-row relations. At 100 TB of indexed corpus the fold touches
+    * only the batch.
+    *
+    * @param baseBucketCounts (bucket, n_base) — current bucket sizes
+    * @return (id, bucket, dist2_scaled, n_before, n_after) per new vector
+    */
+  def ivfAppendAssign(
+      newBatch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Long]],
+      baseBucketCounts: DataFrame): DataFrame = {
+    val assigned = KMeansExact.assign(newBatch, idCol, vecCol, centroids)
+      .select(col("id"), col("cluster").as("bucket"), col("dist2_scaled"))
+    val newCounts = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    assigned
+      .join(broadcast(baseBucketCounts.select(col("bucket"), col("n_base"))),
+        Seq("bucket"), "left_outer")
+      .join(broadcast(newCounts), Seq("bucket"))
+      .select(col("id"), col("bucket"), col("dist2_scaled"),
+        coalesce(col("n_base"), lit(0L)).as("n_before"),
+        (coalesce(col("n_base"), lit(0L)) + col("n_new")).as("n_after"))
+  }
+
   /** IVF-PQ ANN (public method: Jégou et al. 2011, "Product Quantization
     * for Nearest Neighbor Search"): the memory-bounded ANN path for
     * corpora whose raw vectors don't fit executor memory. The corpus is

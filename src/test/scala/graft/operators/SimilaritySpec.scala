@@ -249,4 +249,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r(100L) == ((5L, true)) && r(101L) == ((5L, true)) && r(5L) == ((5L, false)))
     assert(r.count(_._2._2) == 2, "only the planted dups are marked")
   }
+
+  test("ivfAppendAssign: frozen-centroid argmin, ties to lowest, bucket sizes fold") {
+    import spark.implicits._
+    // frozen quantizer (integer grid, scale 1000); base index: bucket 0
+    // holds 5 vectors, bucket 2 holds 1, bucket 1 empty
+    val cents = Array(Array(0L, 0L), Array(1000L, 0L), Array(0L, 1000L))
+    val baseCounts = Seq((0L, 5L), (2L, 1L)).toDF("bucket", "n_base")
+    val nb = Seq(
+      (10L, Array(0.1f, 0.1f)),  // d = (20k, 830k, 830k)       -> bucket 0
+      (11L, Array(0.9f, 0.0f)),  // d = (810k, 10k, 1.81M)      -> bucket 1
+      (12L, Array(0.4f, 0.6f)),  // d = (520k, 720k, 320k)      -> bucket 2
+      (13L, Array(0.5f, 0.5f)))  // three-way 500k tie          -> bucket 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity
+      .ivfAppendAssign(nb, "vec_id", "embedding", cents, baseCounts)
+      .orderBy("id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (10L, 0L, 20000L, 5L, 7L),
+      (11L, 1L, 10000L, 0L, 1L),
+      (12L, 2L, 320000L, 1L, 2L),
+      (13L, 0L, 500000L, 5L, 7L)))
+  }
 }
