@@ -1559,6 +1559,31 @@ object Queries {
       maxDistance = 3, maxBucketSize = Int.MaxValue)
   }
 
+  /** Video keyframe fingerprint near-dup
+    * ([[graft.operators.Multimodal.decodeY4M]] →
+    * [[graft.operators.Multimodal.videoFpRelation]] →
+    * [[graft.operators.Dedupe.hammingPairs]]): REAL from-scratch
+    * YUV4MPEG2 decode — the format the mjpegtools/ffmpeg world uses for
+    * uncompressed interchange — closing the video modality with actual
+    * frame data (the container stub now covers only compressed codecs
+    * the JVM cannot read). Pairs of consecutive ids share one video;
+    * odd ids carry a one-pixel frame-0 edit, so their slot-0 keyframe
+    * hash lands a few bits away while slots 1..3 match exactly — the
+    * image/audio jitter pattern, one modality over. id = blob_id·4 +
+    * slot matches videos keyframe-by-keyframe through the shared
+    * pigeonhole machinery. Codec-free oracle: the luma is arithmetic,
+    * so DuckDB re-derives every keyframe thumbnail, dHash, and the
+    * brute-force pair set with no parser anywhere.
+    */
+  private def mmVideoFp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    Dedupe.hammingPairs(
+      Multimodal.videoFpRelation(
+        Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
+      maxDistance = 3, maxBucketSize = Int.MaxValue)
+  }
+
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose
     * channel count and frame-exact duration come from arithmetic truth,
@@ -1791,6 +1816,7 @@ object Queries {
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_audio_fp" -> (mmAudioFp _),
+    "mm_video_fp" -> (mmVideoFp _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
@@ -2325,6 +2351,56 @@ object Queries {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.blob_id < b.blob_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
+    // CODEC-FREE video truth: re-derive each keyframe's 9x8 luma
+    // thumbnail from the Y4M fixture's arithmetic pixel function
+    // (Multimodal.videoLuma — same integer keyframe/downsample indices
+    // as videoKeyframeHashes), pack the dHash through the HUGEINT
+    // two's-complement wrap, and replay the brute-force pair set —
+    // certifying the real from-scratch Y4M parse + fingerprint end to
+    // end with no parser in the truth path
+    "mm_video_fp" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS blob_id, doc_id // 2 AS g,
+        |    12 + (doc_id // 2) % 21 AS w, 10 + ((doc_id // 2) * 7) % 15 AS h,
+        |    8 + ((doc_id // 2) * 3) % 9 AS nf
+        |  FROM documents),
+        |fr AS (
+        |  SELECT blob_id, dims.g AS g, w, h, s.g AS slot,
+        |    (s.g * nf) // 4 AS fidx
+        |  FROM dims, generate_series(0, 3) s(g)),
+        |lum AS (
+        |  SELECT blob_id, slot, cyg AS cy, cxg AS cx,
+        |    CASE WHEN blob_id % 2 = 1 AND fidx = 0
+        |           AND (cxg * w) // 9 = 0 AND (cyg * h) // 8 = 0 THEN 255
+        |         ELSE (g * 1000003 + fidx * 8191
+        |           + ((cxg * w) // 9) * (31 + 2 * ((g * 5 + fidx * 3) % 13))
+        |           + ((cyg * h) // 8) * (131 + 2 * ((g * 7 + fidx) % 11))
+        |           + ((cxg * w) // 9) * ((cxg * w) // 9) * ((g + fidx) % 7)
+        |           + ((cyg * h) // 8) * ((cyg * h) // 8) * ((g * 3 + fidx) % 5))
+        |           & 255 END AS luma
+        |  FROM (
+        |    SELECT blob_id, fr.g AS g, w, h, fidx, slot,
+        |      cy.g AS cyg, cx.g AS cxg
+        |    FROM fr, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
+        |hv AS (
+        |  SELECT a.blob_id, a.slot,
+        |    SUM(CASE WHEN b.luma > a.luma
+        |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
+        |      ELSE CAST(0 AS HUGEINT) END) AS hh
+        |  FROM lum a JOIN lum b
+        |    ON a.blob_id = b.blob_id AND a.slot = b.slot
+        |      AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8 GROUP BY 1, 2),
+        |vf AS (
+        |  SELECT blob_id * 4 + slot AS vid,
+        |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+        |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
+        |      AS BIGINT) AS sig
+        |  FROM hv)
+        |SELECT a.vid AS id_a, b.vid AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM vf a JOIN vf b ON a.vid < b.vid
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     "q24_running_total" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

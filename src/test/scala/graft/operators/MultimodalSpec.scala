@@ -190,6 +190,79 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeY4M reads every video fixture back to its arithmetic truth") {
+    for (id <- 0L until 40L) {
+      val (w, h, nf) = Multimodal.videoFixtureTruth(id)
+      val v = Multimodal.decodeY4M(Multimodal.y4mFixture(id)).get
+      assert(v.width == w && v.height == h && v.frames.length == nf)
+      assert(v.fpsNum == 25 && v.fpsDen == 1)
+      // sample-exact luma: every pixel of every frame equals the formula
+      val g = id / 2
+      for (f <- 0 until nf; py <- 0 until h; px <- 0 until w) {
+        val want =
+          if (id % 2 == 1 && f == 0 && px == 0 && py == 0) 255
+          else Multimodal.videoLuma(g, f, px, py)
+        assert((v.frames(f)(py * w + px) & 0xff) == want,
+          s"id=$id f=$f ($px,$py)")
+      }
+    }
+  }
+
+  test("decodeY4M: C420 plane layout, defaults, and loud failures") {
+    // hand-built 4x2 C420 stream, 2 frames: luma 0..7 then 8..15, chroma
+    // quarter-size (2x1 per plane); no C tag => 420jpeg default
+    val hdr = "YUV4MPEG2 W4 H2 F30:1\n".getBytes("US-ASCII")
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(hdr)
+    for (f <- 0 until 2) {
+      bos.write(fm)
+      bos.write(Array.tabulate[Byte](8)(i => (f * 8 + i).toByte)) // Y
+      bos.write(Array[Byte](1, 2)) // U (4/2 * 2/2)
+      bos.write(Array[Byte](3, 4)) // V
+    }
+    val v = Multimodal.decodeY4M(bos.toByteArray).get
+    assert(v.width == 4 && v.height == 2 && v.fpsNum == 30)
+    assert(v.frames.length == 2)
+    assert(v.frames(0).toSeq == (0 until 8).map(_.toByte))
+    assert(v.frames(1).toSeq == (8 until 16).map(_.toByte))
+    // non-Y4M => None (falls through to the container stub)
+    assert(Multimodal.decodeY4M("not a video".getBytes).isEmpty)
+    assert(Multimodal.decodeY4M(Multimodal.imageFixture(3L)).isEmpty)
+    // truncated payload => loud failure, never a silent partial decode
+    val full = Multimodal.y4mFixture(0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4M(java.util.Arrays.copyOf(full, full.length - 5))
+    }
+    // unsupported chroma => loud failure
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4M("YUV4MPEG2 W2 H2 C411\nFRAME\nxxxx".getBytes)
+    }
+  }
+
+  test("decodeMeta: Y4M video is REAL now — geometry + duration, not the stub") {
+    val id = 6L
+    val (w, h, nf) = Multimodal.videoFixtureTruth(id)
+    val m = Multimodal.decodeMeta(Multimodal.y4mFixture(id))
+    assert(m.width == w && m.height == h && m.channels == 3)
+    assert(m.durationMs == math.round(nf * 1000.0 / 25.0))
+  }
+
+  test("video keyframe fingerprints: jitter lands a few bits off slot 0 only") {
+    // even/odd of one group: identical video except frame 0's corner
+    val a = Multimodal.decodeY4M(Multimodal.y4mFixture(10L)).get
+    val b = Multimodal.decodeY4M(Multimodal.y4mFixture(11L)).get
+    val ha = Multimodal.videoKeyframeHashes(a).toMap
+    val hb = Multimodal.videoKeyframeHashes(b).toMap
+    for (s <- 1 until 4) assert(ha(s) == hb(s), s"slot $s must match exactly")
+    val d0 = java.lang.Long.bitCount(ha(0) ^ hb(0))
+    assert(d0 >= 1 && d0 <= 3, s"slot-0 hamming $d0 out of the planted range")
+    // different groups: far apart at slot 0
+    val c = Multimodal.decodeY4M(Multimodal.y4mFixture(20L)).get
+    val hc = Multimodal.videoKeyframeHashes(c).toMap
+    assert(java.lang.Long.bitCount(ha(0) ^ hc(0)) > 3)
+  }
+
   test("perceptualDedup collapses each 4-id re-encode group to its min id") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
