@@ -147,11 +147,12 @@ object Bench {
     // one-off JIT/GC hiccup on a single ~0.2 s run would fake a 3× load
     // index on an idle box, while a burst long enough to cover both
     // back-to-back runs is exactly the sustained load worth flagging
-    def runSentinel(): Unit = {
+    def runSentinel(): Double = {
       val a = timed(sentinelQuery)
       val b = timed(sentinelQuery)
       val t = if (a < 0) b else if (b < 0) a else math.min(a, b)
       if (t >= 0) sentinelSecs += t
+      t
     }
     // untimed priming runs until the sentinel's wall time stabilizes (two
     // consecutive runs within 25%, up to 8 runs): C2 JIT ramps a small
@@ -178,12 +179,35 @@ object Bench {
       graft.operators.Dedupe.releaseTrackedCaches()
       t
     }
-    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx % sentinelEvery == 0) runSentinel()
+    val blockSentinels = scala.collection.mutable.Map.empty[Int, Double]
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx % sentinelEvery == 0)
+        blockSentinels(idx / sentinelEvery) = runSentinel()
       val first = timedQuery(fn)
       name -> (if (first < 0) first else math.min(first, timedQuery(fn)))
     }
-    runSentinel() // closing sample so the last stretch of queries is covered
+    // closing sample so the last stretch of queries is covered
+    val closingSentinel = runSentinel()
+    // targeted re-measure (round-8 adjudication: min-of-2 is not enough at
+    // load_index 10 — BENCH_r08 shipped 5-10x-inflated numbers): a query
+    // whose NEIGHBORING sentinel samples spiked > 2x over the steady-state
+    // minimum straddled a load burst in both runs, so give exactly those
+    // queries one more min-of-2 pass now that (hopefully) the burst has
+    // passed. Bounded: an idle box re-measures nothing; a bursty box pays
+    // one extra pass only for the affected stretch.
+    val steady = sentinelSecs.filter(_ > 0).minOption.getOrElse(-1.0)
+    var remeasured = 0
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      val t = firstPass(idx)._2
+      val b = idx / sentinelEvery
+      val sBefore = blockSentinels.getOrElse(b, steady)
+      val sAfter = blockSentinels.getOrElse(b + 1, closingSentinel)
+      if (steady > 0 && t >= 0 && math.max(sBefore, sAfter) > 2 * steady) {
+        remeasured += 1
+        val again = timedQuery(fn)
+        name -> (if (again >= 0) math.min(t, again) else t)
+      } else name -> t
+    }
     val loadIndex =
       if (sentinelSecs.size < 2 || sentinelSecs.min <= 0) -1.0
       else sentinelSecs.max / sentinelSecs.min
@@ -200,7 +224,7 @@ object Bench {
     val sentinelJson = sentinelSecs
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
     // compact 10 ms-rounded duplicate: the driver keeps only the final
     // ~2 KB of output, which truncates the front of the full-precision
     // line once the catalog is large — and the tiny {"total","li"} line

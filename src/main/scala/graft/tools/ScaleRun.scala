@@ -152,7 +152,10 @@ object ScaleRun {
     // perceptual fingerprints: N× real codec encodes+decodes in the
     // narrow pass — the kernel-bound linear-scan shape; band join stays
     // group-bounded
-    "mm_phash_dedup", "mm_audio_fp")
+    "mm_phash_dedup", "mm_audio_fp",
+    // video keyframes: N× real Y4M encodes+parses, 4 sigs per blob
+    // through the shared pigeonhole
+    "mm_video_fp")
 
   /** The 100× tier: the ~12 heaviest query families by honest cost, each
     * a distinct scale-critical shape (LSH band join, hamming pigeonhole,

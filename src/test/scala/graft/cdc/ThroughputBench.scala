@@ -17,8 +17,16 @@ class ThroughputBench extends AnyFunSuite {
 
   private val enforce = sys.env.get("GRAFT_ENFORCE_PERF").exists(_.nonEmpty)
 
+  /** GRAFT_PERF_FLOOR_MIBS overrides both floors — the gate's self-test
+    * hook: `GRAFT_ENFORCE_PERF=1 GRAFT_PERF_FLOOR_MIBS=99999` MUST fail,
+    * proving the enforced path actually asserts (a gate nobody has ever
+    * seen fire is a gate that may be wired to nothing).
+    */
+  private val floorOverride = sys.env.get("GRAFT_PERF_FLOOR_MIBS").map(_.toDouble)
+
   /** Hard-assert the floor only when explicitly requested; otherwise report. */
-  private def checkFloor(mbps: Double, floor: Double, what: String): Unit = {
+  private def checkFloor(mbps: Double, defaultFloor: Double, what: String): Unit = {
+    val floor = floorOverride.getOrElse(defaultFloor)
     if (enforce) assert(mbps > floor, f"$what too slow: $mbps%.0f MiB/s (floor $floor%.0f)")
     else if (mbps <= floor)
       info(f"WARN: $what below $floor%.0f MiB/s floor ($mbps%.0f) — report-only under parallel `sbt test`; run with GRAFT_ENFORCE_PERF=1 in isolation to enforce")
