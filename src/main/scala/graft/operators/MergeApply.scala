@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   * matched-key set yields the inserts. AQE broadcasts the delta side
   * of all three from its runtime size — at 100 TB the corpus is
   * scanned (twice: payload + pruned key column), never exchanged. No
-  * window function over the corpus, no global sort.
+  * window function over the corpus, no global sort. With a delta too
+  * large to broadcast (past `spark.sql.autoBroadcastJoinThreshold` /
+  * AQE's runtime cut), join (1) degrades to a key-partitioned
+  * sort-merge exchange of the corpus — inherent to MERGE itself, not
+  * this decomposition; at that delta-to-corpus ratio a rewrite is
+  * closer to a full reload than a merge.
   *
   * Determinism contract: seq must be unique per key (the usual
   * changelog position/LSN). With duplicate (key, seq) pairs max_by's

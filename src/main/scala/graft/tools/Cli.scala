@@ -380,6 +380,42 @@ object Cli {
         f"NEAR (hamming ${r.getLong(2)}): ${paths(r.getLong(0).toInt)}%s ~ ${paths(r.getLong(1).toInt)}%s"))
       spark.stop()
 
+    case "video-fp" :: files if files.nonEmpty =>
+      // keyframe near-dup over real Y4M files: from-scratch decode → 4
+      // keyframe dHashes per video → hamming<=3 pairs, reported
+      // per-keyframe-slot; file_idx keys the report like phash-dedup
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, input_file_name}
+      val blobs = spark.read.format("binaryFile")
+        .load(files: _*)
+        .select(input_file_name().as("path"), col("content"))
+      val paths = blobs.select("path").collect().map(_.getString(0)).sorted
+      val idx = paths.zipWithIndex.toMap
+      val withIds = {
+        import spark.implicits._
+        val b = spark.sparkContext.broadcast(idx)
+        blobs.as[(String, Array[Byte])]
+          .map { case (p, c) => (b.value(p).toLong, c) }
+          .toDF("blob_id", "content")
+      }
+      val sigs = graft.operators.Multimodal
+        .videoFpRelation(withIds, "blob_id", "content").cache()
+      sigs.collect().sortBy(_.getLong(0)).foreach { r =>
+        val vid = r.getLong(0)
+        println(f"${paths((vid / 4).toInt)}%s slot ${vid % 4}  sig=${r.getLong(1)}%016x")
+      }
+      graft.operators.Dedupe.hammingPairs(sigs).collect()
+        .sortBy(r => (r.getLong(0), r.getLong(1)))
+        .foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          println(s"MATCH (hamming ${r.getLong(2)}): " +
+            s"${paths((a / 4).toInt)} slot ${a % 4} ~ " +
+            s"${paths((b / 4).toInt)} slot ${b % 4}")
+        }
+      sigs.unpersist()
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
     case "viz" :: rest if rest.size >= 2 =>
       val spark = session()
       val files = rest.init
@@ -423,6 +459,7 @@ object Cli {
            |  bpe DOCUMENTS.parquet [K]
            |  merge SNAPSHOT.parquet CHANGES.parquet KEYCOL [OUTDIR]
            |  phash-dedup IMAGE_FILE...
+           |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png
            |  viz-html FILE... OUT.html""".stripMargin)
       sys.exit(2)
