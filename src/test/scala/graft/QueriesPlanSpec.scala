@@ -24,6 +24,11 @@ class QueriesPlanSpec extends SparkSpec {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      // recurse into cached relations: operators that return a cached
+      // result (hammingPairs) would otherwise hide their build plan —
+      // and its exchanges — behind an InMemoryTableScan leaf
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        Seq(m.relation.cachedPlan)
       case other => other.children
     }
     self + kids.map(countNodes(_)(pred)).sum
@@ -280,5 +285,58 @@ class QueriesPlanSpec extends SparkSpec {
     val s = df.queryExecution.executedPlan.toString
     assert(s.contains("LeftSemi"), s"INTERSECT must plan as a semi join:\n$s")
     assert(s.contains("LeftAnti"), s"EXCEPT must plan as an anti join:\n$s")
+  }
+
+  test("ivfAppendAssign fold: one batch scan, broadcasts, <=k-row exchange") {
+    import spark.implicits._
+    val newBatch = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") % 4 === 2)
+    val cents = Array(Array.fill(64)(0L), Array.fill(64)(500L))
+    val counts = Seq((0L, 3L), (1L, 4L)).toDF("bucket", "n_base")
+    val fold = graft.operators.Similarity
+      .ivfAppendAssign(newBatch, "vec_id", "embedding", cents, counts)
+    fold.collect()
+    val plan = fold.queryExecution.executedPlan
+    // every file scan carries the batch filter — the indexed corpus is
+    // structurally out of reach of any plan this operator can produce.
+    // (Spark recomputes the batch scan inside the count-agg branch, so
+    // the COUNT of scans is 2; what matters is that none is unfiltered.)
+    val scans = countNodes(plan) {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    val batchScans = countNodes(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.dataFilters.exists(_.toString.contains("% 4"))
+      case _ => false
+    }
+    assert(scans >= 1 && scans == batchScans,
+      s"every scan must be the filtered new batch ($batchScans of $scans):\n$plan")
+    assert(countNodes(plan) {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    } == 2, s"bucket metadata joins must broadcast:\n$plan")
+    // the only exchange is the <=k-row per-bucket count aggregation
+    assert(countNodes(plan) {
+      case _: ShuffleExchangeExec => true; case _ => false
+    } <= 1, s"only the k-row count agg may exchange:\n$plan")
+  }
+
+  test("mm_video_fp: no exchange ever carries blob bytes") {
+    // "blobs never shuffle" as a physical-plan fact: every exchange in
+    // the end-to-end pair search (including those inside hammingPairs'
+    // cached build, reached via the InMemoryTableScan recursion) moves
+    // only (id, sig)/pair rows — no binary column crosses the wire
+    val df = SparkEntry.queries("mm_video_fp")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(countNodes(plan) { case _: ShuffleExchangeExec => true; case _ => false } > 0,
+      s"expected the pair search to contain exchanges:\n$plan")
+    assert(countNodes(plan) {
+      case e: ShuffleExchangeExec =>
+        e.output.exists(_.dataType == org.apache.spark.sql.types.BinaryType)
+      case _ => false
+    } == 0, s"an exchange carries blob bytes:\n$plan")
+    graft.operators.Dedupe.releaseTrackedCaches()
   }
 }

@@ -107,4 +107,28 @@ class MergeApplySpec extends SparkSpec {
     assert(count(plan) { case _: ShuffleExchangeExec => true; case _ => false } <= 2,
       s"snapshot side must not shuffle:\n$plan")
   }
+
+  test("plan: mergeEvolve keeps the snapshot map-only (widening is a projection)") {
+    val bigSnap = spark.range(0L, 50000L)
+      .select(col("id"), concat(lit("t"), col("id")).as("text"))
+    val delta = Seq((5L, 1L, "U", "new", 7L), (99999L, 1L, "U", "ins", 9L))
+      .toDF("id", "seq", "op", "text", "rev")
+    val merged = MergeApply.mergeEvolve(
+      bigSnap, delta, "id", Seq("text"), Seq("rev"))
+    merged.collect()
+    def count(p: org.apache.spark.sql.execution.SparkPlan)(
+        pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (if (pred(p)) 1 else 0) + kids.map(count(_)(pred)).sum
+    }
+    val plan = merged.queryExecution.executedPlan
+    assert(count(plan) { case _: BroadcastHashJoinExec => true; case _ => false } == 3,
+      s"expected all three evolve-merge joins to broadcast the delta:\n$plan")
+    assert(count(plan) { case _: ShuffleExchangeExec => true; case _ => false } <= 2,
+      s"null-widened snapshot must stay map-only:\n$plan")
+  }
 }
