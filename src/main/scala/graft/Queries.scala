@@ -1103,6 +1103,54 @@ object Queries {
       |  FROM hv)""".stripMargin
   }
 
+  /** Shared CTE chain deriving each video blob's 4 keyframe dHash sigs
+    * from the Y4M fixture's ARITHMETIC luma truth ([[graft.operators
+    * .Multimodal.videoLuma]] — per-(group, frame) gradient steps +
+    * quadratic terms), with no parser anywhere: integer keyframe
+    * indices (slot k → frame k·nf/4), integer nearest-neighbor
+    * downsample, dHash bit packing via the HUGEINT two's-complement
+    * wrap. Ends with `vf(vid, sig)` where vid = blob_id·4 + slot.
+    */
+  private def videoTruthCtes: String =
+    """dims AS (
+      |  SELECT doc_id AS blob_id, doc_id // 2 AS g,
+      |    12 + (doc_id // 2) % 21 AS w, 10 + ((doc_id // 2) * 7) % 15 AS h,
+      |    8 + ((doc_id // 2) * 3) % 9 AS nf
+      |  FROM documents),
+      |fr AS (
+      |  SELECT blob_id, dims.g AS g, w, h, s.g AS slot,
+      |    (s.g * nf) // 4 AS fidx
+      |  FROM dims, generate_series(0, 3) s(g)),
+      |lum AS (
+      |  SELECT blob_id, slot, cyg AS cy, cxg AS cx,
+      |    CASE WHEN blob_id % 2 = 1 AND fidx = 0
+      |           AND (cxg * w) // 9 = 0 AND (cyg * h) // 8 = 0 THEN 255
+      |         ELSE (g * 1000003 + fidx * 8191
+      |           + ((cxg * w) // 9) * (31 + 2 * ((g * 5 + fidx * 3) % 13))
+      |           + ((cyg * h) // 8) * (131 + 2 * ((g * 7 + fidx) % 11))
+      |           + ((cxg * w) // 9) * ((cxg * w) // 9) * ((g + fidx) % 7)
+      |           + ((cyg * h) // 8) * ((cyg * h) // 8) * ((g * 3 + fidx) % 5))
+      |           & 255 END AS luma
+      |  FROM (
+      |    SELECT blob_id, fr.g AS g, w, h, fidx, slot,
+      |      cy.g AS cyg, cx.g AS cxg
+      |    FROM fr, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
+      |hv AS (
+      |  SELECT a.blob_id, a.slot,
+      |    SUM(CASE WHEN b.luma > a.luma
+      |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
+      |      ELSE CAST(0 AS HUGEINT) END) AS hh
+      |  FROM lum a JOIN lum b
+      |    ON a.blob_id = b.blob_id AND a.slot = b.slot
+      |      AND a.cy = b.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8 GROUP BY 1, 2),
+      |vf AS (
+      |  SELECT blob_id * 4 + slot AS vid,
+      |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
+      |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
+      |      AS BIGINT) AS sig
+      |  FROM hv)""".stripMargin
+
   /** Shared oracle for merge_apply AND stream_merge: rebuild the
     * changelog, collapse it to its last writer per key, and fold into
     * documents — the streaming state-store fold must land on this batch
@@ -1584,6 +1632,48 @@ object Queries {
       maxDistance = 3, maxBucketSize = Int.MaxValue)
   }
 
+  /** Video-level dedup DECISION from keyframe evidence: two videos are
+    * duplicates if ANY of their sampled keyframes land in the hamming
+    * ball (the standard video-dedup rule — a shared scene suffices),
+    * folded to transitively-closed clusters by the shared min-label
+    * propagation ([[graft.operators.Dedupe.duplicateClusters]], the
+    * dedup_clusters machinery). Keyframe pairs are (vid = blob·4+slot)
+    * rows; one distinct projection maps them to blob-level edges, so
+    * the graph is |matching-video-pairs|-sized, never keyframe-sized.
+    * Oracle: the same arithmetic truth chain + recursive reach in SQL.
+    */
+  private def mmVideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    val pairs = Dedupe.hammingPairs(
+      Multimodal.videoFpRelation(
+        Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
+      maxDistance = 3, maxBucketSize = Int.MaxValue)
+    val edges = pairs
+      .select(floor(col("id_a") / 4).cast("long").as("id_a"),
+        floor(col("id_b") / 4).cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    Dedupe.duplicateClusters(edges)
+  }
+
+  /** Visual-duplicate clusters over the jittered image corpus — the
+    * curation decision layer on top of mm_phash_neardup's pair
+    * evidence: re-encode groups AND their near-dup jittered members
+    * collapse into one cluster per visual identity (min-id canonical),
+    * the relation a keep-best pass consumes. Same machinery as
+    * dedup_clusters, fingerprints instead of shingles.
+    */
+  private def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+    Dedupe.duplicateClusters(
+      Dedupe.hammingPairs(
+        Multimodal.phashRelation(
+          Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
+        maxDistance = 3, maxBucketSize = Int.MaxValue))
+  }
+
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose
     * channel count and frame-exact duration come from arithmetic truth,
@@ -1817,6 +1907,8 @@ object Queries {
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_audio_fp" -> (mmAudioFp _),
     "mm_video_fp" -> (mmVideoFp _),
+    "mm_video_dedup" -> (mmVideoDedup _),
+    "mm_phash_clusters" -> (mmPhashClusters _),
     "mm_audio" -> (mmAudio _),
     "mm_frames" -> (mmFrames _),
     "pii_scrub" -> (piiScrub _),
@@ -2351,56 +2443,57 @@ object Queries {
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM ph a JOIN ph b ON a.blob_id < b.blob_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
-    // CODEC-FREE video truth: re-derive each keyframe's 9x8 luma
-    // thumbnail from the Y4M fixture's arithmetic pixel function
-    // (Multimodal.videoLuma — same integer keyframe/downsample indices
-    // as videoKeyframeHashes), pack the dHash through the HUGEINT
-    // two's-complement wrap, and replay the brute-force pair set —
-    // certifying the real from-scratch Y4M parse + fingerprint end to
-    // end with no parser in the truth path
+    // CODEC-FREE video truth (videoTruthCtes): re-derive each keyframe's
+    // 9x8 luma thumbnail from the Y4M fixture's arithmetic pixel
+    // function (Multimodal.videoLuma — same integer keyframe/downsample
+    // indices as videoKeyframeHashes), pack the dHash through the
+    // HUGEINT two's-complement wrap, and replay the brute-force pair
+    // set — certifying the real from-scratch Y4M parse + fingerprint
+    // end to end with no parser in the truth path
     "mm_video_fp" ->
-      """WITH dims AS (
-        |  SELECT doc_id AS blob_id, doc_id // 2 AS g,
-        |    12 + (doc_id // 2) % 21 AS w, 10 + ((doc_id // 2) * 7) % 15 AS h,
-        |    8 + ((doc_id // 2) * 3) % 9 AS nf
-        |  FROM documents),
-        |fr AS (
-        |  SELECT blob_id, dims.g AS g, w, h, s.g AS slot,
-        |    (s.g * nf) // 4 AS fidx
-        |  FROM dims, generate_series(0, 3) s(g)),
-        |lum AS (
-        |  SELECT blob_id, slot, cyg AS cy, cxg AS cx,
-        |    CASE WHEN blob_id % 2 = 1 AND fidx = 0
-        |           AND (cxg * w) // 9 = 0 AND (cyg * h) // 8 = 0 THEN 255
-        |         ELSE (g * 1000003 + fidx * 8191
-        |           + ((cxg * w) // 9) * (31 + 2 * ((g * 5 + fidx * 3) % 13))
-        |           + ((cyg * h) // 8) * (131 + 2 * ((g * 7 + fidx) % 11))
-        |           + ((cxg * w) // 9) * ((cxg * w) // 9) * ((g + fidx) % 7)
-        |           + ((cyg * h) // 8) * ((cyg * h) // 8) * ((g * 3 + fidx) % 5))
-        |           & 255 END AS luma
-        |  FROM (
-        |    SELECT blob_id, fr.g AS g, w, h, fidx, slot,
-        |      cy.g AS cyg, cx.g AS cxg
-        |    FROM fr, generate_series(0, 7) cy(g), generate_series(0, 8) cx(g))),
-        |hv AS (
-        |  SELECT a.blob_id, a.slot,
-        |    SUM(CASE WHEN b.luma > a.luma
-        |      THEN CAST(1 AS HUGEINT) << (a.cy * 8 + a.cx)
-        |      ELSE CAST(0 AS HUGEINT) END) AS hh
-        |  FROM lum a JOIN lum b
-        |    ON a.blob_id = b.blob_id AND a.slot = b.slot
-        |      AND a.cy = b.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8 GROUP BY 1, 2),
-        |vf AS (
-        |  SELECT blob_id * 4 + slot AS vid,
-        |    CAST(CASE WHEN hh >= CAST(9223372036854775808 AS HUGEINT)
-        |      THEN hh - CAST(18446744073709551616 AS HUGEINT) ELSE hh END
-        |      AS BIGINT) AS sig
-        |  FROM hv)
+      s"""WITH $videoTruthCtes
         |SELECT a.vid AS id_a, b.vid AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM vf a JOIN vf b ON a.vid < b.vid
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    // keyframe evidence folded to the VIDEO-level dedup decision: blobs
+    // match if ANY keyframe pair lands in the hamming ball, then
+    // recursive min-label reach mirrors duplicateClusters
+    "mm_video_dedup" ->
+      s"""WITH RECURSIVE $videoTruthCtes,
+        |p AS (
+        |  SELECT a.vid AS va, b.vid AS vb FROM vf a JOIN vf b
+        |  ON a.vid < b.vid WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |be AS (
+        |  SELECT DISTINCT va // 4 AS id_a, vb // 4 AS id_b FROM p
+        |  WHERE va // 4 <> vb // 4),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM be
+        |  UNION SELECT id_b AS src, id_a AS dst FROM be),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
+    // visual-duplicate clusters over the jittered image corpus: the
+    // curation decision layer on top of mm_phash_neardup's pair
+    // evidence (same truth CTEs, recursive reach)
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE ${phashTruthCtes(jitter = true)},
+        |p AS (
+        |  SELECT a.blob_id AS id_a, b.blob_id AS id_b FROM ph a JOIN ph b
+        |  ON a.blob_id < b.blob_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b AS src, id_a AS dst FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+        |SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin,
     "q24_running_total" ->
       """WITH daily AS (
         |  SELECT o_orderpriority AS priority,

@@ -263,6 +263,30 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(ha(0) ^ hc(0)) > 3)
   }
 
+  test("video dedup decision: keyframe evidence folds to blob-level clusters") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("doc_id")
+    val pairs = Dedupe.hammingPairs(
+      Multimodal.videoFpRelation(
+        Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
+      maxDistance = 3, maxBucketSize = Int.MaxValue)
+    val edges = pairs
+      .select(org.apache.spark.sql.functions.floor(col("id_a") / 4)
+          .cast("long").as("id_a"),
+        org.apache.spark.sql.functions.floor(col("id_b") / 4)
+          .cast("long").as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+    val clusters = Dedupe.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Dedupe.releaseTrackedCaches()
+    // each (2g, 2g+1) pair shares a video => one cluster with min-id
+    // canonical; no cross-group merge among the 6 planted groups
+    for (g <- 0L until 6L) {
+      assert(clusters(2 * g) == 2 * g && clusters(2 * g + 1) == 2 * g,
+        s"group $g: ${clusters.filterKeys(k => k / 2 == g)}")
+    }
+  }
+
   test("perceptualDedup collapses each 4-id re-encode group to its min id") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
