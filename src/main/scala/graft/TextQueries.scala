@@ -74,6 +74,25 @@ object TextQueries {
     graft.operators.BpeTrain.tokenize(
       docs(spark, sfDir), "text", "doc_id", bpeTrainK)
 
+  /** Tokenizer-aware packing: the doc_pack prefix-sum offsets computed
+    * over REAL learned-BPE token counts instead of whitespace counts —
+    * what a training pipeline actually packs by, since sequence budgets
+    * are tokenizer tokens. Train (driver-side merges) → one narrow
+    * broadcast apply → the same two-pass partition-offset prefix sum;
+    * the corpus shuffles once, on the range partitioning the pack
+    * requires. Oracle: the bpe_apply replay chain (shared
+    * [[graft.operators.BpeTrain.tokenizeCtesSql]] — one definition,
+    * can't drift) feeding the doc_pack window sum.
+    */
+  private def docPackBpe(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Packing
+      .tokenStreamPack(
+        graft.operators.BpeTrain.tokenize(
+          docs(spark, sfDir), "text", "doc_id", bpeTrainK),
+        "doc_id", col("n_tokens_learned"), windowSize = 512L)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("start_offset"),
+        col("pack_id"))
+
   /** Deterministic epoch-order shuffle of the corpus
     * ([[graft.operators.Sampling.globalShuffleOrder]]): explicit
     * position 0..n-1 in a key-pure pseudo-random permutation, assigned
@@ -818,6 +837,7 @@ object TextQueries {
     "text_top_terms" -> textTopTerms _,
     "text_search" -> textSearch _,
     "doc_pack" -> docPack _,
+    "doc_pack_bpe" -> docPackBpe _,
     "doc_boilerplate" -> docBoilerplate _,
     "source_similarity" -> sourceSimilarity _,
     "dedup_exact" -> dedupExact _,
@@ -1078,6 +1098,18 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |      AS start_offset
         |  FROM t)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS pack_id
+        |FROM c""".stripMargin,
+    "doc_pack_bpe" ->
+      s"""WITH RECURSIVE ${graft.operators.BpeTrain.tokenizeCtesSql(
+             "documents", "text", "doc_id", bpeTrainK)},
+        |c AS (
+        |  SELECT doc_id, n_tokens_learned AS n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens_learned) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM __tok)
         |SELECT doc_id, n_tokens, start_offset,
         |  start_offset // 512 AS pack_id
         |FROM c""".stripMargin,

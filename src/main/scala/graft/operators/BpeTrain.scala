@@ -279,9 +279,16 @@ object BpeTrain {
     * single-space pair patterns can never merge across a word boundary
     * - mirroring the engine's per-word tokenization.
     */
-  def tokenizeOracleSql(table: String, textCol: String, idCol: String,
+  /** The tokenize-replay CTE chain ending in a named CTE
+    * `__tok($idCol, n_tokens_learned, n_codepoints)` — ONE definition
+    * shared by [[tokenizeOracleSql]] and any oracle that consumes
+    * learned-tokenizer counts downstream (doc_pack_bpe's prefix sums),
+    * so the replay can never drift between consumers. Callers embed it
+    * as `WITH RECURSIVE $chain` and select from `__tok`.
+    */
+  def tokenizeCtesSql(table: String, textCol: String, idCol: String,
       k: Int): String =
-    s"""WITH RECURSIVE ${learnCtesSql(table, textCol, k)},
+    s"""${learnCtesSql(table, textCol, k)},
        |__docs AS (
        |  SELECT $idCol,
        |    ' ' || array_to_string(list_transform(
@@ -296,13 +303,19 @@ object BpeTrain {
        |    replace(a.seqstr, ' ' || m.lhs || ' ' || m.rhs || ' ',
        |            ' ' || m.lhs || m.rhs || ' ')
        |  FROM __applied a JOIN __merges m ON m.merge_idx = a.it
-       |  WHERE a.it < $k)
-       |SELECT f.$idCol,
-       |  CAST(len(list_filter(string_split(trim(f.seqstr), ' '),
-       |       s -> s <> '')) AS BIGINT) AS n_tokens_learned,
-       |  CAST(len(list_filter(string_split(trim(d.seqstr), ' '),
-       |       s -> s <> '')) AS BIGINT) AS n_codepoints
-       |FROM __applied f JOIN __docs d ON d.$idCol = f.$idCol
-       |WHERE f.it = (SELECT COALESCE(MAX(merge_idx) + 1, 0) FROM __merges)""".stripMargin
+       |  WHERE a.it < $k),
+       |__tok AS (
+       |  SELECT f.$idCol,
+       |    CAST(len(list_filter(string_split(trim(f.seqstr), ' '),
+       |         s -> s <> '')) AS BIGINT) AS n_tokens_learned,
+       |    CAST(len(list_filter(string_split(trim(d.seqstr), ' '),
+       |         s -> s <> '')) AS BIGINT) AS n_codepoints
+       |  FROM __applied f JOIN __docs d ON d.$idCol = f.$idCol
+       |  WHERE f.it = (SELECT COALESCE(MAX(merge_idx) + 1, 0) FROM __merges))""".stripMargin
+
+  def tokenizeOracleSql(table: String, textCol: String, idCol: String,
+      k: Int): String =
+    s"""WITH RECURSIVE ${tokenizeCtesSql(table, textCol, idCol, k)}
+       |SELECT $idCol, n_tokens_learned, n_codepoints FROM __tok""".stripMargin
 
 }
