@@ -1282,6 +1282,38 @@ object Queries {
       spark, s"$sfDir/documents.parquet", name, shingleK, numHashes, bands)
   }
 
+  /** Streaming video keyframe near-dup monitor
+    * ([[graft.streaming.StreamNearDup.bandMatchesFromRows]] over
+    * [[graft.operators.Dedupe.hammingBandRows]]): blobs decode and
+    * fingerprint IN the stream (real Y4M parse per micro-batch), each
+    * keyframe sig splits into the 4×16-bit pigeonhole bands, and the
+    * shared min-id bucket state machine emits a match when a bucket
+    * already holds a lower vid — the candidate-recall stage of
+    * mm_video_fp as a continuous monitor (the stream_neardup contract,
+    * one fingerprint family over). State: one long per occupied
+    * (band, bucket). The oracle replays bands from the arithmetic truth
+    * chain: match_id = min lower vid sharing any block bucket.
+    */
+  private def streamVideoFp(spark: SparkSession, sfDir: String): DataFrame = {
+    val name = s"video_fp_${dirTag(sfDir)}"
+    val matches = graft.streaming.StreamNearDup.runBandMatchesOnce(
+      spark, s"$sfDir/documents.parquet", name,
+      s => Dedupe.hammingBandRows(
+        Multimodal.videoFpRelation(
+          Multimodal.videoBlobs(s.select(col("doc_id")), "doc_id"),
+          "blob_id", "content")))
+    val best = matches.groupBy(col("id").as("vid"))
+      .agg(min(col("match_id")).as("match_id"))
+    // every (blob, slot) vid, derived arithmetically — no second decode
+    val allVids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"))
+      .select(explode(sequence(lit(0L), lit(3L))).as("slot"), col("doc_id"))
+      .select((col("doc_id") * 4 + col("slot")).as("vid"))
+    allVids.join(best, Seq("vid"), "left")
+      .select(col("vid"), col("match_id"),
+        col("match_id").isNotNull.as("is_neardup"))
+  }
+
   /** Streaming CDC dedup estimate ([[graft.streaming.StreamCdc]]): the
     * flagship estimator run continuously over the documents stream, with
     * the per-hash merge as the one stateful operator. The oracle reads the
@@ -1882,6 +1914,7 @@ object Queries {
     "stream_dedup" -> (streamDedup _),
     "stream_join" -> (streamJoin _),
     "stream_neardup" -> (streamNearDup _),
+    "stream_video_fp" -> (streamVideoFp _),
     "stream_cdc" -> (streamCdc _),
     "stream_cdc_approx" -> (streamCdcApprox _),
     "stream_profile" -> (streamProfile _),
@@ -2456,6 +2489,24 @@ object Queries {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM vf a JOIN vf b ON a.vid < b.vid
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+    // the streaming monitor's relational truth: a vid's match is the
+    // smallest LOWER vid sharing any 16-bit pigeonhole block bucket
+    // (candidate recall — no hamming verify, the stream_neardup
+    // contract); bands derive from the same arithmetic sig chain.
+    // (sig >> k) & 65535 on a signed BIGINT: the arithmetic shift's
+    // sign-fill is masked off, so it equals the engine's logical shift
+    "stream_video_fp" ->
+      s"""WITH $videoTruthCtes,
+        |bands AS (
+        |  SELECT vid, b.g AS band, (sig >> (b.g * 16)) & 65535 AS bucket
+        |  FROM vf, generate_series(0, 3) b(g)),
+        |m AS (
+        |  SELECT a.vid, MIN(b2.vid) AS match_id
+        |  FROM bands a JOIN bands b2
+        |    ON a.band = b2.band AND a.bucket = b2.bucket AND b2.vid < a.vid
+        |  GROUP BY a.vid)
+        |SELECT v.vid, m.match_id, m.match_id IS NOT NULL AS is_neardup
+        |FROM vf v LEFT JOIN m ON m.vid = v.vid""".stripMargin,
     // keyframe evidence folded to the VIDEO-level dedup decision: blobs
     // match if ANY keyframe pair lands in the hamming ball, then
     // recursive min-label reach mirrors duplicateClusters

@@ -660,6 +660,29 @@ object Dedupe {
     * maxDistance by the pigeonhole argument, over-cap buckets degrade
     * to star pairs around the min id (same contract as the text path).
     */
+  /** The pigeonhole BAND ROWS of a 64-bit fingerprint relation —
+    * (band, bucket, id) with 64/(maxDistance+1)-bit bucket keys, the
+    * exact banding [[hammingPairs]] joins on, exposed so streaming
+    * consumers ([[graft.streaming.StreamNearDup.bandMatchesFromRows]])
+    * share one block-split definition with the batch path.
+    */
+  def hammingBandRows(
+      sigRelation: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val spark = sigRelation.sparkSession
+    import spark.implicits._
+    val blocks = maxDistance + 1
+    val bits = 64 / blocks
+    sigRelation.select(col("id").cast("long"), col("sig").cast("long"))
+      .as[(Long, Long)]
+      .flatMap { case (id, sig) =>
+        (0 until blocks).iterator.map { b =>
+          val mask = if (bits >= 64) -1L else (1L << bits) - 1L
+          (b, (sig >>> (b * bits)) & mask, id)
+        }
+      }
+      .toDF("band", "bucket", "id")
+  }
+
   def hammingPairs(
       sigRelation: DataFrame,
       maxDistance: Int = 3,

@@ -78,10 +78,28 @@ object StreamNearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
-    docs
+    bandMatchesFromRows(docs
       .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) => toBandRows(id, text, shingleK, numHashes, bands) }
+      .toDF("band", "bucket", "id"))
+  }
+
+  /** The stateful min-id bucket matcher over ANY (band, bucket, id)
+    * stream — the state machine behind [[bandMatches]], factored so
+    * other fingerprint families (the video keyframe pigeonhole,
+    * [[graft.operators.Dedupe.hammingBandRows]]) share one
+    * implementation. State: one long (min id ever seen) per occupied
+    * (band, bucket), sharded on the same key the batch band join
+    * shuffles on.
+    */
+  def bandMatchesFromRows(bandRows: DataFrame): DataFrame = {
+    val spark = bandRows.sparkSession
+    import spark.implicits._
+    bandRows
+      .select(col("band").cast("int").as("band"),
+        col("bucket").cast("long").as("bucket"), col("id").cast("long").as("id"))
+      .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) => {
@@ -99,6 +117,19 @@ object StreamNearDup {
         })
       .toDF("id", "match_id")
   }
+
+  /** Run [[bandMatchesFromRows]] over a finite parquet input, with
+    * `bandRowsOf` building the (band, bucket, id) relation in-stream
+    * (fingerprint + band split — any family). Returns the raw
+    * (id, match_id) match events; the caller owns the batch finish.
+    */
+  def runBandMatchesOnce(
+      spark: SparkSession,
+      path: String,
+      queryName: String,
+      bandRowsOf: DataFrame => DataFrame): DataFrame =
+    EventStream.runToMemory(spark, path, queryName,
+      s => bandMatchesFromRows(bandRowsOf(s)), OutputMode.Append())
 
   /** Run the band-match stream over a finite parquet input (single file
     * or id-ordered directory) through a real state store + memory sink,
