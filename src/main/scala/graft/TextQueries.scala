@@ -93,6 +93,46 @@ object TextQueries {
       .select(col("id").as("doc_id"), col("n_tokens"), col("start_offset"),
         col("pack_id"))
 
+  /** Budgeted quality-first mixture allocation — the mixture-DESIGN step
+    * upstream of doc_mixture's fixed ratios: given a global token budget
+    * (half the corpus here), sources are ranked by quality (fraction of
+    * docs passing the gopher word-count gate; exact-integer-derived
+    * double, ties to source name) and the budget fills greedily best
+    * source first — each source takes min(its tokens, remaining budget).
+    * take_frac is then the per-source sampling rate a pipeline feeds to
+    * hash-threshold sampling. Scale shape: ONE map-side-combined
+    * per-source aggregate over the corpus; everything after operates on
+    * the |sources|-row relation (metadata-sized — the global windows
+    * are over sources, never rows). All ranking inputs and allocations
+    * are exact integers; fractions are single correctly-rounded
+    * divisions — bit-stable across engines.
+    */
+  private def docBudgetMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs(spark, sfDir)
+      .select(col("source"),
+        TextAnalysis.tokenCountCol(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(when(col("nt").between(20, 80), 1L).otherwise(0L)).as("pass_docs"))
+    val w = Window.orderBy(col("pass_frac").desc, col("source").asc)
+    perSource
+      .withColumn("pass_frac", col("pass_docs").cast("double") / col("n_docs"))
+      .withColumn("alloc_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(perSource.agg(
+        floor(sum(col("n_tokens")) / 2).cast("long").as("budget"))))
+      .withColumn("take_tokens",
+        least(col("n_tokens"), greatest(col("budget") - col("cum_before"), lit(0L))))
+      .withColumn("take_frac",
+        col("take_tokens").cast("double") / col("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("pass_docs"),
+        col("pass_frac"), col("alloc_rank"), col("cum_before"),
+        col("take_tokens"), col("take_frac"))
+  }
+
   /** Deterministic epoch-order shuffle of the corpus
     * ([[graft.operators.Sampling.globalShuffleOrder]]): explicit
     * position 0..n-1 in a key-pure pseudo-random permutation, assigned
@@ -828,6 +868,7 @@ object TextQueries {
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
     "doc_mixture" -> docMixture _,
+    "doc_budget_mix" -> docBudgetMix _,
     "doc_windows" -> docWindows _,
     "text_gopher" -> textGopher _,
     "text_repetition" -> textRepetition _,
@@ -1644,6 +1685,31 @@ object TextQueries {
         |  CAST(LEAST(n, win_idx * 48 + 64) AS BIGINT) AS win_end,
         |  CAST(LEAST(n, win_idx * 48 + 64) - win_idx * 48 AS BIGINT) AS win_len
         |FROM e""".stripMargin,
+    "doc_budget_mix" ->
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1)
+        |      AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+        |      BETWEEN 20 AND 80 THEN 1 ELSE 0 END) AS BIGINT) AS pass_docs
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT *, pass_docs / n_docs AS pass_frac,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY pass_docs / n_docs DESC, source ASC) AS BIGINT)
+        |      AS alloc_rank,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (
+        |      ORDER BY pass_docs / n_docs DESC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM s),
+        |b AS (SELECT CAST(SUM(n_tokens) // 2 AS BIGINT) AS budget FROM s)
+        |SELECT source, n_docs, n_tokens, pass_docs, pass_frac, alloc_rank,
+        |  cum_before,
+        |  LEAST(n_tokens, GREATEST(budget - cum_before, 0)) AS take_tokens,
+        |  LEAST(n_tokens, GREATEST(budget - cum_before, 0)) / n_tokens
+        |    AS take_frac
+        |FROM r, b""".stripMargin,
     "doc_mixture" ->
       """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         |w AS (SELECT * FROM (VALUES ('src0', 4000), ('src1', 3000),
