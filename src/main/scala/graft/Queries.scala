@@ -343,6 +343,34 @@ object Queries {
     * independent of corpus row count. Hour = epoch-µs floor-div 3.6e9
     * through the type-adaptive [[Events.microsExpr]].
     */
+  /** Ingest-rate anomaly detection over the hourly event grid — the
+    * monitoring twin of event_resample: per (event_type, hour) counts
+    * compared against the type's mean hourly rate with integer-exact
+    * flags (n·hours > 2·total per-type spike / n·hours·2 < total drop —
+    * cross-multiplied so no division participates in the decision;
+    * dev_ratio is a single division for humans). One map-side-combined
+    * aggregate over events; the flagging joins the |types|-row totals
+    * relation broadcast.
+    */
+  private def eventAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val hours = ev.select(col("event_type"),
+      call_function("div", Events.microsExpr(ev), lit(3600000000L)).as("h"))
+    val counts = hours.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"))
+    // per-type totals over OBSERVED hours (zero-hours carry no row in
+    // counts; the mean is total/hours-with-data, the live-rate baseline)
+    val totals = counts.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("total"), count(lit(1)).as("n_hours"))
+    counts.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("h"), col("n"),
+        col("total"), col("n_hours"),
+        (col("n").cast("double") * col("n_hours") / col("total"))
+          .as("rate_ratio"),
+        (col("n") * col("n_hours") > col("total") * 2).as("is_spike"),
+        (col("n") * col("n_hours") * 2 < col("total")).as("is_drop"))
+  }
+
   private def eventResample(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
     val hours = ev.select(col("event_type"),
@@ -1935,6 +1963,7 @@ object Queries {
     "q23_setops" -> (q23SetOps _),
     "q24_running_total" -> (q24RunningTotal _),
     "event_resample" -> (eventResample _),
+    "event_anomaly" -> (eventAnomaly _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -2568,6 +2597,18 @@ object Queries {
         |SELECT g.event_type, CAST(g.h AS BIGINT) AS h,
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n
         |FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h""".stripMargin,
+    "event_anomaly" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h
+        |  FROM events),
+        |c AS (SELECT event_type, h, COUNT(*) AS n FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |  COUNT(*) AS n_hours FROM c GROUP BY 1)
+        |SELECT c.event_type, CAST(c.h AS BIGINT) AS h,
+        |  CAST(c.n AS BIGINT) AS n, total, n_hours,
+        |  c.n * n_hours / total AS rate_ratio,
+        |  c.n * n_hours > total * 2 AS is_spike,
+        |  c.n * n_hours * 2 < total AS is_drop
+        |FROM c JOIN t ON t.event_type = c.event_type""".stripMargin,
     "merge_apply" -> MergeApplySql,
     "merge_apply_evolve" ->
       s"""WITH ch AS (
