@@ -397,6 +397,72 @@ object Queries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Cohort retention matrix — the classic product-analytics rollup: users
+    * are cohorted by the day of their first event, and each (cohort_day,
+    * day_offset) cell counts how many of them were active that many days
+    * later. Days are integer epoch-µs÷86400e6 indices (calendar-free, so
+    * the engine and oracle share exact floor semantics through the
+    * type-adaptive [[Events.microsExpr]]).
+    *
+    * Scale shape: the only corpus-wide exchange is the (user, day)
+    * DISTINCT; everything downstream — per-user first day, the
+    * activity⋈first join (co-partitioned on user_id, so AQE reuses the
+    * exchange), the cell rollup, and the |cohorts|-row size join
+    * (broadcast) — operates on the |user-days| relation, which is
+    * |users|·|days| at worst, not |events|. retention_bp is an integer
+    * basis-point division so the cell values are engine-exact.
+    */
+  private def eventRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val days = ev.select(col("user_id"),
+      call_function("div", Events.microsExpr(ev), lit(86400000000L)).as("d"))
+      .distinct()
+      .cache()
+    val first = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+    val cells = days.join(first, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+    val sizes = cells.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("users").as("cohort_size"))
+    val out = cells.join(broadcast(sizes), Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("users"),
+        col("cohort_size"),
+        call_function("div", col("users") * 10000L, col("cohort_size"))
+          .as("retention_bp"))
+    days.unpersist(blocking = false)
+    out
+  }
+
+  /** Last-touch attribution — for every purchase event, the most recent
+    * strictly-prior non-purchase event by the same user, and whether it
+    * fell inside a 7-day attribution window. One shuffle on user_id; the
+    * carry-forward is `last(..., ignoreNulls)` over a ROWS UNBOUNDED
+    * PRECEDING..1 PRECEDING frame ordered by the total (µs, event_id)
+    * key, so ties at the same microsecond are deterministic and the
+    * window never buffers more than the running last non-null — no
+    * per-user materialized history, no self-join. DuckDB mirrors it with
+    * `last_value(... IGNORE NULLS)` over the identical frame.
+    */
+  private def eventAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      Events.microsExpr(ev).as("us"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase",
+      struct(col("us").as("t_us"), col("event_id").as("t_id"),
+        col("event_type").as("t_type")))
+    base
+      .withColumn("t", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("t.t_id").as("touch_event_id"), col("t.t_type").as("touch_type"),
+        (col("us") - col("t.t_us")).as("gap_us"),
+        coalesce(col("us") - col("t.t_us") <= 604800000000L, lit(false))
+          .as("attributed"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
@@ -1964,6 +2030,8 @@ object Queries {
     "q24_running_total" -> (q24RunningTotal _),
     "event_resample" -> (eventResample _),
     "event_anomaly" -> (eventAnomaly _),
+    "event_retention" -> (eventRetention _),
+    "event_attribution" -> (eventAttribution _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -2609,6 +2677,35 @@ object Queries {
         |  c.n * n_hours > total * 2 AS is_spike,
         |  c.n * n_hours * 2 < total AS is_drop
         |FROM c JOIN t ON t.event_type = c.event_type""".stripMargin,
+    "event_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_day FROM a GROUP BY 1),
+        |r AS (SELECT cohort_day, d - cohort_day AS day_offset,
+        |    COUNT(*) AS users
+        |  FROM a JOIN f USING (user_id) GROUP BY 1, 2),
+        |c AS (SELECT cohort_day, users AS cohort_size FROM r
+        |  WHERE day_offset = 0)
+        |SELECT CAST(r.cohort_day AS BIGINT) AS cohort_day,
+        |  CAST(day_offset AS BIGINT) AS day_offset,
+        |  CAST(users AS BIGINT) AS users,
+        |  CAST(cohort_size AS BIGINT) AS cohort_size,
+        |  users * 10000 // cohort_size AS retention_bp
+        |FROM r JOIN c USING (cohort_day)""".stripMargin,
+    "event_attribution" ->
+      """WITH b AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (SELECT *,
+        |  last_value(CASE WHEN event_type <> 'purchase' THEN
+        |      {'t_us': us, 't_id': event_id, 't_type': event_type} END
+        |    IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tc
+        |  FROM b)
+        |SELECT event_id, user_id, us AS purchase_us,
+        |  tc.t_id AS touch_event_id, tc.t_type AS touch_type,
+        |  us - tc.t_us AS gap_us,
+        |  COALESCE(us - tc.t_us <= 604800000000, FALSE) AS attributed
+        |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "merge_apply" -> MergeApplySql,
     "merge_apply_evolve" ->
       s"""WITH ch AS (

@@ -435,6 +435,39 @@ object TextQueries {
     Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
   }
 
+  /** Containment near-dup pairs ([[Dedupe.containmentPairs]]) — the
+    * asymmetric dedup signal Jaccard structurally misses: an excerpt
+    * inside a fuller document scores J ≈ |A|/|B| (never reaching a
+    * symmetric threshold) but containment C(A,B) = |∩|/|A| ≈ 1. The
+    * corpus is documents plus a deterministic excerpt fixture — every
+    * 5th document re-enters as its first-half-words prefix under
+    * doc_id + 1,000,000 (the same synthesized-derivative discipline as
+    * mergeChangelog) — so the asymmetric path is actually exercised:
+    * at sf0.01 the excerpts produce ~114 `b_in_a` rows the Jaccard
+    * catalog queries cannot see. Runs the PPJoin-style asymmetric
+    * prefix filter (the 100 TB path: hot grams never enter a prefix);
+    * DedupeSpec pins direct-join equivalence. All thresholds are
+    * integer basis points, so the DuckDB oracle reproduces the row set
+    * exactly from the gram strings themselves.
+    */
+  private def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val wordsExpr = "filter(split(lower(text), ' '), x -> x != '')"
+    val excerpts = d.filter(col("doc_id") % 5 === 0)
+      .select(
+        when(col("doc_id") < 1000000L, col("doc_id") + 1000000L)
+          .otherwise(raise_error(concat(
+            lit("dedupContainment: doc_id "), col("doc_id"),
+            lit(" >= 1000000 collides with synthesized excerpt ids")))
+            .cast("long")).as("doc_id"),
+        array_join(
+          expr(s"slice($wordsExpr, 1, (size($wordsExpr) + 1) div 2)"), " ")
+          .as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(excerpts)
+    Dedupe.containmentPairs(corpus, "doc_id", "text", k = 3,
+      thresholdBp = 9000L, usePrefixFilter = true)
+  }
+
   /** Term-novelty curve over the corpus in doc_id order
     * ([[TextAnalysis.termNovelty]]): per doc, the fraction of its
     * distinct words first introduced by it. Docs with no words have no
@@ -888,6 +921,7 @@ object TextQueries {
     "dedup_minhash_incremental" -> minhashIncremental _,
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
+    "dedup_containment" -> dedupContainment _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "doc_novelty" -> docNovelty _,
@@ -1231,6 +1265,44 @@ object TextQueries {
       s"""WITH $NgramCtes
         |SELECT id_a, id_b, jaccard, containment_a, containment_b
         |FROM ngram_pairs""".stripMargin,
+    "dedup_containment" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(
+        |      (list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        [1:(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) + 1) // 2],
+        |      ' ') AS text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM corpus),
+        |g0 AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+        |      ELSE [array_to_string(words, ' ')] END)) AS gram
+        |  FROM w),
+        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |x AS (
+        |  SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |    CAST(sa.n_grams AS BIGINT) AS na, CAST(sb.n_grams AS BIGINT) AS nb,
+        |    n_common * 10000 // sa.n_grams AS cont_a_bp,
+        |    n_common * 10000 // sb.n_grams AS cont_b_bp
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b)
+        |SELECT id_a, id_b, n_common, na, nb, cont_a_bp, cont_b_bp,
+        |  CASE WHEN cont_a_bp >= 9000 AND cont_b_bp >= 9000 THEN 'mutual'
+        |       WHEN cont_a_bp >= 9000 THEN 'a_in_b'
+        |       ELSE 'b_in_a' END AS relation
+        |FROM x WHERE GREATEST(cont_a_bp, cont_b_bp) >= 9000""".stripMargin,
     "doc_compress" ->
       s"""SELECT d.doc_id,
         |  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,

@@ -598,6 +598,132 @@ object Dedupe {
     }
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC complement of
+    * [[ngramJaccardPairs]]: C(A,B) = |grams(A) ∩ grams(B)| / |grams(A)|,
+    * and a pair qualifies when EITHER direction reaches `thresholdBp`
+    * basis points. Jaccard dilutes "B embeds A" (an excerpt inside a
+    * fuller document scores J ≈ |A|/|B|), so a Jaccard-thresholded pass
+    * never sees sub-document duplication; containment is the signal
+    * curation policies use to drop excerpts, quote-wrappers, and
+    * boilerplate-padded copies (the MinHash-era dedup literature's
+    * containment join, Broder'97's resemblance-vs-containment split).
+    *
+    * All decisions are integer: containment is `n_common·10000 div n`
+    * basis points, so the engine row set is exactly reproducible by the
+    * DuckDB oracle with no float comparison anywhere.
+    *
+    * Candidate generation mirrors the Jaccard operator's two strategies:
+    *
+    *  - DEFAULT — direct gram self-join: one shuffle on gram, Σ df(g)²
+    *    candidate streaming with `maxGramFreq` as the hot-gram guardrail.
+    *  - `usePrefixFilter = true` — the asymmetric prefix filter: only the
+    *    CONTAINED side is prefix-restricted. C(X,·) ≥ t forces overlap
+    *    c ≥ ⌈t·|X|⌉ (integer form: (thresholdBp·|X| + 9999) div 10000),
+    *    and in the global (df, gram) order the smallest shared gram sits
+    *    inside X's first |X| − c + 1 grams — so prefix(X) ⋈ ALL-grams
+    *    index finds every qualifying pair with X contained; both
+    *    directions come out of the ONE join because every document plays
+    *    the contained role on the prefix side. Candidates are then
+    *    exact-verified over all (capped) grams, so the prefix pass only
+    *    prunes, never decides. Hot grams sort to the end of documents and
+    *    out of prefixes — the Σ df² term collapses to rare-gram buckets,
+    *    the same skew story as the Jaccard PPJoin path.
+    *
+    * `maxGramFreq` keeps n_grams at the FULL distinct count while capping
+    * join fanout, so capped runs under-count only pairs whose entire
+    * overlap is hot grams (and the oracle mirrors the cap).
+    *
+    * @return (id_a, id_b, n_common, na, nb, cont_a_bp, cont_b_bp,
+    *         relation) with id_a < id_b and relation ∈
+    *         {a_in_b, b_in_a, mutual}
+    */
+  def containmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      thresholdBp: Long = 9000L,
+      maxGramFreq: Long = Long.MaxValue,
+      usePrefixFilter: Boolean = false): DataFrame = {
+    require(thresholdBp >= 1L && thresholdBp <= 10000L,
+      s"thresholdBp must be in [1, 10000], got $thresholdBp")
+    val gsetsAll = gramRows(df, col(idCol), col(textCol), k)
+
+    def finish(pairCounts: DataFrame): DataFrame = {
+      val bpA = call_function("div", col("n_common") * lit(10000L),
+        col("na").cast("long"))
+      val bpB = call_function("div", col("n_common") * lit(10000L),
+        col("nb").cast("long"))
+      pairCounts
+        .withColumn("cont_a_bp", bpA)
+        .withColumn("cont_b_bp", bpB)
+        .filter(greatest(col("cont_a_bp"), col("cont_b_bp")) >= thresholdBp)
+        .withColumn("relation",
+          when(col("cont_a_bp") >= thresholdBp &&
+            col("cont_b_bp") >= thresholdBp, lit("mutual"))
+            .when(col("cont_a_bp") >= thresholdBp, lit("a_in_b"))
+            .otherwise(lit("b_in_a")))
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("na").cast("long").as("na"), col("nb").cast("long").as("nb"),
+          col("cont_a_bp"), col("cont_b_bp"), col("relation"))
+    }
+
+    if (!usePrefixFilter) {
+      val gsets =
+        if (maxGramFreq == Long.MaxValue) gsetsAll
+        else gsetsAll.join(
+          gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+            .filter(col("gram_df") <= maxGramFreq).select(col("gram")),
+          "gram")
+      finish(gsets.as("l")
+        .join(gsets.as("r"),
+          col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+        .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"),
+          first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb")))
+    } else {
+      val gramDf = gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+      val withDf = gsetsAll
+        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val byId = Window.partitionBy(col("id"))
+      // required overlap from the FULL gram count (cap-safe: capping only
+      // lengthens prefixes), ceil division in pure integers
+      val cMin = call_function("div",
+        lit(thresholdBp) * col("n_grams") + lit(9999L), lit(10000L))
+      val prefix = withDf
+        .withColumn("rank",
+          row_number().over(byId.orderBy(col("gram_df"), col("gram"))))
+        .withColumn("n_capped", count(lit(1)).over(byId))
+        .filter(col("rank") <= col("n_capped") - cMin + lit(1))
+        .select(col("id"), col("gram"))
+      // contained-side prefix ⋈ full index; normalize to id_a < id_b (the
+      // one join covers both directions because every doc takes the
+      // contained role on the prefix side)
+      val cand = prefix.as("l")
+        .join(withDf.select(col("id"), col("gram")).as("r"),
+          col("l.gram") === col("r.gram") && col("l.id") =!= col("r.id"))
+        .select(least(col("l.id"), col("r.id")).as("id_a"),
+          greatest(col("l.id"), col("r.id")).as("id_b"))
+        .distinct()
+      val gsets = withDf.select(col("id"), col("n_grams"), col("gram"))
+      val result = finish(cand
+        .join(gsets.select(col("id").as("id_a"), col("n_grams").as("na"),
+          col("gram")), "id_a")
+        .join(gsets.select(col("id").as("id_b"), col("n_grams").as("nb"),
+          col("gram")), Seq("id_b", "gram"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
+          first(col("nb")).as("nb")))
+      // withDf feeds four consumers; materialize the (small) pair result
+      // before releasing it — tracked so harness loops can release
+      track(result.cache())
+      result.count()
+      withDf.unpersist()
+      result
+    }
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token hashes (public algorithm: Charikar'02 /

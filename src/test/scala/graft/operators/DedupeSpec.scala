@@ -114,6 +114,64 @@ class DedupeSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs: catches asymmetric A-in-B pairs Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = first half of doc 0's words: containment(1 in 0) ≈ 1 but
+    // Jaccard ≈ 0.5 — below a 0.9 symmetric threshold
+    val full = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val half = full.split(" ").take(10).mkString(" ")
+    val docs = Seq((0L, full), (1L, half),
+      (2L, "completely unrelated words about nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val rows = Dedupe
+      .containmentPairs(docs, "doc_id", "text", k = 3, thresholdBp = 9000L)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(7))).toMap
+    assert(rows.keySet == Set((0L, 1L)), s"got ${rows.keySet}")
+    // id_b (the half doc) is contained in id_a
+    assert(rows((0L, 1L)) == "b_in_a")
+    // the same pair is invisible to a 0.9 Jaccard threshold
+    val jac = Dedupe
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+    assert(jac.count() == 0, "Jaccard at 0.9 must NOT see the excerpt pair")
+  }
+
+  test("containmentPairs: asymmetric prefix-filtered path is output-identical") {
+    import spark.implicits._
+    // hot boilerplate tail + excerpt pairs in BOTH directions (excerpt id
+    // above and below its source id, so both least/greatest normalizations
+    // are exercised), odd sizes, and sub-threshold pairs
+    val boiler = "copyright footer all rights reserved contact us terms"
+    val base = (0L until 24L).map { i =>
+      val body = s"unique body number $i with words w${i}a w${i}b w${i}c " +
+        s"w${i}d w${i}e w${i}f w${i}g w${i}h"
+      (i, s"$body $boiler")
+    }
+    def halfOf(i: Long) =
+      base(i.toInt)._2.split(" ").take(8).mkString(" ")
+    val docs = (base ++ Seq((100L, halfOf(3L)), (101L, halfOf(5L)),
+      // excerpt id BELOW its source: forces the l.id > r.id branch
+      (-7L, halfOf(9L)))).toDF("doc_id", "text")
+    def run(prefix: Boolean, cap: Long) = Dedupe
+      .containmentPairs(docs, "doc_id", "text", k = 3, thresholdBp = 8000L,
+        maxGramFreq = cap, usePrefixFilter = prefix)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getString(7)))).toMap
+    for (cap <- Seq(Long.MaxValue, 10L)) {
+      val plain = run(prefix = false, cap)
+      val filtered = run(prefix = true, cap)
+      assert(plain.nonEmpty, "test corpus must produce pairs")
+      assert(filtered == plain, s"paths diverge at cap=$cap")
+    }
+    // the engineered excerpts are present and labeled asymmetric
+    val labels = run(prefix = true, Long.MaxValue)
+    assert(labels((3L, 100L))._6 == "b_in_a")
+    assert(labels((-7L, 9L))._6 == "a_in_b")
+  }
+
   test("duplicateClusters: transitive chains collapse to the min-id cluster") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
