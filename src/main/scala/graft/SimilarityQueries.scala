@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedupe, KMeansExact, Similarity}
+import graft.operators.{Dedupe, KMeansExact, Pca, Similarity}
 
 /** Similarity-search query catalog over the `embeddings` table
   * (vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
@@ -267,9 +267,38 @@ object SimilarityQueries {
       .withColumn("is_outlier",
         col("norm2_scaled") < 980000L || col("norm2_scaled") > 1020000L)
 
+  /** Exact covariance numerators over the corpus ([[graft.operators.Pca
+    * .covarianceDf]]): one narrow scan producing d(d+1)/2 rows of pure
+    * integer moment sums — the distributed half of PCA. The oracle
+    * recomputes every cell from the embeddings with the same quantizer.
+    */
+  private def embCovariance(spark: SparkSession, sfDir: String): DataFrame =
+    Pca.covarianceDf(emb(spark, sfDir), "vec_id", "embedding")
+
+  /** PCA projection onto the top-2 principal components ([[graft
+    * .operators.Pca]]): covariance sweep → driver-local deterministic
+    * power iteration (pinned sign, fixed start/iters) → exact long
+    * projections in a second narrow pass. The quantized eigenvectors
+    * persist as the `pca_eigvecs` side table; the oracle replays the
+    * integer dot products from embeddings × that table, so the
+    * distributed passes (both scans and the quantization) are verified
+    * cell-exact while the d×d eigensolve stays a driver-local,
+    * data-size-independent step (its correctness is spec-asserted via
+    * the Rayleigh residual, not oracled — no SQL engine eigensolves).
+    */
+  private def embPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = emb(spark, sfDir)
+    val st = Pca.covStats(e, "vec_id", "embedding")
+    val (vecs, _) = Pca.topEigvecs(st, components = 2)
+    Queries.oracleSide(spark, sfDir, "pca_eigvecs", Pca.eigvecDf(e, vecs))
+    Pca.project(e, "vec_id", "embedding", vecs.map(_.map(Pca.qe)))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "semantic_dedup" -> semDedup _,
     "emb_norms" -> embNorms _,
+    "emb_covariance" -> embCovariance _,
+    "emb_pca_project" -> embPcaProject _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "ann_ivf_incremental" -> annIvfIncremental _,
@@ -398,6 +427,36 @@ object SimilarityQueries {
         |SELECT vec_id, norm2_scaled,
         |  norm2_scaled < 980000 OR norm2_scaled > 1020000 AS is_outlier
         |FROM q""".stripMargin,
+    "emb_covariance" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |d AS (SELECT UNNEST(range(1,
+        |    (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS ii),
+        |pr AS (SELECT a.ii AS ia, b.ii AS ib FROM d a JOIN d b ON a.ii <= b.ii),
+        |s AS (
+        |  SELECT ia, ib, COUNT(*) AS n, SUM(v[ia]) AS s_i, SUM(v[ib]) AS s_j,
+        |    SUM(v[ia] * v[ib]) AS s_ij
+        |  FROM q CROSS JOIN pr GROUP BY 1, 2)
+        |SELECT CAST(ia - 1 AS INT) AS i, CAST(ib - 1 AS INT) AS j,
+        |  CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
+        |  CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
+        |  CAST(n * s_ij - s_i * s_j AS BIGINT) AS cov_num
+        |FROM s""".stripMargin,
+    "emb_pca_project" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT comp, i, eq
+        |  FROM read_parquet('${Queries.oracleSidePath("pca_eigvecs")}')),
+        |u AS (
+        |  SELECT vec_id, comp, CAST(SUM(v[i + 1] * eq) AS BIGINT) AS p
+        |  FROM q JOIN e ON TRUE GROUP BY 1, 2)
+        |SELECT vec_id, MAX(CASE WHEN comp = 0 THEN p END) AS p0,
+        |  MAX(CASE WHEN comp = 1 THEN p END) AS p1
+        |FROM u GROUP BY vec_id""".stripMargin,
     "semantic_dedup" ->
       s"""WITH a AS (
         |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("sem_assign")}')),
