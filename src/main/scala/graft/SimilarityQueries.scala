@@ -275,6 +275,25 @@ object SimilarityQueries {
   private def embCovariance(spark: SparkSession, sfDir: String): DataFrame =
     Pca.covarianceDf(emb(spark, sfDir), "vec_id", "embedding")
 
+  /** Shared 3-component PCA model per sfDir, trained once per JVM (the
+    * projection, sign-bucket dedup, and any later consumer reuse it —
+    * the kmCache discipline). The quantized eigenvectors round-trip
+    * through the `pca_eigvecs` side table so every oracle replays from
+    * exactly the integers the engine used.
+    */
+  private val pcaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private def pcaVecs(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
+    val vecs = pcaCache.computeIfAbsent(sfDir, _ => {
+      val st = Pca.covStats(emb(spark, sfDir), "vec_id", "embedding")
+      Pca.topEigvecs(st, components = 3)._1
+    })
+    Queries.oracleSide(spark, sfDir, "pca_eigvecs",
+      Pca.eigvecDf(emb(spark, sfDir), vecs))
+    vecs
+  }
+
   /** PCA projection onto the top-2 principal components ([[graft
     * .operators.Pca]]): covariance sweep → driver-local deterministic
     * power iteration (pinned sign, fixed start/iters) → exact long
@@ -286,12 +305,52 @@ object SimilarityQueries {
     * data-size-independent step (its correctness is spec-asserted via
     * the Rayleigh residual, not oracled — no SQL engine eigensolves).
     */
-  private def embPcaProject(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = emb(spark, sfDir)
-    val st = Pca.covStats(e, "vec_id", "embedding")
-    val (vecs, _) = Pca.topEigvecs(st, components = 2)
-    Queries.oracleSide(spark, sfDir, "pca_eigvecs", Pca.eigvecDf(e, vecs))
-    Pca.project(e, "vec_id", "embedding", vecs.map(_.map(Pca.qe)))
+  private def embPcaProject(spark: SparkSession, sfDir: String): DataFrame =
+    Pca.project(emb(spark, sfDir), "vec_id", "embedding",
+      pcaVecs(spark, sfDir).take(2).map(_.map(Pca.qe)))
+
+  /** SemDeDup over PCA sign-buckets ([[graft.operators.Pca.signBuckets]]):
+    * vectors bucket by the sign bits of their exact projections onto the
+    * top-3 principal axes (8 buckets splitting the corpus along its
+    * highest-variance directions — deterministic LSH with no RNG), then
+    * the same within-bucket cosine pruning as `semantic_dedup`. The
+    * oracle re-derives the projections, the sign buckets, AND the pair
+    * pruning from embeddings × the persisted eigenvector table — nothing
+    * about the bucketing is taken on faith. Third bucketing family next
+    * to the sampled quantizer (`semantic_dedup`) and exact k-means
+    * (`semantic_dedup_kmeans`); at scale the component count (and so the
+    * bucket fan-out 2^c) grows with the corpus.
+    */
+  private def semDedupPca(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semanticDedupFromAssignment(
+      Pca.signBuckets(emb(spark, sfDir), "vec_id", "embedding",
+        pcaVecs(spark, sfDir).map(_.map(Pca.qe))),
+      threshold = 0.4,
+      // the oracle replays within-bucket ALL-pairs; an over-cap bucket
+      // would silently degrade to star pairs (the ADVICE r8 lesson), so
+      // the catalog query disables the cap — sign-buckets are balanced
+      // by construction (median split per axis) at catalog scales
+      maxBucketSize = Int.MaxValue)
+
+  /** Incremental covariance maintenance — the `dedup_*_incremental`
+    * pattern applied to the PCA state: [[graft.operators.Pca.CovStats]]
+    * is a mergeable sketch (pure sums), so folding a new-vectors batch
+    * (vec_id % 4 == 2, the ann_ivf_incremental split) into the persisted
+    * base state is an exact ADD — no rescan of the base corpus, and the
+    * merged output is bit-identical to a full recompute (spec-asserted;
+    * the oracle independently re-derives the batch moments from
+    * embeddings and adds them to the persisted base relation, so both
+    * the base state and the additive merge are verified cell-exact).
+    */
+  private def embCovIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = emb(spark, sfDir)
+    val base = all.filter(col("vec_id") % 4 =!= 2)
+    val batch = all.filter(col("vec_id") % 4 === 2)
+    val baseStats = Pca.covStats(base, "vec_id", "embedding")
+    Queries.oracleSide(spark, sfDir, "cov_inc_base",
+      Pca.statsDf(all, baseStats))
+    val merged = Pca.merge(baseStats, Pca.covStats(batch, "vec_id", "embedding"))
+    Pca.covDfFromStats(all, merged)
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -299,6 +358,8 @@ object SimilarityQueries {
     "emb_norms" -> embNorms _,
     "emb_covariance" -> embCovariance _,
     "emb_pca_project" -> embPcaProject _,
+    "emb_cov_incremental" -> embCovIncremental _,
+    "semantic_dedup_pca" -> semDedupPca _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "ann_ivf_incremental" -> annIvfIncremental _,
@@ -457,6 +518,63 @@ object SimilarityQueries {
         |SELECT vec_id, MAX(CASE WHEN comp = 0 THEN p END) AS p0,
         |  MAX(CASE WHEN comp = 1 THEN p END) AS p1
         |FROM u GROUP BY vec_id""".stripMargin,
+    "emb_cov_incremental" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings WHERE vec_id % 4 = 2),
+        |d AS (SELECT UNNEST(range(1,
+        |    (SELECT MAX(len(embedding)) FROM embeddings) + 1)) AS ii),
+        |pr AS (SELECT a.ii AS ia, b.ii AS ib FROM d a JOIN d b ON a.ii <= b.ii),
+        |s AS (
+        |  SELECT ia, ib, COUNT(*) AS n, SUM(v[ia]) AS s_i, SUM(v[ib]) AS s_j,
+        |    SUM(v[ia] * v[ib]) AS s_ij
+        |  FROM q CROSS JOIN pr GROUP BY 1, 2),
+        |base AS (SELECT i, j, n, s_i, s_j, s_ij
+        |  FROM read_parquet('${Queries.oracleSidePath("cov_inc_base")}')),
+        |m AS (
+        |  SELECT base.i, base.j,
+        |    base.n + s.n AS n, base.s_i + s.s_i AS s_i,
+        |    base.s_j + s.s_j AS s_j, base.s_ij + s.s_ij AS s_ij
+        |  FROM base JOIN s ON s.ia - 1 = base.i AND s.ib - 1 = base.j)
+        |SELECT i, j, CAST(n AS BIGINT) AS n, CAST(s_i AS BIGINT) AS s_i,
+        |  CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
+        |  CAST(n * s_ij - s_i * s_j AS BIGINT) AS cov_num
+        |FROM m""".stripMargin,
+    "semantic_dedup_pca" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT comp, i, eq
+        |  FROM read_parquet('${Queries.oracleSidePath("pca_eigvecs")}')),
+        |u AS (
+        |  SELECT vec_id, comp, CAST(SUM(v[i + 1] * eq) AS BIGINT) AS p
+        |  FROM q JOIN e ON TRUE GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT vec_id, MAX(CASE WHEN comp = 0 THEN p END) AS p0,
+        |    MAX(CASE WHEN comp = 1 THEN p END) AS p1,
+        |    MAX(CASE WHEN comp = 2 THEN p END) AS p2
+        |  FROM u GROUP BY vec_id),
+        |a AS (
+        |  SELECT vec_id AS id,
+        |    (CASE WHEN p0 >= 0 THEN 4 ELSE 0 END
+        |     + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN p2 >= 0 THEN 1 ELSE 0 END) AS bucket
+        |  FROM pj),
+        |p AS (
+        |  SELECT x.id AS id_a, y.id AS id_b,
+        |    ${cosineSql("ex.embedding", "ey.embedding")} AS cosine
+        |  FROM a x JOIN a y ON x.bucket = y.bucket AND x.id < y.id
+        |  JOIN embeddings ex ON ex.vec_id = x.id
+        |  JOIN embeddings ey ON ey.vec_id = y.id),
+        |dd AS (
+        |  SELECT id_b AS id, MIN(id_a) AS dup_of
+        |  FROM p WHERE cosine >= 0.4 GROUP BY id_b)
+        |SELECT a.id, CAST(a.bucket AS BIGINT) AS bucket,
+        |  COALESCE(dd.dup_of, a.id) AS canonical_id,
+        |  dd.dup_of IS NOT NULL AS is_dup
+        |FROM a LEFT JOIN dd USING (id)""".stripMargin,
     "semantic_dedup" ->
       s"""WITH a AS (
         |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("sem_assign")}')),

@@ -114,14 +114,40 @@ object Pca extends Serializable {
     CovStats(n, dim, sums, prods)
   }
 
-  /** Covariance numerators as a (d(d+1)/2)-row relation:
-    * (i, j, n, s_i, s_j, s_ij, cov_num) with i ≤ j and
-    * cov_num = n·s_ij − s_i·s_j — the n²-scaled covariance, exact.
+  /** Exact additive merge of two moment-sum states — covStats is a
+    * MERGEABLE sketch (all fields are sums), which is what makes
+    * incremental maintenance exact: stats(base ∪ batch) =
+    * merge(stats(base), stats(batch)) with no rescan of base.
     */
-  def covarianceDf(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def merge(a: CovStats, b: CovStats): CovStats = {
+    require(a.dim == b.dim, s"dim mismatch: ${a.dim} vs ${b.dim}")
+    val sums = Array.tabulate(a.dim)(i => Math.addExact(a.sums(i), b.sums(i)))
+    val prods = Array.tabulate(a.prods.length)(t =>
+      Math.addExact(a.prods(t), b.prods(t)))
+    CovStats(Math.addExact(a.n, b.n), a.dim, sums, prods)
+  }
+
+  /** The raw moment sums as a (d(d+1)/2)-row relation
+    * (i, j, n, s_i, s_j, s_ij) — the persistable/side-table form of the
+    * mergeable state.
+    */
+  def statsDf(df: DataFrame, st: CovStats): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val st = covStats(df, idCol, vecCol)
+    val rows = for {
+      i <- 0 until st.dim
+      j <- i until st.dim
+    } yield (i, j, st.n, st.sums(i), st.sums(j), st.prods(st.triIndex(i, j)))
+    spark.createDataset(rows).toDF("i", "j", "n", "s_i", "s_j", "s_ij")
+  }
+
+  /** (i, j, n, s_i, s_j, s_ij, cov_num) from a moment-sum state, with
+    * cov_num = n·s_ij − s_i·s_j — the n²-scaled covariance, exact
+    * (multiplyExact fails loudly rather than wrapping).
+    */
+  def covDfFromStats(df: DataFrame, st: CovStats): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val rows = for {
       i <- 0 until st.dim
       j <- i until st.dim
@@ -134,6 +160,53 @@ object Pca extends Serializable {
     }
     spark.createDataset(rows)
       .toDF("i", "j", "n", "s_i", "s_j", "s_ij", "cov_num")
+  }
+
+  /** Covariance numerators over a corpus in one pass — see
+    * [[covDfFromStats]] for the output contract.
+    */
+  def covarianceDf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    covDfFromStats(df, covStats(df, idCol, vecCol))
+
+  /** Sign-bucket assignment — the PCA twist on LSH: bucket = the sign
+    * bits of the exact projections onto the top components (component 0
+    * is the high bit), giving 2^components buckets that split the corpus
+    * along its highest-variance directions. Because the projections are
+    * exact longs, the bucketing is exactly replayable from the persisted
+    * eigenvector table — unlike random-hyperplane LSH there is no RNG
+    * anywhere. One narrow pass; output (bucket, id, vec) feeds
+    * [[Similarity.semanticDedupFromAssignment]].
+    */
+  def signBuckets(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qvecs: Array[Array[Long]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nc = qvecs.length
+    df.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val q = v.map(KMeansExact.q1000)
+        var bucket = 0
+        var c = 0
+        while (c < nc) {
+          val e = qvecs(c)
+          require(e.length == q.length,
+            s"dim mismatch: vec ${q.length} vs eigvec ${e.length}")
+          var s = 0L
+          var i = 0
+          while (i < q.length) {
+            s = Math.addExact(s, Math.multiplyExact(q(i), e(i)))
+            i += 1
+          }
+          if (s >= 0L) bucket |= 1 << (nc - 1 - c)
+          c += 1
+        }
+        (bucket, id, v)
+      }
+      .toDF("bucket", "id", "vec")
   }
 
   /** Top-`components` eigenvectors of the covariance numerator matrix

@@ -100,6 +100,40 @@ class PcaSpec extends SparkSpec {
     assert(re == got)
   }
 
+  test("merge: incremental fold is bit-identical to a full recompute") {
+    val rows = (0L until 60L).map(i =>
+      (i, Array.tabulate(6)(j => math.sin(i * 1.1 + j * 0.4).toFloat)))
+    val all = df(rows)
+    val base = all.filter(col("vec_id") % 4 =!= 2)
+    val batch = all.filter(col("vec_id") % 4 === 2)
+    val merged = Pca.merge(
+      Pca.covStats(base, "vec_id", "embedding"),
+      Pca.covStats(batch, "vec_id", "embedding"))
+    val full = Pca.covStats(all, "vec_id", "embedding")
+    assert(merged.n == full.n && merged.dim == full.dim)
+    assert(merged.sums.sameElements(full.sums))
+    assert(merged.prods.sameElements(full.prods))
+    // dim mismatch fails loudly
+    val other = Pca.covStats(
+      df(Seq((0L, Array(1.0f, 2.0f)))), "vec_id", "embedding")
+    intercept[IllegalArgumentException] { Pca.merge(full, other) }
+  }
+
+  test("signBuckets: sign bits of exact projections, component 0 is the high bit") {
+    // eigvec stand-ins: axis-aligned units at the qe grid — projections
+    // are then just the quantized coordinates, signs fully predictable
+    val qv = Array(Array(1000000L, 0L), Array(0L, 1000000L))
+    val rows = Seq(
+      (0L, Array(0.5f, 0.5f)),   // (+,+) -> 3
+      (1L, Array(-0.5f, 0.5f)),  // (-,+) -> 1
+      (2L, Array(0.5f, -0.5f)),  // (+,-) -> 2
+      (3L, Array(-0.5f, -0.5f)), // (-,-) -> 0
+      (4L, Array(0.0f, -0.5f)))  // zero projection counts as >= 0 -> 2
+    val got = Pca.signBuckets(df(rows), "vec_id", "embedding", qv)
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    assert(got == Map(0L -> 3, 1L -> 1, 2L -> 2, 3L -> 0, 4L -> 2))
+  }
+
   test("covStats rejects ragged embeddings") {
     val bad = df(Seq((0L, Array(1.0f, 2.0f)), (1L, Array(1.0f))))
       .repartition(1)
