@@ -405,12 +405,12 @@ object Queries {
     * type-adaptive [[Events.microsExpr]]).
     *
     * Scale shape: the only corpus-wide exchange is the (user, day)
-    * DISTINCT; everything downstream — per-user first day, the
-    * activity⋈first join (co-partitioned on user_id, so AQE reuses the
-    * exchange), the cell rollup, and the |cohorts|-row size join
-    * (broadcast) — operates on the |user-days| relation, which is
-    * |users|·|days| at worst, not |events|. retention_bp is an integer
-    * basis-point division so the cell values are engine-exact.
+    * DISTINCT (map-side partial distinct collapses before the wire);
+    * everything downstream — per-user first day, the activity⋈first
+    * join, the cell rollup — re-exchanges only the |user-days| relation
+    * (|users|·|days| at worst, not |events|), and the |cohorts|-row size
+    * join broadcasts. retention_bp is an integer basis-point division so
+    * the cell values are engine-exact. Plan-asserted in QueriesPlanSpec.
     */
   private def eventRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")

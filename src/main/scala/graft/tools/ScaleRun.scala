@@ -155,7 +155,17 @@ object ScaleRun {
     "mm_phash_dedup", "mm_audio_fp",
     // video keyframes: N× real Y4M encodes+parses, 4 sigs per blob
     // through the shared pigeonhole
-    "mm_video_fp")
+    "mm_video_fp",
+    // asymmetric containment: prefix ⋈ full-index join — replica-tagged
+    // words keep gram sets disjoint across replicas, so df distribution
+    // (and the Σ df_prefix·df join volume) grows linearly, never N²
+    "dedup_containment",
+    // cohort/attribution: N× users over the same period — the distinct
+    // and the user-window grow linearly, cells stay |users|·|days|
+    "event_retention", "event_attribution",
+    // PCA covariance sweep: N× vectors through the one narrow pass;
+    // partials stay d(d+1)/2 longs per partition regardless
+    "emb_covariance")
 
   /** The 100× tier: the ~12 heaviest query families by honest cost, each
     * a distinct scale-critical shape (LSH band join, hamming pigeonhole,
@@ -168,7 +178,10 @@ object ScaleRun {
   private val Scale100Queries = Seq(
     "dedup_minhash", "dedup_simhash", "ann_ivfpq_topk", "merge_apply",
     "stream_cdc", "doc_pack", "text_heavy_hitters", "emb_kmeans",
-    "cdc_estimate", "doc_shuffle", "event_sessions", "mm_phash_dedup")
+    "cdc_estimate", "doc_shuffle", "event_sessions", "mm_phash_dedup",
+    // the round-9 quadratic-risk shape: asymmetric prefix join — two
+    // decades is where an accidental df blowup would actually show
+    "dedup_containment")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

@@ -322,6 +322,55 @@ class QueriesPlanSpec extends SparkSpec {
     } <= 1, s"only the k-row count agg may exchange:\n$plan")
   }
 
+  test("event_attribution: ONE exchange — the user_id window partition") {
+    val df = SparkEntry.queries("event_attribution")(spark, sfDir)
+    assert(shuffles(df) == 1,
+      s"last-touch carry-forward needs exactly the user_id exchange:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
+  test("event_retention: corpus collapses at the distinct; size join broadcasts") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{InputAdapter, SparkPlan, WholeStageCodegenExec}
+    val df = SparkEntry.queries("event_retention")(spark, sfDir)
+    val n = shuffles(df)
+    // distinct + user agg + join-side + cell rollup: all further
+    // exchanges move the bounded user-days relation, never raw events
+    assert(n <= 5, s"too many exchanges:\n${df.queryExecution.executedPlan}")
+    @annotation.tailrec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    // the corpus-width exchange is the DISTINCT — a partial aggregate
+    // sits below it, so raw event rows collapse map-side before the wire
+    val preAggScan = countNodes(df.queryExecution.executedPlan) {
+      case e: ShuffleExchangeExec =>
+        unwrap(e.child) match {
+          case _: BaseAggregateExec => false
+          // join/window inputs re-exchange the post-distinct relation;
+          // those subtrees contain an aggregate between scan and wire
+          case other => !other.exists(_.isInstanceOf[BaseAggregateExec])
+        }
+      case _ => false
+    }
+    assert(preAggScan == 0,
+      s"an exchange carries raw event rows:\n${df.queryExecution.executedPlan}")
+    val bc = countNodes(df.queryExecution.executedPlan) {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => true
+      case _ => false
+    }
+    assert(bc >= 1, "cohort-size join must broadcast")
+  }
+
+  test("emb_pca_project: vectors NEVER shuffle — zero exchanges") {
+    val df = SparkEntry.queries("emb_pca_project")(spark, sfDir)
+    assert(shuffles(df) == 0,
+      s"projection must be a narrow map over the scan:\n" +
+        s"${df.queryExecution.executedPlan}")
+  }
+
   test("mm_video_fp: no exchange ever carries blob bytes") {
     // "blobs never shuffle" as a physical-plan fact: every exchange in
     // the end-to-end pair search (including those inside hammingPairs'
