@@ -339,6 +339,57 @@ object Cli {
       }
       spark.stop()
 
+    case "pca" :: file :: rest if rest.size <= 1 =>
+      // embedding-table PCA: variance-explained report for the top
+      // components, optional exact-projection dump
+      val spark = session()
+      val emb = spark.read.parquet(file)
+      require(emb.columns.contains("vec_id") && emb.columns.contains("embedding"),
+        s"expected (vec_id, embedding) columns, got ${emb.columns.mkString(", ")}")
+      val st = graft.operators.Pca.covStats(emb, "vec_id", "embedding")
+      val (vecs, vals) = graft.operators.Pca.topEigvecs(st, components = 3)
+      // trace of the numerator matrix = Σ diagonal cov_num, the total
+      // variance the eigenvalues are fractions of
+      val trace = (0 until st.dim).map { i =>
+        (BigInt(st.n) * BigInt(st.prods(st.triIndex(i, i))) -
+          BigInt(st.sums(i)) * BigInt(st.sums(i))).toDouble
+      }.sum
+      println(s"n=${st.n} dim=${st.dim}")
+      vals.zipWithIndex.foreach { case (v, c) =>
+        println(f"component $c: eigenvalue $v%.4g  " +
+          f"variance explained ${100.0 * v / trace}%.2f%%")
+      }
+      rest.headOption.foreach { outDir =>
+        graft.operators.Pca
+          .project(emb, "vec_id", "embedding",
+            vecs.map(_.map(graft.operators.Pca.qe)))
+          .write.mode("overwrite").parquet(outDir)
+        println(s"wrote projections to $outDir")
+      }
+      spark.stop()
+
+    case "contain-dedup" :: file :: rest if rest.size <= 1 =>
+      // asymmetric containment near-dup over a documents parquet:
+      // excerpt/quote-wrapper detection Jaccard can't see
+      val thresholdBp = rest.headOption.map(_.toLong).getOrElse(9000L)
+      val spark = session()
+      val docs = spark.read.parquet(file)
+      require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+        s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+      val pairs = graft.operators.Dedupe
+        .containmentPairs(docs, "doc_id", "text", k = 3,
+          thresholdBp = thresholdBp, usePrefixFilter = true)
+        .cache()
+      pairs.orderBy(org.apache.spark.sql.functions.col("cont_a_bp").desc,
+        org.apache.spark.sql.functions.col("cont_b_bp").desc)
+        .show(20, truncate = false)
+      val byRel = pairs.groupBy("relation").count().collect()
+        .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+      println(s"pairs at >= ${thresholdBp}bp containment: ${pairs.count()} ($byRel)")
+      pairs.unpersist()
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -458,6 +509,8 @@ object Cli {
            |  layout TABLE.parquet XCOL YCOL [OUTDIR]
            |  bpe DOCUMENTS.parquet [K]
            |  merge SNAPSHOT.parquet CHANGES.parquet KEYCOL [OUTDIR]
+           |  pca EMBEDDINGS.parquet [OUTDIR]
+           |  contain-dedup DOCUMENTS.parquet [THRESHOLD_BP]
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png
