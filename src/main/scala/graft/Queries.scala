@@ -463,6 +463,54 @@ object Queries {
           .as("attributed"))
   }
 
+  /** Frequent-path mining: the top-20 most common 3-step event-type
+    * sequences across user timelines (the funnel query's exploratory
+    * sibling — q21 checks ONE pattern, this ranks all of them). Two
+    * leads over the per-user (µs, event_id)-ordered window — the same
+    * single user_id exchange as attribution — then a |types|³-bounded
+    * rollup and a TakeOrdered top-k; the tie-break (n DESC, then the
+    * full lexicographic path) makes the LIMIT boundary deterministic.
+    */
+  private def eventPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val base = ev.select(col("user_id"), col("event_type"),
+      Events.microsExpr(ev).as("us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    base
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step2").isNotNull && col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  /** Gaps-and-islands: each user's activity streaks (maximal runs of
+    * consecutive active days) via the classic day − row_number grouping
+    * key over distinct days, plus the streak length. The (user, day) distinct is the only
+    * corpus-wide exchange (the retention shape); the rank window and the
+    * island rollup run over the bounded user-days relation. Emits one
+    * row per streak ≥ 2 days — the engagement view cohort retention
+    * can't express (retention counts users per offset; this measures
+    * CONSECUTIVE presence).
+    */
+  private def eventStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val days = ev.select(col("user_id"),
+      call_function("div", Events.microsExpr(ev), lit(86400000000L)).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("grp", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("d")).as("start_day"), max(col("d")).as("end_day"),
+        count(lit(1)).as("streak_days"))
+      .filter(col("streak_days") >= 2L)
+      .select(col("user_id"), col("start_day"), col("end_day"),
+        col("streak_days"))
+  }
+
   // ---------------------------------------------------------------- joins
 
   /** Multi-way join + aggregation (TPC-H Q3 family): revenue per market
@@ -2032,6 +2080,8 @@ object Queries {
     "event_anomaly" -> (eventAnomaly _),
     "event_retention" -> (eventRetention _),
     "event_attribution" -> (eventAttribution _),
+    "event_paths" -> (eventPaths _),
+    "event_streaks" -> (eventStreaks _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -2706,6 +2756,33 @@ object Queries {
         |  us - tc.t_us AS gap_us,
         |  COALESCE(us - tc.t_us <= 604800000000, FALSE) AS attributed
         |FROM t WHERE event_type = 'purchase'""".stripMargin,
+    "event_paths" ->
+      """WITH b AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |  FROM events),
+        |s AS (SELECT event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS step3
+        |  FROM b)
+        |SELECT step1, step2, step3, COUNT(*) AS n
+        |FROM s WHERE step2 IS NOT NULL AND step3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
+    "event_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |  d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM a),
+        |i AS (SELECT user_id, grp, MIN(d) AS start_day, MAX(d) AS end_day,
+        |    COUNT(*) AS streak_days
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(start_day AS BIGINT) AS start_day,
+        |  CAST(end_day AS BIGINT) AS end_day,
+        |  CAST(streak_days AS BIGINT) AS streak_days
+        |FROM i WHERE streak_days >= 2""".stripMargin,
     "merge_apply" -> MergeApplySql,
     "merge_apply_evolve" ->
       s"""WITH ch AS (
