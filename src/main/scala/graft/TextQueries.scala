@@ -435,6 +435,19 @@ object TextQueries {
     Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
   }
 
+  /** LSH-recall evaluation ([[Dedupe.minhashRecallEval]]): brute-force
+    * exact ground truth over the doc_id % 3 = 0 sample vs the MinHash
+    * banding, one metrics row (recall_bp; false_pos pinned at 0 by the
+    * exact-verify invariant). The oracle independently re-derives BOTH
+    * relations from the persisted signature table — the all-pairs truth
+    * and the band-replay candidates — and recomputes every count.
+    */
+  private def dedupLshEval(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.minhashRecallEval(
+      docs(spark, sfDir).filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", threshold = 0.3,
+      sigSink = df => Queries.oracleSide(spark, sfDir, "lsheval_sigs", df))
+
   /** Containment near-dup pairs ([[Dedupe.containmentPairs]]) — the
     * asymmetric dedup signal Jaccard structurally misses: an excerpt
     * inside a fuller document scores J ≈ |A|/|B| (never reaching a
@@ -922,6 +935,7 @@ object TextQueries {
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
     "dedup_containment" -> dedupContainment _,
+    "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
     "doc_novelty" -> docNovelty _,
@@ -1265,6 +1279,45 @@ object TextQueries {
       s"""WITH $NgramCtes
         |SELECT id_a, id_b, jaccard, containment_a, containment_b
         |FROM ngram_pairs""".stripMargin,
+    "dedup_lsh_eval" ->
+      s"""WITH s AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("lsheval_sigs")}')),
+        |truth AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM s a JOIN s b ON a.id < b.id
+        |  WHERE len(a.shingles) + len(b.shingles)
+        |      - len(list_intersect(a.shingles, b.shingles)) > 0
+        |    AND CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / (len(a.shingles) + len(b.shingles)
+        |         - len(list_intersect(a.shingles, b.shingles))) >= 0.3),
+        |bands AS (
+        |  SELECT id, b, sig[b*4+1:b*4+4] AS slice
+        |  FROM s, (SELECT UNNEST(range(0, 16)) AS b) bs),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bands a JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.id < b.id),
+        |found AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b
+        |  WHERE len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles)) > 0
+        |    AND CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |      / (len(sa.shingles) + len(sb.shingles)
+        |         - len(list_intersect(sa.shingles, sb.shingles))) >= 0.3),
+        |m AS (SELECT
+        |  (SELECT COUNT(*) FROM truth) AS true_pairs,
+        |  (SELECT COUNT(*) FROM found) AS found_pairs,
+        |  (SELECT COUNT(*) FROM truth t WHERE NOT EXISTS (
+        |     SELECT 1 FROM found f WHERE f.id_a = t.id_a AND f.id_b = t.id_b))
+        |    AS missed_pairs,
+        |  (SELECT COUNT(*) FROM found f WHERE NOT EXISTS (
+        |     SELECT 1 FROM truth t WHERE t.id_a = f.id_a AND t.id_b = f.id_b))
+        |    AS false_pos)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_docs,
+        |  true_pairs, found_pairs, missed_pairs, false_pos,
+        |  CASE WHEN true_pairs = 0 THEN CAST(10000 AS BIGINT)
+        |    ELSE CAST((true_pairs - missed_pairs) * 10000 // true_pairs AS BIGINT)
+        |  END AS recall_bp
+        |FROM m""".stripMargin,
     "dedup_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

@@ -906,6 +906,76 @@ object Dedupe {
     trackedCaches.clear()
   }
 
+  /** LSH-recall evaluation — the operator that MEASURES the dedup
+    * operators: brute-force exact-Jaccard ground truth over a (sampled)
+    * corpus vs what the MinHash banding actually surfaces, as one
+    * metrics row. MinHash+LSH trades recall for the absence of the
+    * all-pairs join; this makes the trade measurable instead of assumed
+    * (the banding S-curve says P(candidate) = 1−(1−s^r)^b — this checks
+    * the realized rate on real data). Precision is structurally 1.0
+    * (candidates are exact-verified before thresholding), so the single
+    * interesting number is recall.
+    *
+    * The ground truth is deliberately QUADRATIC in the sample — that is
+    * what ground truth costs — so callers bound the sample, not this
+    * function (the catalog samples doc_id % 3 = 0; at 100 TB you'd
+    * sample a few thousand docs).
+    *
+    * @return one row: (n_docs, true_pairs, found_pairs, missed_pairs,
+    *         false_pos, recall_bp) — integer basis points, 10000 when
+    *         truth is empty (nothing to miss); false_pos must be 0 (the
+    *         exact-verify invariant, checked rather than assumed).
+    */
+  def minhashRecallEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      sigSink: DataFrame => DataFrame = identity): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sigs = sigSink(
+      minhashSigRelation(df, idCol, textCol, shingleK, numHashes)).cache()
+    // ground truth: ALL pairs, exact Jaccard (broadcast nested-loop is
+    // the honest physical shape for an all-pairs oracle on a sample)
+    val truth = sigs.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+      .crossJoin(sigs.select(col("id").as("id_b"), col("shingles").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .as[(Long, Array[Long], Long, Array[Long])]
+      .map { case (a, shA, b, shB) =>
+        val inter = shA.intersect(shB).length
+        val union = shA.length + shB.length - inter
+        (a, b, if (union == 0) 0.0 else inter.toDouble / union)
+      }
+      .toDF("id_a", "id_b", "jaccard")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val found = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
+      threshold).select(col("id_a"), col("id_b"))
+    val metrics = truth
+      .withColumn("t", lit(1L))
+      .join(found.withColumn("f", lit(1L)), Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("t")), lit(0L)).as("true_pairs"),
+        coalesce(sum(col("f")), lit(0L)).as("found_pairs"),
+        coalesce(sum(when(col("f").isNull, 1L)), lit(0L)).as("missed_pairs"),
+        coalesce(sum(when(col("t").isNull, 1L)), lit(0L)).as("false_pos"))
+    val nDocs = sigs.count()
+    val out = metrics.select(
+      lit(nDocs).as("n_docs"), col("true_pairs"), col("found_pairs"),
+      col("missed_pairs"), col("false_pos"),
+      when(col("true_pairs") === 0L, lit(10000L))
+        .otherwise(call_function("div",
+          (col("true_pairs") - col("missed_pairs")) * lit(10000L),
+          col("true_pairs"))).as("recall_bp"))
+    val materialized = track(out.cache())
+    materialized.count()
+    sigs.unpersist()
+    materialized
+  }
+
   // ------------------------------------------------- duplicate clustering
 
   /** Connected components over near-dup pairs → (id, cluster_id) with

@@ -172,6 +172,35 @@ class DedupeSpec extends SparkSpec {
     assert(labels((-7L, 9L))._6 == "a_in_b")
   }
 
+  test("minhashRecallEval: identity on exact dups, invariants on a border pair") {
+    import spark.implicits._
+    // docs 0/1 identical (every band matches — ALWAYS found); docs 2/3 a
+    // borderline ~0.3-jaccard pair the banding may legitimately miss;
+    // 4/5 unrelated
+    val a = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val b = (1 to 20).map(i => s"alpha$i").mkString(" ") + " " +
+      (1 to 28).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (0L, "identical corpus text shared exactly by the first two docs"),
+      (1L, "identical corpus text shared exactly by the first two docs"),
+      (2L, a), (3L, b),
+      (4L, "completely unrelated words about nothing at all"),
+      (5L, "another disjoint document mentioning other things"))
+      .toDF("doc_id", "text")
+    val r = Dedupe.minhashRecallEval(docs, "doc_id", "text", threshold = 0.25)
+      .head()
+    val (nDocs, truePairs, foundPairs, missed, fp, recallBp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))
+    assert(nDocs == 6L)
+    assert(truePairs == 2L, s"expected pairs (0,1) and (2,3), got $truePairs")
+    assert(fp == 0L, "exact-verify invariant: no false positives, ever")
+    assert(foundPairs + missed == truePairs)
+    assert(foundPairs >= 1L, "the identical pair matches every band")
+    assert(recallBp == foundPairs * 10000L / truePairs)
+    Dedupe.releaseTrackedCaches()
+  }
+
   test("duplicateClusters: transitive chains collapse to the min-id cluster") {
     import spark.implicits._
     // chain 1-2, 2-3 plus isolated pair 10-11: clusters {1,2,3} and {10,11}
