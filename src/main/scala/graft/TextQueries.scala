@@ -133,6 +133,36 @@ object TextQueries {
         col("take_tokens"), col("take_frac"))
   }
 
+  /** Temperature-scaled mixture weights (α-sampling, the multilingual
+    * rebalancing policy: weight ∝ n^α with α = 1/2, so small sources are
+    * up-sampled relative to proportional) per LANGUAGE — the corpus's
+    * skewed grouping (en dominates) — next to the proportional baseline,
+    * plus the integer quota each language gets from a half-corpus
+    * budget. score = floor(sqrt(n)) is cross-engine exact
+    * (IEEE correctly-rounded sqrt of an exact integer, identical in
+    * both engines); every weight/quota is an integer basis-point or
+    * floor division. ONE map-side-combined per-language aggregate over
+    * the corpus; the totals join broadcasts a |langs|-row relation.
+    */
+  private def docTemperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val perLang = docs(spark, sfDir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("score",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = perLang.agg(sum(col("n_docs")).as("docs_sum"),
+      sum(col("score")).as("score_sum"))
+    perLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        call_function("div", col("n_docs") * 10000L, col("docs_sum"))
+          .as("prop_bp"),
+        col("score"),
+        call_function("div", col("score") * 10000L, col("score_sum"))
+          .as("temp_bp"),
+        call_function("div",
+          call_function("div", col("docs_sum"), lit(2L)) * col("score"),
+          col("score_sum")).as("quota_docs"))
+  }
+
   /** Deterministic epoch-order shuffle of the corpus
     * ([[graft.operators.Sampling.globalShuffleOrder]]): explicit
     * position 0..n-1 in a key-pure pseudo-random permutation, assigned
@@ -914,6 +944,7 @@ object TextQueries {
     "pipeline_curate" -> curate _,
     "doc_split" -> docSplit _,
     "doc_mixture" -> docMixture _,
+    "doc_temperature_mix" -> docTemperatureMix _,
     "doc_budget_mix" -> docBudgetMix _,
     "doc_windows" -> docWindows _,
     "text_gopher" -> textGopher _,
@@ -1855,6 +1886,19 @@ object TextQueries {
         |  FROM documents d LEFT JOIN thr t ON d.source = t.source)
         |SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept
         |FROM k GROUP BY source""".stripMargin,
+    "doc_temperature_mix" ->
+      """WITH p AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS score
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS docs_sum,
+        |  CAST(SUM(score) AS BIGINT) AS score_sum FROM p)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  n_docs * 10000 // docs_sum AS prop_bp,
+        |  score,
+        |  score * 10000 // score_sum AS temp_bp,
+        |  (docs_sum // 2) * score // score_sum AS quota_docs
+        |FROM p, t""".stripMargin,
     "text_heavy_hitters" ->
       """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
         |  CAST(0 AS BIGINT) AS max_undercount
