@@ -257,6 +257,25 @@ object TextQueries {
     docs(spark, sfDir)
       .select(col("doc_id"), col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
 
+  /** Language-ID quality evaluation — the confusion matrix of the
+    * marker-based classifier against the corpus's lang labels, with
+    * per-label row fractions in integer basis points (the diagonal is
+    * per-language recall). The same eval discipline as dedup_lsh_eval:
+    * heuristic operators ship with the query that MEASURES them. One
+    * map-side-combined (lang, pred) rollup; the per-label totals join
+    * broadcasts a |langs|-row relation.
+    */
+  private def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("lang_total"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"), col("lang_total"),
+        call_function("div", col("n") * 10000L, col("lang_total"))
+          .as("cell_bp"))
+  }
+
   private def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -990,6 +1009,7 @@ object TextQueries {
     "doc_shards" -> docShards _,
     "doc_select_topk" -> docSelectTopk _,
     "lang_id" -> langId _,
+    "lang_id_eval" -> langIdEval _,
     "doc_fingerprint" -> docFingerprint _,
     "substring_dup" -> substringDup _,
     "doc_cdc" -> docCdc _,
@@ -1043,6 +1063,34 @@ object TextQueries {
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3)""".stripMargin
+
+  /** Shared by lang_id and lang_id_eval: the full prediction relation
+    * (doc_id, lang, lang_pred) in pure SQL. */
+  private val LangIdPredSql: String =
+    """WITH wq AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR text = '' THEN NULL
+        |         ELSE list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '')[1:200] END AS words
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang, words,
+        |    len(list_filter(words, w -> w IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
+        |    len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
+        |    len(list_filter(words, w -> w IN ('le','la','les','et','est','une','dans','pour'))) AS s_fr,
+        |    len(list_filter(words, w -> w IN ('el','la','los','las','es','una','por','para'))) AS s_es,
+        |    len(list_filter(words, w -> w IN ('il','la','che','di','non','per','una','sono'))) AS s_it
+        |  FROM wq)
+        |SELECT doc_id, lang,
+        |  CASE WHEN words IS NULL THEN 'und'
+        |       WHEN regexp_matches(array_to_string(words, ' '), '[一-鿿]') THEN 'zh'
+        |       WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
+        |       WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'it'
+        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
+        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
+        |       ELSE 'de' END AS lang_pred
+        |FROM sc""".stripMargin
 
   /** Shared by doc_decontam and doc_decontam_bloom: the Bloom-gated path
     * is exact by construction, so both verify against the same SQL.
@@ -1528,31 +1576,15 @@ object TextQueries {
         |FROM rec GROUP BY doc_id
         |UNION ALL
         |SELECT doc_id, 0, NULL FROM d WHERE s IS NULL OR len(s) < 8""".stripMargin,
-    "lang_id" ->
-      """WITH wq AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN text IS NULL OR text = '' THEN NULL
-        |         ELSE list_filter(string_split_regex(lower(text), '\s+'),
-        |                x -> x <> '')[1:200] END AS words
-        |  FROM documents),
-        |sc AS (
-        |  SELECT doc_id, lang, words,
-        |    len(list_filter(words, w -> w IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
-        |    len(list_filter(words, w -> w IN ('der','die','das','und','ist','nicht','ein','mit'))) AS s_de,
-        |    len(list_filter(words, w -> w IN ('le','la','les','et','est','une','dans','pour'))) AS s_fr,
-        |    len(list_filter(words, w -> w IN ('el','la','los','las','es','una','por','para'))) AS s_es,
-        |    len(list_filter(words, w -> w IN ('il','la','che','di','non','per','una','sono'))) AS s_it
-        |  FROM wq)
-        |SELECT doc_id, lang,
-        |  CASE WHEN words IS NULL THEN 'und'
-        |       WHEN regexp_matches(array_to_string(words, ' '), '[一-鿿]') THEN 'zh'
-        |       WHEN greatest(s_en, s_de, s_fr, s_es, s_it) = 0 THEN 'und'
-        |       WHEN s_it = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'it'
-        |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'fr'
-        |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'es'
-        |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
-        |       ELSE 'de' END AS lang_pred
-        |FROM sc""".stripMargin,
+    "lang_id" -> LangIdPredSql,
+    "lang_id_eval" ->
+      s"""WITH p AS ($LangIdPredSql),
+        |c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lang_total
+        |  FROM c GROUP BY 1)
+        |SELECT lang, lang_pred, CAST(n AS BIGINT) AS n, lang_total,
+        |  n * 10000 // lang_total AS cell_bp
+        |FROM c JOIN t USING (lang)""".stripMargin,
     "dedup_minhash" ->
       s"""WITH s AS (SELECT * FROM read_parquet('${Queries.oracleSidePath("minhash_sigs")}')),
         |bands AS (
