@@ -213,6 +213,32 @@ object Cli {
           sys.exit(2)
       }
 
+    case "sql" :: stmt :: rest if rest.size <= 1 =>
+      // ad-hoc ANSI SQL over the testdata tables: every table in SF_DIR
+      // registers as a temp view, then the statement runs through the
+      // full Catalyst surface (spark.sql) — the escape hatch for queries
+      // the named catalog doesn't cover
+      val sfDir = rest.headOption.orElse(sys.env.get("GRAFT_SF_DIR"))
+        .getOrElse {
+          System.err.println("usage: sql \"SELECT ...\" SF_DIR (or set GRAFT_SF_DIR)")
+          sys.exit(2)
+        }
+      val spark = session()
+      val dir = new java.io.File(sfDir)
+      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (tables.isEmpty) {
+        System.err.println(s"no .parquet tables under $sfDir")
+        spark.stop(); sys.exit(2)
+      }
+      tables.foreach { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+      }
+      println(s"views: ${tables.map(_.getName.stripSuffix(".parquet")).sorted.mkString(", ")}")
+      spark.sql(stmt).show(100, truncate = false)
+      spark.stop()
+
     case "curate" :: file :: Nil =>
       val spark = session()
       val docs = spark.read.parquet(file)
@@ -504,6 +530,7 @@ object Cli {
            |  page-chunks FILE...
            |  profile TABLE.parquet
            |  query list | query NAME [SF_DIR]
+           |  sql "SELECT ..." [SF_DIR]
            |  curate DOCUMENTS.parquet
            |  compact [--target-mb=N] DIR [OUTDIR]
            |  layout TABLE.parquet XCOL YCOL [OUTDIR]
