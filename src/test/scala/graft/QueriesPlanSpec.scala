@@ -371,6 +371,23 @@ class QueriesPlanSpec extends SparkSpec {
         s"${df.queryExecution.executedPlan}")
   }
 
+  test("dedup_containment: candidates via equi-joins only — no cartesian shape") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the asymmetric prefix filter must keep the whole pipeline in
+    // hash/sort equi-joins: any nested-loop or cartesian node means the
+    // candidate generation degenerated to all-pairs
+    val df = SparkEntry.queries("dedup_containment")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bad = countNodes(plan) {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _: CartesianProductExec => true
+      case _ => false
+    }
+    assert(bad == 0, s"cartesian/nested-loop join in containment plan:\n$plan")
+    graft.operators.Dedupe.releaseTrackedCaches()
+  }
+
   test("mm_video_fp: no exchange ever carries blob bytes") {
     // "blobs never shuffle" as a physical-plan fact: every exchange in
     // the end-to-end pair search (including those inside hammingPairs'
