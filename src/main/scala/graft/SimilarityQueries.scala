@@ -332,6 +332,46 @@ object SimilarityQueries {
       // by construction (median split per axis) at catalog scales
       maxBucketSize = Int.MaxValue)
 
+  /** Distributional outliers in PCA space — vectors whose exact top-2
+    * projections sit far from the corpus mean (emb_norms flags bad
+    * MAGNITUDES; this flags points far from the mass along the
+    * highest-variance directions). Everything is integer: projections
+    * are exact longs, and every division operates on NON-NEGATIVE
+    * operands via a +OFFSET domain shift (OFFSET ≥ max|p| = d·1000·1e6),
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors — identical only when nothing is negative. dev_c =
+    * |n·p'_c − Σp'_c| is the n-scaled absolute deviation (shift cancels
+    * exactly under floor division); a vector flags when its total
+    * deviation exceeds 2× the corpus mean deviation. Exactness bound:
+    * n·2·OFFSET < 2⁶³ ⇒ n ≲ 7e7 rows at d = 64 (switch the sums to
+    * DECIMAL beyond that). Two bounded aggregates over the projection
+    * relation; vectors never shuffle.
+    */
+  private def embPcaOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val Off = 64000000000L // d·1000·1e6 at d=64: |p| can never exceed this
+    // NOT cached: the projection is a cheap narrow scan and each of the
+    // three consumers (two bounded aggregates + the final select) can
+    // recompute it — a cache here would leak or force eager execution
+    val proj = Pca.project(emb(spark, sfDir), "vec_id", "embedding",
+        pcaVecs(spark, sfDir).take(2).map(_.map(Pca.qe)))
+      .select(col("vec_id"), col("p0"), col("p1"),
+        (col("p0") + Off).as("sp0"), (col("p1") + Off).as("sp1"))
+    val stats = proj.agg(count(lit(1)).as("n"),
+      sum(col("sp0")).as("s0"), sum(col("sp1")).as("s1"))
+    val withDev = proj.crossJoin(broadcast(stats))
+      .withColumn("dev0", abs(col("sp0") * col("n") - col("s0")))
+      .withColumn("dev1", abs(col("sp1") * col("n") - col("s1")))
+      .withColumn("total_dev", col("dev0") + col("dev1"))
+    val devTotal = withDev.agg(sum(col("total_dev")).as("t"),
+      first(col("n")).as("n2"))
+    withDev.crossJoin(broadcast(devTotal))
+      .select(col("vec_id"), col("p0"), col("p1"), col("dev0"), col("dev1"),
+        col("total_dev"),
+        (col("total_dev") >
+          lit(2L) * call_function("div", col("t"), col("n2")))
+          .as("is_outlier"))
+  }
+
   /** Incremental covariance maintenance — the `dedup_*_incremental`
     * pattern applied to the PCA state: [[graft.operators.Pca.CovStats]]
     * is a mergeable sketch (pure sums), so folding a new-vectors batch
@@ -359,6 +399,7 @@ object SimilarityQueries {
     "emb_covariance" -> embCovariance _,
     "emb_pca_project" -> embPcaProject _,
     "emb_cov_incremental" -> embCovIncremental _,
+    "emb_pca_outliers" -> embPcaOutliers _,
     "semantic_dedup_pca" -> semDedupPca _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
@@ -541,6 +582,36 @@ object SimilarityQueries {
         |  CAST(s_j AS BIGINT) AS s_j, CAST(s_ij AS BIGINT) AS s_ij,
         |  CAST(n * s_ij - s_i * s_j AS BIGINT) AS cov_num
         |FROM m""".stripMargin,
+    "emb_pca_outliers" ->
+      s"""WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (SELECT comp, i, eq
+        |  FROM read_parquet('${Queries.oracleSidePath("pca_eigvecs")}')
+        |  WHERE comp < 2),
+        |u AS (
+        |  SELECT vec_id, comp, CAST(SUM(v[i + 1] * eq) AS BIGINT) AS p
+        |  FROM q JOIN e ON TRUE GROUP BY 1, 2),
+        |pj AS (
+        |  SELECT vec_id, MAX(CASE WHEN comp = 0 THEN p END) AS p0,
+        |    MAX(CASE WHEN comp = 1 THEN p END) AS p1
+        |  FROM u GROUP BY vec_id),
+        |sh AS (SELECT vec_id, p0, p1,
+        |  p0 + 64000000000 AS sp0, p1 + 64000000000 AS sp1 FROM pj),
+        |st AS (SELECT COUNT(*) AS n, CAST(SUM(sp0) AS BIGINT) AS s0,
+        |  CAST(SUM(sp1) AS BIGINT) AS s1 FROM sh),
+        |d AS (
+        |  SELECT vec_id, p0, p1,
+        |    ABS(sp0 * n - s0) AS dev0, ABS(sp1 * n - s1) AS dev1,
+        |    ABS(sp0 * n - s0) + ABS(sp1 * n - s1) AS total_dev
+        |  FROM sh, st),
+        |t AS (SELECT CAST(SUM(total_dev) AS BIGINT) AS t,
+        |  COUNT(*) AS n2 FROM d)
+        |SELECT vec_id, p0, p1, CAST(dev0 AS BIGINT) AS dev0,
+        |  CAST(dev1 AS BIGINT) AS dev1, CAST(total_dev AS BIGINT) AS total_dev,
+        |  total_dev > 2 * (t // n2) AS is_outlier
+        |FROM d, t""".stripMargin,
     "semantic_dedup_pca" ->
       s"""WITH q AS (
         |  SELECT vec_id, list_transform(embedding,
