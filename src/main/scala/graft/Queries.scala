@@ -899,6 +899,93 @@ object Queries {
     * snappy-compressed page framing destroys physical-byte dedup after a
     * row insert, while the logical value stream re-synchronizes.
     */
+  /** Parquet BLOOM-FILTER point-lookup pruning ([[graft.sources
+    * .BloomProfiler]]): documents re-written in md5(doc_id) order — i.e.
+    * DELIBERATELY de-clustered on the probe column — into small row
+    * groups with a split-block bloom on doc_id, then 12 present + 12
+    * absent keys probed against every row group's bloom AND its min/max
+    * range. On unclustered data min/max admits every key in every row
+    * group (n_mm_maybe = n_rowgroups — zero pruning) while the bloom
+    * answers "definitely not" for absent keys almost everywhere — the
+    * point-lookup dual of the z-order/minmax range story, measured on
+    * REAL footer structures parquet-java wrote. The bloom bits
+    * themselves are engine-read (no SQL engine evaluates parquet
+    * blooms — the doc_compress/LZ4 side-table discipline); what the
+    * oracle verifies independently is the INVARIANT: each present key's
+    * true row group — re-derived in SQL from the md5 write order and
+    * the persisted row spans, never from the bloom — must be admitted
+    * (`bloom_hits_true`, the no-false-negatives contract), plus every
+    * aggregation over the persisted cells. The row-index derivation is
+    * a metadata-scale window (|docs| rows at catalog SF; the 100 TB
+    * form is doc_shuffle's distributed prefix-sum).
+    */
+  private def bloomPointLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // SPARSE probe domain: pk = doc_id*7 leaves in-range gaps, so the
+    // absent probes (pk+3, never a multiple of 7) sit INSIDE every row
+    // group's [min, max] — min/max pruning gets a fair, losing fight
+    // instead of a trivially-out-of-range win
+    val d = t(spark, sfDir, "documents")
+      .select((col("doc_id") * 7L).as("pk"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+    cleanupOnExit(dir)
+    d.repartition(1)
+      .sortWithinPartitions(md5(col("pk").cast("string")))
+      .write
+      .option("parquet.bloom.filter.enabled#pk", "true")
+      .option("parquet.bloom.filter.expected.ndv#pk", "10000")
+      .option("parquet.block.size", (8 * 1024).toString)
+      .option("parquet.page.size", (4 * 1024).toString)
+      // tighter row-count check cadence so the small block size actually
+      // yields multiple row groups at catalog SF
+      .option("parquet.block.size.row.check.min", "10")
+      .option("parquet.block.size.row.check.max", "50")
+      .mode("overwrite")
+      .parquet(s"$dir/data")
+    val parts = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/data"))
+      try s.toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && p.contains("part-"))
+      finally s.close()
+    }
+    require(parts.length == 1, s"expected one part file, got ${parts.toSeq}")
+    val present = d.select(col("pk")).filter(col("pk") % 217 === 0)
+      .orderBy(col("pk")).limit(12).as[Long].collect().toSeq
+    val absent = present.map(_ + 3L)
+    val (cells0, spans0) =
+      graft.sources.BloomProfiler.probe(spark, parts.head, "pk",
+        present ++ absent)
+    val cells = oracleSide(spark, sfDir, "bloom_cells", cells0)
+    val spans = oracleSide(spark, sfDir, "bloom_spans", spans0)
+    val truth = d.select(col("pk"))
+      .withColumn("ridx",
+        row_number().over(Window.orderBy(md5(col("pk").cast("string")))) - 1)
+      .join(spans, col("ridx") >= col("first_row") &&
+        col("ridx") < col("first_row") + col("num_rows"))
+      .select(col("pk").as("key"), col("rg").as("true_rg"))
+    val nRg = spans.agg(count(lit(1)).as("n_rowgroups"))
+    val perKey = cells
+      .join(truth, Seq("key"), "left")
+      .groupBy(col("key"))
+      .agg(
+        sum(col("bloom_maybe").cast("long")).as("n_bloom_maybe"),
+        sum(col("mm_maybe").cast("long")).as("n_mm_maybe"),
+        coalesce(max(when(col("rg") === col("true_rg"),
+          col("bloom_maybe").cast("int"))) === 1, lit(true))
+          .as("bloom_hits_true"),
+        coalesce(max(when(col("rg") === col("true_rg"),
+          col("mm_maybe").cast("int"))) === 1, lit(true))
+          .as("mm_hits_true"),
+        coalesce(max(col("true_rg")), lit(-1L)).cast("long").as("true_rg"))
+    perKey
+      .join(d.select(col("pk").as("key")).distinct()
+        .withColumn("present", lit(true)), Seq("key"), "left")
+      .crossJoin(broadcast(nRg))
+      .select(col("key"), coalesce(col("present"), lit(false)).as("is_present"),
+        col("true_rg"), col("n_rowgroups"), col("n_bloom_maybe"),
+        col("n_mm_maybe"), col("bloom_hits_true"), col("mm_hits_true"))
+  }
+
   private def cdcLogical(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.synthetic.{DType, DataGenerator, EditPoints}
     import graft.sources.{LogicalCdc, TableFormat}
@@ -2046,6 +2133,7 @@ object Queries {
     "cdc_estimate" -> (cdcEstimate _),
     "cdc_estimate_incremental" -> (cdcEstimateIncremental _),
     "cdc_logical" -> (cdcLogical _),
+    "bloom_point_lookup" -> (bloomPointLookup _),
     "synthetic_grid" -> (syntheticGrid _),
     "format_compare" -> (formatCompare _),
     "page_profile" -> (pageProfile _),
@@ -2964,6 +3052,38 @@ object Queries {
         |SELECT c_custkey, t4 AS scrubbed, n_email, n_phone, n_ipv4, n_number,
         |  n_email + n_phone + n_ipv4 + n_number AS n_redactions
         |FROM s4""".stripMargin,
+    "bloom_point_lookup" ->
+      s"""WITH cells AS (SELECT * FROM read_parquet('${oracleSidePath("bloom_cells")}')),
+        |spans AS (SELECT * FROM read_parquet('${oracleSidePath("bloom_spans")}')),
+        |ord AS (SELECT doc_id * 7 AS pk,
+        |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id * 7 AS VARCHAR))) - 1
+        |    AS ridx
+        |  FROM documents),
+        |truth AS (SELECT o.pk AS key, s.rg AS true_rg
+        |  FROM ord o JOIN spans s
+        |    ON o.ridx >= s.first_row AND o.ridx < s.first_row + s.num_rows),
+        |n AS (SELECT COUNT(*) AS n_rowgroups FROM spans),
+        |k AS (
+        |  SELECT c.key,
+        |    CAST(SUM(CASE WHEN c.bloom_maybe THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_bloom_maybe,
+        |    CAST(SUM(CASE WHEN c.mm_maybe THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_mm_maybe,
+        |    COALESCE(MAX(CASE WHEN c.rg = t.true_rg
+        |      THEN CASE WHEN c.bloom_maybe THEN 1 ELSE 0 END END) = 1, TRUE)
+        |      AS bloom_hits_true,
+        |    COALESCE(MAX(CASE WHEN c.rg = t.true_rg
+        |      THEN CASE WHEN c.mm_maybe THEN 1 ELSE 0 END END) = 1, TRUE)
+        |      AS mm_hits_true,
+        |    CAST(COALESCE(MAX(t.true_rg), -1) AS BIGINT) AS true_rg
+        |  FROM cells c LEFT JOIN truth t ON t.key = c.key
+        |  GROUP BY c.key)
+        |SELECT k.key,
+        |  EXISTS (SELECT 1 FROM documents d WHERE d.doc_id * 7 = k.key)
+        |    AS is_present,
+        |  k.true_rg, n.n_rowgroups, k.n_bloom_maybe, k.n_mm_maybe,
+        |  k.bloom_hits_true, k.mm_hits_true
+        |FROM k, n""".stripMargin,
     "cdc_logical" ->
       s"""WITH ph AS (
         |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
