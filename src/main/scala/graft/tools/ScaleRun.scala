@@ -165,7 +165,21 @@ object ScaleRun {
     "event_retention", "event_attribution",
     // PCA covariance sweep: N× vectors through the one narrow pass;
     // partials stay d(d+1)/2 longs per partition regardless
-    "emb_covariance")
+    "emb_covariance",
+    // PCA projection + deviation flags: two bounded aggregates over the
+    // narrow projection relation
+    "emb_pca_outliers",
+    // bloom point-lookup demo: the rewrite grows N×, probes stay 24 keys
+    // against N× row groups (cells relation = keys × row groups)
+    "bloom_point_lookup",
+    // per-language confusion rollup: map-side-combined over N× docs
+    "lang_id_eval",
+    // NOT dedup_lsh_eval / semantic_dedup_pca: the eval's ground-truth
+    // sample is FIXED-size by design (you never grow the quadratic with
+    // the corpus), and the PCA sign-bucket dedup is registered with its
+    // cap disabled for oracle exactness — its scale form grows the
+    // component count (2^c buckets) with the corpus instead
+    "doc_temperature_mix")
 
   /** The 100× tier: the ~12 heaviest query families by honest cost, each
     * a distinct scale-critical shape (LSH band join, hamming pigeonhole,
