@@ -64,6 +64,25 @@ object SimilarityQueries {
       .withColumnRenamed("id", "vec_id")
   }
 
+  /** IVF recall evaluation — recall@5 of the coarse-quantizer search
+    * against the brute-force cosine truth, per query (the
+    * ship-the-measurement discipline of dedup_lsh_eval applied to ANN:
+    * the spec suite asserts recall once at build time, this measures it
+    * on the ACTUAL corpus every run). Both inputs are the already-oracled
+    * catalog relations; the oracle recomputes the overlap from their
+    * shared SQL bodies.
+    */
+  private def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = annBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val approx = annIvf(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), coalesce(sum(col("hit")), lit(0L)).as("hits"))
+      .select(col("query_id"), col("k"), col("hits"),
+        call_function("div", col("hits") * 10000L, col("k")).as("recall_bp"))
+  }
+
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
       planes = 8, minCosine = 0.3,
@@ -403,6 +422,7 @@ object SimilarityQueries {
     "semantic_dedup_pca" -> semDedupPca _,
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
+    "ann_recall_eval" -> annRecallEval _,
     "ann_ivf_incremental" -> annIvfIncremental _,
     "ann_ivfpq_topk" -> annIvfPq _,
     "emb_neardup" -> nearDups _,
@@ -479,6 +499,48 @@ object SimilarityQueries {
   // def, not val: the SQL embeds oracleSidePath, which must resolve AFTER
   // Verify sets graft.oracle.sfbase / root — object-init-time vals bake in
   // the defaults before main() runs
+  /** Shared by ann_cosine_topk and ann_recall_eval: the brute-force
+    * cosine top-5 in pure SQL (def, not val — oracleSidePath timing).
+    */
+  private def AnnBruteSql: String =
+    s"""WITH c AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7) AND b.vec_id <> a.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM c)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Shared by ann_ivf_topk and ann_recall_eval: the IVF candidate
+    * replay from the persisted assignment + probes.
+    */
+  private def AnnIvfSql: String =
+    s"""WITH a AS (
+      |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("ivf_assign")}')),
+      |p AS (
+      |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("ivf_probes")}')),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.id AS neighbor_id
+      |  FROM p JOIN a USING (bucket) WHERE a.id <> p.query_id),
+      |c AS (
+      |  SELECT query_id, neighbor_id,
+      |    ${cosineSql("eq.embedding", "en.embedding")} AS cosine
+      |  FROM cand
+      |  JOIN embeddings eq ON eq.vec_id = query_id
+      |  JOIN embeddings en ON en.vec_id = neighbor_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      |  FROM c)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+      |FROM r WHERE rank <= 5""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "emb_kmeans" ->
       s"""WITH $kmAssignSql
@@ -662,19 +724,20 @@ object SimilarityQueries {
         |  COALESCE(d.dup_of, a.id) AS canonical_id,
         |  d.dup_of IS NOT NULL AS is_dup
         |FROM a LEFT JOIN d USING (id)""".stripMargin,
-    "ann_cosine_topk" ->
-      s"""WITH c AS (
-        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-        |    ${cosineSql("a.embedding", "b.embedding")} AS cosine
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id IN (0, 1, 2, 3, 4, 5, 6, 7) AND b.vec_id <> a.vec_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |  FROM c)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_cosine_topk" -> AnnBruteSql,
+    "ann_recall_eval" ->
+      s"""WITH exact AS ($AnnBruteSql),
+        |approx AS ($AnnIvfSql),
+        |j AS (
+        |  SELECT e.query_id, e.neighbor_id,
+        |    a.neighbor_id IS NOT NULL AS hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+        |    AS BIGINT) AS recall_bp
+        |FROM j GROUP BY query_id""".stripMargin,
     "ann_ivf_incremental" ->
       s"""WITH c AS (
         |  SELECT cluster, cw FROM read_parquet('${Queries.oracleSidePath("ivf_inc_cents")}')),
@@ -703,27 +766,7 @@ object SimilarityQueries {
         |  COALESCE(bc.n_base, 0) AS n_before,
         |  COALESCE(bc.n_base, 0) + nc.n_new AS n_after
         |FROM asg LEFT JOIN bc USING (bucket) JOIN nc USING (bucket)""".stripMargin,
-    "ann_ivf_topk" ->
-      s"""WITH a AS (
-        |  SELECT bucket, id FROM read_parquet('${Queries.oracleSidePath("ivf_assign")}')),
-        |p AS (
-        |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("ivf_probes")}')),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, a.id AS neighbor_id
-        |  FROM p JOIN a USING (bucket) WHERE a.id <> p.query_id),
-        |c AS (
-        |  SELECT query_id, neighbor_id,
-        |    ${cosineSql("eq.embedding", "en.embedding")} AS cosine
-        |  FROM cand
-        |  JOIN embeddings eq ON eq.vec_id = query_id
-        |  JOIN embeddings en ON en.vec_id = neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
-        |  FROM c)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivf_topk" -> AnnIvfSql,
     "ann_ivfpq_topk" ->
       s"""WITH cds AS (
         |  SELECT bucket, id, codes FROM read_parquet('${Queries.oracleSidePath("pq_codes")}')),
