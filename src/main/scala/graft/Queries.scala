@@ -927,8 +927,18 @@ object Queries {
     // instead of a trivially-out-of-range win
     val d = t(spark, sfDir, "documents")
       .select((col("doc_id") * 7L).as("pk"), col("text"))
-    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
-    cleanupOnExit(dir)
+    // verify mode lands the data file under the oracle root so DuckDB's
+    // parquet_metadata() reads THE SAME footers — row spans and min/max
+    // re-derive from the file itself, independent of the engine's walk;
+    // timed runs write to tmp (side tables off, no oracle will look)
+    val dataDir =
+      if (sideTablesEnabled)
+        s"$oracleRoot/${new java.io.File(sfDir).getName}/bloom_data"
+      else {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bloom")
+        cleanupOnExit(tmp)
+        s"$tmp/data"
+      }
     d.repartition(1)
       .sortWithinPartitions(md5(col("pk").cast("string")))
       .write
@@ -941,9 +951,9 @@ object Queries {
       .option("parquet.block.size.row.check.min", "10")
       .option("parquet.block.size.row.check.max", "50")
       .mode("overwrite")
-      .parquet(s"$dir/data")
+      .parquet(dataDir)
     val parts = {
-      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/data"))
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dataDir))
       try s.toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet") && p.contains("part-"))
       finally s.close()
@@ -956,7 +966,9 @@ object Queries {
       graft.sources.BloomProfiler.probe(spark, parts.head, "pk",
         present ++ absent)
     val cells = oracleSide(spark, sfDir, "bloom_cells", cells0)
-    val spans = oracleSide(spark, sfDir, "bloom_spans", spans0)
+    // spans deliberately NOT side-tabled: the oracle re-derives them (and
+    // the min/max bounds) from parquet_metadata() over bloom_data itself
+    val spans = spans0
     val truth = d.select(col("pk"))
       .withColumn("ridx",
         row_number().over(Window.orderBy(md5(col("pk").cast("string")))) - 1)
@@ -3054,7 +3066,14 @@ object Queries {
         |FROM s4""".stripMargin,
     "bloom_point_lookup" ->
       s"""WITH cells AS (SELECT * FROM read_parquet('${oracleSidePath("bloom_cells")}')),
-        |spans AS (SELECT * FROM read_parquet('${oracleSidePath("bloom_spans")}')),
+        |md AS (
+        |  SELECT row_group_id AS rg, row_group_num_rows AS num_rows,
+        |    CAST(stats_min_value AS BIGINT) AS mn,
+        |    CAST(stats_max_value AS BIGINT) AS mx
+        |  FROM parquet_metadata('${oracleSidePath("bloom_data")}')
+        |  WHERE path_in_schema = 'pk'),
+        |spans AS (SELECT rg, num_rows,
+        |  SUM(num_rows) OVER (ORDER BY rg) - num_rows AS first_row FROM md),
         |ord AS (SELECT doc_id * 7 AS pk,
         |  ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id * 7 AS VARCHAR))) - 1
         |    AS ridx
@@ -3062,28 +3081,34 @@ object Queries {
         |truth AS (SELECT o.pk AS key, s.rg AS true_rg
         |  FROM ord o JOIN spans s
         |    ON o.ridx >= s.first_row AND o.ridx < s.first_row + s.num_rows),
-        |n AS (SELECT COUNT(*) AS n_rowgroups FROM spans),
-        |k AS (
+        |n AS (SELECT COUNT(*) AS n_rowgroups FROM md),
+        |kb AS (
         |  SELECT c.key,
         |    CAST(SUM(CASE WHEN c.bloom_maybe THEN 1 ELSE 0 END) AS BIGINT)
         |      AS n_bloom_maybe,
-        |    CAST(SUM(CASE WHEN c.mm_maybe THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_mm_maybe,
         |    COALESCE(MAX(CASE WHEN c.rg = t.true_rg
         |      THEN CASE WHEN c.bloom_maybe THEN 1 ELSE 0 END END) = 1, TRUE)
         |      AS bloom_hits_true,
-        |    COALESCE(MAX(CASE WHEN c.rg = t.true_rg
-        |      THEN CASE WHEN c.mm_maybe THEN 1 ELSE 0 END END) = 1, TRUE)
-        |      AS mm_hits_true,
         |    CAST(COALESCE(MAX(t.true_rg), -1) AS BIGINT) AS true_rg
         |  FROM cells c LEFT JOIN truth t ON t.key = c.key
-        |  GROUP BY c.key)
-        |SELECT k.key,
-        |  EXISTS (SELECT 1 FROM documents d WHERE d.doc_id * 7 = k.key)
+        |  GROUP BY c.key),
+        |km AS (
+        |  SELECT k.key,
+        |    CAST(SUM(CASE WHEN k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_mm_maybe,
+        |    COALESCE(MAX(CASE WHEN m.rg = t.true_rg
+        |      THEN CASE WHEN k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END
+        |      END) = 1, TRUE) AS mm_hits_true
+        |  FROM (SELECT DISTINCT key FROM cells) k
+        |  CROSS JOIN md m
+        |  LEFT JOIN truth t ON t.key = k.key
+        |  GROUP BY k.key)
+        |SELECT kb.key,
+        |  EXISTS (SELECT 1 FROM documents d WHERE d.doc_id * 7 = kb.key)
         |    AS is_present,
-        |  k.true_rg, n.n_rowgroups, k.n_bloom_maybe, k.n_mm_maybe,
-        |  k.bloom_hits_true, k.mm_hits_true
-        |FROM k, n""".stripMargin,
+        |  kb.true_rg, n.n_rowgroups, kb.n_bloom_maybe, km.n_mm_maybe,
+        |  kb.bloom_hits_true, km.mm_hits_true
+        |FROM kb JOIN km ON km.key = kb.key, n""".stripMargin,
     "cdc_logical" ->
       s"""WITH ph AS (
         |  SELECT hash, MIN(size) AS size, SUM(size) AS occ_bytes
