@@ -208,6 +208,17 @@ object TextQueries {
     * capacity, so counts are EXACT (decs = 0) and the oracle is the plain
     * SQL top-20 word count.
     */
+  /** Streaming twin of text_heavy_hitters
+    * ([[graft.streaming.StreamTopTerms]]): the Misra-Gries sketch merged
+    * through the complete-mode state store micro-batch by micro-batch,
+    * then the same unpack/rank finish — must land on the batch relation
+    * exactly (shared oracle; exact below capacity).
+    */
+  private def streamHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamTopTerms.runTopTermsOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"hh_${Queries.dirTag(sfDir)}")
+
   private def textHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.HeavyHitters
     val words = docs(spark, sfDir)
@@ -1002,6 +1013,7 @@ object TextQueries {
     "text_quality" -> textQuality _,
     "text_stats" -> textStats _,
     "text_heavy_hitters" -> textHeavyHitters _,
+    "stream_heavy_hitters" -> streamHeavyHitters _,
     "doc_len_quantiles" -> docLenQuantiles _,
     "text_quality_full" -> qualityFull _,
     "quality_classifier" -> qualityClassifier _,
@@ -1091,6 +1103,17 @@ object TextQueries {
         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_it) THEN 'en'
         |       ELSE 'de' END AS lang_pred
         |FROM sc""".stripMargin
+
+  /** Shared by text_heavy_hitters and its streaming twin — exact counts
+    * because both sketches run below capacity (max_undercount pinned 0).
+    */
+  private val HeavyHittersSql: String =
+    """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
+      |  CAST(0 AS BIGINT) AS max_undercount
+      |FROM (SELECT UNNEST(list_filter(string_split(lower(text), ' '),
+      |        x -> x <> '')) AS w
+      |      FROM documents)
+      |GROUP BY w ORDER BY est_count DESC, word ASC LIMIT 20""".stripMargin
 
   /** Shared by doc_decontam and doc_decontam_bloom: the Bloom-gated path
     * is exact by construction, so both verify against the same SQL.
@@ -1931,13 +1954,8 @@ object TextQueries {
         |  score * 10000 // score_sum AS temp_bp,
         |  (docs_sum // 2) * score // score_sum AS quota_docs
         |FROM p, t""".stripMargin,
-    "text_heavy_hitters" ->
-      """SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS est_count,
-        |  CAST(0 AS BIGINT) AS max_undercount
-        |FROM (SELECT UNNEST(list_filter(string_split(lower(text), ' '),
-        |        x -> x <> '')) AS w
-        |      FROM documents)
-        |GROUP BY w ORDER BY est_count DESC, word ASC LIMIT 20""".stripMargin,
+    "text_heavy_hitters" -> HeavyHittersSql,
+    "stream_heavy_hitters" -> HeavyHittersSql,
     "doc_len_quantiles" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  quantile_disc(n_chars, 0.25) AS p25,
