@@ -414,23 +414,24 @@ object Queries {
     */
   private def eventRetention(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = t(spark, sfDir, "events")
+    // NOT cached: an un-materialized cache released before the caller
+    // executes would be a no-op (the CacheManager entry must exist at
+    // execution time), and a materialized one would leak — the distinct
+    // recomputes per consumer, each a map-side-collapsed scan
     val days = ev.select(col("user_id"),
       call_function("div", Events.microsExpr(ev), lit(86400000000L)).as("d"))
       .distinct()
-      .cache()
     val first = days.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
     val cells = days.join(first, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("users"))
     val sizes = cells.filter(col("day_offset") === 0L)
       .select(col("cohort_day"), col("users").as("cohort_size"))
-    val out = cells.join(broadcast(sizes), Seq("cohort_day"))
+    cells.join(broadcast(sizes), Seq("cohort_day"))
       .select(col("cohort_day"), col("day_offset"), col("users"),
         col("cohort_size"),
         call_function("div", col("users") * 10000L, col("cohort_size"))
           .as("retention_bp"))
-    days.unpersist(blocking = false)
-    out
   }
 
   /** Last-touch attribution — for every purchase event, the most recent

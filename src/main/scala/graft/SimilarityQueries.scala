@@ -300,18 +300,22 @@ object SimilarityQueries {
     * through the `pca_eigvecs` side table so every oracle replays from
     * exactly the integers the engine used.
     */
-  private val pcaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val pcaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Pca.CovStats, Array[Array[Double]])]()
 
-  private def pcaVecs(spark: SparkSession, sfDir: String): Array[Array[Double]] = {
-    val vecs = pcaCache.computeIfAbsent(sfDir, _ => {
+  private def pcaModel(
+      spark: SparkSession, sfDir: String): (Pca.CovStats, Array[Array[Double]]) = {
+    val model = pcaCache.computeIfAbsent(sfDir, _ => {
       val st = Pca.covStats(emb(spark, sfDir), "vec_id", "embedding")
-      Pca.topEigvecs(st, components = 3)._1
+      (st, Pca.topEigvecs(st, components = 3)._1)
     })
     Queries.oracleSide(spark, sfDir, "pca_eigvecs",
-      Pca.eigvecDf(emb(spark, sfDir), vecs))
-    vecs
+      Pca.eigvecDf(emb(spark, sfDir), model._2))
+    model
   }
+
+  private def pcaVecs(spark: SparkSession, sfDir: String): Array[Array[Double]] =
+    pcaModel(spark, sfDir)._2
 
   /** PCA projection onto the top-2 principal components ([[graft
     * .operators.Pca]]): covariance sweep → driver-local deterministic
@@ -340,16 +344,24 @@ object SimilarityQueries {
     * (`semantic_dedup_kmeans`); at scale the component count (and so the
     * bucket fan-out 2^c) grows with the corpus.
     */
-  private def semDedupPca(spark: SparkSession, sfDir: String): DataFrame =
+  private def semDedupPca(spark: SparkSession, sfDir: String): DataFrame = {
+    val (st, vecs) = pcaModel(spark, sfDir)
+    val qvecs = vecs.map(_.map(Pca.qe))
     Similarity.semanticDedupFromAssignment(
-      Pca.signBuckets(emb(spark, sfDir), "vec_id", "embedding",
-        pcaVecs(spark, sfDir).map(_.map(Pca.qe))),
+      Pca.signBuckets(emb(spark, sfDir), "vec_id", "embedding", qvecs,
+        // MEAN split per axis (exact, from the moment sums — no extra
+        // pass): a zero split on uncentered projections would collapse to
+        // one bucket whenever the corpus mean is off-origin along an axis
+        Pca.projectionCenters(st, qvecs)),
       threshold = 0.4,
       // the oracle replays within-bucket ALL-pairs; an over-cap bucket
       // would silently degrade to star pairs (the ADVICE r8 lesson), so
-      // the catalog query disables the cap — sign-buckets are balanced
-      // by construction (median split per axis) at catalog scales
+      // the catalog query disables the cap — the mean split keeps buckets
+      // balanced at catalog scales (roughly-symmetric projections); the
+      // true scale form grows the component count (2^c buckets), not the
+      // bucket population
       maxBucketSize = Int.MaxValue)
+  }
 
   /** Distributional outliers in PCA space — vectors whose exact top-2
     * projections sit far from the corpus mean (emb_norms flags bad
@@ -359,11 +371,12 @@ object SimilarityQueries {
     * operands via a +OFFSET domain shift (OFFSET ≥ max|p| = d·1000·1e6),
     * because Spark's `div` truncates toward zero while DuckDB's `//`
     * floors — identical only when nothing is negative. dev_c =
-    * |n·p'_c − Σp'_c| is the n-scaled absolute deviation (shift cancels
-    * exactly under floor division); a vector flags when its total
-    * deviation exceeds 2× the corpus mean deviation. Exactness bound:
-    * n·2·OFFSET < 2⁶³ ⇒ n ≲ 7e7 rows at d = 64 (switch the sums to
-    * DECIMAL beyond that). Two bounded aggregates over the projection
+    * |p'_c − (Σp'_c div n)| is the absolute deviation from the floored
+    * integer mean (shift cancels exactly under floor division); a vector
+    * flags when its total deviation exceeds 2× the corpus mean
+    * deviation. Exactness bound: every per-row value and both sums stay
+    * under n·2·OFFSET < 2⁶³ ⇒ n ≲ 7e7 rows at d = 64 (switch the sums
+    * to DECIMAL beyond that). Two bounded aggregates over the projection
     * relation; vectors never shuffle.
     */
   private def embPcaOutliers(spark: SparkSession, sfDir: String): DataFrame = {
@@ -377,9 +390,16 @@ object SimilarityQueries {
         (col("p0") + Off).as("sp0"), (col("p1") + Off).as("sp1"))
     val stats = proj.agg(count(lit(1)).as("n"),
       sum(col("sp0")).as("s0"), sum(col("sp1")).as("s1"))
+    // deviations against the FLOORED integer mean (sp - s div n), not the
+    // n-scaled |n·sp − s| form: per-row values stay ≤ 2·OFFSET, so the
+    // corpus-wide Σ total_dev is bounded by n·2·OFFSET — the same n ≲ 7e7
+    // exactness envelope as the sp sums (the n-scaled form's Σ grows
+    // ~n²·avg_dev and overflows Long around 1e5-1e6 rows)
     val withDev = proj.crossJoin(broadcast(stats))
-      .withColumn("dev0", abs(col("sp0") * col("n") - col("s0")))
-      .withColumn("dev1", abs(col("sp1") * col("n") - col("s1")))
+      .withColumn("mean0", call_function("div", col("s0"), col("n")))
+      .withColumn("mean1", call_function("div", col("s1"), col("n")))
+      .withColumn("dev0", abs(col("sp0") - col("mean0")))
+      .withColumn("dev1", abs(col("sp1") - col("mean1")))
       .withColumn("total_dev", col("dev0") + col("dev1"))
     val devTotal = withDev.agg(sum(col("total_dev")).as("t"),
       first(col("n")).as("n2"))
@@ -665,8 +685,8 @@ object SimilarityQueries {
         |  CAST(SUM(sp1) AS BIGINT) AS s1 FROM sh),
         |d AS (
         |  SELECT vec_id, p0, p1,
-        |    ABS(sp0 * n - s0) AS dev0, ABS(sp1 * n - s1) AS dev1,
-        |    ABS(sp0 * n - s0) + ABS(sp1 * n - s1) AS total_dev
+        |    ABS(sp0 - s0 // n) AS dev0, ABS(sp1 - s1 // n) AS dev1,
+        |    ABS(sp0 - s0 // n) + ABS(sp1 - s1 // n) AS total_dev
         |  FROM sh, st),
         |t AS (SELECT CAST(SUM(total_dev) AS BIGINT) AS t,
         |  COUNT(*) AS n2 FROM d)
@@ -689,12 +709,23 @@ object SimilarityQueries {
         |    MAX(CASE WHEN comp = 1 THEN p END) AS p1,
         |    MAX(CASE WHEN comp = 2 THEN p END) AS p2
         |  FROM u GROUP BY vec_id),
+        |cen AS (
+        |  -- `//` (exact integer floor division, Math.floorDiv's twin) —
+        |  -- `/` would go through DOUBLE and can mis-floor large sums
+        |  SELECT
+        |    CAST(SUM(CASE WHEN comp = 0 THEN p END)
+        |      // COUNT(DISTINCT vec_id) AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN comp = 1 THEN p END)
+        |      // COUNT(DISTINCT vec_id) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN comp = 2 THEN p END)
+        |      // COUNT(DISTINCT vec_id) AS BIGINT) AS c2
+        |  FROM u),
         |a AS (
         |  SELECT vec_id AS id,
-        |    (CASE WHEN p0 >= 0 THEN 4 ELSE 0 END
-        |     + CASE WHEN p1 >= 0 THEN 2 ELSE 0 END
-        |     + CASE WHEN p2 >= 0 THEN 1 ELSE 0 END) AS bucket
-        |  FROM pj),
+        |    (CASE WHEN p0 >= c0 THEN 4 ELSE 0 END
+        |     + CASE WHEN p1 >= c1 THEN 2 ELSE 0 END
+        |     + CASE WHEN p2 >= c2 THEN 1 ELSE 0 END) AS bucket
+        |  FROM pj, cen),
         |p AS (
         |  SELECT x.id AS id_a, y.id AS id_b,
         |    ${cosineSql("ex.embedding", "ey.embedding")} AS cosine

@@ -230,6 +230,12 @@ object Dedupe {
     *   plain slice-equality oracle does not model. Holds trivially at the
     *   driver's verification SF (bucket size is bounded by corpus size).
     */
+  /** @param precomputedSigs an already-built (and typically cached)
+    *   signature relation from [[minhashSigRelation]]'s contract
+    *   (id, shingles, sig) — the operator then skips its own signature
+    *   pass AND leaves the caller's cache alone (minhashRecallEval shares
+    *   one pass between ground truth and banding).
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -239,14 +245,17 @@ object Dedupe {
       bands: Int = 16,
       threshold: Double = 0.5,
       maxBucketSize: Int = 2000,
-      sigSink: DataFrame => DataFrame = identity): DataFrame = {
+      sigSink: DataFrame => DataFrame = identity,
+      precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
-    val docs = sigSink(minhashSigRelation(df, idCol, textCol, shingleK, numHashes))
-      .cache()
+    val externalSigs = precomputedSigs.isDefined
+    val docs = precomputedSigs.getOrElse(
+      sigSink(minhashSigRelation(df, idCol, textCol, shingleK, numHashes))
+        .cache())
 
     // band → bucket key = hash of the band's signature slice
     val banded = bandRelation(docs, bands, rowsPerBand)
@@ -303,7 +312,7 @@ object Dedupe {
     val result = verified.filter(col("jaccard") >= threshold).cache()
     result.count()
     bucketSizes.unpersist()
-    docs.unpersist()
+    if (!externalSigs) docs.unpersist()
     result
   }
 
@@ -971,7 +980,8 @@ object Dedupe {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
     val found = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
-      threshold).select(col("id_a"), col("id_b"))
+      threshold, precomputedSigs = Some(sigs))
+      .select(col("id_a"), col("id_b"))
     val metrics = truth
       .withColumn("t", lit(1L))
       .join(found.withColumn("f", lit(1L)), Seq("id_a", "id_b"), "full_outer")

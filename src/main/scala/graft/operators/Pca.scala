@@ -168,23 +168,49 @@ object Pca extends Serializable {
   def covarianceDf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     covDfFromStats(df, covStats(df, idCol, vecCol))
 
-  /** Sign-bucket assignment — the PCA twist on LSH: bucket = the sign
-    * bits of the exact projections onto the top components (component 0
-    * is the high bit), giving 2^components buckets that split the corpus
-    * along its highest-variance directions. Because the projections are
-    * exact longs, the bucketing is exactly replayable from the persisted
-    * eigenvector table — unlike random-hyperplane LSH there is no RNG
-    * anywhere. One narrow pass; output (bucket, id, vec) feeds
-    * [[Similarity.semanticDedupFromAssignment]].
+  /** Exact per-component projection MEANS (floored), derived from the
+    * moment sums with no extra pass: Σ_v p_v = Σ_v Σ_i q_vi·e_i =
+    * dot(Σq, e), so center_c = ⌊dot(sums, e_c) / n⌋ — Math.floorDiv to
+    * match the oracle's `//`. These are the [[signBuckets]] thresholds
+    * that make the sign split a MEAN split per axis (a zero split on
+    * uncentered projections collapses to one bucket whenever the corpus
+    * mean has a nonzero component along an axis).
+    */
+  def projectionCenters(st: CovStats, qvecs: Array[Array[Long]]): Array[Long] =
+    qvecs.map { e =>
+      require(e.length == st.dim, s"dim mismatch: ${e.length} vs ${st.dim}")
+      var s = 0L
+      var i = 0
+      while (i < st.dim) {
+        s = Math.addExact(s, Math.multiplyExact(st.sums(i), e(i)))
+        i += 1
+      }
+      Math.floorDiv(s, st.n)
+    }
+
+  /** Sign-bucket assignment — the PCA twist on LSH: bucket = the
+    * above/below-center bits of the exact projections onto the top
+    * components (component 0 is the high bit), giving 2^components
+    * buckets that split the corpus along its highest-variance
+    * directions. `centers` (default all-zero) should be the exact
+    * projection means ([[projectionCenters]]) so each axis splits at its
+    * mean — balanced for symmetric distributions. Because projections
+    * and centers are exact longs, the bucketing is exactly replayable
+    * from the persisted eigenvector table — unlike random-hyperplane LSH
+    * there is no RNG anywhere. One narrow pass; output (bucket, id, vec)
+    * feeds [[Similarity.semanticDedupFromAssignment]].
     */
   def signBuckets(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      qvecs: Array[Array[Long]]): DataFrame = {
+      qvecs: Array[Array[Long]],
+      centers: Array[Long] = null): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nc = qvecs.length
+    val cen = if (centers == null) new Array[Long](nc) else centers
+    require(cen.length == nc, s"need one center per component, got ${cen.length}")
     df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
@@ -201,7 +227,7 @@ object Pca extends Serializable {
             s = Math.addExact(s, Math.multiplyExact(q(i), e(i)))
             i += 1
           }
-          if (s >= 0L) bucket |= 1 << (nc - 1 - c)
+          if (s >= cen(c)) bucket |= 1 << (nc - 1 - c)
           c += 1
         }
         (bucket, id, v)
