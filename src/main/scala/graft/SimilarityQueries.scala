@@ -72,9 +72,10 @@ object SimilarityQueries {
     * catalog relations; the oracle recomputes the overlap from their
     * shared SQL bodies.
     */
-  private def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+  private def recallAgainstExact(
+      spark: SparkSession, sfDir: String, approx0: DataFrame): DataFrame = {
     val exact = annBrute(spark, sfDir).select(col("query_id"), col("neighbor_id"))
-    val approx = annIvf(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val approx = approx0.select(col("query_id"), col("neighbor_id"))
       .withColumn("hit", lit(1L))
     exact.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -82,6 +83,19 @@ object SimilarityQueries {
       .select(col("query_id"), col("k"), col("hits"),
         call_function("div", col("hits") * 10000L, col("k")).as("recall_bp"))
   }
+
+  private def annRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainstExact(spark, sfDir, annIvf(spark, sfDir))
+
+  /** IVF-PQ recall@5 vs the same brute-force cosine truth — unlike
+    * ann_recall_eval (probe coverage only), this also prices the
+    * QUANTIZATION loss: candidates come from the same probes, but the
+    * ranking runs on 8-bit ADC codes instead of full vectors, so the
+    * delta between the two evals is what the 16x code compression costs
+    * in ranking fidelity.
+    */
+  private def annPqRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    recallAgainstExact(spark, sfDir, annIvfPq(spark, sfDir))
 
   private def nearDups(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.embeddingNearDups(emb(spark, sfDir), "vec_id", "embedding", dim = 64,
@@ -443,6 +457,7 @@ object SimilarityQueries {
     "ann_cosine_topk" -> annBrute _,
     "ann_ivf_topk" -> annIvf _,
     "ann_recall_eval" -> annRecallEval _,
+    "ann_pq_recall_eval" -> annPqRecallEval _,
     "ann_ivf_incremental" -> annIvfIncremental _,
     "ann_ivfpq_topk" -> annIvfPq _,
     "emb_neardup" -> nearDups _,
@@ -560,6 +575,40 @@ object SimilarityQueries {
       |  FROM c)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Shared by ann_ivfpq_topk and ann_pq_recall_eval: the IVF-PQ
+    * integer-ADC replay from the persisted codes/codebooks/probes.
+    */
+  private def AnnIvfPqSql: String =
+    s"""WITH cds AS (
+        |  SELECT bucket, id, codes FROM read_parquet('${Queries.oracleSidePath("pq_codes")}')),
+        |bks AS (
+        |  SELECT sub, code, cw FROM read_parquet('${Queries.oracleSidePath("pq_books")}')),
+        |pr AS (
+        |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("pq_probes")}')),
+        |cand AS (
+        |  SELECT DISTINCT p.query_id, c.id AS neighbor_id
+        |  FROM pr p JOIN cds c USING (bucket) WHERE c.id <> p.query_id),
+        |s AS (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |    CAST(SUM(
+        |      CAST(FLOOR(CAST(q.embedding[(m.m - 1) * 8 + j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.cw[j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS adc_dot_scaled
+        |  FROM cand
+        |  JOIN cds c ON c.id = cand.neighbor_id
+        |  JOIN embeddings q ON q.vec_id = cand.query_id
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
+        |  JOIN bks b ON b.sub = m.m - 1 AND b.code = c.codes[m.m]
+        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
+        |  GROUP BY cand.query_id, cand.neighbor_id),
+        |r AS (
+        |  SELECT query_id, neighbor_id, adc_dot_scaled,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY adc_dot_scaled DESC, neighbor_id ASC) AS rank
+        |  FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled
+        |FROM r WHERE rank <= 5""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "emb_kmeans" ->
@@ -798,36 +847,21 @@ object SimilarityQueries {
         |  COALESCE(bc.n_base, 0) + nc.n_new AS n_after
         |FROM asg LEFT JOIN bc USING (bucket) JOIN nc USING (bucket)""".stripMargin,
     "ann_ivf_topk" -> AnnIvfSql,
-    "ann_ivfpq_topk" ->
-      s"""WITH cds AS (
-        |  SELECT bucket, id, codes FROM read_parquet('${Queries.oracleSidePath("pq_codes")}')),
-        |bks AS (
-        |  SELECT sub, code, cw FROM read_parquet('${Queries.oracleSidePath("pq_books")}')),
-        |pr AS (
-        |  SELECT query_id, bucket FROM read_parquet('${Queries.oracleSidePath("pq_probes")}')),
-        |cand AS (
-        |  SELECT DISTINCT p.query_id, c.id AS neighbor_id
-        |  FROM pr p JOIN cds c USING (bucket) WHERE c.id <> p.query_id),
-        |s AS (
-        |  SELECT cand.query_id, cand.neighbor_id,
-        |    CAST(SUM(
-        |      CAST(FLOOR(CAST(q.embedding[(m.m - 1) * 8 + j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)
-        |      * CAST(FLOOR(CAST(b.cw[j.j] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS adc_dot_scaled
-        |  FROM cand
-        |  JOIN cds c ON c.id = cand.neighbor_id
-        |  JOIN embeddings q ON q.vec_id = cand.query_id
-        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS m) m
-        |  JOIN bks b ON b.sub = m.m - 1 AND b.code = c.codes[m.m]
-        |  CROSS JOIN (SELECT UNNEST(range(1, 9)) AS j) j
-        |  GROUP BY cand.query_id, cand.neighbor_id),
-        |r AS (
-        |  SELECT query_id, neighbor_id, adc_dot_scaled,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY adc_dot_scaled DESC, neighbor_id ASC) AS rank
-        |  FROM s)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled
-        |FROM r WHERE rank <= 5""".stripMargin,
+    "ann_ivfpq_topk" -> AnnIvfPqSql,
+    "ann_pq_recall_eval" ->
+      s"""WITH exact AS ($AnnBruteSql),
+        |approx AS ($AnnIvfPqSql),
+        |j AS (
+        |  SELECT e.query_id, e.neighbor_id,
+        |    a.neighbor_id IS NOT NULL AS hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id)
+        |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+        |    AS BIGINT) AS recall_bp
+        |FROM j GROUP BY query_id""".stripMargin,
+
     "emb_neardup" ->
       s"""WITH s AS (
         |  SELECT id, sig FROM read_parquet('${Queries.oracleSidePath("emb_sigs")}')),
