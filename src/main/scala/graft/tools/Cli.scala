@@ -213,6 +213,24 @@ object Cli {
           sys.exit(2)
       }
 
+    case "eval" :: rest if rest.size <= 1 =>
+      // the operator-quality report: every *_eval query in one pass —
+      // LSH recall vs exact truth, lang-ID confusion, IVF probe recall,
+      // IVF-PQ quantization recall
+      val sfDir = rest.headOption.orElse(sys.env.get("GRAFT_SF_DIR"))
+        .getOrElse {
+          System.err.println("usage: eval SF_DIR (or set GRAFT_SF_DIR)")
+          sys.exit(2)
+        }
+      val spark = session()
+      val evals = graft.SparkEntry.queries.keys.filter(_.endsWith("_eval")).toSeq.sorted
+      evals.foreach { name =>
+        println(s"== $name ==")
+        graft.SparkEntry.queries(name)(spark, sfDir).show(25, truncate = false)
+        graft.operators.Dedupe.releaseTrackedCaches()
+      }
+      spark.stop()
+
     case "sql" :: stmt :: rest if rest.size <= 1 =>
       // ad-hoc ANSI SQL over the testdata tables: every table in SF_DIR
       // registers as a temp view, then the statement runs through the
@@ -531,6 +549,7 @@ object Cli {
            |  profile TABLE.parquet
            |  query list | query NAME [SF_DIR]
            |  sql "SELECT ..." [SF_DIR]
+           |  eval [SF_DIR]
            |  curate DOCUMENTS.parquet
            |  compact [--target-mb=N] DIR [OUTDIR]
            |  layout TABLE.parquet XCOL YCOL [OUTDIR]
