@@ -464,6 +464,41 @@ object Queries {
           .as("attributed"))
   }
 
+  /** RFM user segmentation — the classic recency/frequency/monetary
+    * tercile grid: per user, days since last event, event count, and
+    * decimal-exact value sum; each metric NTILE(3)'d over a TOTAL order
+    * (metric, then user_id — ties must be deterministic or the bucket
+    * boundary is engine-dependent), then one rollup per (r, f, m) cell.
+    * The corpus-wide exchange is the per-user aggregate; the tercile
+    * windows run over the |users|-row relation (single-partition windows
+    * at metadata scale — the 1e9-user form replaces NTILE with
+    * approx-quantile cut points, the doc_len_quantiles machinery).
+    */
+  private def eventRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val perUser = ev
+      .select(col("user_id"),
+        call_function("div", Events.microsExpr(ev), lit(86400000000L)).as("d"),
+        col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).as("monetary_dec"))
+    val maxDay = perUser.agg(max(col("last_day")).as("corpus_last"))
+    val scored = perUser.crossJoin(broadcast(maxDay))
+      .withColumn("recency_days", col("corpus_last") - col("last_day"))
+    val rW = Window.orderBy(col("recency_days").asc, col("user_id").asc)
+    val fW = Window.orderBy(col("frequency").desc, col("user_id").asc)
+    val mW = Window.orderBy(col("monetary_dec").desc, col("user_id").asc)
+    scored
+      .withColumn("r_tercile", ntile(3).over(rW).cast("long"))
+      .withColumn("f_tercile", ntile(3).over(fW).cast("long"))
+      .withColumn("m_tercile", ntile(3).over(mW).cast("long"))
+      .groupBy(col("r_tercile"), col("f_tercile"), col("m_tercile"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("frequency")).as("sum_events"),
+        sum(col("monetary_dec")).cast("double").as("sum_value"))
+  }
+
   /** Frequent-path mining: the top-20 most common 3-step event-type
     * sequences across user timelines (the funnel query's exploratory
     * sibling — q21 checks ONE pattern, this ranks all of them). Two
@@ -2183,6 +2218,7 @@ object Queries {
     "event_attribution" -> (eventAttribution _),
     "event_paths" -> (eventPaths _),
     "event_streaks" -> (eventStreaks _),
+    "event_rfm" -> (eventRfm _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -2884,6 +2920,31 @@ object Queries {
         |  CAST(end_day AS BIGINT) AS end_day,
         |  CAST(streak_days AS BIGINT) AS streak_days
         |FROM i WHERE streak_days >= 2""".stripMargin,
+    "event_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, MAX(epoch_us(ts) // 86400000000) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS monetary_dec
+        |  FROM events GROUP BY user_id),
+        |s AS (
+        |  SELECT *, (SELECT MAX(last_day) FROM p) - last_day AS recency_days
+        |  FROM p),
+        |tr AS (
+        |  SELECT user_id, frequency, monetary_dec,
+        |    NTILE(3) OVER (ORDER BY recency_days ASC, user_id ASC)
+        |      AS r_tercile,
+        |    NTILE(3) OVER (ORDER BY frequency DESC, user_id ASC)
+        |      AS f_tercile,
+        |    NTILE(3) OVER (ORDER BY monetary_dec DESC, user_id ASC)
+        |      AS m_tercile
+        |  FROM s)
+        |SELECT CAST(r_tercile AS BIGINT) AS r_tercile,
+        |  CAST(f_tercile AS BIGINT) AS f_tercile,
+        |  CAST(m_tercile AS BIGINT) AS m_tercile,
+        |  COUNT(*) AS n_users,
+        |  CAST(SUM(frequency) AS BIGINT) AS sum_events,
+        |  CAST(SUM(monetary_dec) AS DOUBLE) AS sum_value
+        |FROM tr GROUP BY 1, 2, 3""".stripMargin,
     "merge_apply" -> MergeApplySql,
     "merge_apply_evolve" ->
       s"""WITH ch AS (
