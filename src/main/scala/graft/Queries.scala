@@ -464,6 +464,31 @@ object Queries {
           .as("attributed"))
   }
 
+  /** DAU / trailing-7-day WAU / stickiness per day — the engagement
+    * time series. WAU avoids both a sliding distinct-count window and a
+    * range join: each (user, day) row fans into the 7 future days it
+    * keeps the user "weekly-active" for (sequence+explode — narrow),
+    * then one distinct + count per day; the inner join back to observed
+    * days drops the fan-out beyond the corpus horizon. All exchanges
+    * after the first distinct carry the bounded user-days relation;
+    * stickiness is an integer basis-point division.
+    */
+  private def eventDauWau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val days = ev.select(col("user_id"),
+      call_function("div", Events.microsExpr(ev), lit(86400000000L)).as("d"))
+      .distinct()
+    val dau = days.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("user_id"), explode(sequence(col("d"), col("d") + 6L)).as("wd"))
+      .distinct()
+      .groupBy(col("wd")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("d") === col("wd"))
+      .select(col("d"), col("dau"), col("wau"),
+        call_function("div", col("dau") * 10000L, col("wau"))
+          .as("stickiness_bp"))
+  }
+
   /** RFM user segmentation — the classic recency/frequency/monetary
     * tercile grid: per user, days since last event, event count, and
     * decimal-exact value sum; each metric NTILE(3)'d over a TOTAL order
@@ -2219,6 +2244,7 @@ object Queries {
     "event_paths" -> (eventPaths _),
     "event_streaks" -> (eventStreaks _),
     "event_rfm" -> (eventRfm _),
+    "event_dau_wau" -> (eventDauWau _),
     "mm_enrich" -> (mmEnrich _),
     "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_phash_neardup" -> (mmPhashNeardup _),
@@ -2945,6 +2971,17 @@ object Queries {
         |  CAST(SUM(frequency) AS BIGINT) AS sum_events,
         |  CAST(SUM(monetary_dec) AS DOUBLE) AS sum_value
         |FROM tr GROUP BY 1, 2, 3""".stripMargin,
+    "event_dau_wau" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |dau AS (SELECT d, COUNT(*) AS dau FROM a GROUP BY d),
+        |f AS (SELECT DISTINCT user_id,
+        |    UNNEST(generate_series(d, d + 6)) AS wd FROM a),
+        |wau AS (SELECT wd, COUNT(*) AS wau FROM f GROUP BY wd)
+        |SELECT CAST(dau.d AS BIGINT) AS d, CAST(dau.dau AS BIGINT) AS dau,
+        |  CAST(wau.wau AS BIGINT) AS wau,
+        |  dau.dau * 10000 // wau.wau AS stickiness_bp
+        |FROM dau JOIN wau ON wau.wd = dau.d""".stripMargin,
     "merge_apply" -> MergeApplySql,
     "merge_apply_evolve" ->
       s"""WITH ch AS (
