@@ -160,9 +160,10 @@ object ScaleRun {
     // words keep gram sets disjoint across replicas, so df distribution
     // (and the Σ df_prefix·df join volume) grows linearly, never N²
     "dedup_containment",
-    // cohort/attribution: N× users over the same period — the distinct
-    // and the user-window grow linearly, cells stay |users|·|days|
-    "event_retention", "event_attribution",
+    // cohort/attribution/segmentation/engagement: N× users over the same
+    // period — the distincts and user windows grow linearly, cells and
+    // tercile windows stay |users|-bounded
+    "event_retention", "event_attribution", "event_rfm", "event_dau_wau",
     // PCA covariance sweep: N× vectors through the one narrow pass;
     // partials stay d(d+1)/2 longs per partition regardless
     "emb_covariance",
