@@ -767,6 +767,20 @@ object TextQueries {
     * deterministic held-out "benchmark" slice (doc_id % 97 == 0). The
     * benchmark gram set broadcasts; per-doc hit counts are one shuffle.
     */
+  /** Reverse decontamination view ([[graft.operators.Decontaminate
+    * .benchCoverage]]): per benchmark document (doc_id % 97 = 0 — the
+    * doc_decontam fixture), the fraction of its word bigrams found in
+    * the REST of the corpus. The corpus side excludes the benchmark
+    * itself (self-coverage would trivially be 100%); fully_covered
+    * benchmark items measure memorization, not generalization.
+    */
+  private def docDecontamCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    graft.operators.Decontaminate.benchCoverage(
+      d.filter(col("doc_id") % 97 =!= 0), "doc_id", "text",
+      d.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+  }
+
   private def docDecontam(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     graft.operators.Decontaminate
@@ -981,6 +995,7 @@ object TextQueries {
     "text_repetition" -> textRepetition _,
     "doc_stratified" -> docStratified _,
     "doc_decontam" -> docDecontam _,
+    "doc_decontam_coverage" -> docDecontamCoverage _,
     "doc_decontam_bloom" -> docDecontamBloom _,
     "text_top_terms" -> textTopTerms _,
     "text_search" -> textSearch _,
@@ -1368,6 +1383,28 @@ object TextQueries {
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "doc_decontam" -> DecontamSql,
+    "doc_decontam_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+        |  FROM documents),
+        |g0 AS (
+        |  SELECT doc_id, UNNEST(list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |      THEN list_transform(range(1, len(words) - 1), i -> array_to_string(words[i:i+2], ' '))
+        |      ELSE [array_to_string(words, ' ')] END)) AS gram
+        |  FROM w),
+        |g AS (SELECT doc_id, gram FROM g0 WHERE gram IS NOT NULL AND gram <> ''),
+        |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 = 0),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM bg GROUP BY doc_id),
+        |hits AS (
+        |  SELECT b.doc_id, COUNT(*) AS nf FROM bg b JOIN cg USING (gram)
+        |  GROUP BY b.doc_id)
+        |SELECT s.doc_id AS bench_id, CAST(s.n_grams AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(h.nf, 0) AS BIGINT) AS n_found,
+        |  COALESCE(h.nf, 0) * 10000 // s.n_grams AS coverage_bp,
+        |  COALESCE(h.nf, 0) = s.n_grams AS fully_covered
+        |FROM sizes s LEFT JOIN hits h USING (doc_id)""".stripMargin,
     "doc_cdc" ->
       s"""WITH per AS (
         |  SELECT source, hash, MIN(size) AS size, SUM(size) AS occ_bytes

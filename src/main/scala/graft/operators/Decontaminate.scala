@@ -77,6 +77,43 @@ object Decontaminate {
     * stage 3 does. Versus [[report]], the full-corpus gram shuffle is
     * replaced by a shuffle of bloom survivors only.
     */
+  /** The REVERSE direction of [[report]]: per BENCHMARK document, how
+    * much of it leaked into the corpus — n-gram coverage against the
+    * corpus's distinct gram set. report answers "which training docs are
+    * contaminated"; this answers the eval-integrity question "how much
+    * of my benchmark does the corpus already contain" (a benchmark whose
+    * items are fully covered is not measuring generalization).
+    *
+    * Scale shape: the corpus gram set is the big side — ONE distinct
+    * shuffle on gram, then a gram-keyed semi-style left join against the
+    * (small) benchmark gram relation and a per-bench-doc rollup. All
+    * counts integer; coverage_bp is an integer basis-point division.
+    */
+  def benchCoverage(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, "gram size k must be >= 1")
+    val corpusGramSet = Dedupe.gramRows(corpus, col(idCol), col(textCol), k)
+      .select(col("gram")).distinct()
+    Dedupe.gramRows(bench, col(benchIdCol), col(benchTextCol), k)
+      .join(corpusGramSet.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col("id"))
+      .agg(first(col("n_grams")).as("n_grams"),
+        count(col("__hit")).as("n_found"))
+      .select(
+        col("id").as("bench_id"),
+        col("n_grams").cast("long").as("n_grams"),
+        col("n_found"),
+        call_function("div", col("n_found") * 10000L,
+          col("n_grams").cast("long")).as("coverage_bp"),
+        (col("n_found") === col("n_grams").cast("long")).as("fully_covered"))
+  }
+
   def bloomReport(
       corpus: DataFrame,
       idCol: String,
