@@ -3192,11 +3192,16 @@ object Queries {
         |  FROM cells c LEFT JOIN truth t ON t.key = c.key
         |  GROUP BY c.key),
         |km AS (
+        |  -- vacuous-truth contract, mirrored from the engine: a row group
+        |  -- with no min/max stats must ADMIT every key (missing structure
+        |  -- never fakes pruning), so NULL bounds count as mm_maybe = 1
         |  SELECT k.key,
-        |    CAST(SUM(CASE WHEN k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END)
+        |    CAST(SUM(CASE WHEN m.mn IS NULL OR m.mx IS NULL
+        |        OR k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END)
         |      AS BIGINT) AS n_mm_maybe,
         |    COALESCE(MAX(CASE WHEN m.rg = t.true_rg
-        |      THEN CASE WHEN k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END
+        |      THEN CASE WHEN m.mn IS NULL OR m.mx IS NULL
+        |        OR k.key BETWEEN m.mn AND m.mx THEN 1 ELSE 0 END
         |      END) = 1, TRUE) AS mm_hits_true
         |  FROM (SELECT DISTINCT key FROM cells) k
         |  CROSS JOIN md m

@@ -769,7 +769,7 @@ object TextQueries {
     */
   /** Reverse decontamination view ([[graft.operators.Decontaminate
     * .benchCoverage]]): per benchmark document (doc_id % 97 = 0 — the
-    * doc_decontam fixture), the fraction of its word bigrams found in
+    * doc_decontam fixture), the fraction of its word trigrams found in
     * the REST of the corpus. The corpus side excludes the benchmark
     * itself (self-coverage would trivially be 100%); fully_covered
     * benchmark items measure memorization, not generalization.

@@ -72,6 +72,15 @@ private[operators] final class LongLongMap(initialCapacity: Int) {
 
 object Dedupe {
 
+  /** Largest band bucket full-recall mode will pair without degrading —
+    * the runtime ceiling behind `maxBucketSize = Int.MaxValue` in
+    * [[hammingPairs]] and [[Similarity.semanticDedupFromAssignment]].
+    * 4096 members clique to ≤ 8.4M within-bucket pairs — heavy but
+    * bounded; anything larger means the fingerprint has collapsed and
+    * full recall would be quadratic, so the call fails loudly instead.
+    */
+  val fullRecallBucketLimit: Long = 4096L
+
   // ----------------------------------------------------------- exact dedup
 
   /** Exact duplicate classes by content hash: canonical = min id per class.
@@ -811,6 +820,15 @@ object Dedupe {
     * with id_a < id_b and hamming ≤ maxDistance; full recall at ≤
     * maxDistance by the pigeonhole argument, over-cap buckets degrade
     * to star pairs around the min id (same contract as the text path).
+    *
+    * Full-recall mode (`maxBucketSize = Int.MaxValue`) disables the
+    * star degradation, which makes within-bucket pairing quadratic in
+    * the largest bucket: a hostile corpus (many identical signatures)
+    * would silently turn the query all-pairs. Callers opting in are
+    * therefore HELD to [[fullRecallBucketLimit]] at runtime — the
+    * already-computed bucket-size aggregate is checked and the call
+    * fails loudly past the limit, so "full recall stays cheap" is an
+    * enforced invariant, not a comment-level corpus argument.
     */
   /** The pigeonhole BAND ROWS of a 64-bit fingerprint relation —
     * (band, bucket, id) with 64/(maxDistance+1)-bit bucket keys, the
@@ -863,6 +881,18 @@ object Dedupe {
       .groupBy(col("block"), col("key"))
       .agg(count(lit(1)).as("block_n"))
       .cache()
+    if (maxBucketSize == Int.MaxValue) {
+      // full-recall mode: no star fallback exists past this point, so the
+      // quadratic-bucket hazard must be refused up front (one tiny agg
+      // over the relation that is cached and consumed below anyway)
+      val maxBucket = blockSizes
+        .agg(coalesce(max(col("block_n")), lit(0L))).as[Long].head()
+      require(maxBucket <= fullRecallBucketLimit,
+        s"hammingPairs full-recall mode (maxBucketSize = Int.MaxValue) found a " +
+          s"band bucket of $maxBucket members > fullRecallBucketLimit " +
+          s"($fullRecallBucketLimit): pairing it would be quadratic. Use the " +
+          s"default skew cap (star degradation) or a finer fingerprint.")
+    }
     val capped = blocked.join(
       blockSizes.filter(col("block_n") <= maxBucketSize).drop("block_n"),
       Seq("block", "key"))
@@ -979,9 +1009,9 @@ object Dedupe {
       .toDF("id_a", "id_b", "jaccard")
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val found = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
+    val foundPairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
       threshold, precomputedSigs = Some(sigs))
-      .select(col("id_a"), col("id_b"))
+    val found = foundPairs.select(col("id_a"), col("id_b"))
     val metrics = truth
       .withColumn("t", lit(1L))
       .join(found.withColumn("f", lit(1L)), Seq("id_a", "id_b"), "full_outer")
@@ -999,6 +1029,11 @@ object Dedupe {
           col("true_pairs"))).as("recall_bp"))
     val materialized = track(out.cache())
     materialized.count()
+    // minhashPairs hands back a cached relation it cannot release itself
+    // (callers normally keep iterating it); this eval consumed it fully
+    // into `materialized`, so drop the pin here — otherwise every
+    // dedup_lsh_eval run leaks one cached pairs relation for the JVM life
+    foundPairs.unpersist()
     sigs.unpersist()
     materialized
   }

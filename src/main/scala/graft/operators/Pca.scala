@@ -209,6 +209,11 @@ object Pca extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
     val nc = qvecs.length
+    // JVM int shifts wrap mod 32: nc > 31 would silently alias buckets
+    // (1 << 32 == 1). Fail loudly instead — callers wanting more
+    // components must widen the bucket encoding, not lose bits.
+    require(nc <= 31,
+      s"signBuckets packs sign bits into an Int: at most 31 components, got $nc")
     val cen = if (centers == null) new Array[Long](nc) else centers
     require(cen.length == nc, s"need one center per component, got ${cen.length}")
     df.select(col(idCol).cast("long"), col(vecCol))

@@ -514,6 +514,18 @@ object Similarity extends Serializable {
     // the aggregation pass over `assigned` runs twice
     val bucketSizes = assigned.groupBy(col("bucket"))
       .agg(count(lit(1)).as("bucket_n")).cache()
+    if (maxBucketSize == Int.MaxValue) {
+      // full-recall mode: the star fallback is disabled, so refuse a
+      // quadratic bucket up front (same enforced invariant as
+      // [[Dedupe.hammingPairs]]; one tiny agg over the cached sizes)
+      val maxBucket = bucketSizes
+        .agg(coalesce(max(col("bucket_n")), lit(0L))).as[Long].head()
+      require(maxBucket <= Dedupe.fullRecallBucketLimit,
+        s"semanticDedupFromAssignment full-recall mode found a bucket of " +
+          s"$maxBucket members > fullRecallBucketLimit " +
+          s"(${Dedupe.fullRecallBucketLimit}): pairing it would be quadratic. " +
+          s"Use the default skew cap or grow the bucket fan-out (more components).")
+    }
     val capped = assigned.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
       Seq("bucket"))

@@ -284,6 +284,30 @@ class DedupeSpec extends SparkSpec {
     assert(want.nonEmpty, "fixture must plant at least one near pair")
   }
 
+  test("hammingPairs full-recall mode refuses an over-limit bucket loudly") {
+    import spark.implicits._
+    // hostile corpus: fullRecallBucketLimit + 1 IDENTICAL signatures —
+    // every band bucket holds all of them, so full recall would be
+    // quadratic. The cap=Int.MaxValue registrations must fail loudly
+    // here, never silently go all-pairs.
+    val n = Dedupe.fullRecallBucketLimit.toInt + 1
+    val hostile = spark.range(n).select(col("id"), lit(0x5eedL).as("sig"))
+    val e = intercept[IllegalArgumentException] {
+      Dedupe.hammingPairs(hostile, maxDistance = 3,
+        maxBucketSize = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("fullRecallBucketLimit"),
+      s"guard must name its threshold, got: ${e.getMessage}")
+    // the same corpus under the default skew cap star-degrades fine
+    val starred = Dedupe.hammingPairs(hostile, maxDistance = 3)
+    assert(starred.count() == (n - 1).toLong,
+      "default cap must star-degrade the hot bucket (n-1 pairs around min id)")
+    // and a sane corpus passes full-recall mode untouched
+    val sane = (0L until 64L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "sig")
+    Dedupe.hammingPairs(sane, maxDistance = 3, maxBucketSize = Int.MaxValue).count()
+    Dedupe.releaseTrackedCaches()
+  }
+
   test("simhash: identical text => distance 0; near text small; far text large") {
     val s0 = Dedupe.simhash(docsDf.collect()(0).getString(1))
     val s1 = Dedupe.simhash(docsDf.collect()(1).getString(1))
