@@ -224,7 +224,20 @@ object Bench {
     val sentinelJson = sentinelSecs
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(fullLine)
+    // the driver's BENCH_r{N}.json keeps only a ~2 KB stdout tail, which
+    // truncates per-query times for most of the catalog; persist the full
+    // line as a repo artifact so round-over-round timings stay diffable
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full.json"))
+      java.nio.file.Files.write(out,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"bench_full.json write failed (non-fatal): $e")
+    }
     // compact 10 ms-rounded duplicate: the driver keeps only the final
     // ~2 KB of output, which truncates the front of the full-precision
     // line once the catalog is large — and the tiny {"total","li"} line

@@ -277,6 +277,22 @@ object Dedupe {
       .groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("bucket_n"))
       .cache()
+    if (maxBucketSize == Int.MaxValue) {
+      // full-recall mode (oracle-parity callers): the star fallback is
+      // disabled, so refuse a quadratic bucket up front — same enforced
+      // invariant as [[hammingPairs]], reusing the cached sizes agg
+      val maxBucket = bucketSizes
+        .agg(coalesce(max(col("bucket_n")), lit(0L))).as[Long].head()
+      if (maxBucket > fullRecallBucketLimit) {
+        bucketSizes.unpersist()
+        if (!externalSigs) docs.unpersist()
+        throw new IllegalArgumentException(
+          s"minhashPairs full-recall mode (maxBucketSize = Int.MaxValue) found " +
+            s"a band bucket of $maxBucket members > fullRecallBucketLimit " +
+            s"($fullRecallBucketLimit): pairing it would be quadratic. Use the " +
+            s"default skew cap (star degradation) or more bands.")
+      }
+    }
     val capped = banded.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),
       Seq("band", "bucket"))
@@ -887,11 +903,17 @@ object Dedupe {
       // over the relation that is cached and consumed below anyway)
       val maxBucket = blockSizes
         .agg(coalesce(max(col("block_n")), lit(0L))).as[Long].head()
-      require(maxBucket <= fullRecallBucketLimit,
-        s"hammingPairs full-recall mode (maxBucketSize = Int.MaxValue) found a " +
-          s"band bucket of $maxBucket members > fullRecallBucketLimit " +
-          s"($fullRecallBucketLimit): pairing it would be quadratic. Use the " +
-          s"default skew cap (star degradation) or a finer fingerprint.")
+      if (maxBucket > fullRecallBucketLimit) {
+        // release BOTH caches before refusing — a thrown require would
+        // otherwise pin sigs/blockSizes for the JVM lifetime
+        blockSizes.unpersist()
+        sigs.unpersist()
+        throw new IllegalArgumentException(
+          s"hammingPairs full-recall mode (maxBucketSize = Int.MaxValue) found a " +
+            s"band bucket of $maxBucket members > fullRecallBucketLimit " +
+            s"($fullRecallBucketLimit): pairing it would be quadratic. Use the " +
+            s"default skew cap (star degradation) or a finer fingerprint.")
+      }
     }
     val capped = blocked.join(
       blockSizes.filter(col("block_n") <= maxBucketSize).drop("block_n"),

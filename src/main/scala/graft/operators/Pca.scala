@@ -209,18 +209,19 @@ object Pca extends Serializable {
     val spark = df.sparkSession
     import spark.implicits._
     val nc = qvecs.length
-    // JVM int shifts wrap mod 32: nc > 31 would silently alias buckets
-    // (1 << 32 == 1). Fail loudly instead — callers wanting more
+    // Long bucket: bit 63 is the sign bit, and JVM long shifts wrap mod
+    // 64 (1L << 64 == 1L) — cap at 63 so buckets stay non-negative and
+    // never alias. Fail loudly past that — callers wanting more
     // components must widen the bucket encoding, not lose bits.
-    require(nc <= 31,
-      s"signBuckets packs sign bits into an Int: at most 31 components, got $nc")
+    require(nc <= 63,
+      s"signBuckets packs sign bits into a Long: at most 63 components, got $nc")
     val cen = if (centers == null) new Array[Long](nc) else centers
     require(cen.length == nc, s"need one center per component, got ${cen.length}")
     df.select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Array[Float])]
       .map { case (id, v) =>
         val q = v.map(KMeansExact.q1000)
-        var bucket = 0
+        var bucket = 0L
         var c = 0
         while (c < nc) {
           val e = qvecs(c)
@@ -232,7 +233,7 @@ object Pca extends Serializable {
             s = Math.addExact(s, Math.multiplyExact(q(i), e(i)))
             i += 1
           }
-          if (s >= cen(c)) bucket |= 1 << (nc - 1 - c)
+          if (s >= cen(c)) bucket |= 1L << (nc - 1 - c)
           c += 1
         }
         (bucket, id, v)

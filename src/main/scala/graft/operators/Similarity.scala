@@ -520,11 +520,17 @@ object Similarity extends Serializable {
       // [[Dedupe.hammingPairs]]; one tiny agg over the cached sizes)
       val maxBucket = bucketSizes
         .agg(coalesce(max(col("bucket_n")), lit(0L))).as[Long].head()
-      require(maxBucket <= Dedupe.fullRecallBucketLimit,
-        s"semanticDedupFromAssignment full-recall mode found a bucket of " +
-          s"$maxBucket members > fullRecallBucketLimit " +
-          s"(${Dedupe.fullRecallBucketLimit}): pairing it would be quadratic. " +
-          s"Use the default skew cap or grow the bucket fan-out (more components).")
+      if (maxBucket > Dedupe.fullRecallBucketLimit) {
+        // release BOTH caches before refusing — a thrown require would
+        // otherwise pin assigned/bucketSizes for the JVM lifetime
+        bucketSizes.unpersist()
+        assigned.unpersist()
+        throw new IllegalArgumentException(
+          s"semanticDedupFromAssignment full-recall mode found a bucket of " +
+            s"$maxBucket members > fullRecallBucketLimit " +
+            s"(${Dedupe.fullRecallBucketLimit}): pairing it would be quadratic. " +
+            s"Use the default skew cap or grow the bucket fan-out (more components).")
+      }
     }
     val capped = assigned.join(
       bucketSizes.filter(col("bucket_n") <= maxBucketSize).drop("bucket_n"),

@@ -405,4 +405,60 @@ class QueriesPlanSpec extends SparkSpec {
     } == 0, s"an exchange carries blob bytes:\n$plan")
     graft.operators.Dedupe.releaseTrackedCaches()
   }
+
+  test("event_sessions: ONE user_id exchange feeds window AND session agg") {
+    // sessionization contract (VERDICT r9 #3): the gap-window and the
+    // downstream groupBy(user_id, session_idx) must share a single
+    // user_id hash exchange — HashPartitioning(user_id) satisfies the
+    // agg's ClusteredDistribution(user_id, session_idx) because the
+    // partitioning keys are a subset, so a second shuffle would mean the
+    // plan regressed to re-clustering the whole event stream
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val df = SparkEntry.queries("event_sessions")(spark, sfDir)
+    val n = shuffles(df) // collects, finalizing AQE
+    val plan = df.queryExecution.executedPlan
+    assert(n == 1, s"sessionization must shuffle exactly once, saw $n:\n$plan")
+    val keyed = countNodes(plan) {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          h.expressions.flatMap(_.references.map(_.name)) == Seq("user_id")
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(keyed == 1, s"the one exchange must key on user_id alone:\n$plan")
+    assert(plan.toString.contains("Window"),
+      s"expected the session-gap window:\n$plan")
+  }
+
+  test("q16_interval_join: bin-bucketed equi-join, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // the RangeJoin decomposition's whole point: the BETWEEN predicate
+    // runs as a hash equi-join on (user_id, bin) — any nested-loop or
+    // cartesian node means it degenerated to the all-pairs plan
+    val df = SparkEntry.queries("q16_interval_join")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val bad = countNodes(plan) {
+      case _: BroadcastNestedLoopJoinExec => true
+      case _: CartesianProductExec => true
+      case _ => false
+    }
+    assert(bad == 0, s"cartesian/nested-loop in interval-join plan:\n$plan")
+    // the interval predicate must run as a HASH equi-join whose keys
+    // include the bin column (__bin) next to the user key (__lk/__rk) —
+    // broadcast or shuffled are both fine (broadcast is the right call
+    // when the anchor side is small; at 100 TB both sides shuffle on the
+    // same keys), the invariant is the equi-keys themselves
+    import org.apache.spark.sql.execution.joins.HashJoin
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val binKeyed = countNodes(plan) {
+      case j: HashJoin =>
+        j.leftKeys.flatMap(_.references.map(_.name)).contains("__bin")
+      case j: SortMergeJoinExec =>
+        j.leftKeys.flatMap(_.references.map(_.name)).contains("__bin")
+      case _ => false
+    }
+    assert(binKeyed >= 1, s"join must equi-key on (__lk, __bin):\n$plan")
+  }
 }

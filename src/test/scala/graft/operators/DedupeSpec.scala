@@ -292,12 +292,18 @@ class DedupeSpec extends SparkSpec {
     // here, never silently go all-pairs.
     val n = Dedupe.fullRecallBucketLimit.toInt + 1
     val hostile = spark.range(n).select(col("id"), lit(0x5eedL).as("sig"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val e = intercept[IllegalArgumentException] {
       Dedupe.hammingPairs(hostile, maxDistance = 3,
         maxBucketSize = Int.MaxValue)
     }
     assert(e.getMessage.contains("fullRecallBucketLimit"),
       s"guard must name its threshold, got: ${e.getMessage}")
+    // the refusal must not leak the sigs/blockSizes caches it built while
+    // checking (the ADVICE r10 finding): persistent-RDD count returns to
+    // its pre-call level
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "refused full-recall call leaked cached relations")
     // the same corpus under the default skew cap star-degrades fine
     val starred = Dedupe.hammingPairs(hostile, maxDistance = 3)
     assert(starred.count() == (n - 1).toLong,
@@ -306,6 +312,32 @@ class DedupeSpec extends SparkSpec {
     val sane = (0L until 64L).map(i => (i, i * 0x9e3779b97f4a7c15L)).toDF("id", "sig")
     Dedupe.hammingPairs(sane, maxDistance = 3, maxBucketSize = Int.MaxValue).count()
     Dedupe.releaseTrackedCaches()
+  }
+
+  test("minhashPairs full-recall mode refuses an over-limit bucket loudly") {
+    import spark.implicits._
+    // same hostile shape as the hammingPairs guard: identical text means
+    // every band bucket holds the whole corpus — the oracle-parity
+    // cap=Int.MaxValue path (text catalog queries) must refuse, not go
+    // quadratic, and must release the caches it built while checking
+    val n = Dedupe.fullRecallBucketLimit.toInt + 1
+    val hostile = spark.range(n)
+      .select(col("id"), lit("the same text every time again").as("text"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalArgumentException] {
+      Dedupe.minhashPairs(hostile, "id", "text",
+        numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("fullRecallBucketLimit"),
+      s"guard must name its threshold, got: ${e.getMessage}")
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "refused full-recall call leaked cached relations")
+    // a sane corpus passes full-recall mode untouched
+    val sane = (0L until 8L)
+      .map(i => (i, s"doc number $i with its own words $i"))
+      .toDF("id", "text")
+    Dedupe.minhashPairs(sane, "id", "text",
+      numHashes = 16, bands = 4, maxBucketSize = Int.MaxValue).unpersist()
   }
 
   test("simhash: identical text => distance 0; near text small; far text large") {

@@ -130,8 +130,27 @@ class PcaSpec extends SparkSpec {
       (3L, Array(-0.5f, -0.5f)), // (-,-) -> 0
       (4L, Array(0.0f, -0.5f)))  // zero projection counts as >= 0 -> 2
     val got = Pca.signBuckets(df(rows), "vec_id", "embedding", qv)
-      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
-    assert(got == Map(0L -> 3, 1L -> 1, 2L -> 2, 3L -> 0, 4L -> 2))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 2L))
+  }
+
+  test("signBuckets: Long buckets carry 63 components without aliasing") {
+    // two vectors that differ only on the HIGH component (c = 0, shifted
+    // by 62): an Int-packed bucket would have wrapped this bit away
+    val nc = 63
+    val qv = Array.tabulate(nc)(c => Array.tabulate(nc)(i =>
+      if (i == c) 1000000L else 0L))
+    val rows = Seq(
+      (0L, Array.fill(nc)(0.5f)),
+      (1L, Array.tabulate(nc)(i => if (i == 0) -0.5f else 0.5f)))
+    val got = Pca.signBuckets(df(rows), "vec_id", "embedding", qv)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got(0L) == (1L << 63) - 1L) // all 63 sign bits set, non-negative
+    assert(got(1L) == (1L << 63) - 1L - (1L << 62)) // high bit cleared
+    intercept[IllegalArgumentException] {
+      Pca.signBuckets(df(rows), "vec_id", "embedding",
+        Array.fill(64)(Array.fill(nc)(0L)))
+    }
   }
 
   test("covStats rejects ragged embeddings") {

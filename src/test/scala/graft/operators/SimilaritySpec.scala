@@ -250,6 +250,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.count(_._2._2) == 2, "only the planted dups are marked")
   }
 
+  test("semanticDedupFromAssignment full-recall refuses a hot bucket, no cache leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // hostile assignment: every vector lands in one bucket — full-recall
+    // mode must refuse up front AND release the assigned/bucketSizes
+    // caches it built while checking (the ADVICE r10 finding)
+    val n = Dedupe.fullRecallBucketLimit.toInt + 1
+    val hostile = spark.range(n)
+      .select(lit(0L).as("bucket"), col("id"),
+        lit(Array(1.0f, 0.0f)).as("vec"))
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupFromAssignment(hostile, threshold = 0.9,
+        maxBucketSize = Int.MaxValue)
+    }
+    assert(e.getMessage.contains("fullRecallBucketLimit"),
+      s"guard must name its threshold, got: ${e.getMessage}")
+    assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore,
+      "refused full-recall call leaked cached relations")
+  }
+
   test("ivfAppendAssign: frozen-centroid argmin, ties to lowest, bucket sizes fold") {
     import spark.implicits._
     // frozen quantizer (integer grid, scale 1000); base index: bucket 0
