@@ -733,44 +733,107 @@ object Dedupe {
         .agg(count(lit(1)).as("n_common"),
           first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb")))
     } else {
-      val gramDf = gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-      val withDf = gsetsAll
-        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
+      val session = df.sparkSession
+      import session.implicits._
+      // the gram kernel runs ONCE: the df-count aggregation's exchange
+      // carries partially-aggregated (gram, count) rows, so the raw-gram
+      // join side cannot reuse it and would re-run the corpus scan +
+      // kernel — cache the per-DOC gram arrays instead (corpus-
+      // proportional, the same scale class as the perDoc relation below)
+      // and explode from the cache for both consumers
+      val docGrams = df
+        .select(col(idCol).cast("long"), col(textCol).cast("string"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val g = wordGramHashes(text, k)
+          (id, g.length, g)
+        }
+        .toDF("id", "n_grams", "grams")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val byId = Window.partitionBy(col("id"))
+      val exploded = docGrams.select(col("id"), col("n_grams"),
+        explode(col("grams")).as("gram"))
+      val gramDf = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+      // ONE per-doc relation serves every downstream shape: fold each
+      // doc's capped grams with their df into a kernel that sorts them in
+      // the global (df, gram) order (order_grams — prefix/index views
+      // posexplode it) and in plain hash order (sorted_grams — the exact-
+      // verification intersect kernel). Per-DOC rows persist instead of
+      // per-gram rows, and the kernel sort replaces a window sort, so the
+      // whole build is two exchanges: gram (df count + join, reused) and
+      // id (this fold).
+      val perDoc = exploded
+        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
+        .groupBy(col("id"))
+        .agg(first(col("n_grams")).as("n_grams"),
+          collect_list(struct(col("gram_df").as("_1"), col("gram").as("_2")))
+            .as("gs"))
+        .as[(Long, Int, Array[(Long, Long)])]
+        .map { case (id, nGrams, gs) =>
+          val order = gs.sorted.map(_._2)
+          (id, nGrams, order, order.sorted)
+        }
+        .toDF("id", "n_grams", "order_grams", "sorted_grams")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // required overlap from the FULL gram count (cap-safe: capping only
       // lengthens prefixes), ceil division in pure integers
       val cMin = call_function("div",
         lit(thresholdBp) * col("n_grams") + lit(9999L), lit(10000L))
-      val prefix = withDf
-        .withColumn("rank",
-          row_number().over(byId.orderBy(col("gram_df"), col("gram"))))
-        .withColumn("n_capped", count(lit(1)).over(byId))
-        .filter(col("rank") <= col("n_capped") - cMin + lit(1))
-        .select(col("id"), col("gram"))
+      val sized = perDoc
+        .withColumn("n_capped", size(col("order_grams")).cast("long"))
+        .withColumn("c_min", cMin)
+      val prefix = sized
+        .select(col("id"), col("n_capped"), col("c_min"),
+          posexplode(slice(col("order_grams"), lit(1),
+            greatest(lit(0L), col("n_capped") - col("c_min") + lit(1L))
+              .cast("int"))))
+        .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("gram"), col("n_capped"), col("c_min"))
+      val index = sized
+        .select(col("id"), col("n_capped"), posexplode(col("order_grams")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("r_rank"),
+          col("col").as("gram"), col("n_capped").as("r_n"))
       // contained-side prefix ⋈ full index; normalize to id_a < id_b (the
       // one join covers both directions because every doc takes the
-      // contained role on the prefix side)
+      // contained role on the prefix side). The PPJoin POSITIONAL filter
+      // (Xiao et al. WWW'08 §3.2, adapted to containment) prunes matched
+      // occurrences before the distinct: grams after this match number
+      // n_capped − rank per side, so the capped overlap through THIS gram
+      // is ≤ 1 + min(remaining_l, remaining_r). For a pair qualifying in
+      // the l-contained direction the bound holds with room at the pair's
+      // SMALLEST shared gram (no common gram precedes it), so that
+      // occurrence always survives — the filter only drops occurrences
+      // that could not have carried a qualifying overlap, never the pair.
       val cand = prefix.as("l")
-        .join(withDf.select(col("id"), col("gram")).as("r"),
-          col("l.gram") === col("r.gram") && col("l.id") =!= col("r.id"))
+        .join(index.as("r"),
+          col("l.gram") === col("r.gram") && col("l.id") =!= col("r.id") &&
+            lit(1L) + least(col("l.n_capped") - col("l.rank"),
+              col("r.r_n") - col("r.r_rank")) >= col("l.c_min"))
         .select(least(col("l.id"), col("r.id")).as("id_a"),
           greatest(col("l.id"), col("r.id")).as("id_b"))
         .distinct()
-      val gsets = withDf.select(col("id"), col("n_grams"), col("gram"))
-      val result = finish(cand
-        .join(gsets.select(col("id").as("id_a"), col("n_grams").as("na"),
-          col("gram")), "id_a")
-        .join(gsets.select(col("id").as("id_b"), col("n_grams").as("nb"),
-          col("gram")), Seq("id_b", "gram"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
-          first(col("nb")).as("nb")))
-      // withDf feeds four consumers; materialize the (small) pair result
+      // exact verification by SORTED-ARRAY intersection (the minhashPairs
+      // kernel) against the per-doc arrays — each doc's grams move once,
+      // where the explode-style alternative (cand ⋈ grams on id_a, then ⋈
+      // on (id_b, gram)) reshuffles |cand|·|doc| gram rows by (id_b, gram)
+      val counted = cand
+        .join(perDoc.select(col("id").as("id_a"), col("sorted_grams").as("ga"),
+          col("n_grams").as("na")), "id_a")
+        .join(perDoc.select(col("id").as("id_b"), col("sorted_grams").as("gb"),
+          col("n_grams").as("nb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("ga"), col("gb"),
+          col("na"), col("nb"))
+        .as[(Long, Long, Array[Long], Array[Long], Int, Int)]
+        .map { case (a, b, ga, gb, na, nb) =>
+          (a, b, sortedIntersectCount(ga, gb).toLong, na, nb)
+        }
+        .toDF("id_a", "id_b", "n_common", "na", "nb")
+      val result = finish(counted)
+      // perDoc feeds four consumers; materialize the (small) pair result
       // before releasing it — tracked so harness loops can release
       track(result.cache())
       result.count()
-      withDf.unpersist()
+      perDoc.unpersist()
+      docGrams.unpersist()
       result
     }
   }

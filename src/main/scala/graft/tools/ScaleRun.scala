@@ -214,10 +214,19 @@ object ScaleRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    println(s"[scale] building ${factor}x corpus at $out from $base")
-    val tBuild = System.nanoTime()
-    buildCorpus(spark, base, out, factor)
-    println(f"[scale] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    // SPARK_GRAFT_SCALE_REUSE=1: skip the (deterministic) corpus build
+    // when the output dir already holds all four tables — iteration aid
+    // for re-measuring single families without paying the N× rebuild
+    val reusable = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      Seq("documents", "embeddings", "events", "lineitem")
+        .forall(t => Files.exists(Paths.get(s"$out/$t.parquet")))
+    if (reusable) println(s"[scale] reusing existing ${factor}x corpus at $out")
+    else {
+      println(s"[scale] building ${factor}x corpus at $out from $base")
+      val tBuild = System.nanoTime()
+      buildCorpus(spark, base, out, factor)
+      println(f"[scale] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    }
 
     // warm code paths once (Bench discipline) so neither side pays codegen
     for (w <- Seq("dedup_exact", "cdc_estimate"))
@@ -247,7 +256,21 @@ object ScaleRun {
     // tier selection: factors past the 10× tier run the heavy-family
     // subset — two decades of growth on the shapes where a quadratic or
     // a state/collect bound would actually break
-    val queries = if (factor > 20) Scale100Queries else ScaleQueries
+    val tierQueries = if (factor > 20) Scale100Queries else ScaleQueries
+    // iteration aid (same convention as SPARK_GRAFT_VERIFY_ONLY /
+    // SPARK_GRAFT_BENCH_ONLY): comma-separated subset; a typo exits 2
+    val queries = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case None => tierQueries
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(tierQueries.contains)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[scale] unknown SPARK_GRAFT_SCALE_ONLY entries: ${unknown.mkString(",")}")
+          sys.exit(2)
+        }
+        tierQueries.filter(want.contains)
+    }
     val qSet = queries.toSet
     // only the shared builds some selected query consumes (Bench's
     // attribution rule): the ngram-pairs build for an unselected consumer
