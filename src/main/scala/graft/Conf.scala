@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.cdc.ChunkerParams
+
+/** Cluster-sizing helpers (SURVEY §4): at 100 TB the hash shuffle behind
+  * every estimator aggregation carries ~inputBytes / avgChunk rows, and a
+  * partition count tuned for local[32] (32) or Spark's default (200) would
+  * put tens of GiB in every reduce partition. These helpers derive the
+  * shuffle-partition count FROM the input size, so operators that know
+  * their bytes up front (the grid estimator, the CLI dedup lifecycle) size
+  * their own exchanges instead of riding session defaults.
+  *
+  * AQE still coalesces DOWN from the derived number at runtime (small
+  * inputs stay as cheap as before — the helpers never return less than the
+  * session's configured floor); what AQE cannot do is split an
+  * under-partitioned exchange UP, which is exactly the 100 TB failure mode
+  * this closes.
+  */
+object Conf {
+
+  /** Serialized shuffle bytes per ChunkRow: 5 longs of payload
+    * (file_idx, chunk_idx, hash, size, compressed) + UnsafeRow null
+    * bitmap/overhead. Measured shuffle-write sizes land near this
+    * (ConfSpec pins the constant's order of magnitude against an actual
+    * exchange).
+    */
+  val ChunkRowShuffleBytes: Long = 48L
+
+  /** Expected average chunk size under `params`: the gear mask fires once
+    * per 2^maskBits bytes in expectation, gated below by minLen (bytes
+    * skipped after every cut) and above by maxLen (forced cuts).
+    */
+  def expectedChunkBytes(params: ChunkerParams): Long = {
+    val maskBits = java.lang.Long.bitCount(params.mask)
+    val expected =
+      if (maskBits >= 62) Long.MaxValue
+      else params.minLen.toLong + (1L << maskBits)
+    math.min(params.maxLen.toLong, expected)
+  }
+
+  /** Shuffle partitions for a chunk-relation aggregation over `inputBytes`
+    * of raw data: rows ≈ inputBytes / avgChunkBytes, each
+    * `rowBytes` on the wire, targeted at `targetPartitionBytes` per reduce
+    * partition (64 MiB default — comfortably in-memory with room for the
+    * aggregation hash map). Clamped to [minPartitions, maxPartitions].
+    *
+    * 100 TB worked example (README "cluster sizing"): 100e12 / 64 KiB
+    * chunks = 1.6e9 rows × 48 B ≈ 77 GB shuffle → ~1200 partitions, vs 32
+    * from a local default (2.4 GB per reduce task — spill city) — and far
+    * below the 200k-partition scheduler ceiling.
+    */
+  def sizeShufflePartitions(
+      inputBytes: Long,
+      avgChunkBytes: Long,
+      targetPartitionBytes: Long = 64L << 20,
+      rowBytes: Long = ChunkRowShuffleBytes,
+      minPartitions: Int = 1,
+      maxPartitions: Int = 200000): Int = {
+    require(inputBytes >= 0, s"negative inputBytes: $inputBytes")
+    require(avgChunkBytes > 0 && targetPartitionBytes > 0 && rowBytes > 0,
+      s"sizes must be positive: avgChunk=$avgChunkBytes " +
+        s"target=$targetPartitionBytes row=$rowBytes")
+    require(minPartitions >= 1 && maxPartitions >= minPartitions,
+      s"bad clamp: [$minPartitions, $maxPartitions]")
+    val rows = (inputBytes + avgChunkBytes - 1) / avgChunkBytes
+    // rows ≤ 2^63 / rowBytes for any physical input (100 TB → 1.6e9 rows);
+    // still guard the multiply so a nonsense argument fails loudly
+    val shuffleBytes = math.multiplyExact(rows, rowBytes)
+    val p = (shuffleBytes + targetPartitionBytes - 1) / targetPartitionBytes
+    math.min(maxPartitions.toLong, math.max(minPartitions.toLong, p)).toInt
+  }
+
+  /** Apply [[sizeShufflePartitions]] to the session for a chunk-estimation
+    * job over `totalBytes`, never shrinking below the session's current
+    * setting (small inputs keep their configured layout; big inputs grow).
+    * Returns the previous setting so self-contained operators (whose
+    * actions all run inside their own scope, like `Estimator.estimateGrid`)
+    * can restore it — lazy callers must leave it in place until their
+    * actions have run.
+    */
+  def applyChunkShufflePartitions(
+      spark: SparkSession,
+      totalBytes: Long,
+      params: ChunkerParams): Int = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = sizeShufflePartitions(totalBytes, expectedChunkBytes(params),
+      minPartitions = prev)
+    if (n != prev) spark.conf.set("spark.sql.shuffle.partitions", n)
+    prev
+  }
+
+  /** Total length of `paths` through the Hadoop FS API (metadata-only) —
+    * the input-size probe for [[applyChunkShufflePartitions]].
+    */
+  def totalFileBytes(paths: Seq[String]): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.map { s =>
+      val p = new org.apache.hadoop.fs.Path(s)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+  }
+}

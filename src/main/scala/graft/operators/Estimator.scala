@@ -126,20 +126,27 @@ object Estimator {
       format: String = "raw",
       params: ChunkerParams = ChunkerParams.Default,
       xetParams: ChunkerParams = ChunkerParams.Xet): EstimationResult = {
-    // auto-routing: files >= 1 GiB get intra-file split parallelism
-    val chunks = ChunkRelation.chunkFilesAuto(spark, paths, params)
-    val (total, chunkBytes, compressedBytes) = stats(chunks)
-    val xetBytes = uniqueBytes(ChunkRelation.chunkFilesAuto(spark, paths, xetParams))
-    EstimationResult(
-      group = group,
-      format = format,
-      numfiles = paths.size.toLong,
-      total_len = total,
-      chunk_bytes = chunkBytes,
-      compressed_chunk_bytes = compressedBytes,
-      dedup_ratio = if (total == 0) 0.0 else chunkBytes.toDouble / total,
-      xet_bytes = xetBytes,
-      xet_dedup_ratio = if (total == 0) 0.0 else xetBytes.toDouble / total)
+    // input-sized shuffle: derive the partition count from the bytes about
+    // to be chunked (graft.Conf) — both actions run inside this scope, so
+    // the session setting is restored on the way out
+    val prevShuffle = graft.Conf.applyChunkShufflePartitions(
+      spark, graft.Conf.totalFileBytes(paths), params)
+    try {
+      // auto-routing: files >= 1 GiB get intra-file split parallelism
+      val chunks = ChunkRelation.chunkFilesAuto(spark, paths, params)
+      val (total, chunkBytes, compressedBytes) = stats(chunks)
+      val xetBytes = uniqueBytes(ChunkRelation.chunkFilesAuto(spark, paths, xetParams))
+      EstimationResult(
+        group = group,
+        format = format,
+        numfiles = paths.size.toLong,
+        total_len = total,
+        chunk_bytes = chunkBytes,
+        compressed_chunk_bytes = compressedBytes,
+        dedup_ratio = if (total == 0) 0.0 else chunkBytes.toDouble / total,
+        xet_bytes = xetBytes,
+        xet_dedup_ratio = if (total == 0) 0.0 else xetBytes.toDouble / total)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Grid estimation (A5, reference de/estimate.py:41-84) as a SINGLE job:
@@ -161,6 +168,13 @@ object Estimator {
       sideSink: Option[(String, DataFrame) => DataFrame] = None): Seq[EstimationResult] = {
     import spark.implicits._
     if (files.isEmpty) return Seq.empty
+    // input-sized shuffle (graft.Conf): the (group, format, hash) exchange
+    // carries one row per chunk occurrence, so its partition count must
+    // track input bytes, not the session default; both cell passes collect
+    // inside this scope, so the setting is restored on the way out
+    val prevShuffle = graft.Conf.applyChunkShufflePartitions(
+      spark, graft.Conf.totalFileBytes(files.map(_._3)), params)
+    try {
     val tags = files.zipWithIndex.map { case ((g, f, _), i) => (i.toLong, g, f) }
     val tagDf0 = spark.createDataset(tags).toDF("file_idx", "group", "format")
     val tagDf = sideSink.map(f => f("grid_tags", tagDf0)).getOrElse(tagDf0)
@@ -203,6 +217,7 @@ object Estimator {
         if (total == 0) 0.0 else cb.toDouble / total, xb,
         if (total == 0) 0.0 else xb.toDouble / total)
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Byte-ordered occurrence stream annotated with provenance — the
