@@ -235,7 +235,10 @@ object Bench {
         sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full.json"))
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: java.io.IOException =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal, not just IOException: Paths.get throws (unchecked)
+      // InvalidPathException on a malformed GRAFT_BENCH_OUT, and losing the
+      // computed results to an artifact-write hiccup is never worth it
       System.err.println(s"bench_full.json write failed (non-fatal): $e")
     }
     // compact 10 ms-rounded duplicate: the driver keeps only the final

@@ -62,14 +62,17 @@ object Conf {
     require(avgChunkBytes > 0 && targetPartitionBytes > 0 && rowBytes > 0,
       s"sizes must be positive: avgChunk=$avgChunkBytes " +
         s"target=$targetPartitionBytes row=$rowBytes")
-    require(minPartitions >= 1 && maxPartitions >= minPartitions,
+    require(minPartitions >= 1 && maxPartitions >= 1,
       s"bad clamp: [$minPartitions, $maxPartitions]")
+    // a floor above the ceiling (e.g. a session already configured past
+    // 200k partitions) keeps the floor: never SHRINK a working setting
+    val effMax = math.max(maxPartitions, minPartitions)
     val rows = (inputBytes + avgChunkBytes - 1) / avgChunkBytes
     // rows ≤ 2^63 / rowBytes for any physical input (100 TB → 1.6e9 rows);
     // still guard the multiply so a nonsense argument fails loudly
     val shuffleBytes = math.multiplyExact(rows, rowBytes)
     val p = (shuffleBytes + targetPartitionBytes - 1) / targetPartitionBytes
-    math.min(maxPartitions.toLong, math.max(minPartitions.toLong, p)).toInt
+    math.min(effMax.toLong, math.max(minPartitions.toLong, p)).toInt
   }
 
   /** Apply [[sizeShufflePartitions]] to the session for a chunk-estimation
@@ -79,6 +82,13 @@ object Conf {
     * actions all run inside their own scope, like `Estimator.estimateGrid`)
     * can restore it — lazy callers must leave it in place until their
     * actions have run.
+    *
+    * NOT thread-safe across queries: `spark.sql.shuffle.partitions` is
+    * session-global, so two concurrent estimate/estimateGrid calls on one
+    * SparkSession race on set/restore and can leave either value behind.
+    * Run concurrent estimations on `spark.newSession()` clones (isolated
+    * conf, shared SparkContext) — the CLI and all in-repo callers are
+    * single-threaded per session.
     */
   def applyChunkShufflePartitions(
       spark: SparkSession,
@@ -93,12 +103,35 @@ object Conf {
 
   /** Total length of `paths` through the Hadoop FS API (metadata-only) —
     * the input-size probe for [[applyChunkShufflePartitions]].
+    *
+    * Batched: one `listStatus` RPC per parent directory instead of one
+    * `getFileStatus` per path — at 100k files in a handful of directories
+    * that is the difference between seconds and 100k round-trips on an
+    * object store. Paths whose parent listing misses them (deleted between
+    * listing and lookup, or a bare root) fall back to a direct
+    * `getFileStatus`, preserving the unbatched behavior exactly (including
+    * FileNotFoundException for genuinely missing inputs).
     */
   def totalFileBytes(paths: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
     val conf = new org.apache.hadoop.conf.Configuration()
-    paths.map { s =>
-      val p = new org.apache.hadoop.fs.Path(s)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    paths
+      .map(new Path(_))
+      .groupBy(p => Option(p.getParent))
+      .iterator
+      .map {
+        case (Some(parent), group) if group.size > 1 =>
+          val fs = parent.getFileSystem(conf)
+          // qualified-path keys: the listing returns fully-qualified Paths
+          // while callers may pass relative/unqualified strings
+          val listed = fs.listStatus(parent)
+            .map(st => st.getPath -> st.getLen).toMap
+          group.map { p =>
+            listed.getOrElse(fs.makeQualified(p), fs.getFileStatus(p).getLen)
+          }.sum
+        case (_, group) =>
+          group.map(p => p.getFileSystem(conf).getFileStatus(p).getLen).sum
+      }
+      .sum
   }
 }

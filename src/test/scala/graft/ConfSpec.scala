@@ -51,19 +51,59 @@ class ConfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("totalFileBytes: batched per-parent listing matches per-file stats") {
+    val dir = java.nio.file.Files.createTempDirectory("conf-bytes").toFile
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    try {
+      def put(f: java.io.File, n: Int): String = {
+        java.nio.file.Files.write(f.toPath, Array.fill[Byte](n)(7))
+        f.getAbsolutePath
+      }
+      val a = put(new java.io.File(dir, "a.bin"), 100)
+      val b = put(new java.io.File(dir, "b.bin"), 250)
+      val c = put(new java.io.File(sub, "c.bin"), 11) // single-file group
+      // extra sibling NOT in the query set — must not leak into the sum
+      put(new java.io.File(dir, "noise.bin"), 9999)
+      assert(Conf.totalFileBytes(Seq(a, b, c)) == 361)
+      assert(Conf.totalFileBytes(Seq(c)) == 11)
+      assert(Conf.totalFileBytes(Nil) == 0)
+      // missing files still fail loudly, same as the unbatched probe
+      intercept[java.io.FileNotFoundException] {
+        Conf.totalFileBytes(Seq(a, new java.io.File(dir, "gone").getAbsolutePath))
+      }
+    } finally {
+      dir.listFiles().foreach { f =>
+        if (f.isDirectory) f.listFiles().foreach(_.delete()); f.delete()
+      }
+      dir.delete()
+    }
+  }
+
   test("ChunkRowShuffleBytes is the right order for a real exchange") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // shuffle 10k ChunkRows through a repartition and read the exchange's
-    // write metrics: the constant must sit within 2x of the measured
-    // bytes/row (it sizes partitions — order of magnitude is the contract)
+    // Shuffle 10k ChunkRows through a repartition and read the exchange's
+    // write metrics. shuffleBytesWritten counts POST-lz4 bytes
+    // (spark.shuffle.compress=true by default), so the rows must be
+    // incompressible for the wire measurement to reflect the uncompressed
+    // 48 B UnsafeRow constant: scramble every field through splitmix-style
+    // multipliers (constant/sequential columns compress ~2.5x and the r11
+    // version of this spec measured 19 B/row against a 24 B floor).
+    def mix(i: Long, c: Long): Long = {
+      val z = (i + c) * 0x9E3779B97F4A7C15L
+      val z2 = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z2 ^ (z2 >>> 27)
+    }
     val rows = (0L until 10000L).map(i =>
-      graft.operators.ChunkRow(i % 7, i, i * 0x9E3779B97F4A7C15L, 65536, 30000))
+      graft.operators.ChunkRow(mix(i, 1), mix(i, 2), mix(i, 3), mix(i, 4),
+        mix(i, 5)))
     val ds = spark.createDataset(rows).repartition(8, col("hash"))
     // collect (not count): count spawns its own QueryExecution and would
     // leave THIS plan unexecuted with zeroed metrics
     assert(ds.collect().length == 10000)
-    val written = findShuffleBytes(ds.queryExecution.executedPlan)
+    val (written, records) = findShuffleMetrics(ds.queryExecution.executedPlan)
+    // the record metric verifies the extraction walked the right exchange
+    assert(records == 10000, s"expected 10000 shuffle records, got $records")
     assert(written > 0, "expected shuffle write metrics")
     val perRow = written.toDouble / 10000
     assert(perRow < Conf.ChunkRowShuffleBytes * 2 &&
@@ -71,13 +111,16 @@ class ConfSpec extends SparkSpec {
       s"measured $perRow B/row vs constant ${Conf.ChunkRowShuffleBytes}")
   }
 
-  private def findShuffleBytes(
-      p: org.apache.spark.sql.execution.SparkPlan): Long = {
+  /** (bytesWritten, recordsWritten) summed over every shuffle exchange. */
+  private def findShuffleMetrics(
+      p: org.apache.spark.sql.execution.SparkPlan): (Long, Long) = {
     val self = p match {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e.metrics.get("shuffleBytesWritten").orElse(
-          e.metrics.get("bytesWritten")).map(_.value).getOrElse(0L)
-      case _ => 0L
+        (e.metrics.get("shuffleBytesWritten").orElse(
+           e.metrics.get("bytesWritten")).map(_.value).getOrElse(0L),
+         e.metrics.get("shuffleRecordsWritten").orElse(
+           e.metrics.get("recordsWritten")).map(_.value).getOrElse(0L))
+      case _ => (0L, 0L)
     }
     val kids = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -85,6 +128,8 @@ class ConfSpec extends SparkSpec {
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
       case other => other.children
     }
-    self + kids.map(findShuffleBytes).sum
+    kids.map(findShuffleMetrics).foldLeft(self) {
+      case ((b, r), (kb, kr)) => (b + kb, r + kr)
+    }
   }
 }
