@@ -28,6 +28,49 @@ object Conf {
     */
   val ChunkRowShuffleBytes: Long = 48L
 
+  /** Serialized shuffle bytes per exploded gram row
+    * `(id: long, n_grams: int, gram: long)` — 8 B UnsafeRow null bitmap +
+    * 3×8 B field slots (ints still occupy an 8-byte slot). Sizes the gram
+    * exchange behind [[graft.operators.Dedupe.containmentPairs]], which
+    * carries Σ n_grams rows (≈ one row per corpus word).
+    */
+  val GramRowShuffleBytes: Long = 32L
+
+  /** Serialized shuffle bytes per LSH band row
+    * `(band: int, bucket: long, id: long)` — same 8 B bitmap + 3 slots.
+    * Sizes the band exchange behind
+    * [[graft.operators.Dedupe.minhashPairs]], which carries
+    * n_docs × bands rows.
+    */
+  val BandRowShuffleBytes: Long = 32L
+
+  /** [[sizeShufflePartitions]] for operators that know their shuffle ROW
+    * count directly (gram/band relations) rather than deriving it from
+    * input bytes / avg chunk size.
+    */
+  def sizeShufflePartitionsForRows(
+      rows: Long,
+      rowBytes: Long,
+      minPartitions: Int = 1,
+      maxPartitions: Int = 200000): Int =
+    sizeShufflePartitions(rows, avgChunkBytes = 1L, rowBytes = rowBytes,
+      minPartitions = minPartitions, maxPartitions = maxPartitions)
+
+  /** Session-apply twin of [[sizeShufflePartitionsForRows]] — same
+    * grow-never-shrink + restore contract (and the same single-threaded-
+    * per-session caveat) as [[applyChunkShufflePartitions]]. Callers wrap
+    * their actions in try/finally and restore the returned previous value.
+    */
+  def applyRowShufflePartitions(
+      spark: SparkSession,
+      rows: Long,
+      rowBytes: Long): Int = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = sizeShufflePartitionsForRows(rows, rowBytes, minPartitions = prev)
+    if (n != prev) spark.conf.set("spark.sql.shuffle.partitions", n)
+    prev
+  }
+
   /** Expected average chunk size under `params`: the gear mask fires once
     * per 2^maskBits bytes in expectation, gated below by minLen (bytes
     * skipped after every cut) and above by maxLen (forced cuts).

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Conf
 import graft.cdc.XXH64
 
 /** Deduplication operators for training-data pipelines, from exact to
@@ -26,7 +27,8 @@ import graft.cdc.XXH64
   * load factor ≤ 0.5, doubling growth) for executor-side graph kernels —
   * no boxing, no per-entry node objects.
   */
-private[operators] final class LongLongMap(initialCapacity: Int) {
+private[operators] final class LongLongMap(initialCapacity: Int)
+    extends Serializable {
   private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1)) * 2
   private var keys = new Array[Long](cap)
   private var vals = new Array[Long](cap)
@@ -159,7 +161,7 @@ object Dedupe {
     * boxed occurrence map per pair (measured 3-4x slower on the
     * all-pairs eval truth).
     */
-  private def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+  private[graft] def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var c = 0
     while (i < a.length && j < b.length) {
       if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
@@ -266,6 +268,17 @@ object Dedupe {
       sigSink(minhashSigRelation(df, idCol, textCol, shingleK, numHashes))
         .cache())
 
+    // Input-sized band exchange (same 100 TB discipline as the chunk
+    // estimator, Conf.scala preamble): the (band, bucket) shuffle carries
+    // n_docs × bands rows, and a session default sized for local[32] would
+    // put the whole corpus's banding in a handful of reduce partitions.
+    // Counting the cached signature relation materializes a cache every
+    // later step reads anyway, so the probe is one narrow cached scan.
+    val nDocs = docs.count()
+    val prevParts = Conf.applyRowShufflePartitions(spark,
+      math.multiplyExact(nDocs, bands.toLong), Conf.BandRowShuffleBytes)
+    try {
+
     // band → bucket key = hash of the band's signature slice
     val banded = bandRelation(docs, bands, rowsPerBand)
 
@@ -339,6 +352,8 @@ object Dedupe {
     bucketSizes.unpersist()
     if (!externalSigs) docs.unpersist()
     result
+
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Incremental (batch-over-index) MinHash near-dup classification — the
@@ -628,7 +643,7 @@ object Dedupe {
         .filter(col("rank") <=
           col("n_capped") - floor(lit(threshold) * col("n_grams")) + lit(1))
         .select(col("id"), col("gram"))
-      val cand = prefix.as("l")
+      val cand = prefix.hint("SHUFFLE_HASH").as("l")
         .join(prefix.as("r"),
           col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
@@ -695,7 +710,8 @@ object Dedupe {
       k: Int = 3,
       thresholdBp: Long = 9000L,
       maxGramFreq: Long = Long.MaxValue,
-      usePrefixFilter: Boolean = false): DataFrame = {
+      usePrefixFilter: Boolean = false,
+      broadcastGramDfLimit: Long = 4L * 1000 * 1000): DataFrame = {
     require(thresholdBp >= 1L && thresholdBp <= 10000L,
       s"thresholdBp must be in [1, 10000], got $thresholdBp")
     val gsetsAll = gramRows(df, col(idCol), col(textCol), k)
@@ -750,28 +766,69 @@ object Dedupe {
         }
         .toDF("id", "n_grams", "grams")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Input-sized gram exchange (Conf.scala preamble): every wide stage
+      // here — the df aggregation, the df join, the prefix⋈index join —
+      // shuffles on `gram` and carries up to Σ n_grams rows (one per
+      // corpus word). The probe aggregates the per-doc cache it
+      // materializes anyway, so sizing costs one cached scan.
+      val sumGrams = docGrams
+        .agg(coalesce(sum(col("n_grams").cast("long")), lit(0L)))
+        .as[Long].head()
+      val prevParts = Conf.applyRowShufflePartitions(session, sumGrams,
+        Conf.GramRowShuffleBytes)
+      try {
       val exploded = docGrams.select(col("id"), col("n_grams"),
         explode(col("grams")).as("gram"))
-      val gramDf = exploded.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-      // ONE per-doc relation serves every downstream shape: fold each
-      // doc's capped grams with their df into a kernel that sorts them in
-      // the global (df, gram) order (order_grams — prefix/index views
-      // posexplode it) and in plain hash order (sorted_grams — the exact-
-      // verification intersect kernel). Per-DOC rows persist instead of
-      // per-gram rows, and the kernel sort replaces a window sort, so the
-      // whole build is two exchanges: gram (df count + join, reused) and
-      // id (this fold).
-      val perDoc = exploded
-        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
-        .groupBy(col("id"))
-        .agg(first(col("n_grams")).as("n_grams"),
-          collect_list(struct(col("gram_df").as("_1"), col("gram").as("_2")))
-            .as("gs"))
-        .as[(Long, Int, Array[(Long, Long)])]
-        .map { case (id, nGrams, gs) =>
-          val order = gs.sorted.map(_._2)
-          (id, nGrams, order, order.sorted)
-        }
+      // ONE per-doc relation serves every downstream shape: each doc's
+      // capped grams with their df, sorted in the global (df, gram) order
+      // (order_grams — prefix/index views posexplode it) and in plain hash
+      // order (sorted_grams — the exact-verification intersect kernel).
+      // Per-DOC rows persist instead of per-gram rows. Two builds, picked
+      // by the sumGrams probe:
+      //  - BROADCAST (≤ broadcastGramDfLimit total grams, so distinct
+      //    grams are bounded too): the df aggregation's output collects to
+      //    a primitive long→long map and broadcasts; perDoc is then a
+      //    fully NARROW map over the cached per-doc arrays — zero wide
+      //    exchanges, no per-gram rows ever shuffle. The standard
+      //    broadcast-the-small-dim discipline, decided from measured
+      //    input stats, not a guess.
+      //  - SHUFFLE (the 100 TB path, where the gram dictionary outgrows
+      //    the driver): window df count over the gram partition, then the
+      //    per-id fold — exactly two wide input-sized exchanges. Grams are
+      //    per-doc distinct (wordGramHashes dedupes), so the occurrence
+      //    count IS document frequency; both builds agree exactly.
+      val perDoc = (if (sumGrams <= broadcastGramDfLimit) {
+        val dfRows = exploded
+          .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+          .as[(Long, Long)].collect()
+        val dfMap = new LongLongMap(dfRows.length * 2 + 16)
+        dfRows.foreach { case (g, c) => dfMap.put(g, c) }
+        val bcDf = session.sparkContext.broadcast(dfMap)
+        val cap = maxGramFreq
+        docGrams
+          .as[(Long, Int, Array[Long])]
+          .map { case (id, nGrams, grams) =>
+            val m = bcDf.value
+            val gs = grams.iterator
+              .map(g => (m(g), g)).filter(_._1 <= cap).toArray
+            val order = gs.sorted.map(_._2)
+            (id, nGrams, order, order.sorted)
+          }
+      } else {
+        exploded
+          .withColumn("gram_df",
+            count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("gram_df") <= maxGramFreq)
+          .groupBy(col("id"))
+          .agg(first(col("n_grams")).as("n_grams"),
+            collect_list(struct(col("gram_df").as("_1"), col("gram").as("_2")))
+              .as("gs"))
+          .as[(Long, Int, Array[(Long, Long)])]
+          .map { case (id, nGrams, gs) =>
+            val order = gs.sorted.map(_._2)
+            (id, nGrams, order, order.sorted)
+          }
+      })
         .toDF("id", "n_grams", "order_grams", "sorted_grams")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // required overlap from the FULL gram count (cap-safe: capping only
@@ -803,7 +860,14 @@ object Dedupe {
       // SMALLEST shared gram (no common gram precedes it), so that
       // occurrence always survives — the filter only drops occurrences
       // that could not have carried a qualifying overlap, never the pair.
-      val cand = prefix.as("l")
+      // SHUFFLE_HASH on the (smaller) prefix side: the default sort-merge
+      // join would sort BOTH gram-keyed relations (Σ grams-scale rows);
+      // a per-partition hash build of the prefix side fits memory by
+      // construction once the exchange is input-sized (64 MiB target
+      // partitions, see applyRowShufflePartitions above). AQE still
+      // upgrades to a broadcast join at runtime when the built prefix
+      // side measures under the broadcast threshold.
+      val cand = prefix.hint("SHUFFLE_HASH").as("l")
         .join(index.as("r"),
           col("l.gram") === col("r.gram") && col("l.id") =!= col("r.id") &&
             lit(1L) + least(col("l.n_capped") - col("l.rank"),
@@ -835,6 +899,7 @@ object Dedupe {
       perDoc.unpersist()
       docGrams.unpersist()
       result
+      } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 

@@ -51,6 +51,38 @@ class ConfSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sizeShufflePartitionsForRows: gram/band worked examples and clamps") {
+    // containment gram exchange, 1 TB of text: ~1.6e11 word-grams
+    // (≈6 B/word) × 32 B rows ≈ 5.1 TB shuffle → ~80k partitions
+    val gram1TB = Conf.sizeShufflePartitionsForRows(
+      160L * 1000 * 1000 * 1000, Conf.GramRowShuffleBytes)
+    assert(gram1TB > 70000 && gram1TB < 90000,
+      s"1 TB gram exchange should size to ~80k partitions, got $gram1TB")
+    // 100 TB of text: the 200k scheduler ceiling binds (≈2.6 GB per reduce
+    // partition — the disk-backed-aggregation regime, documented, not UB)
+    assert(Conf.sizeShufflePartitionsForRows(
+      16L * 1000 * 1000 * 1000 * 1000, Conf.GramRowShuffleBytes) == 200000)
+    // minhash band exchange, 2e9 docs × 16 bands × 32 B ≈ 1 TB → ~16k
+    val band = Conf.sizeShufflePartitionsForRows(
+      2L * 1000 * 1000 * 1000 * 16, Conf.BandRowShuffleBytes)
+    assert(band > 14000 && band < 18000,
+      s"2e9-doc band exchange should size to ~16k partitions, got $band")
+    // empty relation keeps the floor
+    assert(Conf.sizeShufflePartitionsForRows(0, 32, minPartitions = 32) == 32)
+  }
+
+  test("applyRowShufflePartitions: grows for big row counts, never shrinks") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val p0 = Conf.applyRowShufflePartitions(spark, 1000L, 32L)
+      assert(p0.toString == prev)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == prev)
+      val p1 = Conf.applyRowShufflePartitions(spark, 100L * 1000 * 1000 * 1000, 32L)
+      assert(p1.toString == prev)
+      assert(spark.conf.get("spark.sql.shuffle.partitions").toInt > prev.toInt)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("totalFileBytes: batched per-parent listing matches per-file stats") {
     val dir = java.nio.file.Files.createTempDirectory("conf-bytes").toFile
     val sub = new java.io.File(dir, "sub"); sub.mkdirs()

@@ -37,6 +37,26 @@ class DedupeSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 3L || b == 4L || a == 3L || a == 4L })
   }
 
+  test("input-sized exchanges restore the session shuffle-partition setting") {
+    import spark.implicits._
+    // both operators size their wide exchanges from corpus stats
+    // (Conf.applyRowShufflePartitions) and must put the session's value
+    // back afterwards — including on the prefix-filter path whose actions
+    // run inside the operator
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      Dedupe.minhashPairs(docsDf, "doc_id", "text", shingleK = 2,
+        numHashes = 64, bands = 16, threshold = 0.3).collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      val docs = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      Dedupe.containmentPairs(docs, "doc_id", "text", k = 3,
+        thresholdBp = 9000L, usePrefixFilter = true).collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("minhashClassify: batch rows classify against the index, best match wins") {
     import spark.implicits._
     val index = Seq(
@@ -153,18 +173,25 @@ class DedupeSpec extends SparkSpec {
     val docs = (base ++ Seq((100L, halfOf(3L)), (101L, halfOf(5L)),
       // excerpt id BELOW its source: forces the l.id > r.id branch
       (-7L, halfOf(9L)))).toDF("doc_id", "text")
-    def run(prefix: Boolean, cap: Long) = Dedupe
-      .containmentPairs(docs, "doc_id", "text", k = 3, thresholdBp = 8000L,
-        maxGramFreq = cap, usePrefixFilter = prefix)
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6), r.getString(7)))).toMap
+    def run(prefix: Boolean, cap: Long, bcLimit: Long = 4L * 1000 * 1000) =
+      Dedupe
+        .containmentPairs(docs, "doc_id", "text", k = 3, thresholdBp = 8000L,
+          maxGramFreq = cap, usePrefixFilter = prefix,
+          broadcastGramDfLimit = bcLimit)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getString(7)))).toMap
     for (cap <- Seq(Long.MaxValue, 10L)) {
       val plain = run(prefix = false, cap)
       val filtered = run(prefix = true, cap)
+      // bcLimit = 0 forces the shuffle (window-df) perDoc build — the
+      // 100 TB path the small fixture would otherwise never exercise;
+      // both builds must be row-identical to the direct join
+      val shuffled = run(prefix = true, cap, bcLimit = 0L)
       assert(plain.nonEmpty, "test corpus must produce pairs")
-      assert(filtered == plain, s"paths diverge at cap=$cap")
+      assert(filtered == plain, s"broadcast path diverges at cap=$cap")
+      assert(shuffled == plain, s"shuffle path diverges at cap=$cap")
     }
     // the engineered excerpts are present and labeled asymmetric
     val labels = run(prefix = true, Long.MaxValue)
