@@ -30,7 +30,7 @@ object ScaleRun {
   /** Write df as a SINGLE parquet file at dir/name (the chunk queries open
     * paths as plain file streams, not directory tables).
     */
-  private def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
+  private[tools] def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
     val tmp = s"$dir/_tmp_$name"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     val listing = Files.list(Paths.get(tmp))
