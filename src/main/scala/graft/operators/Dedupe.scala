@@ -537,6 +537,125 @@ object Dedupe {
       .toDF("id", "n_grams", "gram")
   }
 
+  /** Shared substrate of the two PPJoin-style prefix paths
+    * ([[ngramJaccardPairs]], [[containmentPairs]]): the cached per-doc
+    * gram-array relation `(id, n_grams, order_grams, sorted_grams)` with
+    * grams capped at `maxGramFreq` and ordered two ways — global
+    * ascending (document frequency, gram) for prefix/index views, plain
+    * hash order for the sorted-intersect verification kernel.
+    *
+    * The gram kernel runs ONCE: per-DOC arrays persist (corpus-
+    * proportional — the same scale class as the exploded relation, in
+    * fewer rows) and every downstream view explodes from the cache. Two
+    * builds, picked by the Σ n_grams probe:
+    *
+    *  - BROADCAST (≤ `broadcastGramDfLimit` total grams, so distinct
+    *    grams are bounded too): the df aggregation's output collects to a
+    *    primitive long→long map and broadcasts; perDoc is then a fully
+    *    NARROW map over the cached per-doc arrays — zero wide exchanges,
+    *    no per-gram rows ever shuffle. The standard broadcast-the-small-
+    *    dim discipline, decided from measured input stats, not a guess.
+    *  - SHUFFLE (the 100 TB path, where the gram dictionary outgrows the
+    *    driver): window df count over the gram partition, then the per-id
+    *    fold — exactly two wide input-sized exchanges. Grams are per-doc
+    *    distinct (wordGramHashes dedupes), so the occurrence count IS
+    *    document frequency; both builds agree exactly.
+    *
+    * Also applies [[Conf.applyRowShufflePartitions]] for the Σ n_grams-
+    * row gram exchanges (Conf.scala preamble). Returns
+    * (docGrams, perDoc, prevShufflePartitions); the CALLER owns cleanup:
+    * unpersist both relations and restore the partition setting in a
+    * finally.
+    */
+  private def perDocGramRelation(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxGramFreq: Long,
+      broadcastGramDfLimit: Long): (DataFrame, DataFrame, Int) = {
+    val session = df.sparkSession
+    import session.implicits._
+    val docGrams = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val g = wordGramHashes(text, k)
+        (id, g.length, g)
+      }
+      .toDF("id", "n_grams", "grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the probe aggregates the per-doc cache it materializes anyway, so
+    // sizing costs one cached scan
+    val sumGrams = docGrams
+      .agg(coalesce(sum(col("n_grams").cast("long")), lit(0L)))
+      .as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumGrams,
+      Conf.GramRowShuffleBytes)
+    val exploded = docGrams.select(col("id"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val perDoc = (if (sumGrams <= broadcastGramDfLimit) {
+      val dfRows = exploded
+        .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
+        .as[(Long, Long)].collect()
+      val dfMap = new LongLongMap(dfRows.length * 2 + 16)
+      dfRows.foreach { case (g, c) => dfMap.put(g, c) }
+      val bcDf = session.sparkContext.broadcast(dfMap)
+      val cap = maxGramFreq
+      docGrams
+        .as[(Long, Int, Array[Long])]
+        .map { case (id, nGrams, grams) =>
+          val m = bcDf.value
+          val gs = grams.iterator
+            .map(g => (m(g), g)).filter(_._1 <= cap).toArray
+          val order = gs.sorted.map(_._2)
+          (id, nGrams, order, order.sorted)
+        }
+    } else {
+      exploded
+        .withColumn("gram_df",
+          count(lit(1)).over(Window.partitionBy(col("gram"))))
+        .filter(col("gram_df") <= maxGramFreq)
+        .groupBy(col("id"))
+        .agg(first(col("n_grams")).as("n_grams"),
+          collect_list(struct(col("gram_df").as("_1"), col("gram").as("_2")))
+            .as("gs"))
+        .as[(Long, Int, Array[(Long, Long)])]
+        .map { case (id, nGrams, gs) =>
+          val order = gs.sorted.map(_._2)
+          (id, nGrams, order, order.sorted)
+        }
+    })
+      .toDF("id", "n_grams", "order_grams", "sorted_grams")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (docGrams, perDoc, prevParts)
+  }
+
+  /** Exact-verification finisher shared by the prefix paths: join the
+    * (small, distinct) candidate pairs back to the per-doc arrays and
+    * count the overlap with the allocation-free sorted-merge kernel —
+    * each doc's grams move once, where the explode-style alternative
+    * reshuffles |cand|·|doc| gram rows.
+    */
+  private def verifyPairsByIntersect(
+      cand: DataFrame,
+      perDoc: DataFrame): DataFrame = {
+    val session = cand.sparkSession
+    import session.implicits._
+    cand
+      .join(perDoc.select(col("id").as("id_a"), col("sorted_grams").as("ga"),
+        col("n_grams").as("na")), "id_a")
+      .join(perDoc.select(col("id").as("id_b"), col("sorted_grams").as("gb"),
+        col("n_grams").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("ga"), col("gb"),
+        col("na"), col("nb"))
+      .as[(Long, Long, Array[Long], Array[Long], Int, Int)]
+      .map { case (a, b, ga, gb, na, nb) =>
+        (a, b, sortedIntersectCount(ga, gb).toLong, na, nb)
+      }
+      .toDF("id_a", "id_b", "n_common", "na", "nb")
+  }
+
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -544,7 +663,8 @@ object Dedupe {
       k: Int = 3,
       threshold: Double = 0.5,
       maxGramFreq: Long = Long.MaxValue,
-      usePrefixFilter: Boolean = false): DataFrame = {
+      usePrefixFilter: Boolean = false,
+      broadcastGramDfLimit: Long = 4L * 1000 * 1000): DataFrame = {
     // Grams are IDENTIFIED BY HASH from the start: each distinct word
     // k-gram string hashes to one xxh64 value — hash equality equals
     // gram-string equality modulo 2^-64 collisions (immaterial); short
@@ -574,25 +694,27 @@ object Dedupe {
     // hard guardrail).
     //
     // OPTION (usePrefixFilter = true) — the public All-Pairs / PPJoin
-    // prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08): order
-    // each document's grams by ascending global document frequency
+    // prefix filter (Bayardo et al. WWW'07; Xiao et al. WWW'08) on the
+    // [[perDocGramRelation]] substrate shared with [[containmentPairs]]:
+    // order each document's grams by ascending global document frequency
     // (ties by gram value — a total order) and join only the prefix a
-    // qualifying pair MUST share. J(A,B) ≥ t forces overlap
-    // c ≥ ⌈t·|A|⌉, and the smallest common gram (global order) sits
-    // within the first |A| − c + 1 grams of A, so prefixes of length
-    // |A| − ⌈t·|A|⌉ + 1 lose nothing; hot grams sort to the END of
-    // every document and never enter a prefix, collapsing the Σ df²
-    // term to the rare-gram buckets. Float safety: the required overlap
-    // relaxes to floor(t·|A|) — prefixes only ever come out LONGER than
-    // necessary, so exactness survives rounding either way. The exact
-    // intersection is then re-derived over ALL (capped) grams for the
-    // few candidates: cand ⋈ grams(A) on id_a (AQE broadcasts the tiny
-    // cand side), ⋈ grams(B) on (id_b, gram), one pair-keyed count.
-    // Costs ~4 extra stages of fixed overhead (df join, rank window,
-    // distinct, second verify join) — measurably SLOWER on benign
-    // corpora (5000-doc bench: 8.6 s vs 3.9 s) and asymptotically
-    // faster only when hot grams dominate; flip it on for skewed/
-    // adversarial gram distributions at scale.
+    // qualifying pair MUST share. J(A,B) ≥ t forces overlap c ≥ t·|A|
+    // (c ≥ t/(1+t)·(|A|+|B|) and |B| ≥ c give c·(1+t) ≥ t·|A| + t·c),
+    // and the smallest common gram (global order) sits within the first
+    // |A| − c + 1 grams of A, so prefixes of length |A| − ⌈t·|A|⌉ + 1
+    // lose nothing; hot grams sort to the END of every document and
+    // never enter a prefix, collapsing the Σ df² term to the rare-gram
+    // buckets. Float safety: the required overlap relaxes to
+    // floor(t·|A|) — prefixes only ever come out LONGER than necessary,
+    // so exactness survives rounding either way. The PPJoin positional
+    // filter prunes matched occurrences (1 + min(remaining) must cover
+    // the pair's larger per-side floor — lossless at the smallest shared
+    // gram, same argument as the containment variant), candidates
+    // distinct once, and the exact intersection re-derives over ALL
+    // (capped) grams via the sorted-array kernel. Asymptotically faster
+    // whenever hot grams dominate; on benign corpora the two paths now
+    // measure within noise of each other (the per-doc-array substrate
+    // removed the old path's 4-stage overhead).
     //
     // In BOTH paths `maxGramFreq` drops over-hot grams before the
     // quadratic step while n_grams keeps the FULL distinct count, so a
@@ -628,39 +750,43 @@ object Dedupe {
       result.count()
       result
     } else {
-      // persisted ONCE: the gram kernel + df join feeds four consumers
-      // (both prefix-join sides and both verify-join sides); released
-      // before returning — `result` is already cached
-      val gramDf = gsetsAll.groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-      val withDf = gsetsAll
-        .join(gramDf.filter(col("gram_df") <= maxGramFreq), "gram")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val byId = Window.partitionBy(col("id"))
-      val prefix = withDf
-        .withColumn("rank",
-          row_number().over(byId.orderBy(col("gram_df"), col("gram"))))
-        .withColumn("n_capped", count(lit(1)).over(byId))
-        .filter(col("rank") <=
-          col("n_capped") - floor(lit(threshold) * col("n_grams")) + lit(1))
-        .select(col("id"), col("gram"))
-      val cand = prefix.hint("SHUFFLE_HASH").as("l")
-        .join(prefix.as("r"),
-          col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-        .distinct()
-      val gsets = withDf.select(col("id"), col("n_grams"), col("gram"))
-      val result = finish(cand
-        .join(gsets.select(col("id").as("id_a"), col("n_grams").as("na"),
-          col("gram")), "id_a")
-        .join(gsets.select(col("id").as("id_b"), col("n_grams").as("nb"),
-          col("gram")), Seq("id_b", "gram"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("n_common"), first(col("na")).as("na"),
-          first(col("nb")).as("nb")))
-        .cache()
-      result.count()
-      withDf.unpersist()
-      result
+      val session = df.sparkSession
+      val (docGrams, perDoc, prevParts) = perDocGramRelation(
+        df, idCol, textCol, k, maxGramFreq, broadcastGramDfLimit)
+      try {
+        // floor-relaxed per-doc minimum overlap (see the OPTION comment);
+        // from the FULL gram count — cap-safe, capping only lengthens
+        // prefixes
+        val sized = perDoc
+          .withColumn("n_capped", size(col("order_grams")).cast("long"))
+          .withColumn("c_min",
+            floor(lit(threshold) * col("n_grams")).cast("long"))
+        val prefix = sized
+          .select(col("id"), col("n_capped"), col("c_min"),
+            posexplode(slice(col("order_grams"), lit(1),
+              greatest(lit(0L),
+                least(col("n_capped"),
+                  col("n_capped") - col("c_min") + lit(1L))).cast("int"))))
+          .select(col("id"), (col("pos") + 1).cast("long").as("rank"),
+            col("col").as("gram"), col("n_capped"), col("c_min"))
+        // SELF-join of prefixes (both members of a qualifying pair carry
+        // the smallest shared gram inside their prefix), id-normalized,
+        // positional filter against the pair's larger per-side floor.
+        // SHUFFLE_HASH: same sort-avoidance rationale as containment.
+        val cand = prefix.hint("SHUFFLE_HASH").as("l")
+          .join(prefix.as("r"),
+            col("l.gram") === col("r.gram") && col("l.id") < col("r.id") &&
+              lit(1L) + least(col("l.n_capped") - col("l.rank"),
+                col("r.n_capped") - col("r.rank")) >=
+                greatest(col("l.c_min"), col("r.c_min")))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          .distinct()
+        val result = finish(verifyPairsByIntersect(cand, perDoc)).cache()
+        result.count()
+        perDoc.unpersist()
+        docGrams.unpersist()
+        result
+      } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
@@ -750,87 +876,11 @@ object Dedupe {
           first(col("l.n_grams")).as("na"), first(col("r.n_grams")).as("nb")))
     } else {
       val session = df.sparkSession
-      import session.implicits._
-      // the gram kernel runs ONCE: the df-count aggregation's exchange
-      // carries partially-aggregated (gram, count) rows, so the raw-gram
-      // join side cannot reuse it and would re-run the corpus scan +
-      // kernel — cache the per-DOC gram arrays instead (corpus-
-      // proportional, the same scale class as the perDoc relation below)
-      // and explode from the cache for both consumers
-      val docGrams = df
-        .select(col(idCol).cast("long"), col(textCol).cast("string"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val g = wordGramHashes(text, k)
-          (id, g.length, g)
-        }
-        .toDF("id", "n_grams", "grams")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Input-sized gram exchange (Conf.scala preamble): every wide stage
-      // here — the df aggregation, the df join, the prefix⋈index join —
-      // shuffles on `gram` and carries up to Σ n_grams rows (one per
-      // corpus word). The probe aggregates the per-doc cache it
-      // materializes anyway, so sizing costs one cached scan.
-      val sumGrams = docGrams
-        .agg(coalesce(sum(col("n_grams").cast("long")), lit(0L)))
-        .as[Long].head()
-      val prevParts = Conf.applyRowShufflePartitions(session, sumGrams,
-        Conf.GramRowShuffleBytes)
+      // cached per-doc arrays + broadcast/shuffle df build + input-sized
+      // exchanges — the substrate shared with ngramJaccardPairs
+      val (docGrams, perDoc, prevParts) = perDocGramRelation(
+        df, idCol, textCol, k, maxGramFreq, broadcastGramDfLimit)
       try {
-      val exploded = docGrams.select(col("id"), col("n_grams"),
-        explode(col("grams")).as("gram"))
-      // ONE per-doc relation serves every downstream shape: each doc's
-      // capped grams with their df, sorted in the global (df, gram) order
-      // (order_grams — prefix/index views posexplode it) and in plain hash
-      // order (sorted_grams — the exact-verification intersect kernel).
-      // Per-DOC rows persist instead of per-gram rows. Two builds, picked
-      // by the sumGrams probe:
-      //  - BROADCAST (≤ broadcastGramDfLimit total grams, so distinct
-      //    grams are bounded too): the df aggregation's output collects to
-      //    a primitive long→long map and broadcasts; perDoc is then a
-      //    fully NARROW map over the cached per-doc arrays — zero wide
-      //    exchanges, no per-gram rows ever shuffle. The standard
-      //    broadcast-the-small-dim discipline, decided from measured
-      //    input stats, not a guess.
-      //  - SHUFFLE (the 100 TB path, where the gram dictionary outgrows
-      //    the driver): window df count over the gram partition, then the
-      //    per-id fold — exactly two wide input-sized exchanges. Grams are
-      //    per-doc distinct (wordGramHashes dedupes), so the occurrence
-      //    count IS document frequency; both builds agree exactly.
-      val perDoc = (if (sumGrams <= broadcastGramDfLimit) {
-        val dfRows = exploded
-          .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
-          .as[(Long, Long)].collect()
-        val dfMap = new LongLongMap(dfRows.length * 2 + 16)
-        dfRows.foreach { case (g, c) => dfMap.put(g, c) }
-        val bcDf = session.sparkContext.broadcast(dfMap)
-        val cap = maxGramFreq
-        docGrams
-          .as[(Long, Int, Array[Long])]
-          .map { case (id, nGrams, grams) =>
-            val m = bcDf.value
-            val gs = grams.iterator
-              .map(g => (m(g), g)).filter(_._1 <= cap).toArray
-            val order = gs.sorted.map(_._2)
-            (id, nGrams, order, order.sorted)
-          }
-      } else {
-        exploded
-          .withColumn("gram_df",
-            count(lit(1)).over(Window.partitionBy(col("gram"))))
-          .filter(col("gram_df") <= maxGramFreq)
-          .groupBy(col("id"))
-          .agg(first(col("n_grams")).as("n_grams"),
-            collect_list(struct(col("gram_df").as("_1"), col("gram").as("_2")))
-              .as("gs"))
-          .as[(Long, Int, Array[(Long, Long)])]
-          .map { case (id, nGrams, gs) =>
-            val order = gs.sorted.map(_._2)
-            (id, nGrams, order, order.sorted)
-          }
-      })
-        .toDF("id", "n_grams", "order_grams", "sorted_grams")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // required overlap from the FULL gram count (cap-safe: capping only
       // lengthens prefixes), ceil division in pure integers
       val cMin = call_function("div",
@@ -875,23 +925,7 @@ object Dedupe {
         .select(least(col("l.id"), col("r.id")).as("id_a"),
           greatest(col("l.id"), col("r.id")).as("id_b"))
         .distinct()
-      // exact verification by SORTED-ARRAY intersection (the minhashPairs
-      // kernel) against the per-doc arrays — each doc's grams move once,
-      // where the explode-style alternative (cand ⋈ grams on id_a, then ⋈
-      // on (id_b, gram)) reshuffles |cand|·|doc| gram rows by (id_b, gram)
-      val counted = cand
-        .join(perDoc.select(col("id").as("id_a"), col("sorted_grams").as("ga"),
-          col("n_grams").as("na")), "id_a")
-        .join(perDoc.select(col("id").as("id_b"), col("sorted_grams").as("gb"),
-          col("n_grams").as("nb")), "id_b")
-        .select(col("id_a"), col("id_b"), col("ga"), col("gb"),
-          col("na"), col("nb"))
-        .as[(Long, Long, Array[Long], Array[Long], Int, Int)]
-        .map { case (a, b, ga, gb, na, nb) =>
-          (a, b, sortedIntersectCount(ga, gb).toLong, na, nb)
-        }
-        .toDF("id_a", "id_b", "n_common", "na", "nb")
-      val result = finish(counted)
+      val result = finish(verifyPairsByIntersect(cand, perDoc))
       // perDoc feeds four consumers; materialize the (small) pair result
       // before releasing it — tracked so harness loops can release
       track(result.cache())

@@ -120,17 +120,23 @@ class DedupeSpec extends SparkSpec {
         else s"unique body number $i with words w${i}a w${i}b w${i}c w${i}d"
       (i, s"$body $boiler")
     }.toDF("doc_id", "text")
-    def run(prefix: Boolean, cap: Long) = Dedupe
-      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3,
-        maxGramFreq = cap, usePrefixFilter = prefix)
-      .collect()
-      .map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    def run(prefix: Boolean, cap: Long, bcLimit: Long = 4L * 1000 * 1000) =
+      Dedupe
+        .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3,
+          maxGramFreq = cap, usePrefixFilter = prefix,
+          broadcastGramDfLimit = bcLimit)
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
     for (cap <- Seq(Long.MaxValue, 10L)) {
       val plain = run(prefix = false, cap)
       val filtered = run(prefix = true, cap)
+      // bcLimit = 0 forces the shuffle (window-df) perDoc build — the
+      // 100 TB path the small fixture would otherwise never exercise
+      val shuffled = run(prefix = true, cap, bcLimit = 0L)
       assert(plain.nonEmpty, "test corpus must produce pairs")
-      assert(filtered == plain, s"paths diverge at cap=$cap")
+      assert(filtered == plain, s"broadcast path diverges at cap=$cap")
+      assert(shuffled == plain, s"shuffle path diverges at cap=$cap")
     }
   }
 
