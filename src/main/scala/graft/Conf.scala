@@ -44,6 +44,13 @@ object Conf {
     */
   val BandRowShuffleBytes: Long = 32L
 
+  /** Serialized shuffle bytes per hamming pigeonhole-block row
+    * `(block: int, key: long, id: long, sig: long)` — 8 B bitmap + 4
+    * slots. Sizes the block exchange behind
+    * [[graft.operators.Dedupe.hammingPairs]] (n_sigs × blocks rows).
+    */
+  val BlockRowShuffleBytes: Long = 40L
+
   /** [[sizeShufflePartitions]] for operators that know their shuffle ROW
     * count directly (gram/band relations) rather than deriving it from
     * input bytes / avg chunk size.

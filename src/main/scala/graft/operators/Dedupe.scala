@@ -397,6 +397,15 @@ object Dedupe {
     val idxDocs = indexSigSink(
       minhashSigRelation(index, idCol, textCol, shingleK, numHashes)).cache()
 
+    // input-sized band exchange, same discipline as minhashPairs: both
+    // sides shuffle on (band, bucket); the counts materialize the caches
+    // every later step reads anyway
+    val spark0 = incoming.sparkSession
+    val nSigs = batchDocs.count() + idxDocs.count()
+    val prevParts = Conf.applyRowShufflePartitions(spark0,
+      math.multiplyExact(nSigs, bands.toLong), Conf.BandRowShuffleBytes)
+    try {
+
     val batchBands = bandRelation(batchDocs, bands, rowsPerBand)
     val idxBands = bandRelation(idxDocs, bands, rowsPerBand)
 
@@ -459,6 +468,8 @@ object Dedupe {
     batchDocs.unpersist()
     idxDocs.unpersist()
     result
+
+    } finally spark0.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // -------------------------------------------------------- n-gram jaccard
@@ -1043,6 +1054,13 @@ object Dedupe {
     val sigs = sigRelation.select(col("id").cast("long"), col("sig").cast("long"))
       .cache()
 
+    // input-sized block exchange (the minhashPairs discipline): the
+    // count materializes the sig cache every later step reads anyway
+    val prevParts = Conf.applyRowShufflePartitions(spark,
+      math.multiplyExact(sigs.count(), blocks.toLong),
+      Conf.BlockRowShuffleBytes)
+    try {
+
     val blocked = sigs
       .as[(Long, Long)]
       .flatMap { case (id, sig) =>
@@ -1116,6 +1134,8 @@ object Dedupe {
     // relation per call; register it so harness loops (Verify, Bench,
     // ScaleRun — and any long-lived session) can release after consuming.
     track(result)
+
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ------------------------------------------- tracked-cache lifecycle

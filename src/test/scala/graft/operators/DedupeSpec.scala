@@ -54,6 +54,11 @@ class DedupeSpec extends SparkSpec {
       Dedupe.containmentPairs(docs, "doc_id", "text", k = 3,
         thresholdBp = 9000L, usePrefixFilter = true).collect()
       assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      Dedupe.simhashPairs(docs, "doc_id", "text").collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
+      Dedupe.minhashClassify(docs, docs, "doc_id", "text", shingleK = 2)
+        .collect()
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == "7")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
