@@ -541,6 +541,17 @@ object TextQueries {
       thresholdBp = 9000L, usePrefixFilter = true)
   }
 
+  /** Exact-substring duplicate spans ([[Dedupe.duplicateSpans]], the
+    * Lee et al. ACL'22 ExactSubstr mode relationally): per doc, maximal
+    * token spans whose every 20-token window recurs elsewhere in the
+    * corpus — the spans a curation pipeline cuts. Fully relational, so
+    * the DuckDB oracle rebuilds windows from the words themselves and
+    * merges runs with a gaps-and-islands window query.
+    */
+  private def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.duplicateSpans(docs(spark, sfDir), "doc_id", "text",
+      windowTokens = 20)
+
   /** Term-novelty curve over the corpus in doc_id order
     * ([[TextAnalysis.termNovelty]]): per doc, the fraction of its
     * distinct words first introduced by it. Docs with no words have no
@@ -1011,6 +1022,7 @@ object TextQueries {
     "dedup_simhash" -> simhashPairs _,
     "dedup_ngram" -> ngramPairs _,
     "dedup_containment" -> dedupContainment _,
+    "dedup_spans" -> dedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
@@ -1457,6 +1469,27 @@ object TextQueries {
         |    ELSE CAST((true_pairs - missed_pairs) * 10000 // true_pairs AS BIGINT)
         |  END AS recall_bp
         |FROM m""".stripMargin,
+    "dedup_spans" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
+        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+        |  WHERE len(ws) >= 20),
+        |dup AS (
+        |  SELECT doc_id, pos
+        |  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY win) AS c
+        |        FROM wins)
+        |  WHERE c > 1),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM dup)
+        |SELECT doc_id, min(pos) AS span_start,
+        |  max(pos) - min(pos) + 20 AS span_tokens
+        |FROM isl GROUP BY doc_id, grp""".stripMargin,
     "dedup_containment" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

