@@ -434,6 +434,31 @@ object Cli {
       graft.operators.Dedupe.releaseTrackedCaches()
       spark.stop()
 
+    case "dup-spans" :: file :: rest if rest.size <= 1 =>
+      // exact-substring duplicate spans over a documents parquet: the
+      // boilerplate/quoted passages a curation pipeline cuts (Lee et al.
+      // ACL'22 ExactSubstr mode, fixed window)
+      val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val docs = spark.read.parquet(file)
+      require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+        s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+      val spans = graft.operators.Dedupe
+        .duplicateSpans(docs, "doc_id", "text", windowTokens = windowTokens)
+      spans.orderBy(org.apache.spark.sql.functions.col("span_tokens").desc)
+        .show(20, truncate = false)
+      val agg = spans.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("span_tokens"),
+          org.apache.spark.sql.functions.lit(0L)),
+        org.apache.spark.sql.functions.countDistinct("doc_id")).head()
+      println(s"spans=${agg.getLong(0)} dup_tokens=${agg.getLong(1)} " +
+        s"docs_affected=${agg.getLong(2)} window=$windowTokens")
+      spans.unpersist()
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -557,6 +582,7 @@ object Cli {
            |  merge SNAPSHOT.parquet CHANGES.parquet KEYCOL [OUTDIR]
            |  pca EMBEDDINGS.parquet [OUTDIR]
            |  contain-dedup DOCUMENTS.parquet [THRESHOLD_BP]
+           |  dup-spans DOCUMENTS.parquet [WINDOW_TOKENS]
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png
