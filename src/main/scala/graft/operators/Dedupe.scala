@@ -1059,6 +1059,121 @@ object Dedupe {
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** The CUT companion of [[duplicateSpans]] — the dedup ACTION, not just
+    * the report (Lee et al. ACL'22 §3, keep-one semantics): every
+    * duplicated window keeps its globally EARLIEST occurrence (smallest
+    * (doc_id, position), a total order), and every later occurrence's
+    * token range is cut from its document. The result is the cleaned
+    * corpus: each ≥`windowTokens`-token repeated substring survives
+    * exactly once, in the earliest document that carried it.
+    *
+    * Same two-strategy shape as the detector, with the min-occurrence
+    * carried alongside: the duplicated-hash → earliest-occurrence map
+    * broadcasts when bounded (the final rewrite is then one fully NARROW
+    * pass over the raw documents — nothing but aggregation partials ever
+    * shuffles), or the redundant positions flow through input-sized
+    * hash/id exchanges above the bound. Both builds are spec-pinned
+    * identical.
+    *
+    * The rewritten text is rebuilt from the TOKENIZED words (lowercased,
+    * single-space-joined — the same normalization every gram/window
+    * operator applies), so the output is exactly reproducible by the
+    * DuckDB oracle from the word lists; byte-level reconstruction would
+    * need the original whitespace the tokenizer deliberately discards.
+    *
+    * @return one row per document:
+    *         (doc_id, n_tokens, cut_tokens, text_cut) — full token count,
+    *         tokens removed, and the surviving normalized text (empty
+    *         string when the whole document was redundant).
+    */
+  def cutDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      broadcastDupLimit: Long = 4L * 1000 * 1000): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val session = df.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    val base = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+    val docWins = base
+      .map { case (id, text) => (id, windowHashes(text, w)) }
+      .toDF("id", "wins")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumWins = docWins
+      .agg(coalesce(sum(size(col("wins")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+      Conf.GramRowShuffleBytes)
+    try {
+      val exploded = docWins
+        .select(col("id"), posexplode(col("wins")))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("win"))
+      // duplicated windows with their earliest occurrence — min of the
+      // (doc, pos) struct is the lexicographic minimum
+      val dupFirsts = exploded
+        .groupBy(col("win"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("id"), col("pos"))).as("f"))
+        .filter(col("n") > 1)
+        .select(col("win"), col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+
+      val rows = {
+        val nDup = dupFirsts.count()
+        if (nDup <= broadcastDupLimit) {
+          val firsts = dupFirsts.as[(Long, Long, Long)].collect()
+          val fDoc = new LongLongMap(firsts.length * 2 + 16)
+          val fPos = new LongLongMap(firsts.length * 2 + 16)
+          firsts.foreach { case (win, d, p) => fDoc.put(win, d); fPos.put(win, p) }
+          val bcDoc = session.sparkContext.broadcast(fDoc)
+          val bcPos = session.sparkContext.broadcast(fPos)
+          base.map { case (id, text) =>
+            val wins = windowHashes(text, w)
+            val fd = bcDoc.value; val fp = bcPos.value
+            val redundant = new Array[Boolean](wins.length)
+            var i = 0
+            while (i < wins.length) {
+              if (fd.contains(wins(i)) &&
+                !(fd(wins(i)) == id && fp(wins(i)) == i + 1L))
+                redundant(i) = true
+              i += 1
+            }
+            rebuildCut(w, id, text, redundant)
+          }
+        } else {
+          val redundant = exploded
+            .join(dupFirsts, "win")
+            .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
+            .groupBy(col("id"))
+            .agg(collect_list(col("pos")).as("ps"))
+          base.toDF("id", "text")
+            .join(redundant, Seq("id"), "left")
+            .select(col("id"), col("text"), col("ps"))
+            .as[(Long, String, Array[Long])]
+            .map { case (id, text, ps) =>
+              val set = Option(ps).getOrElse(Array.emptyLongArray)
+              val nWins = windowHashes(text, w).length
+              val redundant = new Array[Boolean](nWins)
+              set.foreach { p =>
+                val i = (p - 1).toInt
+                if (i >= 0 && i < redundant.length) redundant(i) = true
+              }
+              rebuildCut(w, id, text, redundant)
+            }
+        }
+      }
+        .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
+        .cache()
+      rows.count()
+      docWins.unpersist()
+      rows
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Rolling `w`-token window hashes of `text`, positional order, with
     * the gram operators' tokenization (lowercase, single-space split,
     * empty-token filter). Docs with fewer than `w` words have no windows.
@@ -1094,6 +1209,42 @@ object Dedupe {
         out
       }
     }
+  }
+
+  /** Cut kernel of [[cutDuplicateSpans]]: drop every token covered by a
+    * redundant window (flag per window position), rebuild the normalized
+    * text from the survivors. Top-level (not nested) so executor closures
+    * reference it through the module, keeping them serializable.
+    */
+  private[operators] def rebuildCut(
+      w: Int,
+      id: Long,
+      text: String,
+      redundant: Array[Boolean]): (Long, Long, Long, String) = {
+    val words = if (text == null) Array.empty[String]
+      else text.toLowerCase(java.util.Locale.ROOT)
+        .split(" ").filter(_.nonEmpty)
+    val cut = new Array[Boolean](words.length)
+    var i = 0
+    while (i < redundant.length) {
+      if (redundant(i)) {
+        var t = i
+        while (t < i + w) { cut(t) = true; t += 1 }
+      }
+      i += 1
+    }
+    val kept = new StringBuilder
+    var nCut = 0L
+    i = 0
+    while (i < words.length) {
+      if (cut(i)) nCut += 1
+      else {
+        if (kept.nonEmpty) kept.append(' ')
+        kept.append(words(i))
+      }
+      i += 1
+    }
+    (id, words.length.toLong, nCut, kept.toString)
   }
 
   /** Merge sorted 1-based duplicated-window positions into maximal runs:

@@ -244,6 +244,41 @@ class DedupeSpec extends SparkSpec {
     assert(bc.count(_._1 == 0L) == 1)
   }
 
+  test("cutDuplicateSpans: keep-earliest semantics, both builds agree") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"intro words one two $p closing words here"),
+      (1L, s"$p totally different tail of document"),
+      (2L, s"$p and then again $p"),
+      (3L, "no duplicated content in this document at all whatsoever ok"),
+      (4L, "short doc")).toDF("doc_id", "text")
+    def run(bcLimit: Long) = Dedupe
+      .cutDuplicateSpans(docs, "doc_id", "text", windowTokens = 5,
+        broadcastDupLimit = bcLimit)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val bc = run(4L * 1000 * 1000)
+    val sh = run(0L)
+    assert(bc == sh, s"builds diverge:\n$bc\nvs\n$sh")
+    assert(bc.keySet == Set(0L, 1L, 2L, 3L, 4L), "one row per doc")
+    // P's earliest occurrence is doc 0 (its windows first appear there),
+    // so doc 0 keeps everything
+    assert(bc(0L) == (15L, 0L,
+      "intro words one two alpha beta gamma delta epsilon zeta eta theta " +
+        "closing words here".split(" ").mkString(" ")))
+    // doc 1 loses P (tokens 1..8), keeps its unique tail
+    assert(bc(1L) == (13L, 8L, "totally different tail of document"))
+    // doc 2 loses both copies of P
+    assert(bc(2L)._2 == 16L)
+    assert(bc(2L)._3 == "and then again")
+    // untouched docs pass through token-normalized
+    assert(bc(3L) == (10L, 0L,
+      "no duplicated content in this document at all whatsoever ok"))
+    assert(bc(4L) == (2L, 0L, "short doc"))
+  }
+
   test("minhashRecallEval: identity on exact dups, invariants on a border pair") {
     import spark.implicits._
     // docs 0/1 identical (every band matches — ALWAYS found); docs 2/3 a
