@@ -562,6 +562,17 @@ object TextQueries {
     Dedupe.cutDuplicateSpans(docs(spark, sfDir), "doc_id", "text",
       windowTokens = 20)
 
+  /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
+    * first-occurrence events through a window-hash-keyed state store,
+    * then the batch finish — same oracle SQL; keep-earliest is causal in
+    * (doc_id, pos) order, so the stream must land on the batch relation
+    * exactly (id-ordered ingest contract).
+    */
+  private def streamDedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamSpans.runCutOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"dup_spans_${Queries.dirTag(sfDir)}", "doc_id")
+
   /** Term-novelty curve over the corpus in doc_id order
     * ([[TextAnalysis.termNovelty]]): per doc, the fraction of its
     * distinct words first introduced by it. Docs with no words have no
@@ -1034,6 +1045,7 @@ object TextQueries {
     "dedup_containment" -> dedupContainment _,
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_cut" -> dedupSpansCut _,
+    "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
@@ -1070,6 +1082,43 @@ object TextQueries {
   /** Shared oracle for doc_novelty AND stream_novelty: per-doc distinct
     * words vs the min-doc_id first introduction of each word.
     */
+  private val SpansCutSql: String =
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
+        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+        |  WHERE len(ws) >= 20),
+        |firsts AS (
+        |  SELECT win, doc_id AS f_doc, pos AS f_pos FROM (
+        |    SELECT win, doc_id, pos,
+        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+        |      count(*) OVER (PARTITION BY win) AS c
+        |    FROM wins) WHERE rn = 1 AND c > 1),
+        |cutpos AS (
+        |  SELECT DISTINCT doc_id, tp FROM (
+        |    SELECT w.doc_id, UNNEST(generate_series(w.pos, w.pos + 19)) AS tp
+        |    FROM wins w JOIN firsts f USING (win)
+        |    WHERE NOT (w.doc_id = f.f_doc AND w.pos = f.f_pos))),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(ws) AS word,
+        |    UNNEST(generate_series(1, len(ws))) AS tp
+        |  FROM words),
+        |kept AS (
+        |  SELECT tok.doc_id,
+        |    array_to_string(list(tok.word ORDER BY tok.tp), ' ') AS text_cut,
+        |    count(*) AS kept_n
+        |  FROM tok LEFT JOIN cutpos
+        |    ON tok.doc_id = cutpos.doc_id AND tok.tp = cutpos.tp
+        |  WHERE cutpos.tp IS NULL
+        |  GROUP BY tok.doc_id)
+        |SELECT words.doc_id, len(ws) AS n_tokens,
+        |  len(ws) - coalesce(kept.kept_n, 0) AS cut_tokens,
+        |  coalesce(kept.text_cut, '') AS text_cut
+        |FROM words LEFT JOIN kept USING (doc_id)""".stripMargin
+
   private val NoveltySql: String =
     """WITH w AS (
       |  SELECT doc_id, UNNEST(list_distinct(
@@ -1480,42 +1529,8 @@ object TextQueries {
         |    ELSE CAST((true_pairs - missed_pairs) * 10000 // true_pairs AS BIGINT)
         |  END AS recall_bp
         |FROM m""".stripMargin,
-    "dedup_spans_cut" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
-        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
-        |  WHERE len(ws) >= 20),
-        |firsts AS (
-        |  SELECT win, doc_id AS f_doc, pos AS f_pos FROM (
-        |    SELECT win, doc_id, pos,
-        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
-        |      count(*) OVER (PARTITION BY win) AS c
-        |    FROM wins) WHERE rn = 1 AND c > 1),
-        |cutpos AS (
-        |  SELECT DISTINCT doc_id, tp FROM (
-        |    SELECT w.doc_id, UNNEST(generate_series(w.pos, w.pos + 19)) AS tp
-        |    FROM wins w JOIN firsts f USING (win)
-        |    WHERE NOT (w.doc_id = f.f_doc AND w.pos = f.f_pos))),
-        |tok AS (
-        |  SELECT doc_id, UNNEST(ws) AS word,
-        |    UNNEST(generate_series(1, len(ws))) AS tp
-        |  FROM words),
-        |kept AS (
-        |  SELECT tok.doc_id,
-        |    array_to_string(list(tok.word ORDER BY tok.tp), ' ') AS text_cut,
-        |    count(*) AS kept_n
-        |  FROM tok LEFT JOIN cutpos
-        |    ON tok.doc_id = cutpos.doc_id AND tok.tp = cutpos.tp
-        |  WHERE cutpos.tp IS NULL
-        |  GROUP BY tok.doc_id)
-        |SELECT words.doc_id, len(ws) AS n_tokens,
-        |  len(ws) - coalesce(kept.kept_n, 0) AS cut_tokens,
-        |  coalesce(kept.text_cut, '') AS text_cut
-        |FROM words LEFT JOIN kept USING (doc_id)""".stripMargin,
+    "dedup_spans_cut" -> SpansCutSql,
+    "stream_dedup_spans" -> SpansCutSql,
     "dedup_spans" ->
       """WITH words AS (
         |  SELECT doc_id,

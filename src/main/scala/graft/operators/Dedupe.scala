@@ -1178,7 +1178,7 @@ object Dedupe {
     * the gram operators' tokenization (lowercase, single-space split,
     * empty-token filter). Docs with fewer than `w` words have no windows.
     */
-  private[operators] def windowHashes(text: String, w: Int): Array[Long] = {
+  private[graft] def windowHashes(text: String, w: Int): Array[Long] = {
     if (text == null) Array.emptyLongArray
     else {
       val words =
@@ -1209,6 +1209,55 @@ object Dedupe {
         out
       }
     }
+  }
+
+  /** Replay the [[cutDuplicateSpans]] rewrite from an externally-supplied
+    * first-occurrence relation `(win, f_id, f_pos)` — the finish step of
+    * the STREAMING twin ([[graft.streaming.StreamSpans]]), whose state
+    * store hands back exactly this relation. An occurrence is redundant
+    * iff its window appears in `firsts` under a different (doc, pos);
+    * windows absent from `firsts` are never cut, so a duplicates-only
+    * relation (the batch operator's `n > 1` aggregate) and an all-windows
+    * relation (the stream's state dump) both reproduce the same rewrite.
+    */
+  private[graft] def cutFromFirstOccurrences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      firsts: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    val base = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+    val exploded = base
+      .flatMap { case (id, text) =>
+        windowHashes(text, w).iterator.zipWithIndex
+          .map { case (h, i) => (h, id, (i + 1).toLong) }
+      }
+      .toDF("win", "id", "pos")
+    val redundant = exploded
+      .join(firsts, "win")
+      .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("ps"))
+    base.toDF("id", "text")
+      .join(redundant, Seq("id"), "left")
+      .select(col("id"), col("text"), col("ps"))
+      .as[(Long, String, Array[Long])]
+      .map { case (id, text, ps) =>
+        val set = Option(ps).getOrElse(Array.emptyLongArray)
+        val nWins = windowHashes(text, w).length
+        val redundantFlags = new Array[Boolean](nWins)
+        set.foreach { p =>
+          val i = (p - 1).toInt
+          if (i >= 0 && i < redundantFlags.length) redundantFlags(i) = true
+        }
+        rebuildCut(w, id, text, redundantFlags)
+      }
+      .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
   }
 
   /** Cut kernel of [[cutDuplicateSpans]]: drop every token covered by a
