@@ -44,6 +44,17 @@ object Conf {
     */
   val BandRowShuffleBytes: Long = 32L
 
+  /** Serialized shuffle bytes per exploded span-window row
+    * `(id: long, pos: long, wlo: long, whi: long)` — 8 B UnsafeRow null
+    * bitmap + 4×8 B slots. Sizes the window-hash exchange behind
+    * [[graft.operators.Dedupe.duplicateSpans]] /
+    * [[graft.operators.Dedupe.cutDuplicateSpans]], which carries
+    * Σ windows rows (≈ one row per corpus token). The 128-bit identity
+    * mode rides the same row shape (the high half is a real column even
+    * when all-zero), so one constant serves both widths.
+    */
+  val SpanRowShuffleBytes: Long = 40L
+
   /** Serialized shuffle bytes per hamming pigeonhole-block row
     * `(block: int, key: long, id: long, sig: long)` — 8 B bitmap + 4
     * slots. Sizes the block exchange behind

@@ -72,6 +72,72 @@ private[operators] final class LongLongMap(initialCapacity: Int)
   }
 }
 
+/** [[LongLongMap]]'s 128-bit-keyed sibling: (long, long) key → optional
+  * (long, long) value, open addressing, linear probing, load ≤ 0.5. The
+  * span operators' 128-bit window-identity mode keys on (lo, hi) hash
+  * halves (mirroring the chunk relation's ChunkRow128 discipline);
+  * `withValues = false` skips the value arrays for set-only use, halving
+  * the broadcast.
+  */
+private[operators] final class LongPairMap(
+    initialCapacity: Int,
+    withValues: Boolean) extends Serializable {
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1)) * 2
+  private var k1 = new Array[Long](cap)
+  private var k2 = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var v1 = if (withValues) new Array[Long](cap) else null
+  private var v2 = if (withValues) new Array[Long](cap) else null
+  private var n = 0
+
+  private def slot(a: Long, b: Long): Int = {
+    var i = ((scala.util.hashing.byteswap64(a) ^
+      scala.util.hashing.byteswap64(b + 0x9E3779B97F4A7C15L)) & (cap - 1)).toInt
+    while (used(i) && (k1(i) != a || k2(i) != b)) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  /** Slot of (a, b), or -1 when absent — one probe serves a contains +
+    * value reads via [[val1At]]/[[val2At]]. */
+  def indexOf(a: Long, b: Long): Int = {
+    val i = slot(a, b)
+    if (used(i)) i else -1
+  }
+
+  def contains(a: Long, b: Long): Boolean = used(slot(a, b))
+
+  /** Values at a slot returned by [[indexOf]] (≥ 0; withValues only). */
+  def val1At(i: Int): Long = v1(i)
+  def val2At(i: Int): Long = v2(i)
+
+  def put(a: Long, b: Long, x: Long, y: Long): Unit = {
+    val i = slot(a, b)
+    if (!used(i)) {
+      used(i) = true; k1(i) = a; k2(i) = b; n += 1
+      if (n * 2 > cap) grow()
+    }
+    if (withValues) {
+      val j = slot(a, b)
+      v1(j) = x; v2(j) = y
+    }
+  }
+
+  private def grow(): Unit = {
+    val (ok1, ok2, ov1, ov2, ou) = (k1, k2, v1, v2, used)
+    cap *= 2
+    k1 = new Array[Long](cap); k2 = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    if (withValues) { v1 = new Array[Long](cap); v2 = new Array[Long](cap) }
+    n = 0
+    var i = 0
+    while (i < ok1.length) {
+      if (ou(i)) put(ok1(i), ok2(i),
+        if (withValues) ov1(i) else 0L, if (withValues) ov2(i) else 0L)
+      i += 1
+    }
+  }
+}
+
 object Dedupe {
 
   /** Largest band bucket full-recall mode will pair without degrading —
@@ -980,58 +1046,91 @@ object Dedupe {
     *    aggregation), then one id-keyed fold merges spans. Exchanges are
     *    input-sized from the Σ windows probe.
     *
+    * Window identity width (`hash128`, mirroring the chunk relation's
+    * ChunkRow128 option): 64-bit identity is fine for the REPORT — a
+    * collision inflates a span marginally — but at ~10¹³ corpus windows
+    * the birthday math expects ~10⁶ false-duplicate windows, so 100 TB
+    * jobs (and any [[cutDuplicateSpans]] run, where a collision DELETES
+    * text) should pass `hash128 = true`: identity becomes two
+    * independently-seeded xxh64 halves (collision odds 2⁻¹²⁸ per pair),
+    * at +8 B per window in the cache/exchange.
+    *
     * @return (doc_id, span_start, span_tokens) — 1-based token index of
     *         the span's first word, and the span's length in tokens
     *         (run_length + windowTokens − 1). Docs with no duplicated
-    *         windows contribute no rows.
+    *         windows contribute no rows. The result is materialized and
+    *         cache-tracked ([[releaseTrackedCaches]]).
     */
   def duplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 20,
-      broadcastDupLimit: Long = 4L * 1000 * 1000): DataFrame = {
+      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      hash128: Boolean = false): DataFrame =
+    duplicateSpansImpl(df, idCol, textCol, windowTokens, broadcastDupLimit,
+      hash128, loBits = 64)
+
+  /** [[duplicateSpans]] with the collision-injection knob: `loBits` masks
+    * the LOW identity half to that many bits (specs engineer same-lo
+    * collisions between different windows this way — a real 64-bit xxh64
+    * collision needs 2³² work — and prove the 128-bit mode's high half
+    * disambiguates). Production callers always use 64.
+    */
+  private[graft] def duplicateSpansImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      broadcastDupLimit: Long,
+      hash128: Boolean,
+      loBits: Int): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val session = df.sparkSession
     import session.implicits._
     val w = windowTokens
     // per-doc window hashes in positional order: hash the concatenation
     // of the window's word hashes (equal iff the word sequences are
-    // equal, modulo xxh64 collisions) — one reusable buffer per doc
+    // equal, modulo hash collisions — see the hash128 doc above); the
+    // high half is all-zero in 64-bit mode, so (wlo, whi) grouping
+    // degenerates to plain 64-bit grouping with no branch in the plan
     val docWins = df
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-      .map { case (id, text) => (id, windowHashes(text, w)) }
-      .toDF("id", "wins")
+      .map { case (id, text) =>
+        val (lo, hi) = windowHashes128(text, w, hash128, loBits)
+        (id, lo, hi)
+      }
+      .toDF("id", "wlo", "whi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sumWins = docWins
-      .agg(coalesce(sum(size(col("wins")).cast("long")), lit(0L)))
+      .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)))
       .as[Long].head()
     val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
-      Conf.GramRowShuffleBytes)
+      Conf.SpanRowShuffleBytes)
     try {
       val exploded = docWins
-        .select(col("id"), posexplode(col("wins")))
+        .select(col("id"), posexplode(arrays_zip(col("wlo"), col("whi"))))
         .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("win"))
+          col("col.wlo").as("wlo"), col("col.whi").as("whi"))
       val dupHashes = exploded
-        .groupBy(col("win")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select(col("win"))
+        .groupBy(col("wlo"), col("whi")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("wlo"), col("whi"))
       val spans = {
         val nDup = dupHashes.count()
         if (nDup <= broadcastDupLimit) {
-          val dupArr = dupHashes.as[Long].collect()
-          val set = new LongLongMap(dupArr.length * 2 + 16)
-          dupArr.foreach(h => set.put(h, 1L))
+          val dupArr = dupHashes.as[(Long, Long)].collect()
+          val set = new LongPairMap(dupArr.length * 2 + 16, withValues = false)
+          dupArr.foreach { case (a, b) => set.put(a, b, 0L, 0L) }
           val bcSet = session.sparkContext.broadcast(set)
           docWins
-            .as[(Long, Array[Long])]
-            .flatMap { case (id, wins) =>
+            .as[(Long, Array[Long], Array[Long])]
+            .flatMap { case (id, lo, hi) =>
               val s = bcSet.value
               val dupPos = new scala.collection.mutable.ArrayBuffer[Int]()
               var i = 0
-              while (i < wins.length) {
-                if (s.contains(wins(i))) dupPos += (i + 1)
+              while (i < lo.length) {
+                if (s.contains(lo(i), hi(i))) dupPos += (i + 1)
                 i += 1
               }
               mergeRuns(dupPos.toArray, w).iterator.map {
@@ -1040,7 +1139,7 @@ object Dedupe {
             }
         } else {
           exploded
-            .join(dupHashes, "win")
+            .join(dupHashes, Seq("wlo", "whi"))
             .groupBy(col("id"))
             .agg(collect_list(col("pos")).as("ps"))
             .as[(Long, Array[Long])]
@@ -1053,6 +1152,7 @@ object Dedupe {
       }
         .toDF("doc_id", "span_start", "span_tokens")
         .cache()
+      track(spans)
       spans.count()
       docWins.unpersist()
       spans
@@ -1063,17 +1163,26 @@ object Dedupe {
     * the report (Lee et al. ACL'22 §3, keep-one semantics): every
     * duplicated window keeps its globally EARLIEST occurrence (smallest
     * (doc_id, position), a total order), and every later occurrence's
-    * token range is cut from its document. The result is the cleaned
-    * corpus: each ≥`windowTokens`-token repeated substring survives
-    * exactly once, in the earliest document that carried it.
+    * token range is cut from its document. The earliest occurrence is
+    * never cut on account of its OWN window; a different overlapping
+    * duplicated window's cut may still remove some of its tokens, so in
+    * compounded-overlap corners a repeated substring can survive
+    * truncated or not at all — the oracle implements the identical rule.
     *
     * Same two-strategy shape as the detector, with the min-occurrence
     * carried alongside: the duplicated-hash → earliest-occurrence map
     * broadcasts when bounded (the final rewrite is then one fully NARROW
-    * pass over the raw documents — nothing but aggregation partials ever
-    * shuffles), or the redundant positions flow through input-sized
-    * hash/id exchanges above the bound. Both builds are spec-pinned
-    * identical.
+    * pass over the cached per-doc window arrays — nothing but aggregation
+    * partials ever shuffles), or the redundant positions flow through
+    * input-sized hash/id exchanges above the bound. Both builds are
+    * spec-pinned identical, and both hash the corpus windows exactly ONCE
+    * (the cached (id, text, wlo, whi) relation feeds the probe, the
+    * aggregation, and the final rewrite — no second tokenize+hash scan).
+    *
+    * Identity width: a 64-bit window-hash collision here DELETES innocent
+    * text, not just a statistic — run 100 TB-class cuts with
+    * `hash128 = true` (see [[duplicateSpans]]; DedupeSpec proves the
+    * high half prevents false cuts under engineered lo-collisions).
     *
     * The rewritten text is rebuilt from the TOKENIZED words (lowercased,
     * single-space-joined — the same normalization every gram/window
@@ -1084,141 +1193,183 @@ object Dedupe {
     * @return one row per document:
     *         (doc_id, n_tokens, cut_tokens, text_cut) — full token count,
     *         tokens removed, and the surviving normalized text (empty
-    *         string when the whole document was redundant).
+    *         string when the whole document was redundant). Materialized
+    *         and cache-tracked ([[releaseTrackedCaches]]).
     */
   def cutDuplicateSpans(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int = 20,
-      broadcastDupLimit: Long = 4L * 1000 * 1000): DataFrame = {
+      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      hash128: Boolean = false): DataFrame =
+    cutDuplicateSpansImpl(df, idCol, textCol, windowTokens, broadcastDupLimit,
+      hash128, loBits = 64)
+
+  /** [[cutDuplicateSpans]] with the collision-injection knob (`loBits`;
+    * see [[duplicateSpansImpl]]). Production callers always use 64. */
+  private[graft] def cutDuplicateSpansImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      broadcastDupLimit: Long,
+      hash128: Boolean,
+      loBits: Int): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val session = df.sparkSession
     import session.implicits._
     val w = windowTokens
-    val base = df
+    // text rides in the cache alongside the window arrays so the final
+    // rewrite (broadcast OR shuffle build) replays from here instead of
+    // re-running the tokenize+hash kernel over the corpus
+    val docWins = df
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
-    val docWins = base
-      .map { case (id, text) => (id, windowHashes(text, w)) }
-      .toDF("id", "wins")
+      .map { case (id, text) =>
+        val (lo, hi) = windowHashes128(text, w, hash128, loBits)
+        (id, text, lo, hi)
+      }
+      .toDF("id", "text", "wlo", "whi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sumWins = docWins
-      .agg(coalesce(sum(size(col("wins")).cast("long")), lit(0L)))
+      .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)))
       .as[Long].head()
     val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
-      Conf.GramRowShuffleBytes)
+      Conf.SpanRowShuffleBytes)
     try {
       val exploded = docWins
-        .select(col("id"), posexplode(col("wins")))
+        .select(col("id"), posexplode(arrays_zip(col("wlo"), col("whi"))))
         .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("win"))
+          col("col.wlo").as("wlo"), col("col.whi").as("whi"))
       // duplicated windows with their earliest occurrence — min of the
       // (doc, pos) struct is the lexicographic minimum
       val dupFirsts = exploded
-        .groupBy(col("win"))
+        .groupBy(col("wlo"), col("whi"))
         .agg(count(lit(1)).as("n"),
           min(struct(col("id"), col("pos"))).as("f"))
         .filter(col("n") > 1)
-        .select(col("win"), col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+        .select(col("wlo"), col("whi"),
+          col("f.id").as("f_id"), col("f.pos").as("f_pos"))
 
       val rows = {
         val nDup = dupFirsts.count()
         if (nDup <= broadcastDupLimit) {
-          val firsts = dupFirsts.as[(Long, Long, Long)].collect()
-          val fDoc = new LongLongMap(firsts.length * 2 + 16)
-          val fPos = new LongLongMap(firsts.length * 2 + 16)
-          firsts.foreach { case (win, d, p) => fDoc.put(win, d); fPos.put(win, p) }
-          val bcDoc = session.sparkContext.broadcast(fDoc)
-          val bcPos = session.sparkContext.broadcast(fPos)
-          base.map { case (id, text) =>
-            val wins = windowHashes(text, w)
-            val fd = bcDoc.value; val fp = bcPos.value
-            val redundant = new Array[Boolean](wins.length)
-            var i = 0
-            while (i < wins.length) {
-              if (fd.contains(wins(i)) &&
-                !(fd(wins(i)) == id && fp(wins(i)) == i + 1L))
-                redundant(i) = true
-              i += 1
+          val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
+          val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
+          firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }
+          val bcMap = session.sparkContext.broadcast(m)
+          docWins
+            .as[(Long, String, Array[Long], Array[Long])]
+            .map { case (id, text, lo, hi) =>
+              val fm = bcMap.value
+              val redundant = new Array[Boolean](lo.length)
+              var i = 0
+              while (i < lo.length) {
+                val s = fm.indexOf(lo(i), hi(i))
+                if (s >= 0 &&
+                  !(fm.val1At(s) == id && fm.val2At(s) == i + 1L))
+                  redundant(i) = true
+                i += 1
+              }
+              rebuildCut(w, id, text, redundant)
             }
-            rebuildCut(w, id, text, redundant)
-          }
         } else {
           val redundant = exploded
-            .join(dupFirsts, "win")
+            .join(dupFirsts, Seq("wlo", "whi"))
             .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
             .groupBy(col("id"))
             .agg(collect_list(col("pos")).as("ps"))
-          base.toDF("id", "text")
+          docWins
+            .select(col("id"), col("text"))
             .join(redundant, Seq("id"), "left")
             .select(col("id"), col("text"), col("ps"))
             .as[(Long, String, Array[Long])]
             .map { case (id, text, ps) =>
-              val set = Option(ps).getOrElse(Array.emptyLongArray)
-              val nWins = windowHashes(text, w).length
-              val redundant = new Array[Boolean](nWins)
-              set.foreach { p =>
-                val i = (p - 1).toInt
-                if (i >= 0 && i < redundant.length) redundant(i) = true
-              }
-              rebuildCut(w, id, text, redundant)
+              rebuildCutFromPositions(w, id, text,
+                Option(ps).getOrElse(Array.emptyLongArray))
             }
         }
       }
         .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
         .cache()
+      track(rows)
       rows.count()
       docWins.unpersist()
       rows
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  /** Rolling `w`-token window hashes of `text`, positional order, with
-    * the gram operators' tokenization (lowercase, single-space split,
-    * empty-token filter). Docs with fewer than `w` words have no windows.
+  /** The span family's tokenization (shared with the gram operators):
+    * lowercase, single-space split, empty-token filter. */
+  private[operators] def tokenizeWords(text: String): Array[String] =
+    if (text == null) Array.empty[String]
+    else text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
+
+  /** Seed of the HIGH identity half in 128-bit window mode — any fixed
+    * odd constant independent of the low half's seed 7. */
+  private val WindowHiSeed = 0x9E3779B97F4A7C15L
+
+  /** Rolling `w`-token window hashes of `text`, positional order. Docs
+    * with fewer than `w` words have no windows. 64-bit identity — the
+    * streaming twin and report-only callers; see [[windowHashes128]].
     */
-  private[graft] def windowHashes(text: String, w: Int): Array[Long] = {
-    if (text == null) Array.emptyLongArray
+  private[graft] def windowHashes(text: String, w: Int): Array[Long] =
+    windowHashes128(text, w, withHi = false, loBits = 64)._1
+
+  /** [[windowHashes]] plus an optional independently-seeded HIGH half
+    * (the 128-bit identity the cut path runs at 100 TB scale): window
+    * identity = the window's word sequence, realized as xxh64 over the
+    * concatenated word hashes. With `withHi = false` the high array is
+    * all zeros (callers group on (lo, hi) unconditionally — zero hi
+    * degenerates to 64-bit grouping). `loBits` masks the LOW half
+    * (test-only collision injection; see [[duplicateSpansImpl]]).
+    */
+  private[graft] def windowHashes128(
+      text: String,
+      w: Int,
+      withHi: Boolean,
+      loBits: Int): (Array[Long], Array[Long]) = {
+    val words = tokenizeWords(text)
+    if (words.length < w) (Array.emptyLongArray, Array.emptyLongArray)
     else {
-      val words =
-        text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
-      if (words.length < w) Array.emptyLongArray
-      else {
-        val wh = new Array[Long](words.length)
-        var i = 0
-        while (i < words.length) {
-          wh(i) = XXH64.hash(
-            words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
-          i += 1
-        }
-        val buf = new Array[Byte](8 * w)
-        val out = new Array[Long](words.length - w + 1)
-        var s = 0
-        while (s + w <= words.length) {
-          var j = 0
-          while (j < w) {
-            val h = wh(s + j)
-            var b = 0
-            while (b < 8) { buf(j * 8 + b) = (h >>> (8 * b)).toByte; b += 1 }
-            j += 1
-          }
-          out(s) = XXH64.hash(buf, 7L)
-          s += 1
-        }
-        out
+      val wh = new Array[Long](words.length)
+      var i = 0
+      while (i < words.length) {
+        wh(i) = XXH64.hash(
+          words(i).getBytes(java.nio.charset.StandardCharsets.UTF_8), 42L)
+        i += 1
       }
+      val loMask = if (loBits >= 64) -1L else (1L << loBits) - 1L
+      val buf = new Array[Byte](8 * w)
+      val n = words.length - w + 1
+      val lo = new Array[Long](n)
+      val hi = new Array[Long](n)
+      var s = 0
+      while (s < n) {
+        var j = 0
+        while (j < w) {
+          val h = wh(s + j)
+          var b = 0
+          while (b < 8) { buf(j * 8 + b) = (h >>> (8 * b)).toByte; b += 1 }
+          j += 1
+        }
+        lo(s) = XXH64.hash(buf, 7L) & loMask
+        if (withHi) hi(s) = XXH64.hash(buf, WindowHiSeed)
+        s += 1
+      }
+      (lo, hi)
     }
   }
 
   /** Replay the [[cutDuplicateSpans]] rewrite from an externally-supplied
     * first-occurrence relation `(win, f_id, f_pos)` — the finish step of
-    * the STREAMING twin ([[graft.streaming.StreamSpans]]), whose state
-    * store hands back exactly this relation. An occurrence is redundant
+    * the STREAMING twin ([[graft.streaming.StreamSpans]]), whose folded
+    * event stream hands back exactly this relation. An occurrence is redundant
     * iff its window appears in `firsts` under a different (doc, pos);
     * windows absent from `firsts` are never cut, so a duplicates-only
     * relation (the batch operator's `n > 1` aggregate) and an all-windows
-    * relation (the stream's state dump) both reproduce the same rewrite.
+    * relation (the stream's folded firsts) both reproduce the same rewrite.
     */
   private[graft] def cutFromFirstOccurrences(
       df: DataFrame,
@@ -1248,14 +1399,8 @@ object Dedupe {
       .select(col("id"), col("text"), col("ps"))
       .as[(Long, String, Array[Long])]
       .map { case (id, text, ps) =>
-        val set = Option(ps).getOrElse(Array.emptyLongArray)
-        val nWins = windowHashes(text, w).length
-        val redundantFlags = new Array[Boolean](nWins)
-        set.foreach { p =>
-          val i = (p - 1).toInt
-          if (i >= 0 && i < redundantFlags.length) redundantFlags(i) = true
-        }
-        rebuildCut(w, id, text, redundantFlags)
+        rebuildCutFromPositions(w, id, text,
+          Option(ps).getOrElse(Array.emptyLongArray))
       }
       .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
   }
@@ -1270,9 +1415,7 @@ object Dedupe {
       id: Long,
       text: String,
       redundant: Array[Boolean]): (Long, Long, Long, String) = {
-    val words = if (text == null) Array.empty[String]
-      else text.toLowerCase(java.util.Locale.ROOT)
-        .split(" ").filter(_.nonEmpty)
+    val words = tokenizeWords(text)
     val cut = new Array[Boolean](words.length)
     var i = 0
     while (i < redundant.length) {
@@ -1282,9 +1425,41 @@ object Dedupe {
       }
       i += 1
     }
+    rebuildFromFlags(id, words, cut)
+  }
+
+  /** [[rebuildCut]] from 1-based redundant-window POSITIONS — the shuffle
+    * builds land here so they never re-run the window-hash kernel just to
+    * size the flag array (the window count is words.length − w + 1, and
+    * the words are tokenized here anyway).
+    */
+  private[operators] def rebuildCutFromPositions(
+      w: Int,
+      id: Long,
+      text: String,
+      redundantPos: Array[Long]): (Long, Long, Long, String) = {
+    val words = tokenizeWords(text)
+    val nWins = math.max(0, words.length - w + 1)
+    val cut = new Array[Boolean](words.length)
+    var j = 0
+    while (j < redundantPos.length) {
+      val i = (redundantPos(j) - 1).toInt
+      if (i >= 0 && i < nWins) {
+        var t = i
+        while (t < i + w) { cut(t) = true; t += 1 }
+      }
+      j += 1
+    }
+    rebuildFromFlags(id, words, cut)
+  }
+
+  private def rebuildFromFlags(
+      id: Long,
+      words: Array[String],
+      cut: Array[Boolean]): (Long, Long, Long, String) = {
     val kept = new StringBuilder
     var nCut = 0L
-    i = 0
+    var i = 0
     while (i < words.length) {
       if (cut(i)) nCut += 1
       else {

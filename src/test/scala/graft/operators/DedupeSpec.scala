@@ -279,6 +279,55 @@ class DedupeSpec extends SparkSpec {
     assert(bc(4L) == (2L, 0L, "short doc"))
   }
 
+  test("128-bit window identity prevents false cuts under engineered lo collisions") {
+    import spark.implicits._
+    // loBits = 0 masks the LOW identity half to a constant, making EVERY
+    // window pairwise-collide there — the adversarial limit of the 64-bit
+    // birthday risk (~10⁶ expected colliding windows at 10¹³ corpus
+    // windows). The fixture has one genuine duplicate paragraph plus
+    // unique text that must survive a cut.
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"unique opening sequence before the shared part $p trailing unique words"),
+      (1L, s"$p entirely different closing material here"),
+      (2L, "no duplicated content in this document at all whatsoever ok"))
+      .toDF("doc_id", "text")
+    def cut(hash128: Boolean, loBits: Int, bcLimit: Long) = Dedupe
+      .cutDuplicateSpansImpl(docs, "doc_id", "text", windowTokens = 5,
+        broadcastDupLimit = bcLimit, hash128 = hash128, loBits = loBits)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    def spans(hash128: Boolean, loBits: Int, bcLimit: Long) = Dedupe
+      .duplicateSpansImpl(docs, "doc_id", "text", windowTokens = 5,
+        broadcastDupLimit = bcLimit, hash128 = hash128, loBits = loBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val truth = cut(hash128 = false, loBits = 64, bcLimit = Long.MaxValue)
+    // 64-bit identity under total lo collision DOES delete innocent text —
+    // the fixture is real (doc 2 has no duplicate yet loses tokens)
+    val clobbered = cut(hash128 = false, loBits = 0, bcLimit = Long.MaxValue)
+    assert(clobbered != truth, "collision fixture failed to engineer a false cut")
+    assert(clobbered(2L)._2 > 0L,
+      s"expected the unique doc to lose tokens under 64-bit collision: $clobbered")
+    // the independently-seeded HIGH half disambiguates: 128-bit mode under
+    // the same total-lo-collision returns the uncollided truth — on BOTH
+    // builds (broadcast map and the forced-shuffle 100 TB path)
+    assert(cut(hash128 = true, loBits = 0, bcLimit = Long.MaxValue) == truth,
+      "128-bit broadcast build still false-cut under lo collisions")
+    assert(cut(hash128 = true, loBits = 0, bcLimit = 0L) == truth,
+      "128-bit shuffle build still false-cut under lo collisions")
+    // same for the detector: spans under 128-bit identity match the truth
+    val spansTruth = spans(hash128 = false, loBits = 64, bcLimit = Long.MaxValue)
+    assert(spans(hash128 = false, loBits = 0, bcLimit = Long.MaxValue) != spansTruth,
+      "collision fixture failed to engineer a false span")
+    assert(spans(hash128 = true, loBits = 0, bcLimit = Long.MaxValue) == spansTruth)
+    assert(spans(hash128 = true, loBits = 0, bcLimit = 0L) == spansTruth)
+    // and hash128 with an honest lo is a no-op vs the 64-bit result
+    assert(cut(hash128 = true, loBits = 64, bcLimit = Long.MaxValue) == truth)
+  }
+
   test("minhashRecallEval: identity on exact dups, invariants on a border pair") {
     import spark.implicits._
     // docs 0/1 identical (every band matches — ALWAYS found); docs 2/3 a
