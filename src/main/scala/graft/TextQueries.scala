@@ -563,10 +563,11 @@ object TextQueries {
       windowTokens = 20)
 
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
-    * first-occurrence events through a window-hash-keyed state store,
-    * then the batch finish — same oracle SQL; keep-earliest is causal in
-    * (doc_id, pos) order, so the stream must land on the batch relation
-    * exactly (id-ordered ingest contract).
+    * per-batch first-occurrence events through a shard-keyed BOUNDED
+    * suppression cache, min-folded into the exact global first-occurrence
+    * relation, then the batch finish — same oracle SQL. Exactness lives
+    * in the fold, not the state, so the result is arrival-order- and
+    * eviction-independent (no id-ordered ingest contract).
     */
   private def streamDedupSpans(spark: SparkSession, sfDir: String): DataFrame =
     graft.streaming.StreamSpans.runCutOnce(

@@ -1,0 +1,180 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedupe
+import org.apache.spark.sql.streaming.TestGroupState
+
+/** The streaming span-dedup twin's contract (see [[StreamSpans]]):
+  * exactness lives in emitted-events + finish fold, so the result must
+  * equal the batch [[Dedupe.cutDuplicateSpans]] relation under ANY
+  * arrival order and ANY suppression-cache cap — while state ROWS stay
+  * bounded by the shard count (never token-linear).
+  */
+class StreamSpansSpec extends SparkSpec {
+
+  private val P = "alpha beta gamma delta epsilon zeta eta theta"
+
+  private def fixture: Seq[(Long, String)] = Seq(
+    (1L, s"unique opening material here $P and a unique tail"),
+    (2L, s"$P entirely different closing text of document two"),
+    (3L, s"$P and then once more $P"),
+    (4L, "no duplicated content in this document at all whatsoever ok"),
+    (5L, "short doc"))
+
+  private def batchCut(rows: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
+    import spark.implicits._
+    Dedupe.cutDuplicateSpans(rows.toDF("doc_id", "text"), "doc_id", "text",
+      windowTokens = 5)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+  }
+
+  private def collectCut(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cut_tokens"),
+          r.getAs[String]("text_cut"))))
+      .toMap
+
+  test("stream finish equals the batch cut relation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sspan")
+    writeFlatParquet(fixture.toDF("doc_id", "text"), dir, "docs.parquet")
+    val got = collectCut(StreamSpans.runCutOnce(spark, s"$dir/docs.parquet",
+      "sspan_same", "doc_id", windowTokens = 5))
+    assert(got == batchCut(fixture))
+  }
+
+  /** Out-of-order ingest: the LATER micro-batch carries the SMALLER
+    * doc_ids (the true earliest occurrences). The old design's
+    * never-revised state silently kept the wrong first; the
+    * suppression-cache design must re-emit the improvement and fold to
+    * the exact batch answer — no id-ordered contract.
+    */
+  test("reverse-id-order arrival still lands on the batch cut") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sspanrev")
+    val late = fixture.filter(_._1 <= 2)   // docs 1, 2 (earliest carriers)
+    val early = fixture.filter(_._1 > 2)   // docs 3, 4, 5 stream FIRST
+    writeFlatParquet(early.toDF("doc_id", "text"), dir, "f0.parquet")
+    writeFlatParquet(late.toDF("doc_id", "text"), dir, "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamSpans.firstWindows(stream, "doc_id", "text",
+      windowTokens = 5, numShards = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sspan_rev").start()
+    try q.processAllAvailable() finally q.stop()
+    val events = session.table("sspan_rev")
+    // the improvement path re-emitted: ≥1 window carries two events
+    val perWin = events.groupBy("win").count()
+      .filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(perWin > 0, "expected re-emitted improvements for late-arriving " +
+      "smaller (doc_id, pos) occurrences")
+    val got = collectCut(Dedupe.cutFromFirstOccurrences(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", 5,
+      StreamSpans.foldFirsts(events)))
+    assert(got == batchCut(fixture))
+  }
+
+  /** Cap saturation: with room for almost nothing in the cache the
+    * answer is unchanged (suppression is an optimization, not a
+    * correctness dependency), and state ROWS stay ≤ numShards — the
+    * structural proof that state is shard-bounded, not token-linear.
+    */
+  test("tiny suppression cap: exact answer, state rows bounded by shards") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sspancap")
+    writeFlatParquet(fixture.take(3).toDF("doc_id", "text"), dir, "f0.parquet")
+    writeFlatParquet(fixture.drop(3).toDF("doc_id", "text"), dir, "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val numShards = 2
+    val q = StreamSpans.firstWindows(stream, "doc_id", "text",
+      windowTokens = 5, numShards = numShards, maxStateWindowsPerShard = 1)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sspan_cap").start()
+    try q.processAllAvailable() finally q.stop()
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    assert(stateRows <= numShards,
+      s"state rows $stateRows exceed the shard bound $numShards")
+    val got = collectCut(Dedupe.cutFromFirstOccurrences(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", 5,
+      StreamSpans.foldFirsts(session.table("sspan_cap"))))
+    assert(got == batchCut(fixture))
+    // zero-cap degenerate mode: every batch re-emits everything, fold
+    // still exact
+    val q2Name = "sspan_cap0"
+    val stream2 = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q2 = StreamSpans.firstWindows(stream2, "doc_id", "text",
+      windowTokens = 5, numShards = numShards, maxStateWindowsPerShard = 0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(q2Name).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got0 = collectCut(Dedupe.cutFromFirstOccurrences(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", 5,
+      StreamSpans.foldFirsts(session.table(q2Name))))
+    assert(got0 == batchCut(fixture))
+  }
+
+  /** The shard kernel's rules, unit-level (TestGroupState): suppression
+    * of equal-or-larger occurrences, re-emission of improvements,
+    * insert-up-to-cap, and the sorted-arrays invariant.
+    */
+  test("advanceShard: suppression, improvement, cap — unit rules") {
+    def state(st: Option[StreamSpans.ShardState]) =
+      TestGroupState.create[StreamSpans.ShardState](
+        optionalState = st.fold(
+          org.apache.spark.api.java.Optional.empty[StreamSpans.ShardState]())(
+          org.apache.spark.api.java.Optional.of),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+        batchProcessingTimeMs = 0L,
+        eventTimeWatermarkMs =
+          org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+
+    // batch 1, empty state, cap 2: three windows → all emitted, two tracked
+    val s1 = state(None)
+    val out1 = StreamSpans.advanceShard(Iterator(
+      (30L, 7L, 3L), (10L, 5L, 1L), (20L, 6L, 2L), (10L, 9L, 9L)),
+      s1, cap = 2).toSeq
+    assert(out1.toSet == Set((10L, 5L, 1L), (20L, 6L, 2L), (30L, 7L, 3L)))
+    val st1 = s1.get
+    assert(st1.wins.toSeq == Seq(10L, 20L) && st1.ids.toSeq == Seq(5L, 6L),
+      s"cap must track the two smallest-sorted windows: ${st1.wins.toSeq}")
+
+    // batch 2 against that state: equal-or-larger → suppressed; smaller →
+    // re-emitted + improved; untracked (30) re-emits; new (40) emits but
+    // cannot be inserted past the cap
+    val s2 = state(Some(st1))
+    val out2 = StreamSpans.advanceShard(Iterator(
+      (10L, 5L, 1L),   // identical to stored → suppressed
+      (20L, 6L, 9L),   // larger pos, same id → suppressed
+      (20L, 2L, 8L),   // smaller id → improvement, re-emit
+      (30L, 7L, 3L),   // untracked (past cap) → re-emit
+      (40L, 1L, 1L)),  // new, cap full → emit, stay untracked
+      s2, cap = 2).toSeq
+    assert(out2.toSet == Set((20L, 2L, 8L), (30L, 7L, 3L), (40L, 1L, 1L)))
+    val st2 = s2.get
+    assert(st2.wins.toSeq == Seq(10L, 20L))
+    assert(st2.ids.toSeq == Seq(5L, 2L) && st2.poss.toSeq == Seq(1L, 8L),
+      "improvement must update the cached occurrence")
+  }
+}
