@@ -550,17 +550,32 @@ object TextQueries {
     */
   private def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.duplicateSpans(docs(spark, sfDir), "doc_id", "text",
-      windowTokens = 20)
+      windowTokens = 20, broadcastDupLimit = spansBcastLimit)
+
+  /** ScaleRun's broadcast→shuffle fallback knob for the span family:
+    * `SPARK_GRAFT_SPANS_BCAST_LIMIT=0` forces the shuffle build (the
+    * 100 TB path) through the catalog registrations so the 100× tier can
+    * exercise it; unset = the operators' 4M default. Results are
+    * build-independent (DedupeSpec pins both builds identical).
+    */
+  private def spansBcastLimit: Long =
+    sys.env.get("SPARK_GRAFT_SPANS_BCAST_LIMIT").map(_.toLong)
+      .getOrElse(4L * 1000 * 1000)
 
   /** The span CUT ([[Dedupe.cutDuplicateSpans]]): Lee et al. keep-one
     * semantics — every duplicated 20-token window keeps its globally
     * earliest occurrence, later occurrences' token ranges are removed.
     * Output is the cleaned corpus (token-normalized text), one row per
     * doc, string-compared against the oracle's SQL reconstruction.
+    * Registered in `hash128` mode — the production configuration, since
+    * a 64-bit window collision here would DELETE text (identity is then
+    * 2⁻¹²⁸-per-pair; the oracle is unaffected, window equivalence classes
+    * are identical at any testable scale).
     */
   private def dedupSpansCut(spark: SparkSession, sfDir: String): DataFrame =
     Dedupe.cutDuplicateSpans(docs(spark, sfDir), "doc_id", "text",
-      windowTokens = 20)
+      windowTokens = 20, broadcastDupLimit = spansBcastLimit,
+      hash128 = true)
 
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
     * per-batch first-occurrence events through a shard-keyed BOUNDED

@@ -47,6 +47,30 @@ object Cli {
     s
   }
 
+  /** `dup-spans` body, factored for ToolsSpec: the span relation (cached;
+    * caller unpersists) plus the rollup line
+    * `spans=N dup_tokens=N docs_affected=N window=W`.
+    */
+  private[tools] def dupSpansReport(
+      spark: SparkSession,
+      file: String,
+      windowTokens: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val spans = graft.operators.Dedupe
+      .duplicateSpans(docs, "doc_id", "text", windowTokens = windowTokens)
+    val agg = spans.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("span_tokens"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.countDistinct("doc_id")).head()
+    (spans, s"spans=${agg.getLong(0)} dup_tokens=${agg.getLong(1)} " +
+      s"docs_affected=${agg.getLong(2)} window=$windowTokens")
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "dedup" :: "--wide" :: files if files.nonEmpty =>
       // 128-bit chunk identity: the 1e9+-chunk configuration where 64-bit
@@ -440,22 +464,10 @@ object Cli {
       // ACL'22 ExactSubstr mode, fixed window)
       val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
       val spark = session()
-      val docs = spark.read.parquet(file)
-      require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
-        s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
-      val spans = graft.operators.Dedupe
-        .duplicateSpans(docs, "doc_id", "text", windowTokens = windowTokens)
+      val (spans, rollup) = dupSpansReport(spark, file, windowTokens)
       spans.orderBy(org.apache.spark.sql.functions.col("span_tokens").desc)
         .show(20, truncate = false)
-      val agg = spans.agg(
-        org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum("span_tokens"),
-          org.apache.spark.sql.functions.lit(0L)),
-        org.apache.spark.sql.functions.countDistinct("doc_id")).head()
-      println(s"spans=${agg.getLong(0)} dup_tokens=${agg.getLong(1)} " +
-        s"docs_affected=${agg.getLong(2)} window=$windowTokens")
+      println(rollup)
       spans.unpersist()
       spark.stop()
 

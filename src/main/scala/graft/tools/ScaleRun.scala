@@ -199,7 +199,12 @@ object ScaleRun {
     "cdc_estimate", "doc_shuffle", "event_sessions", "mm_phash_dedup",
     // the round-9 quadratic-risk shape: asymmetric prefix join — two
     // decades is where an accidental df blowup would actually show
-    "dedup_containment")
+    "dedup_containment",
+    // exact-substring spans: THE token-volume-heavy realistic pipeline
+    // job (Lee et al. cut). Window-hash kernel + input-sized hash agg;
+    // run also with SPARK_GRAFT_SPANS_BCAST_LIMIT=0 to exercise the
+    // shuffle build (the 100 TB path) at this tier
+    "dedup_spans", "dedup_spans_cut")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * on exactly the batch answer, in time proportional to the DELTA (state
   * reload + one small batch), not to the already-ingested corpus.
   *
-  * Per query (stream_cdc over documents, stream_dedup over events), per
-  * tier (1× = sf0.1 testdata, N× = the ScaleRun corpus):
+  * Per query (stream_cdc over documents, stream_dedup over events,
+  * stream_dedup_spans over documents), per tier (1× = sf0.1 testdata,
+  * N× = the ScaleRun corpus):
   *
   *  1. initial run: file stream over the corpus → stateful operator →
   *     foreachBatch parquet snapshot, with a checkpoint; timed.
@@ -28,6 +29,9 @@ import org.apache.spark.sql.functions._
   *  - state rows == the batch-computed distinct key count (chunk hashes /
   *    (user_id, event_type) pairs) — state is EXACTLY keys, nothing
   *    re-buffered, so state bytes scale with distinct keys, not events;
+  *    EXCEPT the spans twin, whose suppression-cache contract is the
+  *    opposite: state rows ≤ its shard count no matter the corpus, with
+  *    bytes capped at shards × cap × 24 B (saturation exercised at N×);
   *  - N× restart time < half the N× initial run — recovery reloads state
   *    and chews the delta; it must not re-chunk half a terabyte.
   *
@@ -55,6 +59,13 @@ object StreamRestartRun {
     * `delta` lands, then a restarted run from the same checkpoint.
     * `transform` is the stateful streaming relation; `mode`/`writeBatch`
     * snapshot it (complete-overwrite for aggs, append for dedup).
+    *
+    * `foldSink` post-processes the accumulated sink before the batch
+    * compare (identity for one-event-per-key streams; the spans twin
+    * min-folds its re-emitted events). `stateRowsBound`: when set, state
+    * rows are asserted ≤ the bound instead of == distinct keys — the
+    * contract for suppression-cache state (rows bounded by SHARDS, not
+    * keys; see [[graft.streaming.StreamSpans]]).
     */
   private def runCase(
       spark: SparkSession,
@@ -63,7 +74,9 @@ object StreamRestartRun {
       delta: DataFrame => DataFrame,
       transform: DataFrame => DataFrame,
       completeMode: Boolean,
-      batchKeys: Seq[String] => DataFrame): CaseResult = {
+      batchKeys: Seq[String] => DataFrame,
+      foldSink: DataFrame => DataFrame = identity,
+      stateRowsBound: Option[Long] = None): CaseResult = {
     val work = Files.createTempDirectory(s"restart-$tag")
     val srcDir = Files.createDirectory(work.resolve("src"))
     val ckpt = work.resolve("ckpt").toString
@@ -108,13 +121,18 @@ object StreamRestartRun {
     val distinctKeys = keysDf.count()
     val sunk = spark.read.parquet(sink)
     val sunkKeys =
-      if (completeMode) sunk else sunk.distinct()
+      foldSink(if (completeMode) sunk else sunk.distinct())
     val diff = sunkKeys.count() != distinctKeys ||
       sunkKeys.exceptAll(keysDf).limit(1).count() != 0
     require(!diff, s"[$tag] restart snapshot diverges from the batch twin")
-    require(stateRows == distinctKeys,
-      s"[$tag] state rows $stateRows != distinct keys $distinctKeys — " +
-        "state is not key-proportional")
+    stateRowsBound match {
+      case Some(bound) => require(stateRows <= bound,
+        s"[$tag] state rows $stateRows exceed the shard bound $bound — " +
+          "suppression-cache state must never be key-proportional")
+      case None => require(stateRows == distinctKeys,
+        s"[$tag] state rows $stateRows != distinct keys $distinctKeys — " +
+          "state is not key-proportional")
+    }
 
     // best-effort cleanup (hardlinked staging + checkpoint can be large)
     val s = Files.walk(work)
@@ -188,10 +206,55 @@ object StreamRestartRun {
       dirs => spark.read.parquet(dirs: _*)
         .select(col("user_id"), col("event_type")).distinct())
 
+    // the spans twin: suppression-cache state (one row per SHARD, capped
+    // bytes). 256 shards × 2^16-entry cap = 16.7M tracked windows ≈ 400 MiB
+    // ceiling: the 1× corpus (~1M windows) tracks fully; the 100× corpus
+    // (~100M windows) SATURATES the cap — this case proves the degraded
+    // regime stays exact while state bytes plateau at the ceiling
+    val spansShards = 256
+    val spansW = 20
+    def spansBatchFirsts(dirs: Seq[String]): DataFrame = {
+      import spark.implicits._
+      spark.read.parquet(dirs: _*)
+        .select(col("doc_id").cast("long"), col("text").cast("string"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.operators.Dedupe.windowHashes(text, spansW).iterator.zipWithIndex
+            .map { case (h, i) => (h, id, (i + 1).toLong) }
+        }
+        .toDF("win", "id", "pos")
+        .groupBy(col("win"))
+        .agg(min(struct(col("id"), col("pos"))).as("f"))
+        .select(col("win"), col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+    }
+    def spansCase(dir: String): CaseResult = runCase(spark, "stream_dedup_spans",
+      Seq(s"$dir/documents.parquet"),
+      // delta: 100 re-uploads (every window already first-seen — must be
+      // suppressed / fold-invisible) + 100 genuinely new docs
+      src => {
+        val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+        val re = src.orderBy(col("doc_id")).limit(100)
+          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("text"))
+        val fresh = src.orderBy(col("doc_id")).limit(100)
+          .select((col("doc_id") + lit(maxId + 201)).as("doc_id"),
+            concat(lit(s"entirely new span delta payload $dir "), col("text"),
+              col("doc_id").cast("string")).as("text"))
+        re.unionByName(fresh)
+          .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+            lit("delta").as("source"), length(col("text")).cast("long").as("n_chars"))
+      },
+      s => graft.streaming.StreamSpans.firstWindows(s, "doc_id", "text",
+        spansW, numShards = spansShards, maxStateWindowsPerShard = 1 << 16),
+      completeMode = false,
+      spansBatchFirsts,
+      foldSink = graft.streaming.StreamSpans.foldFirsts,
+      stateRowsBound = Some(spansShards.toLong))
+
     def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     val results = Seq(
       ("stream_cdc", cdcCase(base), cdcCase(corpus)),
-      ("stream_dedup", dedupCase(base), dedupCase(corpus)))
+      ("stream_dedup", dedupCase(base), dedupCase(corpus)),
+      ("stream_dedup_spans", spansCase(base), spansCase(corpus)))
 
     println("| query | tier | initial (s) | restart (s) | state rows | state MiB |")
     println("|---|---|---|---|---|---|")

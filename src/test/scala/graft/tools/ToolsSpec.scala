@@ -75,6 +75,37 @@ class ToolsSpec extends SparkSpec {
     assert(html.sliding("width:".length).count(_ == "width:") == 6)
   }
 
+  test("dup-spans report: planted duplicate pins the spans and the rollup line") {
+    import spark.implicits._
+    // P = 8 tokens; at window 5 its occurrences produce 8-token spans.
+    // Doc 20 is the earliest carrier, doc 21 repeats it mid-document,
+    // doc 22 is clean — so: 2 spans (one per carrier doc), 16 dup
+    // tokens, 2 docs affected.
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = Files.createTempDirectory("graft-dupspans")
+    Seq(
+      (20L, s"$p followed by some unique trailing words"),
+      (21L, s"leading unique words then $p and a tail"),
+      (22L, "entirely clean document with no repeated passages anywhere"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val (spans, rollup) =
+      Cli.dupSpansReport(spark, s"$dir/docs.parquet", windowTokens = 5)
+    val rows = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((20L, 1L, 8L), (21L, 5L, 8L)), s"got $rows")
+    assert(rollup == "spans=2 dup_tokens=16 docs_affected=2 window=5")
+    spans.unpersist()
+    // column-contract guard: a parquet without (doc_id, text) must fail
+    // loudly, not run on the wrong columns
+    Seq((1L, "x")).toDF("id", "body")
+      .write.mode("overwrite").parquet(s"$dir/bad.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Cli.dupSpansReport(spark, s"$dir/bad.parquet", windowTokens = 5)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("ordered chunk dump with payloads (reference store_data path)") {
     val dir = Files.createTempDirectory("graft-dump")
     val f = dir.resolve("x.bin")
