@@ -849,7 +849,11 @@ object Dedupe {
         // SELF-join of prefixes (both members of a qualifying pair carry
         // the smallest shared gram inside their prefix), id-normalized,
         // positional filter against the pair's larger per-side floor.
-        // SHUFFLE_HASH: same sort-avoidance rationale as containment.
+        // SHUFFLE_HASH: same sort-avoidance rationale — and same skew
+        // caveat and guards — as containmentPairs (see the comment
+        // there): df-ascending prefixes starve hot grams from the build
+        // side, maxGramFreq hard-caps buckets, AQE skew-join splits an
+        // oversized build partition at runtime.
         val cand = prefix.hint("SHUFFLE_HASH").as("l")
           .join(prefix.as("r"),
             col("l.gram") === col("r.gram") && col("l.id") < col("r.id") &&
@@ -994,6 +998,24 @@ object Dedupe {
       // partitions, see applyRowShufflePartitions above). AQE still
       // upgrades to a broadcast join at runtime when the built prefix
       // side measures under the broadcast threshold.
+      //
+      // SKEW CAVEAT (the hash build cannot spill): the 64 MiB target is a
+      // corpus AVERAGE, and the join key is the gram, so one hot gram's
+      // build bucket could in principle concentrate a partition far past
+      // it. Three layers keep that theoretical at this join: (1) the
+      // build side is the df-ASCENDING PREFIX — a gram lands in a doc's
+      // prefix only when the doc has almost no rarer gram, so a
+      // partition-scale bucket (~2M prefix occurrences of ONE gram)
+      // requires millions of near-identical docs, a corpus the pipeline
+      // discipline dedupes exactly BEFORE near-dup pairing (and whose
+      // candidate-pair volume would be the real failure, not the build);
+      // (2) `maxGramFreq`, when set, hard-caps any bucket at the cap;
+      // (3) AQE skew-join (`spark.sql.adaptive.skewJoin.*`, on by
+      // default) splits an oversized shuffled-hash build partition at
+      // runtime, replicating the probe side across the splits — the
+      // spill-free build is bounded even when (1) is violated with AQE
+      // on. Running AQE-off on an un-pre-deduped corpus with unbounded
+      // maxGramFreq is the one unguarded combination: set maxGramFreq.
       val cand = prefix.hint("SHUFFLE_HASH").as("l")
         .join(index.as("r"),
           col("l.gram") === col("r.gram") && col("l.id") =!= col("r.id") &&
