@@ -1200,6 +1200,11 @@ object Dedupe {
     * spec-pinned identical, and both hash the corpus windows exactly ONCE
     * (the cached (id, text, wlo, whi) relation feeds the probe, the
     * aggregation, and the final rewrite — no second tokenize+hash scan).
+    * The cache is corpus-scale by design (text + one long per token,
+    * MEMORY_AND_DISK): at 100 TB it spills ~input-sized data to executor
+    * disks, the standard Spark trade of local disk for a second full
+    * tokenize+hash pass of the corpus — size executor storage for the
+    * input, as with any cached-scan pipeline stage.
     *
     * Identity width: a 64-bit window-hash collision here DELETES innocent
     * text, not just a statistic — run 100 TB-class cuts with
