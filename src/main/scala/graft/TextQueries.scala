@@ -577,6 +577,17 @@ object TextQueries {
       windowTokens = 20, broadcastDupLimit = spansBcastLimit,
       hash128 = true)
 
+  /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface
+    * for the cut: one row per redundant maximal span (exactly the token
+    * ranges dedup_spans_cut removes) with where its kept copy lives (the
+    * globally earliest occurrence of the span's first window). The
+    * oracle re-derives firsts, redundancy, gaps-and-islands runs, and
+    * the arg_min keeper from the words themselves.
+    */
+  private def dedupSpansProvenance(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.spanProvenance(docs(spark, sfDir), "doc_id", "text",
+      windowTokens = 20, broadcastDupLimit = spansBcastLimit)
+
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
     * per-batch first-occurrence events through a shard-keyed BOUNDED
     * suppression cache, min-folded into the exact global first-occurrence
@@ -1061,6 +1072,7 @@ object TextQueries {
     "dedup_containment" -> dedupContainment _,
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_cut" -> dedupSpansCut _,
+    "dedup_spans_provenance" -> dedupSpansProvenance _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1547,6 +1559,34 @@ object TextQueries {
         |FROM m""".stripMargin,
     "dedup_spans_cut" -> SpansCutSql,
     "stream_dedup_spans" -> SpansCutSql,
+    "dedup_spans_provenance" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
+        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+        |  WHERE len(ws) >= 20),
+        |firsts AS (
+        |  SELECT win, doc_id AS f_doc, pos AS f_pos FROM (
+        |    SELECT win, doc_id, pos,
+        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+        |      count(*) OVER (PARTITION BY win) AS c
+        |    FROM wins) WHERE rn = 1 AND c > 1),
+        |red AS (
+        |  SELECT w.doc_id, w.pos, f.f_doc, f.f_pos
+        |  FROM wins w JOIN firsts f USING (win)
+        |  WHERE NOT (w.doc_id = f.f_doc AND w.pos = f.f_pos)),
+        |runs AS (
+        |  SELECT doc_id, pos, f_doc, f_pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM red)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens,
+        |  arg_min(f_doc, pos) AS kept_doc,
+        |  CAST(arg_min(f_pos, pos) AS BIGINT) AS kept_pos
+        |FROM runs GROUP BY doc_id, grp""".stripMargin,
     "dedup_spans" ->
       """WITH words AS (
         |  SELECT doc_id,

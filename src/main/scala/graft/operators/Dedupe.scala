@@ -1195,8 +1195,13 @@ object Dedupe {
     * carried alongside: the duplicated-hash → earliest-occurrence map
     * broadcasts when bounded (the final rewrite is then one fully NARROW
     * pass over the cached per-doc window arrays — nothing but aggregation
-    * partials ever shuffles), or the redundant positions flow through
-    * input-sized hash/id exchanges above the bound. Both builds are
+    * partials ever shuffles; plan-asserted zero-exchange in DedupeSpec),
+    * or the redundant positions flow through input-sized hash/id
+    * exchanges above the bound — in that fallback the rewrite join also
+    * moves the document TEXT through one id-keyed hop (input-sized,
+    * one corpus pass over the wire, the standard price of co-locating
+    * payload with shuffled derivations; AQE broadcasts the positions
+    * side instead whenever it measures small). Both builds are
     * spec-pinned identical, and both hash the corpus windows exactly ONCE
     * (the cached (id, text, wlo, whi) relation feeds the probe, the
     * aggregation, and the final rewrite — no second tokenize+hash scan).
@@ -1325,6 +1330,141 @@ object Dedupe {
       docWins.unpersist()
       rows
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Provenance of the spans [[cutDuplicateSpans]] removes — the
+    * curation AUDIT surface: for every maximal run of REDUNDANT windows
+    * (occurrences that are not the corpus-earliest for their hash, i.e.
+    * exactly the token ranges the cut deletes), where the kept copy
+    * lives. One row per redundant span:
+    * (doc_id, span_start, span_tokens, kept_doc, kept_pos) — the keeper
+    * is the globally earliest occurrence of the span's FIRST window
+    * (a span merged from several windows may interleave material kept in
+    * different places; the first window's keeper is the deterministic
+    * anchor, and the oracle implements the same rule via arg_min).
+    *
+    * Same two-strategy discipline as the detector/cut: the duplicated-
+    * hash → earliest-occurrence map broadcasts when bounded (narrow
+    * flag-and-merge over the cached window arrays), else the redundant
+    * occurrences flow through input-sized hash/id exchanges; both builds
+    * spec-pinned identical. `hash128` as in [[duplicateSpans]].
+    *
+    * @return materialized, cache-tracked ([[releaseTrackedCaches]]).
+    */
+  def spanProvenance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      hash128: Boolean = false): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val session = df.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    val docWins = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (lo, hi) = windowHashes128(text, w, hash128, loBits = 64)
+        (id, lo, hi)
+      }
+      .toDF("id", "wlo", "whi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumWins = docWins
+      .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+      Conf.SpanRowShuffleBytes)
+    try {
+      val exploded = docWins
+        .select(col("id"), posexplode(arrays_zip(col("wlo"), col("whi"))))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col.wlo").as("wlo"), col("col.whi").as("whi"))
+      val dupFirsts = exploded
+        .groupBy(col("wlo"), col("whi"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("id"), col("pos"))).as("f"))
+        .filter(col("n") > 1)
+        .select(col("wlo"), col("whi"),
+          col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+      val spans = {
+        val nDup = dupFirsts.count()
+        if (nDup <= broadcastDupLimit) {
+          val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
+          val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
+          firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }
+          val bcMap = session.sparkContext.broadcast(m)
+          docWins
+            .as[(Long, Array[Long], Array[Long])]
+            .flatMap { case (id, lo, hi) =>
+              val fm = bcMap.value
+              val pos = new scala.collection.mutable.ArrayBuffer[Int]()
+              val keepD = new scala.collection.mutable.ArrayBuffer[Long]()
+              val keepP = new scala.collection.mutable.ArrayBuffer[Long]()
+              var i = 0
+              while (i < lo.length) {
+                val s = fm.indexOf(lo(i), hi(i))
+                if (s >= 0 &&
+                  !(fm.val1At(s) == id && fm.val2At(s) == i + 1L)) {
+                  pos += (i + 1)
+                  keepD += fm.val1At(s); keepP += fm.val2At(s)
+                }
+                i += 1
+              }
+              mergeRunsWithKeeper(id, pos.toArray, keepD.toArray,
+                keepP.toArray, w)
+            }
+        } else {
+          exploded
+            .join(dupFirsts, Seq("wlo", "whi"))
+            .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
+            .groupBy(col("id"))
+            .agg(collect_list(struct(col("pos").as("_1"), col("f_id").as("_2"),
+              col("f_pos").as("_3"))).as("rs"))
+            .as[(Long, Array[(Long, Long, Long)])]
+            .flatMap { case (id, rs) =>
+              val sorted = rs.sortBy(_._1)
+              mergeRunsWithKeeper(id, sorted.map(_._1.toInt),
+                sorted.map(_._2), sorted.map(_._3), w)
+            }
+        }
+      }
+        .toDF("doc_id", "span_start", "span_tokens", "kept_doc", "kept_pos")
+        .cache()
+      track(spans)
+      spans.count()
+      docWins.unpersist()
+      spans
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** [[mergeRuns]] with the keeper payload: positions (1-based, sorted
+    * ascending, parallel to keeper arrays) merge into maximal consecutive
+    * runs; each run reports its FIRST window's keeper.
+    */
+  private def mergeRunsWithKeeper(
+      id: Long,
+      pos: Array[Int],
+      keepDoc: Array[Long],
+      keepPos: Array[Long],
+      w: Int): Iterator[(Long, Long, Long, Long, Long)] = {
+    if (pos.isEmpty) Iterator.empty
+    else {
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      var startIdx = 0
+      var i = 1
+      while (i <= pos.length) {
+        if (i == pos.length || pos(i) != pos(i - 1) + 1) {
+          out += ((id, pos(startIdx).toLong,
+            (pos(i - 1) - pos(startIdx) + w).toLong,
+            keepDoc(startIdx), keepPos(startIdx)))
+          if (i < pos.length) startIdx = i
+        }
+        i += 1
+      }
+      out.iterator
+    }
   }
 
   /** The span family's tokenization (shared with the gram operators):

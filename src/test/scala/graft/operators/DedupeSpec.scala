@@ -279,6 +279,69 @@ class DedupeSpec extends SparkSpec {
     assert(bc(4L) == (2L, 0L, "short doc"))
   }
 
+  test("spanProvenance: redundant spans point at their kept copy, both builds") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"intro words one two $p closing words here"),
+      (1L, s"$p totally different tail of document"),
+      (2L, s"$p and then again $p"),
+      (3L, "no duplicated content in this document at all whatsoever ok"))
+      .toDF("doc_id", "text")
+    def run(bcLimit: Long) = Dedupe
+      .spanProvenance(docs, "doc_id", "text", windowTokens = 5,
+        broadcastDupLimit = bcLimit)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    val bc = run(Long.MaxValue)
+    val sh = run(0L)
+    assert(bc == sh, s"builds diverge:\n$bc\nvs\n$sh")
+    // doc 0 carries P first (tokens 5..12, windows 5..8 are the corpus
+    // firsts) — it is never redundant, so no provenance rows for it;
+    // docs 1 and 2 lose P to doc 0's position-5 first window
+    assert(bc == Set(
+      (1L, 1L, 8L, 0L, 5L),
+      (2L, 1L, 8L, 0L, 5L),
+      (2L, 12L, 8L, 0L, 5L)), s"got $bc")
+  }
+
+  test("spans broadcast builds: final rewrite plan is fully narrow (zero exchanges)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"intro words one two $p closing words here"),
+      (1L, s"$p totally different tail of document"),
+      (2L, "no duplicated content in this document at all whatsoever ok"))
+      .toDF("doc_id", "text")
+    def exchanges(pl: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val kids = pl match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (pl match { case e: ShuffleExchangeExec => Seq(e); case _ => Nil }) ++
+        kids.flatMap(exchanges)
+    }
+    // under the broadcast limit, the duplicated-hash set / first-occurrence
+    // map broadcast and the RESULT relation is one narrow pass over the
+    // cached kernel output — the probe and aggregation ran in their own
+    // earlier actions, so the rewrite plan itself must carry no exchange
+    for (df <- Seq(
+      Dedupe.duplicateSpans(docs, "doc_id", "text", windowTokens = 5),
+      Dedupe.cutDuplicateSpans(docs, "doc_id", "text", windowTokens = 5,
+        hash128 = true))) {
+      df.collect()
+      val ex = exchanges(df.queryExecution.executedPlan)
+      assert(ex.isEmpty,
+        s"broadcast-path spans plan should be narrow, found exchanges:\n$ex")
+    }
+  }
+
   test("128-bit window identity prevents false cuts under engineered lo collisions") {
     import spark.implicits._
     // loBits = 0 masks the LOW identity half to a constant, making EVERY

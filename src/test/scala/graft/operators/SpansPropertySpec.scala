@@ -127,6 +127,41 @@ class SpansPropertySpec extends SparkSpec {
     }.toMap
   }
 
+  /** Sequential reference for [[Dedupe.spanProvenance]]: maximal runs of
+    * redundant windows, each reporting its first window's global keeper.
+    */
+  private def modelProvenance(
+      docs: Seq[(Long, String)], w: Int): Set[(Long, Long, Long, Long, Long)] = {
+    val wins = docs.map { case (id, t) => id -> Dedupe.windowHashes(t, w) }.toMap
+    val cnt = scala.collection.mutable.HashMap.empty[Long, Long]
+    for ((_, ws) <- wins.toSeq; h <- ws) cnt(h) = cnt.getOrElse(h, 0L) + 1L
+    val first = scala.collection.mutable.HashMap.empty[Long, (Long, Long)]
+    for ((id, _) <- docs.sortBy(_._1)) {
+      val ws = wins(id)
+      var i = 0
+      while (i < ws.length) {
+        if (!first.contains(ws(i))) first(ws(i)) = (id, (i + 1).toLong)
+        i += 1
+      }
+    }
+    val out = Set.newBuilder[(Long, Long, Long, Long, Long)]
+    for ((id, _) <- docs) {
+      val ws = wins(id)
+      val red = (0 until ws.length).filter { i =>
+        cnt(ws(i)) > 1 && first(ws(i)) != ((id, (i + 1).toLong))
+      }
+      var k = 0
+      while (k < red.length) {
+        var e = k
+        while (e + 1 < red.length && red(e + 1) == red(e) + 1) e += 1
+        val (kd, kp) = first(ws(red(k)))
+        out += ((id, (red(k) + 1).toLong, (red(e) - red(k) + w).toLong, kd, kp))
+        k = e + 1
+      }
+    }
+    out.result()
+  }
+
   test("spans + cut match the sequential model over 600 generated corpora, both builds") {
     import spark.implicits._
     for (w <- Seq(1, 2, 3, 5)) {
@@ -143,6 +178,7 @@ class SpansPropertySpec extends SparkSpec {
 
       val wantSpans = corpora.flatMap { case (_, docs) => modelSpans(docs, w) }.toSet
       val wantCut = corpora.flatMap { case (_, docs) => modelCut(docs, w) }.toMap
+      val wantProv = corpora.flatMap { case (_, docs) => modelProvenance(docs, w) }.toSet
       assert(wantSpans.nonEmpty, s"w=$w fixture generated no duplicates — weak test")
 
       for (bcLimit <- Seq(Long.MaxValue, 0L)) {
@@ -168,6 +204,17 @@ class SpansPropertySpec extends SparkSpec {
           }
           s"w=$w $tagB cut diverges from model: ${bad.take(3).mkString("; ")}"
         })
+        val gotProv = Dedupe
+          .spanProvenance(df, "doc_id", "text", windowTokens = w,
+            broadcastDupLimit = bcLimit)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+          .toSet
+        assert(gotProv == wantProv,
+          s"w=$w $tagB provenance diverges from model: " +
+            s"extra=${(gotProv -- wantProv).take(5)} " +
+            s"missing=${(wantProv -- gotProv).take(5)}")
       }
     }
   }
