@@ -71,6 +71,37 @@ object Cli {
       s"docs_affected=${agg.getLong(2)} window=$windowTokens")
   }
 
+  /** `cut-spans` body, factored for ToolsSpec: runs the keep-earliest
+    * cut (hash128), writes the cleaned corpus parquet to `outDir`, and
+    * returns (cut relation, rollup line
+    * `docs=N tokens=N cut_tokens=N cut_bp=N window=W out=DIR`).
+    */
+  private[tools] def cutSpansReport(
+      spark: SparkSession,
+      file: String,
+      outDir: String,
+      windowTokens: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val rows = graft.operators.Dedupe.cutDuplicateSpans(
+      docs, "doc_id", "text", windowTokens = windowTokens, hash128 = true)
+    rows.write.mode("overwrite").parquet(outDir)
+    val agg = rows.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_tokens"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("cut_tokens"),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nDocs, nTok, nCut) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val bp = if (nTok == 0) 0L else nCut * 10000L / nTok
+    (rows, s"docs=$nDocs tokens=$nTok cut_tokens=$nCut cut_bp=$bp " +
+      s"window=$windowTokens out=$outDir")
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "dedup" :: "--wide" :: files if files.nonEmpty =>
       // 128-bit chunk identity: the 1e9+-chunk configuration where 64-bit
@@ -471,6 +502,19 @@ object Cli {
       spans.unpersist()
       spark.stop()
 
+    case "cut-spans" :: file :: outDir :: rest if rest.size <= 1 =>
+      // the dedup ACTION as a file tool: write the keep-earliest-cleaned
+      // corpus (doc_id, n_tokens, cut_tokens, text_cut) as parquet and
+      // print the removal rollup — hash128 identity, the production
+      // configuration (a 64-bit window collision would delete text)
+      val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val (rows, rollup) = cutSpansReport(spark, file, outDir, windowTokens)
+      println(rollup)
+      rows.unpersist()
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -595,6 +639,7 @@ object Cli {
            |  pca EMBEDDINGS.parquet [OUTDIR]
            |  contain-dedup DOCUMENTS.parquet [THRESHOLD_BP]
            |  dup-spans DOCUMENTS.parquet [WINDOW_TOKENS]
+           |  cut-spans DOCUMENTS.parquet OUT_DIR [WINDOW_TOKENS]
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png

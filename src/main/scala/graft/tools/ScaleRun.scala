@@ -118,8 +118,9 @@ object ScaleRun {
   private val ScaleQueries = Seq(
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     // exact-substring spans: corpus-wide window-hash agg + narrow merge,
-    // and the keep-earliest cut rewrite over the same substrate
-    "dedup_spans", "dedup_spans_cut",
+    // the keep-earliest cut rewrite, and the cut-audit provenance over
+    // the same substrate
+    "dedup_spans", "dedup_spans_cut", "dedup_spans_provenance",
     "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
     "dist_drift", "emb_drift",

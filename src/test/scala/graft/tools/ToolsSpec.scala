@@ -106,6 +106,31 @@ class ToolsSpec extends SparkSpec {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("cut-spans report: writes the cleaned corpus and pins the rollup line") {
+    import spark.implicits._
+    // doc 30 carries P first and keeps everything (9 tokens); doc 31
+    // loses P's 8 tokens of its 13; doc 32 untouched (6 tokens)
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = Files.createTempDirectory("graft-cutspans")
+    Seq(
+      (30L, s"$p leading"),
+      (31L, s"$p totally different tail of document"),
+      (32L, "entirely clean document with no repeats"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val out = s"$dir/cleaned"
+    val (rows, rollup) =
+      Cli.cutSpansReport(spark, s"$dir/docs.parquet", out, windowTokens = 5)
+    rows.unpersist()
+    // 28 tokens total, 8 cut (doc 31's copy of P) -> 2857 bp
+    assert(rollup ==
+      s"docs=3 tokens=28 cut_tokens=8 cut_bp=2857 window=5 out=$out")
+    val written = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut")).toMap
+    assert(written(31L) == "totally different tail of document")
+    assert(written(30L).startsWith("alpha beta"), s"keeper cut: $written")
+  }
+
   test("ordered chunk dump with payloads (reference store_data path)") {
     val dir = Files.createTempDirectory("graft-dump")
     val f = dir.resolve("x.bin")
