@@ -577,6 +577,24 @@ object TextQueries {
       windowTokens = 20, broadcastDupLimit = spansBcastLimit,
       hash128 = true)
 
+  /** Incremental span cut ([[Dedupe.cutSpansIncremental]]) — the
+    * production refresh: the upper half of doc_ids is "tonight's batch",
+    * cleaned against the lower half's persisted [[Dedupe.windowIndex]]
+    * plus itself, never re-hashing the base. The oracle independently
+    * verifies the incremental path's equivalence claim by running the
+    * FULL keep-earliest cut in SQL and filtering to batch ids.
+    */
+  private def dedupSpansIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val maxId = d.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    val t = (maxId + 1) / 2
+    val idx = Dedupe.windowIndex(d.filter(col("doc_id") < t), "doc_id", "text",
+      windowTokens = 20, hash128 = true)
+    Dedupe.cutSpansIncremental(idx, d.filter(col("doc_id") >= t),
+      "doc_id", "text", windowTokens = 20,
+      broadcastDupLimit = spansBcastLimit, hash128 = true)
+  }
+
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface
     * for the cut: one row per redundant maximal span (exactly the token
     * ranges dedup_spans_cut removes) with where its kept copy lives (the
@@ -1072,6 +1090,7 @@ object TextQueries {
     "dedup_containment" -> dedupContainment _,
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_cut" -> dedupSpansCut _,
+    "dedup_spans_incremental" -> dedupSpansIncremental _,
     "dedup_spans_provenance" -> dedupSpansProvenance _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
@@ -1559,6 +1578,12 @@ object TextQueries {
         |FROM m""".stripMargin,
     "dedup_spans_cut" -> SpansCutSql,
     "stream_dedup_spans" -> SpansCutSql,
+    "dedup_spans_incremental" ->
+      // the full keep-earliest cut, filtered to the batch half: the
+      // incremental operator must land on exactly this relation
+      s"""SELECT * FROM (
+         |$SpansCutSql
+         |) q WHERE doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
     "dedup_spans_provenance" ->
       """WITH words AS (
         |  SELECT doc_id,

@@ -1284,51 +1284,177 @@ object Dedupe {
         .select(col("wlo"), col("whi"),
           col("f.id").as("f_id"), col("f.pos").as("f_pos"))
 
-      val rows = {
-        val nDup = dupFirsts.count()
-        if (nDup <= broadcastDupLimit) {
-          val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
-          val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
-          firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }
-          val bcMap = session.sparkContext.broadcast(m)
-          docWins
-            .as[(Long, String, Array[Long], Array[Long])]
-            .map { case (id, text, lo, hi) =>
-              val fm = bcMap.value
-              val redundant = new Array[Boolean](lo.length)
-              var i = 0
-              while (i < lo.length) {
-                val s = fm.indexOf(lo(i), hi(i))
-                if (s >= 0 &&
-                  !(fm.val1At(s) == id && fm.val2At(s) == i + 1L))
-                  redundant(i) = true
-                i += 1
-              }
-              rebuildCut(w, id, text, redundant)
+      cutFromDupFirsts(session, docWins, exploded, dupFirsts, w,
+        broadcastDupLimit)
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Shared rewrite tail of [[cutDuplicateSpans]] /
+    * [[cutSpansIncremental]]: given the cached kernel output, the
+    * exploded occurrences, and the redundancy relation
+    * `(wlo, whi, f_id, f_pos)` — where (f_id, f_pos) is the occurrence
+    * to KEEP, or the (-1, -1) sentinel for "every occurrence here is
+    * redundant" (a window already present in an incremental base) —
+    * produce the cleaned corpus via the broadcast or shuffle build.
+    * Materializes, tracks, and releases `docWins`.
+    */
+  private def cutFromDupFirsts(
+      session: org.apache.spark.sql.SparkSession,
+      docWins: DataFrame,
+      exploded: DataFrame,
+      dupFirsts: DataFrame,
+      w: Int,
+      broadcastDupLimit: Long): DataFrame = {
+    import session.implicits._
+    val rows = {
+      val nDup = dupFirsts.count()
+      if (nDup <= broadcastDupLimit) {
+        val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
+        val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
+        firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }
+        val bcMap = session.sparkContext.broadcast(m)
+        docWins
+          .as[(Long, String, Array[Long], Array[Long])]
+          .map { case (id, text, lo, hi) =>
+            val fm = bcMap.value
+            val redundant = new Array[Boolean](lo.length)
+            var i = 0
+            while (i < lo.length) {
+              val s = fm.indexOf(lo(i), hi(i))
+              if (s >= 0 &&
+                !(fm.val1At(s) == id && fm.val2At(s) == i + 1L))
+                redundant(i) = true
+              i += 1
             }
-        } else {
-          val redundant = exploded
-            .join(dupFirsts, Seq("wlo", "whi"))
-            .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
-            .groupBy(col("id"))
-            .agg(collect_list(col("pos")).as("ps"))
-          docWins
-            .select(col("id"), col("text"))
-            .join(redundant, Seq("id"), "left")
-            .select(col("id"), col("text"), col("ps"))
-            .as[(Long, String, Array[Long])]
-            .map { case (id, text, ps) =>
-              rebuildCutFromPositions(w, id, text,
-                Option(ps).getOrElse(Array.emptyLongArray))
-            }
-        }
+            rebuildCut(w, id, text, redundant)
+          }
+      } else {
+        val redundant = exploded
+          .join(dupFirsts, Seq("wlo", "whi"))
+          .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
+          .groupBy(col("id"))
+          .agg(collect_list(col("pos")).as("ps"))
+        docWins
+          .select(col("id"), col("text"))
+          .join(redundant, Seq("id"), "left")
+          .select(col("id"), col("text"), col("ps"))
+          .as[(Long, String, Array[Long])]
+          .map { case (id, text, ps) =>
+            rebuildCutFromPositions(w, id, text,
+              Option(ps).getOrElse(Array.emptyLongArray))
+          }
       }
-        .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
-        .cache()
-      track(rows)
-      rows.count()
-      docWins.unpersist()
-      rows
+    }
+      .toDF("doc_id", "n_tokens", "cut_tokens", "text_cut")
+      .cache()
+    track(rows)
+    rows.count()
+    docWins.unpersist()
+    rows
+  }
+
+  /** Distinct window-identity index of a corpus — the persistable side
+    * of [[cutSpansIncremental]]: build once over the already-ingested
+    * base (one input-sized distinct), store as parquet, and each
+    * incremental batch cuts against it without re-hashing the base.
+    * Columns (wlo, whi); `hash128` must match the batch-side setting
+    * (the high half is all-zero otherwise, exactly like the operators).
+    */
+  def windowIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      hash128: Boolean = false): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val session = df.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    val wins = df
+      .select(col(textCol).cast("string")).as[String]
+      .flatMap { text =>
+        val (lo, hi) = windowHashes128(text, w, hash128, loBits = 64)
+        lo.indices.iterator.map(i => (lo(i), hi(i)))
+      }
+      .toDF("wlo", "whi")
+    val sumWins = wins.agg(count(lit(1))).as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+      Conf.SpanRowShuffleBytes)
+    try {
+      val idx = wins.distinct().cache()
+      track(idx)
+      idx.count()
+      idx
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Incremental keep-earliest span cut — the production REFRESH shape
+    * of [[cutDuplicateSpans]]: tonight's `batch` of new documents is
+    * cleaned against the already-ingested corpus's persisted
+    * [[windowIndex]] plus itself, WITHOUT re-hashing the base corpus.
+    * A batch occurrence is redundant iff its window exists in the base
+    * index (the base copy is earlier by the append-only id contract:
+    * every base id < every batch id), or recurs within the batch and is
+    * not the batch-earliest. Under that contract the result is EXACTLY
+    * `cutDuplicateSpans(base ∪ batch)` restricted to batch docs
+    * (spec-pinned, and the catalog oracle verifies it independently by
+    * running the full keep-earliest cut in SQL and filtering).
+    *
+    * Cost per refresh: one narrow batch kernel pass + one lookup join
+    * into the index (the batch side broadcasts whenever it is small —
+    * the normal case — so the index scans narrow) — never a base
+    * re-hash. Same `hash128` discipline as the batch cut.
+    */
+  def cutSpansIncremental(
+      baseWindows: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      hash128: Boolean = false): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val session = batch.sparkSession
+    import session.implicits._
+    val w = windowTokens
+    val docWins = batch
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val (lo, hi) = windowHashes128(text, w, hash128, loBits = 64)
+        (id, text, lo, hi)
+      }
+      .toDF("id", "text", "wlo", "whi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sumWins = docWins
+      .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)))
+      .as[Long].head()
+    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+      Conf.SpanRowShuffleBytes)
+    try {
+      val exploded = docWins
+        .select(col("id"), posexplode(arrays_zip(col("wlo"), col("whi"))))
+        .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col.wlo").as("wlo"), col("col.whi").as("whi"))
+      // batch-local window stats, then one lookup join into the base
+      // index: in-base windows keep NOTHING in the batch (the (-1, -1)
+      // sentinel matches no real occurrence), batch-only windows with
+      // n > 1 keep their batch-earliest
+      val batchAgg = exploded
+        .groupBy(col("wlo"), col("whi"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("id"), col("pos"))).as("f"))
+      val dupFirsts = batchAgg
+        .join(baseWindows.select(col("wlo"), col("whi"))
+          .withColumn("in_base", lit(true)), Seq("wlo", "whi"), "left")
+        .filter(col("in_base").isNotNull || col("n") > 1)
+        .select(col("wlo"), col("whi"),
+          when(col("in_base").isNotNull, lit(-1L))
+            .otherwise(col("f.id")).as("f_id"),
+          when(col("in_base").isNotNull, lit(-1L))
+            .otherwise(col("f.pos")).as("f_pos"))
+      cutFromDupFirsts(session, docWins, exploded, dupFirsts, w,
+        broadcastDupLimit)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 

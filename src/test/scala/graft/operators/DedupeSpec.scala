@@ -279,6 +279,42 @@ class DedupeSpec extends SparkSpec {
     assert(bc(4L) == (2L, 0L, "short doc"))
   }
 
+  test("cutSpansIncremental == full cut restricted to the batch, both builds") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"       // in base
+    val q = "one two three four five six seven eight nine"        // batch-only dup
+    val all = Seq(
+      (0L, s"$p carried first by the base corpus here"),
+      (1L, "some other base document with nothing shared at all"),
+      (10L, s"$q and then the known part $p appears again"),      // loses p AND keeps q
+      (11L, s"prefix words then $q trailing material"),           // loses q (10 is earlier)
+      (12L, "a clean batch document with no repeats anywhere ok"))
+    val df = all.toDF("doc_id", "text")
+    val base = df.filter(col("doc_id") < 10)
+    val batch = df.filter(col("doc_id") >= 10)
+    val want = Dedupe
+      .cutDuplicateSpans(df, "doc_id", "text", windowTokens = 5)
+      .filter(col("doc_id") >= 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    val idx = Dedupe.windowIndex(base, "doc_id", "text", windowTokens = 5)
+    for (bcLimit <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedupe
+        .cutSpansIncremental(idx, batch, "doc_id", "text", windowTokens = 5,
+          broadcastDupLimit = bcLimit)
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(got == want, s"bcLimit=$bcLimit: $got\nvs\n$want")
+    }
+    // the semantics actually bit: doc 10 lost base-known P but kept its
+    // batch-earliest Q; doc 11 lost Q to doc 10
+    assert(want(10L)._2 == 8L, s"doc 10 should lose exactly P: $want")
+    assert(want(11L)._2 == 9L, s"doc 11 should lose exactly Q: $want")
+    assert(want(12L)._2 == 0L)
+  }
+
   test("spanProvenance: redundant spans point at their kept copy, both builds") {
     import spark.implicits._
     val p = "alpha beta gamma delta epsilon zeta eta theta"

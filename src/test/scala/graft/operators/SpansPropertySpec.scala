@@ -180,6 +180,9 @@ class SpansPropertySpec extends SparkSpec {
       val wantCut = corpora.flatMap { case (_, docs) => modelCut(docs, w) }.toMap
       val wantProv = corpora.flatMap { case (_, docs) => modelProvenance(docs, w) }.toSet
       assert(wantSpans.nonEmpty, s"w=$w fixture generated no duplicates — weak test")
+      val baseDf = df.filter(org.apache.spark.sql.functions.col("doc_id") % 100 < 4)
+      val batchDf = df.filter(org.apache.spark.sql.functions.col("doc_id") % 100 >= 4)
+      val incIdx = Dedupe.windowIndex(baseDf, "doc_id", "text", windowTokens = w)
 
       for (bcLimit <- Seq(Long.MaxValue, 0L)) {
         val tagB = if (bcLimit == 0L) "shuffle" else "broadcast"
@@ -215,6 +218,26 @@ class SpansPropertySpec extends SparkSpec {
           s"w=$w $tagB provenance diverges from model: " +
             s"extra=${(gotProv -- wantProv).take(5)} " +
             s"missing=${(wantProv -- gotProv).take(5)}")
+        // incremental refresh: per-corpus docs j<4 are the base, j>=4 the
+        // batch (base ids < batch ids within each corpus; cross-corpus
+        // windows disjoint, so the per-corpus contract is the global
+        // one). Must equal the full cut restricted to batch docs.
+        val gotInc = Dedupe
+          .cutSpansIncremental(incIdx, batchDf, "doc_id", "text",
+            windowTokens = w, broadcastDupLimit = bcLimit)
+          .collect()
+          .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+          .toMap
+        val wantInc = wantCut.filter { case (id, _) => id % 100 >= 4 }
+        assert(gotInc == wantInc, {
+          val bad = gotInc.collect {
+            case (id, v) if wantInc.get(id) != Some(v) =>
+              s"doc $id got $v want ${wantInc.get(id)}"
+          }
+          s"w=$w $tagB incremental diverges from full-cut: " +
+            s"${bad.take(3).mkString("; ")} " +
+            s"(missing=${(wantInc.keySet -- gotInc.keySet).take(5)})"
+        })
       }
     }
   }
