@@ -606,6 +606,29 @@ object TextQueries {
     Dedupe.spanProvenance(docs(spark, sfDir), "doc_id", "text",
       windowTokens = 20, broadcastDupLimit = spansBcastLimit)
 
+  /** Cross-source EXACT duplication matrix — [[dedupSpansProvenance]]
+    * rolled up by (redundant doc's source, keeper's source): the
+    * directional "who copies whom" mass in cut tokens, the measurement
+    * that decides which sources to dedupe against each other before
+    * mixing. Complementary to source_similarity (KMV set overlap): this
+    * is exact-substring MASS with direction (the earlier source keeps).
+    * The provenance relation is span-count-sized, so both source joins
+    * broadcast and the rollup is |sources|²-bounded.
+    */
+  private def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val prov = Dedupe.spanProvenance(d, "doc_id", "text", windowTokens = 20,
+      broadcastDupLimit = spansBcastLimit)
+    val src = d.select(col("doc_id"), col("source"))
+    prov
+      .join(src, Seq("doc_id"))
+      .join(src.select(col("doc_id").as("kept_doc"),
+        col("source").as("kept_source")), Seq("kept_doc"))
+      .groupBy(col("source"), col("kept_source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+  }
+
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
     * per-batch first-occurrence events through a shard-keyed BOUNDED
     * suppression cache, min-folded into the exact global first-occurrence
@@ -1092,6 +1115,7 @@ object TextQueries {
     "dedup_spans_cut" -> dedupSpansCut _,
     "dedup_spans_incremental" -> dedupSpansIncremental _,
     "dedup_spans_provenance" -> dedupSpansProvenance _,
+    "dedup_source_matrix" -> dedupSourceMatrix _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1165,6 +1189,39 @@ object TextQueries {
         |  len(ws) - coalesce(kept.kept_n, 0) AS cut_tokens,
         |  coalesce(kept.text_cut, '') AS text_cut
         |FROM words LEFT JOIN kept USING (doc_id)""".stripMargin
+
+  /** Shared oracle for dedup_spans_provenance and the source matrix
+    * built on top of it: redundancy, gaps-and-islands runs, and the
+    * arg_min keeper, re-derived from the words themselves.
+    */
+  private val SpansProvenanceSql: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
+      |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+      |  WHERE len(ws) >= 20),
+      |firsts AS (
+      |  SELECT win, doc_id AS f_doc, pos AS f_pos FROM (
+      |    SELECT win, doc_id, pos,
+      |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
+      |      count(*) OVER (PARTITION BY win) AS c
+      |    FROM wins) WHERE rn = 1 AND c > 1),
+      |red AS (
+      |  SELECT w.doc_id, w.pos, f.f_doc, f.f_pos
+      |  FROM wins w JOIN firsts f USING (win)
+      |  WHERE NOT (w.doc_id = f.f_doc AND w.pos = f.f_pos)),
+      |runs AS (
+      |  SELECT doc_id, pos, f_doc, f_pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM red)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens,
+      |  arg_min(f_doc, pos) AS kept_doc,
+      |  CAST(arg_min(f_pos, pos) AS BIGINT) AS kept_pos
+      |FROM runs GROUP BY doc_id, grp""".stripMargin
 
   private val NoveltySql: String =
     """WITH w AS (
@@ -1584,34 +1641,16 @@ object TextQueries {
       s"""SELECT * FROM (
          |$SpansCutSql
          |) q WHERE doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
-    "dedup_spans_provenance" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |wins AS (
-        |  SELECT doc_id, i AS pos, array_to_string(ws[i:i+19], ' ') AS win
-        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
-        |  WHERE len(ws) >= 20),
-        |firsts AS (
-        |  SELECT win, doc_id AS f_doc, pos AS f_pos FROM (
-        |    SELECT win, doc_id, pos,
-        |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn,
-        |      count(*) OVER (PARTITION BY win) AS c
-        |    FROM wins) WHERE rn = 1 AND c > 1),
-        |red AS (
-        |  SELECT w.doc_id, w.pos, f.f_doc, f.f_pos
-        |  FROM wins w JOIN firsts f USING (win)
-        |  WHERE NOT (w.doc_id = f.f_doc AND w.pos = f.f_pos)),
-        |runs AS (
-        |  SELECT doc_id, pos, f_doc, f_pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM red)
-        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-        |  CAST(max(pos) - min(pos) + 20 AS BIGINT) AS span_tokens,
-        |  arg_min(f_doc, pos) AS kept_doc,
-        |  CAST(arg_min(f_pos, pos) AS BIGINT) AS kept_pos
-        |FROM runs GROUP BY doc_id, grp""".stripMargin,
+    "dedup_spans_provenance" -> SpansProvenanceSql,
+    "dedup_source_matrix" ->
+      s"""WITH s AS (SELECT doc_id, source FROM documents)
+         |SELECT s.source, k.source AS kept_source,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(p.span_tokens) AS BIGINT) AS dup_tokens
+         |FROM (
+         |$SpansProvenanceSql
+         |) p JOIN s USING (doc_id) JOIN s k ON p.kept_doc = k.doc_id
+         |GROUP BY s.source, k.source""".stripMargin,
     "dedup_spans" ->
       """WITH words AS (
         |  SELECT doc_id,
