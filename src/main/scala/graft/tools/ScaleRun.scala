@@ -205,8 +205,10 @@ object ScaleRun {
     // exact-substring spans: THE token-volume-heavy realistic pipeline
     // job (Lee et al. cut). Window-hash kernel + input-sized hash agg;
     // run also with SPARK_GRAFT_SPANS_BCAST_LIMIT=0 to exercise the
-    // shuffle build (the 100 TB path) at this tier
-    "dedup_spans", "dedup_spans_cut")
+    // shuffle build (the 100 TB path) at this tier. The incremental
+    // refresh (lower-half index build + upper-half batch cut) is the
+    // production shape and must hold at two decades too
+    "dedup_spans", "dedup_spans_cut", "dedup_spans_incremental")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
