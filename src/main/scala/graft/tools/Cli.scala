@@ -102,6 +102,62 @@ object Cli {
       s"window=$windowTokens out=$outDir")
   }
 
+  /** `span-index` body, factored for ToolsSpec: builds the hash128
+    * distinct window index, writes it to `outDir`, returns
+    * (window count, rollup `windows=N window=W out=DIR`).
+    */
+  private[tools] def spanIndexReport(
+      spark: SparkSession,
+      file: String,
+      outDir: String,
+      windowTokens: Int): (Long, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val idx = graft.operators.Dedupe.windowIndex(
+      docs, "doc_id", "text", windowTokens = windowTokens, hash128 = true)
+    idx.write.mode("overwrite").parquet(outDir)
+    val n = idx.count()
+    idx.unpersist()
+    (n, s"windows=$n window=$windowTokens out=$outDir")
+  }
+
+  /** `cut-spans-incremental` body, factored for ToolsSpec: cuts the
+    * batch against a persisted span-index (hash128 — must have been
+    * built by `span-index`), writes the cleaned batch, returns
+    * (cut relation, rollup like [[cutSpansReport]]'s).
+    */
+  private[tools] def cutSpansIncrementalReport(
+      spark: SparkSession,
+      idxDir: String,
+      file: String,
+      outDir: String,
+      windowTokens: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val idx = spark.read.parquet(idxDir)
+    require(idx.columns.sorted.sameElements(Array("whi", "wlo")),
+      s"not a span-index (expected (wlo, whi) columns): ${idx.columns.mkString(", ")}")
+    val rows = graft.operators.Dedupe.cutSpansIncremental(
+      idx, docs, "doc_id", "text", windowTokens = windowTokens,
+      hash128 = true)
+    rows.write.mode("overwrite").parquet(outDir)
+    val agg = rows.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_tokens"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("cut_tokens"),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nDocs, nTok, nCut) = (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+    val bp = if (nTok == 0) 0L else nCut * 10000L / nTok
+    (rows, s"docs=$nDocs tokens=$nTok cut_tokens=$nCut cut_bp=$bp " +
+      s"window=$windowTokens out=$outDir")
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "dedup" :: "--wide" :: files if files.nonEmpty =>
       // 128-bit chunk identity: the 1e9+-chunk configuration where 64-bit
@@ -515,6 +571,31 @@ object Cli {
       graft.operators.Dedupe.releaseTrackedCaches()
       spark.stop()
 
+    case "span-index" :: file :: outDir :: rest if rest.size <= 1 =>
+      // persist the corpus's distinct window-identity index (hash128) —
+      // the base side of incremental span dedup; build once, refresh
+      // batches cut against it without re-hashing this corpus
+      val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val (n, rollup) = spanIndexReport(spark, file, outDir, windowTokens)
+      require(n >= 0) // rollup carries the count; n kept for spec use
+      println(rollup)
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
+    case "cut-spans-incremental" :: idxDir :: file :: outDir :: rest
+        if rest.size <= 1 =>
+      // nightly refresh: cut BATCH documents against a span-index built
+      // earlier (plus the batch itself), write the cleaned batch parquet
+      val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val (rows, rollup) =
+        cutSpansIncrementalReport(spark, idxDir, file, outDir, windowTokens)
+      println(rollup)
+      rows.unpersist()
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -640,6 +721,8 @@ object Cli {
            |  contain-dedup DOCUMENTS.parquet [THRESHOLD_BP]
            |  dup-spans DOCUMENTS.parquet [WINDOW_TOKENS]
            |  cut-spans DOCUMENTS.parquet OUT_DIR [WINDOW_TOKENS]
+           |  span-index DOCUMENTS.parquet IDX_DIR [WINDOW_TOKENS]
+           |  cut-spans-incremental IDX_DIR BATCH.parquet OUT_DIR [WINDOW_TOKENS]
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png

@@ -131,6 +131,41 @@ class ToolsSpec extends SparkSpec {
     assert(written(30L).startsWith("alpha beta"), s"keeper cut: $written")
   }
 
+  test("span-index + cut-spans-incremental: nightly refresh round-trips through parquet") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = Files.createTempDirectory("graft-spanidx")
+    // base corpus carries P; index it
+    Seq((40L, s"$p base trailing words"), (41L, "unrelated base document here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    val (nWins, idxRollup) = Cli.spanIndexReport(
+      spark, s"$dir/base.parquet", s"$dir/idx", windowTokens = 5)
+    // doc 40: 11 tokens -> 7 windows; doc 41: 4 tokens -> 0 windows
+    assert(nWins == 7L && idxRollup.startsWith("windows=7 window=5"))
+    // the batch re-carries P (cut against the index) plus fresh text
+    Seq((50L, s"fresh leading words then $p here"),
+        (51L, "entirely new batch document nothing shared"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    val (rows, rollup) = Cli.cutSpansIncrementalReport(
+      spark, s"$dir/idx", s"$dir/batch.parquet", s"$dir/out", windowTokens = 5)
+    rows.unpersist()
+    // batch: 13 + 6 = 19 tokens, P's 8 cut from doc 50 -> 4210 bp
+    assert(rollup ==
+      s"docs=2 tokens=19 cut_tokens=8 cut_bp=4210 window=5 out=$dir/out")
+    val written = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_cut")).toMap
+    assert(written(50L) == "fresh leading words then here")
+    assert(written(51L) == "entirely new batch document nothing shared")
+    // a non-index parquet is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      Cli.cutSpansIncrementalReport(spark, s"$dir/base.parquet",
+        s"$dir/batch.parquet", s"$dir/out2", windowTokens = 5)
+    }
+    assert(e.getMessage.contains("span-index"))
+  }
+
   test("ordered chunk dump with payloads (reference store_data path)") {
     val dir = Files.createTempDirectory("graft-dump")
     val f = dir.resolve("x.bin")
