@@ -577,8 +577,7 @@ object Cli {
       // batches cut against it without re-hashing this corpus
       val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
       val spark = session()
-      val (n, rollup) = spanIndexReport(spark, file, outDir, windowTokens)
-      require(n >= 0) // rollup carries the count; n kept for spec use
+      val (_, rollup) = spanIndexReport(spark, file, outDir, windowTokens)
       println(rollup)
       graft.operators.Dedupe.releaseTrackedCaches()
       spark.stop()
