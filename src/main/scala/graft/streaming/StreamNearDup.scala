@@ -23,7 +23,15 @@ import graft.operators.Dedupe
   * Ordering contract: within a micro-batch each bucket group processes
   * in ascending id; across micro-batches the contract is id-ordered
   * arrival (one file, or files in id order) — the same finite-backfill
-  * shape as [[EventStream.dedupKeys]]. Like dedupKeys, state is
+  * shape as [[EventStream.dedupKeys]]. Unlike the first-occurrence
+  * families (StreamNovelty / StreamSpans, which re-emit improvements
+  * and min-fold at the finish, so they need no contract), a late lower
+  * id here would owe match events to ALREADY-EMITTED higher ids —
+  * repairing that exactly would require per-bucket id SETS in state.
+  * Instead the matcher ENFORCES the contract: a batch whose minimum id
+  * undercuts a bucket's stored minimum fails loudly
+  * (IllegalStateException) rather than silently omitting matches
+  * (spec-pinned). Like dedupKeys, state is
   * deliberately unbounded (one long per occupied bucket, ~bands longs
   * per distinct doc): near-dup keys carry no event time, so a watermark
   * would only drop late data, not bound state. At 100 TB-stream scale
@@ -102,11 +110,22 @@ object StreamNearDup {
       .as[BandRow]
       .groupByKey(r => (r.band, r.bucket))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) => {
+        (key: (Int, Long), rows: Iterator[BandRow], state: GroupState[Long]) => {
           // ascending id within the group: each doc sees exactly the min
           // of all lower ids (state = earlier batches, prefix = this one)
           val sorted = rows.map(_.id).toArray.sorted
           var minSeen = state.getOption.getOrElse(Long.MaxValue)
+          // id-ordered-ingest enforcement (see object doc): a late id
+          // BELOW the stored minimum means earlier batches' higher ids
+          // were already emitted without their match to this doc — fail
+          // loudly instead of silently corrupting the relation. Equal is
+          // fine (a re-upload matches nothing under the strict id' < id
+          // rule, in stream and batch alike).
+          if (state.exists && sorted.head < minSeen)
+            throw new IllegalStateException(
+              s"out-of-order ingest at band bucket $key: id ${sorted.head} " +
+                s"arrived after bucket minimum $minSeen — id-ordered " +
+                "arrival is the stream near-dup contract")
           val out = Seq.newBuilder[(Long, Long)]
           sorted.foreach { id =>
             if (minSeen < id) out += ((id, minSeen))

@@ -7,18 +7,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming term-novelty: the first-introduction tracker of
   * [[graft.operators.TextAnalysis.termNovelty]] run as a stateful
   * stream — the ingestion-time form of "is this document adding
-  * vocabulary?". A state store keyed by WORD records the id that first
-  * introduced it; each micro-batch emits one (word, first_id) event per
-  * never-before-seen word, and the post-stream finish joins those
-  * events back to the docs to produce the batch relation exactly.
+  * vocabulary?". A state store keyed by WORD records the smallest id
+  * seen carrying it; each micro-batch emits one (word, first_id) event
+  * per word whose batch-minimum id IMPROVES on (or first populates) the
+  * stored one, and the post-stream finish min-folds the events and
+  * joins them back to the docs to produce the batch relation exactly.
   *
-  * Determinism: within a micro-batch the group sees every (word, id)
-  * pair of the batch at once, so the smallest id wins regardless of
-  * row order; across micro-batches the contract is id-ordered arrival
-  * (one file, or files in id order) — same finite-backfill shape as
-  * [[StreamNearDup]]. Under that contract the stream's first_id equals
-  * the batch MIN(id) per word, which is what the shared doc_novelty
-  * oracle checks.
+  * Arrival-order independence (same argument as
+  * [[StreamSpans]]): every stored id was itself emitted in the batch
+  * that stored it, so for every word the globally smallest id is
+  * emitted at least once — a late-arriving smaller id re-emits instead
+  * of being swallowed — and the finish's MIN per word recovers the
+  * exact batch `MIN(id)` under ANY batch split or order. No id-ordered
+  * ingest contract.
   *
   * State: one long per DISTINCT WORD — vocabulary-bounded (sublinear in
   * corpus size for natural text, the Heaps regime), not corpus-bounded;
@@ -27,8 +28,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamNovelty {
 
-  /** (word, first_id) stream: one event per word, from the micro-batch
-    * that introduced it. Append-mode stateful flatMap.
+  /** (word, first_id) stream: one event per (word, batch) whose batch
+    * minimum improves the stored first. Consumers MUST fold MIN per
+    * word ([[foldFirsts]]); out-of-order ingest legitimately emits more
+    * than one event per word.
     */
   def firstIntroductions(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -41,15 +44,21 @@ object StreamNovelty {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (word: String, rows: Iterator[(String, Long)],
             state: GroupState[Long]) => {
-          if (state.exists) Iterator.empty
+          val batchMin = rows.map(_._2).min
+          if (state.getOption.exists(_ <= batchMin)) Iterator.empty
           else {
-            val firstId = rows.map(_._2).min
-            state.update(firstId)
-            Iterator.single((word, firstId))
+            state.update(batchMin)
+            Iterator.single((word, batchMin))
           }
         })
       .toDF("word", "first_id")
   }
+
+  /** Exact first introduction per word from the raw event stream — the
+    * fold that makes out-of-order re-emissions invisible.
+    */
+  def foldFirsts(events: DataFrame): DataFrame =
+    events.groupBy(col("word")).agg(min(col("first_id")).as("first_id"))
 
   /** Run the first-introduction stream over a finite parquet input,
     * then finish batch-side into termNovelty's exact relation:
@@ -67,6 +76,6 @@ object StreamNovelty {
     TextAnalysis.noveltyFromFirstSeen(
       TextAnalysis.docWordsRelation(spark.read.parquet(docsPath), idCol,
         textCol),
-      firsts, idCol)
+      foldFirsts(firsts), idCol)
   }
 }

@@ -98,6 +98,36 @@ class StreamNearDupSpec extends SparkSpec {
       s"firsts must not match: $matches")
   }
 
+  test("out-of-id-order ingest fails loudly instead of omitting matches") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    // batch 1 carries the HIGHER id of a dup pair, batch 2 the lower:
+    // doc 5 was already emitted match-less, so its owed match to doc 1
+    // cannot be produced — the matcher must throw, not stay silent
+    val dir = java.nio.file.Files.createTempDirectory("sndooo")
+    writeFlatParquet(Seq((5L, a)).toDF("doc_id", "text"), dir, "f0.parquet")
+    writeFlatParquet(Seq((1L, a)).toDF("doc_id", "text"), dir, "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamNearDup.bandMatches(stream, "doc_id", "text", 3, 64, 16)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snd_ooo").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out-of-order ingest")),
+      s"expected the ordering guard, got: ${messages(e).take(3)}")
+  }
+
   test("bandBucket is shared verbatim with the batch MinHash path") {
     // the streaming oracle joins the batch band relation — identical
     // banding is the contract, so pin it on a concrete signature

@@ -57,4 +57,36 @@ class StreamNoveltySpec extends SparkSpec {
       "delta" -> 4L),
       s"exactly one introduction per word, from its first batch: $firsts")
   }
+
+  test("out-of-id-order arrival: improvements re-emit, fold lands on batch MIN") {
+    import spark.implicits._
+    // batch 1 carries the HIGHER ids (docs 3, 4); batch 2 the lower ones
+    // (1, 2) re-using batch 1's words — the old never-revise state would
+    // keep first_id 3/4 and silently corrupt the novelty relation
+    val dir = java.nio.file.Files.createTempDirectory("snovooo")
+    writeDocs(dir, Seq((3L, "alpha gamma"), (4L, "delta alpha")), "f0.parquet")
+    writeDocs(dir, Seq((1L, "alpha beta"), (2L, "gamma")), "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamNovelty.firstIntroductions(stream, "doc_id", "text")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("snov_ooo").start()
+    try q.processAllAvailable() finally q.stop()
+    val events = session.table("snov_ooo")
+    // alpha improved 3 -> 1, gamma improved 3 -> 2: two events each
+    val perWord = events.groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perWord("alpha") == 2L && perWord("gamma") == 2L,
+      s"late smaller ids must re-emit: $perWord")
+    val folded = StreamNovelty.foldFirsts(events).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("first_id")).toMap
+    assert(folded == Map("alpha" -> 1L, "beta" -> 1L, "gamma" -> 2L,
+      "delta" -> 4L), s"fold must recover the batch MIN(id): $folded")
+  }
 }
