@@ -67,6 +67,16 @@ class ConfSpec extends SparkSpec {
       2L * 1000 * 1000 * 1000 * 16, Conf.BandRowShuffleBytes)
     assert(band > 14000 && band < 18000,
       s"2e9-doc band exchange should size to ~16k partitions, got $band")
+    // span window exchange, 1 TB of text: ~1.6e11 rolling windows (one
+    // per token) × 40 B rows ≈ 6.4 TB shuffle → ~100k partitions
+    val span1TB = Conf.sizeShufflePartitionsForRows(
+      160L * 1000 * 1000 * 1000, Conf.SpanRowShuffleBytes)
+    assert(span1TB > 90000 && span1TB < 110000,
+      s"1 TB span exchange should size to ~100k partitions, got $span1TB")
+    // 100 TB of text hits the 200k scheduler ceiling (≈3.2 GB per reduce
+    // partition — the disk-backed-aggregation regime, same as grams)
+    assert(Conf.sizeShufflePartitionsForRows(
+      16L * 1000 * 1000 * 1000 * 1000, Conf.SpanRowShuffleBytes) == 200000)
     // empty relation keeps the floor
     assert(Conf.sizeShufflePartitionsForRows(0, 32, minPartitions = 32) == 32)
   }
