@@ -1176,9 +1176,13 @@ object Dedupe {
         .cache()
       track(spans)
       spans.count()
-      docWins.unpersist()
       spans
-    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      // also on failure: a thrown probe/aggregation must not leave the
+      // corpus-scale kernel cache pinned
+      docWins.unpersist()
+      session.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** The CUT companion of [[duplicateSpans]] — the dedup ACTION, not just
@@ -1306,6 +1310,7 @@ object Dedupe {
       w: Int,
       broadcastDupLimit: Long): DataFrame = {
     import session.implicits._
+    try {
     val rows = {
       val nDup = dupFirsts.count()
       if (nDup <= broadcastDupLimit) {
@@ -1349,8 +1354,8 @@ object Dedupe {
       .cache()
     track(rows)
     rows.count()
-    docWins.unpersist()
     rows
+    } finally docWins.unpersist() // also on failure — never pin the kernel cache
   }
 
   /** Distinct window-identity index of a corpus — the persistable side
@@ -1560,9 +1565,11 @@ object Dedupe {
         .cache()
       track(spans)
       spans.count()
-      docWins.unpersist()
       spans
-    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      docWins.unpersist() // also on failure — never pin the kernel cache
+      session.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
   }
 
   /** [[mergeRuns]] with the keeper payload: positions (1-based, sorted
