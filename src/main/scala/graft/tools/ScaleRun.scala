@@ -121,7 +121,7 @@ object ScaleRun {
     // the keep-earliest cut rewrite, and the cut-audit provenance over
     // the same substrate
     "dedup_spans", "dedup_spans_cut", "dedup_spans_provenance",
-    "dedup_spans_incremental",
+    "dedup_spans_incremental", "dedup_source_matrix",
     "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
     "dist_drift", "emb_drift",
