@@ -1901,21 +1901,39 @@ object Queries {
     * ≤ 3 — banding recall at ≤ maxDistance is exactly the all-pairs
     * set, the dedup_simhash contract.
     */
-  private def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
-    // maxBucketSize = MaxValue: the oracle is brute-force all-pairs
-    // bit_count(xor), so the star-pair degradation for over-cap buckets
-    // must NEVER engage here — full recall has to hold at any corpus
-    // size, not just while buckets happen to stay under the default cap.
-    // Safe for the fixture family: group sigs are seed-unique, so a
-    // 16-bit band bucket holds ~|groups|/65536 groups (≈ 8 members even
-    // at a 100× corpus). Production callers keep the default skew cap.
-    Dedupe.hammingPairs(
-      Multimodal.phashRelation(
-        Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
-      maxDistance = 3, maxBucketSize = Int.MaxValue)
-  }
+  /** The jittered-corpus perceptual PAIR relation feeds TWO catalog
+    * queries (mm_phash_neardup IS it; mm_phash_clusters folds it to
+    * components) and its codec pass (synthetic PNG/BMP encode + real
+    * decode + thumb + dHash per blob) is the dominant cost — compute
+    * once per (session, sf dir) and share the cached pairs, the
+    * ngram_pairs / doc_cdc_chunks sharing discipline. hammingPairs runs
+    * with `trackResult = false` so harness per-query cache releases
+    * don't evict the shared relation (it is pair-count-tiny; blobs and
+    * sigs are never retained past the build).
+    *
+    * maxBucketSize = MaxValue: the oracle is brute-force all-pairs
+    * bit_count(xor), so the star-pair degradation for over-cap buckets
+    * must NEVER engage here — full recall has to hold at any corpus
+    * size, not just while buckets happen to stay under the default cap.
+    * Safe for the fixture family: group sigs are seed-unique, so a
+    * 16-bit band bucket holds ~|groups|/65536 groups (≈ 8 members even
+    * at a 100× corpus). Production callers keep the default skew cap.
+    */
+  private val phashPairsCache = new SessionRelationCache[DataFrame]
+
+  private[graft] def sharedPhashPairs(
+      spark: SparkSession, sfDir: String): DataFrame =
+    phashPairsCache.getOrElseUpdate(spark, sfDir) {
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"))
+      Dedupe.hammingPairs(
+        Multimodal.phashRelation(
+          Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
+        maxDistance = 3, maxBucketSize = Int.MaxValue, trackResult = false)
+    }
+
+  private def mmPhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    sharedPhashPairs(spark, sfDir)
 
   /** Audio fingerprint near-dup
     * ([[graft.operators.Multimodal.audioFingerprint]] →
@@ -1957,14 +1975,27 @@ object Queries {
     * so DuckDB re-derives every keyframe thumbnail, dHash, and the
     * brute-force pair set with no parser anywhere.
     */
-  private def mmVideoFp(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
-    Dedupe.hammingPairs(
-      Multimodal.videoFpRelation(
-        Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
-      maxDistance = 3, maxBucketSize = Int.MaxValue)
-  }
+  /** The keyframe-fingerprint PAIR relation feeds mm_video_fp (IS it)
+    * and mm_video_dedup (folds it to video-level clusters); its Y4M
+    * encode+parse kernel is the dominant cost — same session-shared
+    * discipline (and the same untracked-cache rationale) as
+    * [[sharedPhashPairs]].
+    */
+  private val videoPairsCache = new SessionRelationCache[DataFrame]
+
+  private[graft] def sharedVideoPairs(
+      spark: SparkSession, sfDir: String): DataFrame =
+    videoPairsCache.getOrElseUpdate(spark, sfDir) {
+      val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"))
+      Dedupe.hammingPairs(
+        Multimodal.videoFpRelation(
+          Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
+        maxDistance = 3, maxBucketSize = Int.MaxValue, trackResult = false)
+    }
+
+  private def mmVideoFp(spark: SparkSession, sfDir: String): DataFrame =
+    sharedVideoPairs(spark, sfDir)
 
   /** Video-level dedup DECISION from keyframe evidence: two videos are
     * duplicates if ANY of their sampled keyframes land in the hamming
@@ -1977,13 +2008,7 @@ object Queries {
     * Oracle: the same arithmetic truth chain + recursive reach in SQL.
     */
   private def mmVideoDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
-    val pairs = Dedupe.hammingPairs(
-      Multimodal.videoFpRelation(
-        Multimodal.videoBlobs(ids, "doc_id"), "blob_id", "content"),
-      maxDistance = 3, maxBucketSize = Int.MaxValue)
-    val edges = pairs
+    val edges = sharedVideoPairs(spark, sfDir)
       .select(floor(col("id_a") / 4).cast("long").as("id_a"),
         floor(col("id_b") / 4).cast("long").as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
@@ -1998,15 +2023,8 @@ object Queries {
     * the relation a keep-best pass consumes. Same machinery as
     * dedup_clusters, fingerprints instead of shingles.
     */
-  private def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"))
-    Dedupe.duplicateClusters(
-      Dedupe.hammingPairs(
-        Multimodal.phashRelation(
-          Multimodal.jitteredBlobs(ids, "doc_id"), "blob_id", "content"),
-        maxDistance = 3, maxBucketSize = Int.MaxValue))
-  }
+  private def mmPhashClusters(spark: SparkSession, sfDir: String): DataFrame =
+    Dedupe.duplicateClusters(sharedPhashPairs(spark, sfDir))
 
   /** Audio enrichment with REAL javax.sound WAV decode (the image path's
     * discipline, one modality over): deterministic PCM16 fixtures whose

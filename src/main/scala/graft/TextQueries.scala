@@ -460,7 +460,9 @@ object TextQueries {
   private[graft] def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
       "ngram_pairs" -> ((s, d) => { sharedNgramPairs(s, d).count(); () }),
-      "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }))
+      "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }),
+      "phash_pairs" -> ((s, d) => { Queries.sharedPhashPairs(s, d).count(); () }),
+      "video_pairs" -> ((s, d) => { Queries.sharedVideoPairs(s, d).count(); () }))
 
   /** Which catalog queries consume each shared relation — Bench uses this
     * to skip (and not charge for) builds nothing in the selected subset
@@ -472,7 +474,11 @@ object TextQueries {
     // NOT stream_cdc/stream_cdc_approx: they reference the relation only
     // as oracleSide's by-name side-table argument, which timed runs
     // (side tables off) never evaluate — the stream chunks for itself
-    "doc_cdc_chunks" -> Set("doc_cdc", "source_similarity"))
+    "doc_cdc_chunks" -> Set("doc_cdc", "source_similarity"),
+    "phash_pairs" -> Set("mm_phash_neardup", "mm_phash_clusters"),
+    // NOT stream_video_fp: it fingerprints in-stream through the band
+    // state store (the stream_cdc precedent) — never reads the pairs
+    "video_pairs" -> Set("mm_video_fp", "mm_video_dedup"))
 
   /** Duplicate clustering (connected components, min-id labels) over the
     * exact ngram pair relation — deterministic input, so the DuckDB oracle

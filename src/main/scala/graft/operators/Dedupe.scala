@@ -1886,10 +1886,17 @@ object Dedupe {
       .toDF("band", "bucket", "id")
   }
 
+  /** `trackResult = false` opts the materialized result cache out of
+    * [[releaseTrackedCaches]] — for callers that pin it in their OWN
+    * session-shared cache (the mm_phash family's pair relation, the
+    * ngram_pairs discipline) and own the lifecycle; harness loops would
+    * otherwise evict the shared relation after the first consumer.
+    */
   def hammingPairs(
       sigRelation: DataFrame,
       maxDistance: Int = 3,
-      maxBucketSize: Int = 2000): DataFrame = {
+      maxBucketSize: Int = 2000,
+      trackResult: Boolean = true): DataFrame = {
     val spark = sigRelation.sparkSession
     import spark.implicits._
     val blocks = maxDistance + 1
@@ -1976,8 +1983,9 @@ object Dedupe {
     // including any expensive upstream decode — on every consumption).
     // Cache lifecycle: the session would otherwise leak one cached
     // relation per call; register it so harness loops (Verify, Bench,
-    // ScaleRun — and any long-lived session) can release after consuming.
-    track(result)
+    // ScaleRun — and any long-lived session) can release after consuming
+    // (unless the caller opted out to own the lifecycle — see doc).
+    if (trackResult) track(result) else result
 
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
