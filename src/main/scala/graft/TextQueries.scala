@@ -462,7 +462,8 @@ object TextQueries {
       "ngram_pairs" -> ((s, d) => { sharedNgramPairs(s, d).count(); () }),
       "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }),
       "phash_pairs" -> ((s, d) => { Queries.sharedPhashPairs(s, d).count(); () }),
-      "video_pairs" -> ((s, d) => { Queries.sharedVideoPairs(s, d).count(); () }))
+      "video_pairs" -> ((s, d) => { Queries.sharedVideoPairs(s, d).count(); () }),
+      "span_provenance" -> ((s, d) => { sharedSpanProvenance(s, d).count(); () }))
 
   /** Which catalog queries consume each shared relation — Bench uses this
     * to skip (and not charge for) builds nothing in the selected subset
@@ -478,7 +479,8 @@ object TextQueries {
     "phash_pairs" -> Set("mm_phash_neardup", "mm_phash_clusters"),
     // NOT stream_video_fp: it fingerprints in-stream through the band
     // state store (the stream_cdc precedent) — never reads the pairs
-    "video_pairs" -> Set("mm_video_fp", "mm_video_dedup"))
+    "video_pairs" -> Set("mm_video_fp", "mm_video_dedup"),
+    "span_provenance" -> Set("dedup_spans_provenance", "dedup_source_matrix"))
 
   /** Duplicate clustering (connected components, min-id labels) over the
     * exact ngram pair relation — deterministic input, so the DuckDB oracle
@@ -592,9 +594,12 @@ object TextQueries {
     */
   private def dedupSpansIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val maxId = d.agg(max(col("doc_id").cast("long"))).head().getLong(0)
+    // null-safe max: an empty corpus splits into empty base + empty batch
+    // (the operators handle empties) instead of NPE-ing on the null agg
+    val maxId = Option(d.agg(max(col("doc_id").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     val t = (maxId + 1) / 2
-    val idx = Dedupe.windowIndex(d.filter(col("doc_id") < t), "doc_id", "text",
+    val idx = Dedupe.windowIndex(d.filter(col("doc_id") < t), "text",
       windowTokens = 20, hash128 = true)
     Dedupe.cutSpansIncremental(idx, d.filter(col("doc_id") >= t),
       "doc_id", "text", windowTokens = 20,
@@ -607,10 +612,25 @@ object TextQueries {
     * globally earliest occurrence of the span's first window). The
     * oracle re-derives firsts, redundancy, gaps-and-islands runs, and
     * the arg_min keeper from the words themselves.
+    *
+    * Registered in hash128 mode — the SAME identity width as the
+    * dedup_spans_cut it audits (a 64-bit audit of a 128-bit cut could
+    * report spans the cut never removed at the collision scale) — and
+    * session-shared with dedup_source_matrix (two consumers, one
+    * corpus-scale window-hash pass; the phash_pairs discipline, so
+    * `trackResult = false` and the cache survives harness releases).
     */
+  private val spanProvCache = new Queries.SessionRelationCache[DataFrame]
+
+  private def sharedSpanProvenance(spark: SparkSession, sfDir: String): DataFrame =
+    spanProvCache.getOrElseUpdate(spark, sfDir) {
+      Dedupe.spanProvenance(docs(spark, sfDir), "doc_id", "text",
+        windowTokens = 20, broadcastDupLimit = spansBcastLimit,
+        hash128 = true, trackResult = false)
+    }
+
   private def dedupSpansProvenance(spark: SparkSession, sfDir: String): DataFrame =
-    Dedupe.spanProvenance(docs(spark, sfDir), "doc_id", "text",
-      windowTokens = 20, broadcastDupLimit = spansBcastLimit)
+    sharedSpanProvenance(spark, sfDir)
 
   /** Cross-source EXACT duplication matrix — [[dedupSpansProvenance]]
     * rolled up by (redundant doc's source, keeper's source): the
@@ -623,8 +643,7 @@ object TextQueries {
     */
   private def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    val prov = Dedupe.spanProvenance(d, "doc_id", "text", windowTokens = 20,
-      broadcastDupLimit = spansBcastLimit)
+    val prov = sharedSpanProvenance(spark, sfDir)
     val src = d.select(col("doc_id"), col("source"))
     prov
       .join(src, Seq("doc_id"))

@@ -1367,7 +1367,6 @@ object Dedupe {
     */
   def windowIndex(
       df: DataFrame,
-      idCol: String,
       textCol: String,
       windowTokens: Int = 20,
       hash128: Boolean = false): DataFrame = {
@@ -1375,6 +1374,9 @@ object Dedupe {
     val session = df.sparkSession
     import session.implicits._
     val w = windowTokens
+    // persist the kernel output before the sizing probe: the count and
+    // the distinct both read the cache, so the corpus tokenizes+hashes
+    // exactly ONCE (the span family's hash-once discipline)
     val wins = df
       .select(col(textCol).cast("string")).as[String]
       .flatMap { text =>
@@ -1382,15 +1384,18 @@ object Dedupe {
         lo.indices.iterator.map(i => (lo(i), hi(i)))
       }
       .toDF("wlo", "whi")
-    val sumWins = wins.agg(count(lit(1))).as[Long].head()
-    val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
-      Conf.SpanRowShuffleBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val idx = wins.distinct().cache()
-      track(idx)
-      idx.count()
-      idx
-    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+      val sumWins = wins.agg(count(lit(1))).as[Long].head()
+      val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
+        Conf.SpanRowShuffleBytes)
+      try {
+        val idx = wins.distinct().cache()
+        track(idx)
+        idx.count()
+        idx
+      } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally wins.unpersist()
   }
 
   /** Incremental keep-earliest span cut — the production REFRESH shape
@@ -1488,7 +1493,8 @@ object Dedupe {
       textCol: String,
       windowTokens: Int = 20,
       broadcastDupLimit: Long = 4L * 1000 * 1000,
-      hash128: Boolean = false): DataFrame = {
+      hash128: Boolean = false,
+      trackResult: Boolean = true): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val session = df.sparkSession
     import session.implicits._
@@ -1563,7 +1569,9 @@ object Dedupe {
       }
         .toDF("doc_id", "span_start", "span_tokens", "kept_doc", "kept_pos")
         .cache()
-      track(spans)
+      // trackResult = false: session-shared callers own the lifecycle
+      // (the hammingPairs opt-out rationale)
+      if (trackResult) track(spans)
       spans.count()
       spans
     } finally {

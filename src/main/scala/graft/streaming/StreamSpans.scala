@@ -34,13 +34,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * this against the progress metrics), state BYTES ≤
   * numShards × maxStateWindowsPerShard × 24 B + store overhead (defaults:
   * 64 × 4 Mi × 24 B ≈ 6 GiB ceiling, reached only past ~256 M distinct
-  * windows). Past the cap, untracked windows re-emit their batch minimum
-  * every batch they appear in — shuffle-class traffic absorbed by the
-  * finish's input-sized aggregation (the batch operator's own shape),
-  * not state-class growth. At 100 TB: size `numShards` to the cluster
-  * (state-op parallelism = shards) and accept the saturated regime —
-  * the operator degrades to per-batch dedup + exact batch finish instead
-  * of dying.
+  * windows). Past the cap, untracked windows re-emit every occurrence —
+  * shuffle-class traffic absorbed by the finish's input-sized
+  * aggregation (the batch operator's own shape), not state-class
+  * growth. Per-TASK memory is O(cap) too: rows stream through the shard
+  * function one by one and emissions are never buffered (see
+  * [[advanceShard]]), so even an unthrottled backfill trigger carrying
+  * the whole corpus in one micro-batch cannot OOM a shard task. At
+  * 100 TB: size `numShards` to the cluster (state-op parallelism =
+  * shards) and accept the saturated regime — the operator degrades to
+  * per-occurrence emission + exact batch finish instead of dying.
   *
   * Identity width: the stream runs 64-bit window hashes; a collision
   * merges two windows' first-occurrence tracking, so 100 TB-class CUT
@@ -63,13 +66,14 @@ object StreamSpans {
   /** Default per-shard tracked-window cap (entries, 24 B each). */
   val DefaultShardCap: Int = 4 << 20
 
-  /** (win, f_id, f_pos) append stream: per micro-batch, per distinct
-    * window, the batch-local earliest occurrence — suppressed only when
-    * the shard cache already holds an equal-or-smaller one. Consumers
-    * MUST fold `min(struct(f_id, f_pos))` per win (see [[foldFirsts]]);
-    * the raw stream may carry several events per window (late smaller
-    * occurrences re-emit — that is what makes the fold exact under
-    * out-of-order ingest).
+  /** (win, f_id, f_pos) append stream: per row, an occurrence emits
+    * unless the shard cache (or this batch's overlay) already holds an
+    * equal-or-smaller one for its window. Consumers MUST fold
+    * `min(struct(f_id, f_pos))` per win (see [[foldFirsts]]); the raw
+    * stream may carry several events per window (late smaller
+    * occurrences re-emit, and past-cap windows emit per occurrence —
+    * that is what makes the fold exact under out-of-order ingest and
+    * arbitrary eviction).
     */
   def firstWindows(
       docs: DataFrame,
@@ -100,88 +104,108 @@ object StreamSpans {
       .toDF("win", "f_id", "f_pos")
   }
 
-  /** One shard × one micro-batch: batch-local min per window, emit
-    * unless suppressed, track new windows up to the cap. Factored out of
-    * the closure for direct unit testing of the cap/suppression rules.
+  /** One shard × one micro-batch, fully STREAMING: rows are decided one
+    * by one against the sorted state arrays plus a batch overlay, and
+    * emissions flow through the returned iterator without buffering —
+    * per-task memory is O(cap) (the overlay holds only improvements of
+    * tracked entries plus pending inserts, never the batch), so an
+    * arbitrarily large micro-batch (an unthrottled backfill trigger over
+    * the whole corpus) cannot OOM the shard task. State is committed
+    * from a terminal flush step: FlatMapGroupsWithState applies
+    * `state.update` when the engine exhausts the returned iterator
+    * (completion-iterator semantics), so updating from the tail is the
+    * documented-safe lazy pattern.
+    *
+    * Emission semantics per row: tracked-or-overlaid windows emit only
+    * strict improvements of the best (id, pos) seen so far; windows past
+    * the cap emit EVERY occurrence (not just a batch minimum — there is
+    * nowhere bounded to remember one). Both are absorbed exactly by the
+    * finish's min-fold; the cap fill is first-come in arrival order
+    * (suppression-only state, so nondeterministic fill never touches
+    * the answer). Factored out of the closure for direct unit testing.
     */
   private[streaming] def advanceShard(
       rows: Iterator[(Long, Long, Long)],
       state: GroupState[ShardState],
       cap: Int): Iterator[(Long, Long, Long)] = {
-    // batch-local earliest occurrence per distinct window in this shard
-    val batchMin = new java.util.HashMap[Long, Array[Long]]()
-    rows.foreach { case (win, id, pos) =>
-      val cur = batchMin.get(win)
-      if (cur == null) batchMin.put(win, Array(id, pos))
-      else if (id < cur(0) || (id == cur(0) && pos < cur(1))) {
-        cur(0) = id; cur(1) = pos
-      }
-    }
     val st = state.getOption.getOrElse(
       ShardState(Array.emptyLongArray, Array.emptyLongArray,
         Array.emptyLongArray))
-    // sorted iteration: deterministic emissions and a deterministic
-    // choice of which windows fill the last cap slots
-    val winsSorted = {
-      val a = new Array[Long](batchMin.size)
-      val it = batchMin.keySet().iterator()
-      var i = 0
-      while (it.hasNext) { a(i) = it.next(); i += 1 }
-      java.util.Arrays.sort(a)
-      a
-    }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-    val insW = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val insI = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val insP = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var updated = false
-    // copy-on-write for in-place improvements: GroupState must not see
-    // mutation before update()
-    var ids = st.ids
-    var poss = st.poss
+    // win -> [best id, best pos, slot]; slot ≥ 0 improves a tracked
+    // entry, -1 is a pending insert. ≤ tracked + cap entries — the
+    // O(cap) bound.
+    val overlay = new java.util.HashMap[Long, Array[Long]]()
     var free = cap - st.wins.length
-    var k = 0
-    while (k < winsSorted.length) {
-      val win = winsSorted(k)
-      val m = batchMin.get(win)
-      val slot = java.util.Arrays.binarySearch(st.wins, win)
-      if (slot >= 0) {
-        val sid = ids(slot); val spos = poss(slot)
-        if (m(0) < sid || (m(0) == sid && m(1) < spos)) {
-          // a smaller occurrence arrived late: re-emit and improve the
-          // cache (the finish fold keeps the min — ADVICE r12 closure)
-          if (!updated) { ids = ids.clone(); poss = poss.clone(); updated = true }
-          ids(slot) = m(0); poss(slot) = m(1)
-          out += ((win, m(0), m(1)))
-        } // else: cache holds an already-emitted occurrence ≤ batch min
+    val emissions = rows.flatMap { case (win, id, pos) =>
+      val ov = overlay.get(win)
+      if (ov != null) {
+        if (id < ov(0) || (id == ov(0) && pos < ov(1))) {
+          ov(0) = id; ov(1) = pos
+          Iterator.single((win, id, pos))
+        } else Iterator.empty
       } else {
-        out += ((win, m(0), m(1)))
-        if (free > 0) { insW += win; insI += m(0); insP += m(1); free -= 1 }
-        // cap reached: window stays untracked — it re-emits per batch,
-        // folded away downstream; state cannot grow past the cap
-      }
-      k += 1
-    }
-    if (insW.nonEmpty) {
-      // single merge of the (sorted) inserts into the sorted arrays
-      val n = st.wins.length + insW.length
-      val w2 = new Array[Long](n); val i2 = new Array[Long](n)
-      val p2 = new Array[Long](n)
-      var a = 0; var b = 0; var o = 0
-      while (o < n) {
-        if (b >= insW.length ||
-            (a < st.wins.length && st.wins(a) < insW(b))) {
-          w2(o) = st.wins(a); i2(o) = ids(a); p2(o) = poss(a); a += 1
+        val slot = java.util.Arrays.binarySearch(st.wins, win)
+        if (slot >= 0) {
+          if (id < st.ids(slot) ||
+              (id == st.ids(slot) && pos < st.poss(slot))) {
+            // a smaller occurrence arrived late: re-emit and improve the
+            // cache (the finish fold keeps the min — ADVICE r12 closure)
+            overlay.put(win, Array(id, pos, slot.toLong))
+            Iterator.single((win, id, pos))
+          } else Iterator.empty // already-emitted occurrence ≤ this one
         } else {
-          w2(o) = insW(b); i2(o) = insI(b); p2(o) = insP(b); b += 1
+          if (free > 0) { overlay.put(win, Array(id, pos, -1L)); free -= 1 }
+          // past the cap the window stays untracked and every occurrence
+          // emits — folded away downstream; state cannot grow past cap
+          Iterator.single((win, id, pos))
         }
-        o += 1
       }
-      state.update(ShardState(w2, i2, p2))
-    } else if (updated) {
-      state.update(ShardState(st.wins, ids, poss))
     }
-    out.iterator
+    // `++`'s right side is by-name: the flush runs exactly once, after
+    // the engine has drained every emission of this group
+    emissions ++ flushOverlay(state, st, overlay)
+  }
+
+  /** Terminal flush of [[advanceShard]]'s batch overlay into the shard
+    * state: in-place improvements copy-on-write, pending inserts merged
+    * into the sorted arrays in one pass.
+    */
+  private def flushOverlay(
+      state: GroupState[ShardState],
+      st: ShardState,
+      overlay: java.util.HashMap[Long, Array[Long]]): Iterator[(Long, Long, Long)] = {
+    if (!overlay.isEmpty) {
+      var ids = st.ids
+      var poss = st.poss
+      var updated = false
+      val inserts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      overlay.forEach { (win, v) =>
+        if (v(2) >= 0) {
+          if (!updated) { ids = ids.clone(); poss = poss.clone(); updated = true }
+          ids(v(2).toInt) = v(0); poss(v(2).toInt) = v(1)
+        } else inserts += ((win, v(0), v(1)))
+      }
+      if (inserts.nonEmpty) {
+        val ins = inserts.sortBy(_._1).toArray
+        val n = st.wins.length + ins.length
+        val w2 = new Array[Long](n); val i2 = new Array[Long](n)
+        val p2 = new Array[Long](n)
+        var a = 0; var b = 0; var o = 0
+        while (o < n) {
+          if (b >= ins.length ||
+              (a < st.wins.length && st.wins(a) < ins(b)._1)) {
+            w2(o) = st.wins(a); i2(o) = ids(a); p2(o) = poss(a); a += 1
+          } else {
+            w2(o) = ins(b)._1; i2(o) = ins(b)._2; p2(o) = ins(b)._3; b += 1
+          }
+          o += 1
+        }
+        state.update(ShardState(w2, i2, p2))
+      } else if (updated) {
+        state.update(ShardState(st.wins, ids, poss))
+      }
+    }
+    Iterator.empty
   }
 
   /** Exact global first occurrence per window from the raw event stream:

@@ -115,7 +115,7 @@ object Cli {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
     val idx = graft.operators.Dedupe.windowIndex(
-      docs, "doc_id", "text", windowTokens = windowTokens, hash128 = true)
+      docs, "text", windowTokens = windowTokens, hash128 = true)
     idx.write.mode("overwrite").parquet(outDir)
     val n = idx.count()
     idx.unpersist()

@@ -298,7 +298,7 @@ class DedupeSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
-    val idx = Dedupe.windowIndex(base, "doc_id", "text", windowTokens = 5)
+    val idx = Dedupe.windowIndex(base, "text", windowTokens = 5)
     for (bcLimit <- Seq(Long.MaxValue, 0L)) {
       val got = Dedupe
         .cutSpansIncremental(idx, batch, "doc_id", "text", windowTokens = 5,

@@ -182,7 +182,7 @@ class SpansPropertySpec extends SparkSpec {
       assert(wantSpans.nonEmpty, s"w=$w fixture generated no duplicates — weak test")
       val baseDf = df.filter(org.apache.spark.sql.functions.col("doc_id") % 100 < 4)
       val batchDf = df.filter(org.apache.spark.sql.functions.col("doc_id") % 100 >= 4)
-      val incIdx = Dedupe.windowIndex(baseDf, "doc_id", "text", windowTokens = w)
+      val incIdx = Dedupe.windowIndex(baseDf, "text", windowTokens = w)
 
       for (bcLimit <- Seq(Long.MaxValue, 0L)) {
         val tagB = if (bcLimit == 0L) "shuffle" else "broadcast"

@@ -150,31 +150,45 @@ class StreamSpansSpec extends SparkSpec {
           org.apache.spark.api.java.Optional.empty[Long](),
         hasTimedOut = false)
 
-    // batch 1, empty state, cap 2: three windows → all emitted, two tracked
+    // batch 1, empty state, cap 2: first-come fill tracks 30 and 10; 20
+    // arrives past the cap and emits untracked; (10,9,9) is suppressed by
+    // the batch overlay's better (5,1). Emissions stream lazily — state
+    // flushes only once the iterator is DRAINED (asserted below).
     val s1 = state(None)
-    val out1 = StreamSpans.advanceShard(Iterator(
+    val it1 = StreamSpans.advanceShard(Iterator(
       (30L, 7L, 3L), (10L, 5L, 1L), (20L, 6L, 2L), (10L, 9L, 9L)),
-      s1, cap = 2).toSeq
-    assert(out1.toSet == Set((10L, 5L, 1L), (20L, 6L, 2L), (30L, 7L, 3L)))
+      s1, cap = 2)
+    val out1 = it1.toSeq
+    assert(out1 == Seq((30L, 7L, 3L), (10L, 5L, 1L), (20L, 6L, 2L)))
     val st1 = s1.get
-    assert(st1.wins.toSeq == Seq(10L, 20L) && st1.ids.toSeq == Seq(5L, 6L),
-      s"cap must track the two smallest-sorted windows: ${st1.wins.toSeq}")
+    assert(st1.wins.toSeq == Seq(10L, 30L) && st1.ids.toSeq == Seq(5L, 7L),
+      s"cap must track the FIRST-COME windows, sorted: ${st1.wins.toSeq}")
 
-    // batch 2 against that state: equal-or-larger → suppressed; smaller →
-    // re-emitted + improved; untracked (30) re-emits; new (40) emits but
-    // cannot be inserted past the cap
+    // batch 2 against that state: equal → suppressed; improvement →
+    // re-emitted + cached; past-cap windows (20, 40) emit EVERY
+    // occurrence, the fold absorbs them
     val s2 = state(Some(st1))
     val out2 = StreamSpans.advanceShard(Iterator(
       (10L, 5L, 1L),   // identical to stored → suppressed
-      (20L, 6L, 9L),   // larger pos, same id → suppressed
-      (20L, 2L, 8L),   // smaller id → improvement, re-emit
-      (30L, 7L, 3L),   // untracked (past cap) → re-emit
+      (20L, 6L, 9L),   // untracked → emits (per occurrence)
+      (20L, 2L, 8L),   // untracked → emits again
+      (30L, 7L, 4L),   // tracked, larger pos → suppressed
+      (30L, 2L, 1L),   // smaller id → improvement, re-emit + cache update
       (40L, 1L, 1L)),  // new, cap full → emit, stay untracked
       s2, cap = 2).toSeq
-    assert(out2.toSet == Set((20L, 2L, 8L), (30L, 7L, 3L), (40L, 1L, 1L)))
+    assert(out2 == Seq((20L, 6L, 9L), (20L, 2L, 8L), (30L, 2L, 1L),
+      (40L, 1L, 1L)))
     val st2 = s2.get
-    assert(st2.wins.toSeq == Seq(10L, 20L))
-    assert(st2.ids.toSeq == Seq(5L, 2L) && st2.poss.toSeq == Seq(1L, 8L),
+    assert(st2.wins.toSeq == Seq(10L, 30L))
+    assert(st2.ids.toSeq == Seq(5L, 2L) && st2.poss.toSeq == Seq(1L, 1L),
       "improvement must update the cached occurrence")
+
+    // laziness contract: state must NOT be updated before the returned
+    // iterator is drained (the engine commits on completion)
+    val s3 = state(None)
+    val it3 = StreamSpans.advanceShard(Iterator((50L, 1L, 1L)), s3, cap = 2)
+    assert(!s3.isUpdated, "state flushed before the iterator was consumed")
+    assert(it3.toSeq == Seq((50L, 1L, 1L)))
+    assert(s3.isUpdated && s3.get.wins.toSeq == Seq(50L))
   }
 }
