@@ -601,9 +601,12 @@ object TextQueries {
     val t = (maxId + 1) / 2
     val idx = Dedupe.windowIndex(d.filter(col("doc_id") < t), "text",
       windowTokens = 20, hash128 = true)
+    // base ids are all < t, so t - 1 bounds them: the refresh-contract
+    // guard runs on the catalog path too (r14)
     Dedupe.cutSpansIncremental(idx, d.filter(col("doc_id") >= t),
       "doc_id", "text", windowTokens = 20,
-      broadcastDupLimit = spansBcastLimit, hash128 = true)
+      broadcastDupLimit = spansBcastLimit, hash128 = true,
+      baseMaxDocId = Some(t - 1))
   }
 
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface

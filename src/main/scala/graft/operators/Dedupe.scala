@@ -111,14 +111,18 @@ private[operators] final class LongPairMap(
   def val2At(i: Int): Long = v2(i)
 
   def put(a: Long, b: Long, x: Long, y: Long): Unit = {
-    val i = slot(a, b)
+    var i = slot(a, b)
     if (!used(i)) {
       used(i) = true; k1(i) = a; k2(i) = b; n += 1
-      if (n * 2 > cap) grow()
+      if (n * 2 > cap) {
+        grow()
+        // only a grow invalidates the probed slot — re-probe then,
+        // not on every call (the build-side map sees millions of puts)
+        if (withValues) i = slot(a, b)
+      }
     }
     if (withValues) {
-      val j = slot(a, b)
-      v1(j) = x; v2(j) = y
+      v1(i) = x; v2(i) = y
     }
   }
 
@@ -1414,6 +1418,14 @@ object Dedupe {
     * into the index (the batch side broadcasts whenever it is small —
     * the normal case — so the index scans narrow) — never a base
     * re-hash. Same `hash128` discipline as the batch cut.
+    *
+    * @param baseMaxDocId when set, the append-only contract is ENFORCED:
+    *   the batch's smallest id must exceed it (one cheap aggregate over
+    *   the already-cached batch kernel) or the call fails loudly —
+    *   overlapping ids would make "in the base index" no longer imply
+    *   "earlier", silently breaking keep-earliest. The span-index
+    *   sidecar ([[SpanIndexMeta]]) persists this value; pass None only
+    *   when the caller proves the invariant some other way.
     */
   def cutSpansIncremental(
       baseWindows: DataFrame,
@@ -1422,7 +1434,8 @@ object Dedupe {
       textCol: String,
       windowTokens: Int = 20,
       broadcastDupLimit: Long = 4L * 1000 * 1000,
-      hash128: Boolean = false): DataFrame = {
+      hash128: Boolean = false,
+      baseMaxDocId: Option[Long] = None): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val session = batch.sparkSession
     import session.implicits._
@@ -1436,9 +1449,28 @@ object Dedupe {
       }
       .toDF("id", "text", "wlo", "whi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sumWins = docWins
-      .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)))
-      .as[Long].head()
+    // fold the contract check into the sizing aggregate — one pass over
+    // the cached kernel, no extra scan
+    val sumWins = try {
+      val statsRow = docWins
+        .agg(coalesce(sum(size(col("wlo")).cast("long")), lit(0L)),
+          min(col("id")))
+        .head()
+      baseMaxDocId.foreach { maxBase =>
+        if (!statsRow.isNullAt(1)) {
+          val minBatch = statsRow.getLong(1)
+          require(minBatch > maxBase,
+            s"append-only id contract violated: batch min doc id $minBatch " +
+              s"<= base corpus max doc id $maxBase. cutSpansIncremental is " +
+              "exactly keep-earliest ONLY when every base id < every batch " +
+              "id; cut the union with cutDuplicateSpans instead, or re-id " +
+              "the batch above the base range.")
+        }
+      }
+      statsRow.getLong(0)
+    } catch {
+      case e: Throwable => docWins.unpersist(); throw e
+    }
     val prevParts = Conf.applyRowShufflePartitions(session, sumWins,
       Conf.SpanRowShuffleBytes)
     try {

@@ -103,8 +103,11 @@ object Cli {
   }
 
   /** `span-index` body, factored for ToolsSpec: builds the hash128
-    * distinct window index, writes it to `outDir`, returns
-    * (window count, rollup `windows=N window=W out=DIR`).
+    * distinct window index, writes it to `outDir` with a
+    * [[graft.operators.SpanIndexMeta]] sidecar (windowTokens, hash128,
+    * max_doc_id, window count — the refresh contract
+    * `cut-spans-incremental` validates), returns
+    * (window count, rollup `windows=N window=W max_doc_id=N out=DIR`).
     */
   private[tools] def spanIndexReport(
       spark: SparkSession,
@@ -114,12 +117,22 @@ object Cli {
     val docs = spark.read.parquet(file)
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val maxDocId = docs
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id").cast("long")))
+      .head().getLong(0)
     val idx = graft.operators.Dedupe.windowIndex(
       docs, "text", windowTokens = windowTokens, hash128 = true)
     idx.write.mode("overwrite").parquet(outDir)
     val n = idx.count()
     idx.unpersist()
-    (n, s"windows=$n window=$windowTokens out=$outDir")
+    // after the parquet overwrite (which clears the dir first) so the
+    // sidecar survives; `_`-prefixed so parquet readers skip it
+    graft.operators.SpanIndexMeta.write(
+      spark.sparkContext.hadoopConfiguration, outDir,
+      graft.operators.SpanIndexMeta(windowTokens, hash128 = true,
+        maxDocId = maxDocId, windows = n))
+    (n, s"windows=$n window=$windowTokens max_doc_id=$maxDocId out=$outDir")
   }
 
   /** `cut-spans-incremental` body, factored for ToolsSpec: cuts the
@@ -139,9 +152,28 @@ object Cli {
     val idx = spark.read.parquet(idxDir)
     require(idx.columns.sorted.sameElements(Array("whi", "wlo")),
       s"not a span-index (expected (wlo, whi) columns): ${idx.columns.mkString(", ")}")
+    // refresh-contract guard: the sidecar records what the index was
+    // built with; a silent mismatch here is a silently WRONG cut, so
+    // refuse loudly on every discrepancy (and on a pre-sidecar index)
+    val meta = graft.operators.SpanIndexMeta
+      .read(spark.sparkContext.hadoopConfiguration, idxDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"span-index at $idxDir has no ${graft.operators.SpanIndexMeta.FileName} " +
+          "sidecar — rebuild it with `span-index` (the sidecar pins " +
+          "windowTokens/hash128/max_doc_id, without which this refresh " +
+          "cannot verify its exactness contract)"))
+    require(meta.windowTokens == windowTokens,
+      s"span-index at $idxDir was built with windowTokens=${meta.windowTokens} " +
+        s"but this refresh asked for $windowTokens — a mismatched window " +
+        "size cuts the wrong spans; rerun with the index's window size " +
+        "or rebuild the index")
+    require(meta.hash128,
+      s"span-index at $idxDir was built 64-bit (hash128=false) but " +
+        "cut-spans-incremental cuts at 128-bit identity — rebuild the " +
+        "index with `span-index`")
     val rows = graft.operators.Dedupe.cutSpansIncremental(
       idx, docs, "doc_id", "text", windowTokens = windowTokens,
-      hash128 = true)
+      hash128 = true, baseMaxDocId = Some(meta.maxDocId))
     rows.write.mode("overwrite").parquet(outDir)
     val agg = rows.agg(
       org.apache.spark.sql.functions.count(

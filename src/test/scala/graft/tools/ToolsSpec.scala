@@ -164,6 +164,52 @@ class ToolsSpec extends SparkSpec {
         s"$dir/batch.parquet", s"$dir/out2", windowTokens = 5)
     }
     assert(e.getMessage.contains("span-index"))
+    // sidecar written beside the parquet, carrying the refresh contract
+    val meta = graft.operators.SpanIndexMeta
+      .read(spark.sparkContext.hadoopConfiguration, s"$dir/idx")
+    assert(meta.contains(graft.operators.SpanIndexMeta(
+      windowTokens = 5, hash128 = true, maxDocId = 41L, windows = 7L)))
+  }
+
+  test("cut-spans-incremental: refresh-contract violations fail loudly") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = Files.createTempDirectory("graft-spanguard")
+    Seq((40L, s"$p base trailing words"), (41L, "unrelated base document here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    Cli.spanIndexReport(spark, s"$dir/base.parquet", s"$dir/idx",
+      windowTokens = 5)
+    Seq((50L, s"fresh leading words then $p here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    // window-size mismatch: the index pins windowTokens=5
+    val eWin = intercept[IllegalArgumentException] {
+      Cli.cutSpansIncrementalReport(spark, s"$dir/idx",
+        s"$dir/batch.parquet", s"$dir/outw", windowTokens = 7)
+    }
+    assert(eWin.getMessage.contains("windowTokens=5") &&
+      eWin.getMessage.contains("7"), eWin.getMessage)
+    // id overlap: a batch id at/below the base's max_doc_id breaks the
+    // append-only invariant keep-earliest rests on
+    Seq((41L, s"$p overlapping id document"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/overlap.parquet")
+    val eId = intercept[IllegalArgumentException] {
+      Cli.cutSpansIncrementalReport(spark, s"$dir/idx",
+        s"$dir/overlap.parquet", s"$dir/outo", windowTokens = 5)
+    }
+    assert(eId.getMessage.contains("append-only") &&
+      eId.getMessage.contains("41"), eId.getMessage)
+    // an index without the sidecar (pre-guard layout) is refused with a
+    // rebuild hint rather than run unverified
+    spark.read.parquet(s"$dir/idx").write
+      .mode("overwrite").parquet(s"$dir/idx_nometa")
+    val eMeta = intercept[IllegalArgumentException] {
+      Cli.cutSpansIncrementalReport(spark, s"$dir/idx_nometa",
+        s"$dir/batch.parquet", s"$dir/outm", windowTokens = 5)
+    }
+    assert(eMeta.getMessage.contains("sidecar"), eMeta.getMessage)
   }
 
   test("ordered chunk dump with payloads (reference store_data path)") {
