@@ -260,6 +260,9 @@ object Bench {
     // tail and its leading fields get cut — round 7's load_index vanished
     // exactly when it had something to say
     println(s"""{"total":${n2(total)},"li":${n2(loadIndex)}}""")
+    // drop this corpus's session-shared relations (ngram/span/phash/video
+    // builds) — the untracked caches releaseTrackedCaches cannot reclaim
+    Queries.SessionRelationCache.releaseFor(sfDir)
     spark.stop()
   }
 }

@@ -65,11 +65,54 @@ object Queries {
     * distinct (app, dir, params) tuples cannot alias by concatenation.
     */
   private[graft] final class SessionRelationCache[T] {
+    SessionRelationCache.registry.add(this)
     private val map = new java.util.concurrent.ConcurrentHashMap[String, T]()
     def getOrElseUpdate(spark: SparkSession, keyParts: String*)(build: => T): T =
       map.computeIfAbsent(
         (spark.sparkContext.applicationId +: keyParts).mkString("\u0000"),
         _ => build)
+
+    /** Evict every entry carrying `part` as one of its NUL-joined key
+      * parts, unpersisting evicted Datasets. Returns evicted count.
+      */
+    def release(part: String): Int = {
+      var n = 0
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey.split('\u0000').contains(part)) {
+          e.getValue match {
+            case d: org.apache.spark.sql.Dataset[_] => d.unpersist()
+            case _ => ()
+          }
+          it.remove(); n += 1
+        }
+      }
+      n
+    }
+  }
+
+  /** Registry of every session-shared relation cache, with the
+    * per-corpus release hook long-lived sessions need: shared builds are
+    * deliberately UNTRACKED (releaseTrackedCaches would recompute them
+    * per consumer), so without this a session sweeping several sf dirs
+    * pins storage for every corpus it ever touched. Harnesses call
+    * [[releaseFor]] when a corpus is done (Bench and ScaleRun do, end of
+    * run); entries keyed by other dirs / sessions are untouched.
+    */
+  private[graft] object SessionRelationCache {
+    private val registry =
+      new java.util.concurrent.ConcurrentLinkedQueue[SessionRelationCache[_]]()
+
+    /** Evict + unpersist every shared relation keyed by `sfDir`, across
+      * all registered caches (chunk, ngram-pair, span-provenance,
+      * phash/video-pair, doc-chunk). Returns total entries evicted.
+      */
+    def releaseFor(sfDir: String): Int = {
+      var n = 0
+      registry.forEach(c => n += c.release(sfDir))
+      n
+    }
   }
 
   /** The estimator queries (exact, approx, matrix) all need the same chunk

@@ -609,6 +609,44 @@ object TextQueries {
       baseMaxDocId = Some(t - 1))
   }
 
+  /** Approx tier of the span family — the cheap first-pass "how much
+    * substring duplication is there" a 100 TB curation run wants BEFORE
+    * committing to the full cut (the cdc_estimate_approx discipline,
+    * reusing [[graft.functions.KmvSketch]]): ONE narrow kernel pass over
+    * the corpus, one fused aggregate (total windows + KMV distinct
+    * windows), no per-window shuffle, no exact hash aggregation — the
+    * only exchange is the 256 KB-per-partition sketch merge. Columns:
+    * (total_windows, kmv_distinct_windows, dup_windows, dup_fraction).
+    *
+    * k = 2¹⁸ (2 MiB per partial — the amortized-scratch sketch makes
+    * large k affordable): far above BOTH verification SFs' distinct
+    * windows (17 k at sf0.01, 170 k at sf0.1), so the sketch is provably
+    * exact there and the DuckDB COUNT(DISTINCT) oracle holds — at
+    * sketch-saturating corpus scale it estimates with rsd = 1/√(k−1) ≈
+    * 0.2 % (KmvSketchSpec pins a 5·rsd worst-case bound on a
+    * deterministic saturated stream), which is the point of the tier.
+    * 64-bit window hashing: an approx COUNT needs no 128-bit cut
+    * identity (a collision moves the estimate by ~1 part in 2⁶⁴·rate —
+    * unobservable at any corpus size).
+    */
+  private def dedupSpansApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 20
+    val row = docs(spark, sfDir)
+      .select(col("text").cast("string")).as[String]
+      .flatMap(t => Dedupe.windowHashes(t, w))
+      .toDF("win")
+      .agg(count(lit(1)).as("total"),
+        graft.functions.KmvSketch.kmv_distinct(col("win"), 1 << 18).as("kmv"))
+      .head()
+    val total = row.getLong(0)
+    val kmv = row.getLong(1)
+    val dup = math.max(0L, total - kmv)
+    Seq((total, kmv, dup, if (total == 0) 0.0 else dup.toDouble / total))
+      .toDF("total_windows", "kmv_distinct_windows", "dup_windows",
+        "dup_fraction")
+  }
+
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface
     * for the cut: one row per redundant maximal span (exactly the token
     * ranges dedup_spans_cut removes) with where its kept copy lives (the
@@ -1140,6 +1178,7 @@ object TextQueries {
     "dedup_ngram" -> ngramPairs _,
     "dedup_containment" -> dedupContainment _,
     "dedup_spans" -> dedupSpans _,
+    "dedup_spans_approx" -> dedupSpansApprox _,
     "dedup_spans_cut" -> dedupSpansCut _,
     "dedup_spans_incremental" -> dedupSpansIncremental _,
     "dedup_spans_provenance" -> dedupSpansProvenance _,
@@ -1679,6 +1718,31 @@ object TextQueries {
          |$SpansProvenanceSql
          |) p JOIN s USING (doc_id) JOIN s k ON p.kept_doc = k.doc_id
          |GROUP BY s.source, k.source""".stripMargin,
+    // NOTE: valid at the verification SFs, where distinct window
+    // cardinality (17 k at sf0.01, 170 k at sf0.1) is below the KMV
+    // k = 2^18, so the sketch is provably exact and equals
+    // COUNT(DISTINCT win). At sketch-saturating scales this oracle would
+    // not hold — which is the point of the sketch (the
+    // cdc_estimate_approx precedent).
+    "dedup_spans_approx" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT array_to_string(ws[i:i+19], ' ') AS win
+        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+        |  WHERE len(ws) >= 20),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS total_windows,
+        |    CAST(COUNT(DISTINCT win) AS BIGINT) AS kmv_distinct_windows
+        |  FROM wins)
+        |SELECT total_windows, kmv_distinct_windows,
+        |  total_windows - kmv_distinct_windows AS dup_windows,
+        |  CASE WHEN total_windows = 0 THEN 0.0
+        |    ELSE CAST(total_windows - kmv_distinct_windows AS DOUBLE)
+        |      / total_windows END AS dup_fraction
+        |FROM t""".stripMargin,
     "dedup_spans" ->
       """WITH words AS (
         |  SELECT doc_id,

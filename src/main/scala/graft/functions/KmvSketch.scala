@@ -10,22 +10,35 @@ import org.apache.spark.sql.functions.udaf
   * GB-KMV line of work per PAPERS.md).
   *
   * Estimator: with the k smallest of n distinct uniform hashes mapped to
-  * (0,1), the kth minimum v̂ ≈ k/(n+1), so n̂ = k/v̂ − 1. Buffers are a
-  * bounded sorted array of k longs (k·8 bytes), merged by union+truncate —
-  * associative and commutative, so Spark's partial aggregation
-  * distributes it like any built-in.
+  * (0,1), the kth minimum v̂ ≈ k/(n+1), so n̂ = k/v̂ − 1. The buffer is a
+  * bounded sorted array of ≤ k longs plus an AMORTIZED unsorted scratch
+  * (≤ k/4 entries): candidate values append O(1) and fold into the
+  * sorted half only when the scratch fills (sort + merge-dedup +
+  * truncate-to-k). The compacted result depends only on the SET of
+  * values seen, so the buffering is observationally invisible —
+  * estimates are bit-identical to the naive insert-per-row sketch — but
+  * the fill cost drops from O(k²) array copies (which made large-k
+  * sketches unusable at corpus scale) to O(n + (n/k)·k log k). Merged by
+  * union+truncate — associative and commutative, so Spark's partial
+  * aggregation distributes it like any built-in.
   *
   * Versus HLL (`approx_count_distinct`): KMV buffers also support set
   * operations on the retained sample (union shown here; intersection /
   * Jaccard estimation is the standard extension), which HLL registers
   * cannot. That is why the dedup literature builds on KMV.
   */
-final case class KmvBuffer(values: Array[Long]) // sorted ascending, ≤ k entries
+final case class KmvBuffer(
+    values: Array[Long], // sorted ascending (unsigned order), ≤ k entries
+    scratch: Array[Long], // unsorted pending candidates
+    used: Int) // live prefix of scratch
 
 class KmvSketch(k: Int) extends Aggregator[Long, KmvBuffer, Long] {
   require(k >= 16, "k < 16 gives useless variance")
 
-  override def zero: KmvBuffer = KmvBuffer(Array.emptyLongArray)
+  private val scratchCap = math.max(64, k / 4)
+
+  override def zero: KmvBuffer =
+    KmvBuffer(Array.emptyLongArray, Array.emptyLongArray, 0)
 
   /** Map a hash to an unsigned-comparable long (flip the sign bit) so
     * "k minimum values" is over the uniform [0, 2^64) interpretation.
@@ -34,49 +47,73 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuffer, Long] {
 
   override def reduce(b: KmvBuffer, hash: Long): KmvBuffer = {
     val v = toUnsignedOrder(hash)
-    val arr = b.values
-    if (arr.length >= k && v >= arr(arr.length - 1)) b
+    val vals = b.values
+    // once the sorted half is saturated its last entry bounds the kth
+    // minimum from above — anything ≥ it can never enter the sample.
+    // (Pending scratch may hold smaller values, making the true bound
+    // tighter; over-accepting is harmless — compaction truncates.)
+    if (vals.length >= k && v >= vals(vals.length - 1)) b
     else {
-      val idx = java.util.Arrays.binarySearch(arr, v)
-      if (idx >= 0) b // duplicate hash: a set sketch ignores it
-      else {
-        val ins = -idx - 1
-        val n = math.min(arr.length + 1, k)
-        val out = new Array[Long](n)
-        System.arraycopy(arr, 0, out, 0, ins)
-        out(ins) = v
-        System.arraycopy(arr, ins, out, ins + 1, n - ins - 1)
-        KmvBuffer(out)
-      }
+      val scr =
+        if (b.scratch.length == 0) new Array[Long](scratchCap) else b.scratch
+      scr(b.used) = v
+      // arrays are shared with the (now-dead) input buffer — the
+      // documented Aggregator mutate-and-return pattern
+      val nb = KmvBuffer(vals, scr, b.used + 1)
+      if (nb.used == scr.length) compact(nb) else nb
     }
   }
 
-  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
-    if (a.values.isEmpty) return b
-    if (b.values.isEmpty) return a
-    // sorted union, dedup, truncate to k
-    val out = new Array[Long](math.min(a.values.length + b.values.length, k))
+  /** Fold the scratch into the sorted half: sort, merge-dedup with
+    * `values`, truncate to k. Set-deterministic, so WHEN compaction runs
+    * never affects the final sample.
+    */
+  private[functions] def compact(b: KmvBuffer): KmvBuffer = {
+    if (b.used == 0) {
+      if (b.scratch.length == 0) b
+      else KmvBuffer(b.values, Array.emptyLongArray, 0)
+    } else {
+      val s = java.util.Arrays.copyOf(b.scratch, b.used)
+      java.util.Arrays.sort(s)
+      KmvBuffer(mergeTrunc(b.values, s), Array.emptyLongArray, 0)
+    }
+  }
+
+  /** Sorted union with dedup, truncated to k. `b` may carry adjacent
+    * duplicates (a just-sorted scratch); `a` never does.
+    */
+  private def mergeTrunc(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
     var i = 0
     var j = 0
     var o = 0
     var last = 0L
     var hasLast = false
-    while (o < out.length && (i < a.values.length || j < b.values.length)) {
+    while (o < out.length && (i < a.length || j < b.length)) {
       val v =
-        if (j >= b.values.length || (i < a.values.length && a.values(i) <= b.values(j))) {
-          val x = a.values(i); i += 1; x
-        } else { val x = b.values(j); j += 1; x }
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) {
+          val x = a(i); i += 1; x
+        } else { val x = b(j); j += 1; x }
       if (!hasLast || v != last) { out(o) = v; o += 1; last = v; hasLast = true }
     }
-    KmvBuffer(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    val ca = compact(a)
+    val cb = compact(b)
+    if (ca.values.isEmpty) return cb
+    if (cb.values.isEmpty) return ca
+    KmvBuffer(mergeTrunc(ca.values, cb.values), Array.emptyLongArray, 0)
   }
 
   override def finish(b: KmvBuffer): Long = {
-    val m = b.values.length
+    val vals = compact(b).values
+    val m = vals.length
     if (m < k) m.toLong // fewer than k distinct: the sample IS the set
     else {
       // v̂ = kth minimum as fraction of the unsigned 2^64 interval
-      val kth = b.values(m - 1)
+      val kth = vals(m - 1)
       val frac = (kth.toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
       math.max(m.toLong, math.round(k / frac - 1))
     }
@@ -94,7 +131,7 @@ class KmvBufferAgg(k: Int) extends Aggregator[Long, KmvBuffer, Array[Long]] {
   override def zero: KmvBuffer = inner.zero
   override def reduce(b: KmvBuffer, h: Long): KmvBuffer = inner.reduce(b, h)
   override def merge(a: KmvBuffer, b: KmvBuffer): KmvBuffer = inner.merge(a, b)
-  override def finish(b: KmvBuffer): Array[Long] = b.values
+  override def finish(b: KmvBuffer): Array[Long] = inner.compact(b).values
   override def bufferEncoder: Encoder[KmvBuffer] = Encoders.product[KmvBuffer]
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -1642,7 +1642,7 @@ object Dedupe {
 
   /** The span family's tokenization (shared with the gram operators):
     * lowercase, single-space split, empty-token filter. */
-  private[operators] def tokenizeWords(text: String): Array[String] =
+  private[graft] def tokenizeWords(text: String): Array[String] =
     if (text == null) Array.empty[String]
     else text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
 
@@ -1703,34 +1703,56 @@ object Dedupe {
   }
 
   /** Replay the [[cutDuplicateSpans]] rewrite from an externally-supplied
-    * first-occurrence relation `(win, f_id, f_pos)` — the finish step of
-    * the STREAMING twin ([[graft.streaming.StreamSpans]]), whose folded
-    * event stream hands back exactly this relation. An occurrence is redundant
-    * iff its window appears in `firsts` under a different (doc, pos);
-    * windows absent from `firsts` are never cut, so a duplicates-only
-    * relation (the batch operator's `n > 1` aggregate) and an all-windows
-    * relation (the stream's folded firsts) both reproduce the same rewrite.
+    * first-occurrence relation `(wlo, whi, f_id, f_pos)` — the finish
+    * step of the STREAMING twin ([[graft.streaming.StreamSpans]]), whose
+    * folded event stream hands back exactly this relation. An occurrence
+    * is redundant iff its window appears in `firsts` under a different
+    * (doc, pos); windows absent from `firsts` are never cut, so a
+    * duplicates-only relation (the batch operator's `n > 1` aggregate)
+    * and an all-windows relation (the stream's folded firsts) both
+    * reproduce the same rewrite. `hash128` must match the width the
+    * firsts were produced at (whi is all-zero in 64-bit mode, exactly
+    * like the batch operators).
     */
   private[graft] def cutFromFirstOccurrences(
       df: DataFrame,
       idCol: String,
       textCol: String,
       windowTokens: Int,
-      firsts: DataFrame): DataFrame = {
+      firsts: DataFrame,
+      hash128: Boolean = false): DataFrame =
+    cutFromFirstOccurrencesImpl(df, idCol, textCol, windowTokens, firsts,
+      hash128, loBits = 64)
+
+  /** [[cutFromFirstOccurrences]] with the collision-injection knob
+    * (`loBits`, as in [[duplicateSpansImpl]]) — StreamSpansSpec's
+    * lo-collision proof replays the finish at the same masked width the
+    * stream ran at.
+    */
+  private[graft] def cutFromFirstOccurrencesImpl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      firsts: DataFrame,
+      hash128: Boolean,
+      loBits: Int): DataFrame = {
     val session = df.sparkSession
     import session.implicits._
     val w = windowTokens
+    val h128 = hash128
+    val lb = loBits
     val base = df
       .select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
     val exploded = base
       .flatMap { case (id, text) =>
-        windowHashes(text, w).iterator.zipWithIndex
-          .map { case (h, i) => (h, id, (i + 1).toLong) }
+        val (lo, hi) = windowHashes128(text, w, h128, lb)
+        lo.indices.iterator.map(i => (lo(i), hi(i), id, (i + 1).toLong))
       }
-      .toDF("win", "id", "pos")
+      .toDF("wlo", "whi", "id", "pos")
     val redundant = exploded
-      .join(firsts, "win")
+      .join(firsts, Seq("wlo", "whi"))
       .filter(!(col("id") === col("f_id") && col("pos") === col("f_pos")))
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("ps"))

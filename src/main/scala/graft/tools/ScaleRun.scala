@@ -323,7 +323,12 @@ object ScaleRun {
     }
     // memory headroom after the Nx sweep: a post-GC used-heap reading —
     // the resident state (caches, broadcasts, state stores) the sweep
-    // leaves behind, against the configured ceiling
+    // leaves behind, against the configured ceiling. Both corpora are
+    // done: release their session-shared relations first (the untracked
+    // caches releaseTrackedCaches cannot reclaim) so the reading reflects
+    // what a hygienic long-lived session would actually retain
+    graft.Queries.SessionRelationCache.releaseFor(base)
+    graft.Queries.SessionRelationCache.releaseFor(out)
     System.gc()
     val rt = Runtime.getRuntime
     val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *    re-buffered, so state bytes scale with distinct keys, not events;
   *    EXCEPT the spans twin, whose suppression-cache contract is the
   *    opposite: state rows ≤ its shard count no matter the corpus, with
-  *    bytes capped at shards × cap × 24 B (saturation exercised at N×);
+  *    bytes capped at shards × cap × 32 B (saturation exercised at N×);
   *  - N× restart time < half the N× initial run — recovery reloads state
   *    and chews the delta; it must not re-chunk half a terabyte.
   *
@@ -46,7 +46,9 @@ object StreamRestartRun {
       tRestart: Double,
       stateRows: Long,
       stateBytes: Long,
-      distinctKeys: Long)
+      distinctKeys: Long,
+      sinkRows: Long,
+      occurrencesIn: Long)
 
   private def maxStateMetrics(
       q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long) = {
@@ -76,7 +78,8 @@ object StreamRestartRun {
       completeMode: Boolean,
       batchKeys: Seq[String] => DataFrame,
       foldSink: DataFrame => DataFrame = identity,
-      stateRowsBound: Option[Long] = None): CaseResult = {
+      stateRowsBound: Option[Long] = None,
+      occurrencesIn: Seq[String] => Long = _ => 0L): CaseResult = {
     val work = Files.createTempDirectory(s"restart-$tag")
     val srcDir = Files.createDirectory(work.resolve("src"))
     val ckpt = work.resolve("ckpt").toString
@@ -120,6 +123,11 @@ object StreamRestartRun {
     val keysDf = batchKeys(Seq(srcDir.toString))
     val distinctKeys = keysDf.count()
     val sunk = spark.read.parquet(sink)
+    // raw event volume BEFORE the fold: for suppression-cache streams
+    // this is the re-emission traffic the saturated regime trades state
+    // growth for (reported next to the unsaturated row)
+    val sinkRows = sunk.count()
+    val occIn = occurrencesIn(Seq(srcDir.toString))
     val sunkKeys =
       foldSink(if (completeMode) sunk else sunk.distinct())
     val diff = sunkKeys.count() != distinctKeys ||
@@ -140,7 +148,8 @@ object StreamRestartRun {
       .forEach(p => { Files.deleteIfExists(p); () })
     finally s.close()
 
-    CaseResult(tInitial, tRestart, stateRows, stateBytes, distinctKeys)
+    CaseResult(tInitial, tRestart, stateRows, stateBytes, distinctKeys,
+      sinkRows, occIn)
   }
 
   private var lastState: (Long, Long) = (0L, 0L)
@@ -207,7 +216,7 @@ object StreamRestartRun {
         .select(col("user_id"), col("event_type")).distinct())
 
     // the spans twin: suppression-cache state (one row per SHARD, capped
-    // bytes). 256 shards × 2^16-entry cap = 16.7M tracked windows ≈ 400 MiB
+    // bytes). 256 shards × 2^16-entry cap = 16.7M tracked windows ≈ 533 MiB
     // ceiling: the 1× corpus (~1M windows) tracks fully; the 100× corpus
     // (~100M windows) SATURATES the cap — this case proves the degraded
     // regime stays exact while state bytes plateau at the ceiling
@@ -219,15 +228,28 @@ object StreamRestartRun {
         .select(col("doc_id").cast("long"), col("text").cast("string"))
         .as[(Long, String)]
         .flatMap { case (id, text) =>
-          graft.operators.Dedupe.windowHashes(text, spansW).iterator.zipWithIndex
-            .map { case (h, i) => (h, id, (i + 1).toLong) }
+          val (lo, hi) = graft.operators.Dedupe
+            .windowHashes128(text, spansW, withHi = true, loBits = 64)
+          lo.indices.iterator.map(i => (lo(i), hi(i), id, (i + 1).toLong))
         }
-        .toDF("win", "id", "pos")
-        .groupBy(col("win"))
+        .toDF("wlo", "whi", "id", "pos")
+        .groupBy(col("wlo"), col("whi"))
         .agg(min(struct(col("id"), col("pos"))).as("f"))
-        .select(col("win"), col("f.id").as("f_id"), col("f.pos").as("f_pos"))
+        .select(col("wlo"), col("whi"),
+          col("f.id").as("f_id"), col("f.pos").as("f_pos"))
     }
-    def spansCase(dir: String): CaseResult = runCase(spark, "stream_dedup_spans",
+    def spansOccurrences(dirs: Seq[String]): Long = {
+      import spark.implicits._
+      spark.read.parquet(dirs: _*)
+        .select(col("text").cast("string")).as[String]
+        .map { text =>
+          val n = graft.operators.Dedupe.tokenizeWords(text).length
+          math.max(0, n - spansW + 1).toLong
+        }
+        .agg(coalesce(sum(col("value")), lit(0L))).as[Long].head()
+    }
+    def spansCase(dir: String, tag: String, cap: Int): CaseResult = runCase(
+      spark, tag,
       Seq(s"$dir/documents.parquet"),
       // delta: 100 re-uploads (every window already first-seen — must be
       // suppressed / fold-invisible) + 100 genuinely new docs
@@ -244,24 +266,39 @@ object StreamRestartRun {
             lit("delta").as("source"), length(col("text")).cast("long").as("n_chars"))
       },
       s => graft.streaming.StreamSpans.firstWindows(s, "doc_id", "text",
-        spansW, numShards = spansShards, maxStateWindowsPerShard = 1 << 16),
+        spansW, numShards = spansShards, maxStateWindowsPerShard = cap,
+        hash128 = true),
       completeMode = false,
       spansBatchFirsts,
       foldSink = graft.streaming.StreamSpans.foldFirsts,
-      stateRowsBound = Some(spansShards.toLong))
+      stateRowsBound = Some(spansShards.toLong),
+      occurrencesIn = spansOccurrences)
 
     def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    // unsaturated: 256 shards x 2^16 cap tracks 16.7M windows; the
+    // SATURATED twin forces cap 2^10 (262k tracked vs ~1M windows at 1x,
+    // ~100M at 100x) — the deep-degradation regime the scaladoc promises
+    // stays exact, with its re-emission traffic measured (events out vs
+    // window occurrences in) instead of hand-waved
     val results = Seq(
       ("stream_cdc", cdcCase(base), cdcCase(corpus)),
       ("stream_dedup", dedupCase(base), dedupCase(corpus)),
-      ("stream_dedup_spans", spansCase(base), spansCase(corpus)))
+      ("stream_dedup_spans",
+        spansCase(base, "stream_dedup_spans", 1 << 16),
+        spansCase(corpus, "stream_dedup_spans", 1 << 16)),
+      ("stream_dedup_spans_sat",
+        spansCase(base, "stream_dedup_spans_sat", 1 << 10),
+        spansCase(corpus, "stream_dedup_spans_sat", 1 << 10)))
 
-    println("| query | tier | initial (s) | restart (s) | state rows | state MiB |")
-    println("|---|---|---|---|---|---|")
+    println("| query | tier | initial (s) | restart (s) | state rows | state MiB | events out | occ in |")
+    println("|---|---|---|---|---|---|---|---|")
     val json = results.map { case (name, r1, rN) =>
-      for ((tier, r) <- Seq("1x" -> r1, s"${factor}x" -> rN))
+      for ((tier, r) <- Seq("1x" -> r1, s"${factor}x" -> rN)) {
+        val occ = if (r.occurrencesIn == 0) "-" else r.occurrencesIn.toString
         println(s"| $name | $tier | ${n2(r.tInitial)} | ${n2(r.tRestart)} | " +
-          s"${r.stateRows} | ${n2(r.stateBytes / 1024.0 / 1024.0)} |")
+          s"${r.stateRows} | ${n2(r.stateBytes / 1024.0 / 1024.0)} | " +
+          s"${r.sinkRows} | $occ |")
+      }
       // the N× recovery bar: restart pays state reload + delta, never a
       // corpus re-chunk. Two ways to pass: well under the initial run, OR
       // within a small multiple of the 1× restart (the micro-batch engine
@@ -274,7 +311,8 @@ object StreamRestartRun {
       s""""$name":{"t1_initial":${n2(r1.tInitial)},"t1_restart":${n2(r1.tRestart)},""" +
         s""""t1_state_rows":${r1.stateRows},"t1_state_bytes":${r1.stateBytes},""" +
         s""""tN_initial":${n2(rN.tInitial)},"tN_restart":${n2(rN.tRestart)},""" +
-        s""""tN_state_rows":${rN.stateRows},"tN_state_bytes":${rN.stateBytes}}"""
+        s""""tN_state_rows":${rN.stateRows},"tN_state_bytes":${rN.stateBytes},""" +
+        s""""tN_events_out":${rN.sinkRows},"tN_occurrences_in":${rN.occurrencesIn}}"""
     }
     println(s"""{"stream_restart_factor":$factor,${json.mkString(",")}}""")
     spark.stop()

@@ -78,4 +78,25 @@ class KmvSketchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.values.foreach(est => assert(math.abs(est - 10000L) < 1500L, s"est=$est"))
   }
+
+  /** The error bound dedup_spans_approx relies on at sketch-saturating
+    * corpus scale: for n ≫ k the KMV estimator has rsd = 1/√(k−1), so a
+    * 5·rsd worst-case band holds with overwhelming probability. The
+    * stream is DETERMINISTIC (xxhash64 over a range — the same hash
+    * family the span kernel uses), so this is a pinned regression test,
+    * not a flaky statistical one: n = 500 k distinct at k = 4096
+    * (122× saturated), bound 5/√4095 ≈ 7.8 %.
+    */
+  test("saturated error bound: 500k distinct at k=4096 within 5·rsd") {
+    import spark.implicits._
+    val n = 500000L
+    val k = 4096
+    val df = spark.range(n).select(xxhash64(col("id")).as("hash"))
+    val est = df.agg(KmvSketch.kmv_distinct(col("hash"), k)).head().getLong(0)
+    val err = math.abs(est - n).toDouble / n
+    val bound = 5.0 / math.sqrt(k - 1.0)
+    info(f"kmv saturated estimate: $est (err ${err * 100}%.2f%%, " +
+      f"bound ${bound * 100}%.2f%%)")
+    assert(err < bound, s"estimate $est breaks the 5·rsd bound for $n")
+  }
 }

@@ -74,7 +74,7 @@ class StreamSpansSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val events = session.table("sspan_rev")
     // the improvement path re-emitted: ≥1 window carries two events
-    val perWin = events.groupBy("win").count()
+    val perWin = events.groupBy("wlo", "whi").count()
       .filter(org.apache.spark.sql.functions.col("count") > 1).count()
     assert(perWin > 0, "expected re-emitted improvements for late-arriving " +
       "smaller (doc_id, pos) occurrences")
@@ -154,41 +154,109 @@ class StreamSpansSpec extends SparkSpec {
     // arrives past the cap and emits untracked; (10,9,9) is suppressed by
     // the batch overlay's better (5,1). Emissions stream lazily — state
     // flushes only once the iterator is DRAINED (asserted below).
+    // whi = 0 throughout this block (the 64-bit configuration); the
+    // 128-bit path is covered by the pair-identity block below.
     val s1 = state(None)
     val it1 = StreamSpans.advanceShard(Iterator(
-      (30L, 7L, 3L), (10L, 5L, 1L), (20L, 6L, 2L), (10L, 9L, 9L)),
+      (30L, 0L, 7L, 3L), (10L, 0L, 5L, 1L), (20L, 0L, 6L, 2L),
+      (10L, 0L, 9L, 9L)),
       s1, cap = 2)
     val out1 = it1.toSeq
-    assert(out1 == Seq((30L, 7L, 3L), (10L, 5L, 1L), (20L, 6L, 2L)))
+    assert(out1 == Seq((30L, 0L, 7L, 3L), (10L, 0L, 5L, 1L),
+      (20L, 0L, 6L, 2L)))
     val st1 = s1.get
-    assert(st1.wins.toSeq == Seq(10L, 30L) && st1.ids.toSeq == Seq(5L, 7L),
-      s"cap must track the FIRST-COME windows, sorted: ${st1.wins.toSeq}")
+    assert(st1.wlos.toSeq == Seq(10L, 30L) && st1.ids.toSeq == Seq(5L, 7L),
+      s"cap must track the FIRST-COME windows, sorted: ${st1.wlos.toSeq}")
 
     // batch 2 against that state: equal → suppressed; improvement →
     // re-emitted + cached; past-cap windows (20, 40) emit EVERY
     // occurrence, the fold absorbs them
     val s2 = state(Some(st1))
     val out2 = StreamSpans.advanceShard(Iterator(
-      (10L, 5L, 1L),   // identical to stored → suppressed
-      (20L, 6L, 9L),   // untracked → emits (per occurrence)
-      (20L, 2L, 8L),   // untracked → emits again
-      (30L, 7L, 4L),   // tracked, larger pos → suppressed
-      (30L, 2L, 1L),   // smaller id → improvement, re-emit + cache update
-      (40L, 1L, 1L)),  // new, cap full → emit, stay untracked
+      (10L, 0L, 5L, 1L),   // identical to stored → suppressed
+      (20L, 0L, 6L, 9L),   // untracked → emits (per occurrence)
+      (20L, 0L, 2L, 8L),   // untracked → emits again
+      (30L, 0L, 7L, 4L),   // tracked, larger pos → suppressed
+      (30L, 0L, 2L, 1L),   // smaller id → improvement, re-emit + cache
+      (40L, 0L, 1L, 1L)),  // new, cap full → emit, stay untracked
       s2, cap = 2).toSeq
-    assert(out2 == Seq((20L, 6L, 9L), (20L, 2L, 8L), (30L, 2L, 1L),
-      (40L, 1L, 1L)))
+    assert(out2 == Seq((20L, 0L, 6L, 9L), (20L, 0L, 2L, 8L),
+      (30L, 0L, 2L, 1L), (40L, 0L, 1L, 1L)))
     val st2 = s2.get
-    assert(st2.wins.toSeq == Seq(10L, 30L))
+    assert(st2.wlos.toSeq == Seq(10L, 30L))
     assert(st2.ids.toSeq == Seq(5L, 2L) && st2.poss.toSeq == Seq(1L, 1L),
       "improvement must update the cached occurrence")
+
+    // pair identity: two windows SHARING wlo are distinct entries, kept
+    // pair-sorted, suppressed/improved independently — the structural
+    // property the 128-bit cut depends on
+    val s4 = state(None)
+    val out4 = StreamSpans.advanceShard(Iterator(
+      (10L, 2L, 4L, 4L),   // (10,2) tracked
+      (10L, 1L, 9L, 9L),   // (10,1) tracked — same wlo, different whi
+      (10L, 2L, 4L, 4L),   // duplicate of (10,2)'s best → suppressed
+      (10L, 1L, 3L, 3L)),  // improvement of (10,1) → re-emit
+      s4, cap = 4).toSeq
+    assert(out4 == Seq((10L, 2L, 4L, 4L), (10L, 1L, 9L, 9L),
+      (10L, 1L, 3L, 3L)))
+    val st4 = s4.get
+    assert(st4.wlos.toSeq == Seq(10L, 10L) && st4.whis.toSeq == Seq(1L, 2L),
+      s"entries must sort by the (wlo, whi) pair: " +
+        s"${st4.wlos.toSeq.zip(st4.whis.toSeq)}")
+    assert(st4.ids.toSeq == Seq(3L, 4L))
 
     // laziness contract: state must NOT be updated before the returned
     // iterator is drained (the engine commits on completion)
     val s3 = state(None)
-    val it3 = StreamSpans.advanceShard(Iterator((50L, 1L, 1L)), s3, cap = 2)
+    val it3 = StreamSpans.advanceShard(Iterator((50L, 0L, 1L, 1L)), s3,
+      cap = 2)
     assert(!s3.isUpdated, "state flushed before the iterator was consumed")
-    assert(it3.toSeq == Seq((50L, 1L, 1L)))
-    assert(s3.isUpdated && s3.get.wins.toSeq == Seq(50L))
+    assert(it3.toSeq == Seq((50L, 0L, 1L, 1L)))
+    assert(s3.isUpdated && s3.get.wlos.toSeq == Seq(50L))
+  }
+
+  /** 128-bit identity end to end: under an engineered TOTAL lo-collision
+    * (loBits = 0 — every window's low half identical) the 64-bit stream
+    * merges all windows and cuts wrongly, while the hash128 stream still
+    * lands on the uncollided batch cut — the same spec discipline as the
+    * batch operators' DedupeSpec hash128 block. This is what makes the
+    * stream twin safe to run at the batch cut's production width.
+    */
+  test("hash128 stream survives total lo-collisions; 64-bit does not") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sspan128")
+    writeFlatParquet(fixture.toDF("doc_id", "text"), dir, "docs.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = session.read.parquet(s"$dir/docs.parquet").schema
+
+    def runStream(name: String, h128: Boolean) = {
+      val stream = session.readStream.schema(schema)
+        .option("pathGlobFilter", "docs.parquet")
+        .parquet(dir.toString)
+      val q = StreamSpans.firstWindowsImpl(stream, "doc_id", "text",
+        windowTokens = 5, numShards = 4, maxStateWindowsPerShard = 1 << 10,
+        hash128 = h128, loBits = 0)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      session.table(name)
+    }
+
+    // 64-bit under total lo-collision: all windows share one identity —
+    // the cut diverges (proves the knob bites)
+    val got64 = collectCut(Dedupe.cutFromFirstOccurrencesImpl(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", 5,
+      StreamSpans.foldFirsts(runStream("sspan128_lo", h128 = false)),
+      hash128 = false, loBits = 0))
+    assert(got64 != batchCut(fixture),
+      "total lo-collision must corrupt the 64-bit stream cut")
+    // hash128 under the same collision: the high half keeps identities
+    // apart — exact batch answer
+    val got128 = collectCut(Dedupe.cutFromFirstOccurrencesImpl(
+      fixture.toDF("doc_id", "text"), "doc_id", "text", 5,
+      StreamSpans.foldFirsts(runStream("sspan128_hi", h128 = true)),
+      hash128 = true, loBits = 0))
+    assert(got128 == batchCut(fixture))
   }
 }
