@@ -754,6 +754,9 @@ object Cli {
            |  cut-spans DOCUMENTS.parquet OUT_DIR [WINDOW_TOKENS]
            |  span-index DOCUMENTS.parquet IDX_DIR [WINDOW_TOKENS]
            |  cut-spans-incremental IDX_DIR BATCH.parquet OUT_DIR [WINDOW_TOKENS]
+           |      (IDX_DIR from span-index; refuses on window/hash-width
+           |       mismatch or batch ids <= the index's max_doc_id — the
+           |       keep-earliest contract is append-only ids)
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png

@@ -120,8 +120,9 @@ object ScaleRun {
     // exact-substring spans: corpus-wide window-hash agg + narrow merge,
     // the keep-earliest cut rewrite, and the cut-audit provenance over
     // the same substrate
-    "dedup_spans", "dedup_spans_cut", "dedup_spans_provenance",
-    "dedup_spans_incremental", "dedup_source_matrix",
+    "dedup_spans", "dedup_spans_approx", "dedup_spans_cut",
+    "dedup_spans_provenance", "dedup_spans_incremental",
+    "dedup_source_matrix",
     "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
     "dist_drift", "emb_drift",
@@ -207,8 +208,13 @@ object ScaleRun {
     // run also with SPARK_GRAFT_SPANS_BCAST_LIMIT=0 to exercise the
     // shuffle build (the 100 TB path) at this tier. The incremental
     // refresh (lower-half index build + upper-half batch cut) is the
-    // production shape and must hold at two decades too
-    "dedup_spans", "dedup_spans_cut", "dedup_spans_incremental")
+    // production shape and must hold at two decades too. r14 promotions:
+    // the provenance relation (now a shared build feeding two queries —
+    // its 100x behavior is load-bearing), the source matrix over it, and
+    // the approx first-pass tier (sketch saturates here: the regime it
+    // exists for)
+    "dedup_spans", "dedup_spans_cut", "dedup_spans_incremental",
+    "dedup_spans_provenance", "dedup_source_matrix", "dedup_spans_approx")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
