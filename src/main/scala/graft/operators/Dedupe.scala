@@ -1368,6 +1368,12 @@ object Dedupe {
     * incremental batch cuts against it without re-hashing the base.
     * Columns (wlo, whi); `hash128` must match the batch-side setting
     * (the high half is all-zero otherwise, exactly like the operators).
+    *
+    * When PERSISTING the index, also write a [[SpanIndexMeta]] sidecar
+    * (windowTokens, hash128, the base's max doc id, window count) the
+    * way `Cli span-index` does — the parquet alone records none of
+    * those, and a refresh against a mismatched index is silently wrong;
+    * `Cli cut-spans-incremental` refuses to run without the sidecar.
     */
   def windowIndex(
       df: DataFrame,

@@ -102,6 +102,40 @@ object Cli {
       s"window=$windowTokens out=$outDir")
   }
 
+  /** `dup-spans-approx` body, factored for ToolsSpec: the KMV
+    * first-pass duplication estimate (exact below the sketch's k — see
+    * the dedup_spans_approx catalog query this mirrors). Returns
+    * (rollup line, dup_fraction).
+    */
+  private[tools] def dupSpansApproxReport(
+      spark: SparkSession,
+      file: String,
+      windowTokens: Int): (String, Double) = {
+    import spark.implicits._
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("text"),
+      s"expected a text column, got ${docs.columns.mkString(", ")}")
+    val w = windowTokens
+    val row = docs
+      .select(org.apache.spark.sql.functions.col("text").cast("string"))
+      .as[String]
+      .flatMap(t => graft.operators.Dedupe.windowHashes(t, w))
+      .toDF("win")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        graft.functions.KmvSketch.kmv_distinct(
+          org.apache.spark.sql.functions.col("win"), 1 << 18))
+      .head()
+    val total = row.getLong(0)
+    val kmv = row.getLong(1)
+    val dup = math.max(0L, total - kmv)
+    val frac = if (total == 0) 0.0 else dup.toDouble / total
+    val bp = math.round(frac * 10000).toInt
+    (f"windows=$total distinct~$kmv dup~$dup dup_bp~$bp " +
+      s"window=$w (KMV k=${1 << 18}; exact when distinct < k)", frac)
+  }
+
   /** `span-index` body, factored for ToolsSpec: builds the hash128
     * distinct window index, writes it to `outDir` with a
     * [[graft.operators.SpanIndexMeta]] sidecar (windowTokens, hash128,
@@ -603,6 +637,16 @@ object Cli {
       graft.operators.Dedupe.releaseTrackedCaches()
       spark.stop()
 
+    case "dup-spans-approx" :: file :: rest if rest.size <= 1 =>
+      // the cheap first-pass: KMV-sketched substring-duplication estimate
+      // (one narrow kernel pass, no per-window shuffle) — run this before
+      // committing to a full cut-spans over a big corpus
+      val windowTokens = rest.headOption.map(_.toInt).getOrElse(20)
+      val spark = session()
+      val (line, _) = dupSpansApproxReport(spark, file, windowTokens)
+      println(line)
+      spark.stop()
+
     case "span-index" :: file :: outDir :: rest if rest.size <= 1 =>
       // persist the corpus's distinct window-identity index (hash128) —
       // the base side of incremental span dedup; build once, refresh
@@ -751,6 +795,7 @@ object Cli {
            |  pca EMBEDDINGS.parquet [OUTDIR]
            |  contain-dedup DOCUMENTS.parquet [THRESHOLD_BP]
            |  dup-spans DOCUMENTS.parquet [WINDOW_TOKENS]
+           |  dup-spans-approx DOCUMENTS.parquet [WINDOW_TOKENS]
            |  cut-spans DOCUMENTS.parquet OUT_DIR [WINDOW_TOKENS]
            |  span-index DOCUMENTS.parquet IDX_DIR [WINDOW_TOKENS]
            |  cut-spans-incremental IDX_DIR BATCH.parquet OUT_DIR [WINDOW_TOKENS]

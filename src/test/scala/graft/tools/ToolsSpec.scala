@@ -171,6 +171,27 @@ class ToolsSpec extends SparkSpec {
       windowTokens = 5, hash128 = true, maxDocId = 41L, windows = 7L)))
   }
 
+  test("dup-spans-approx report: exact-below-k estimate pins the rollup") {
+    import spark.implicits._
+    val p = "alpha beta gamma delta epsilon zeta eta theta"
+    val dir = Files.createTempDirectory("graft-spanapprox")
+    // doc 60: 9 tokens -> 5 windows (w=5); doc 61 repeats P -> its 4
+    // P-only windows duplicate doc 60's; doc 62 contributes nothing
+    Seq((60L, s"$p leading"),
+        (61L, s"$p totally different tail of document"),
+        (62L, "short doc"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val (line, frac) = Cli.dupSpansApproxReport(
+      spark, s"$dir/docs.parquet", windowTokens = 5)
+    // doc 60: 5 windows; doc 61: 9 windows (13 tokens); total 14,
+    // distinct 10 (P's 4 windows shared) -> dup 4, 2857 bp — far below
+    // k, so the sketch is exact and the line is fully pinned
+    assert(line.startsWith("windows=14 distinct~10 dup~4 dup_bp~2857 window=5"),
+      line)
+    assert(math.abs(frac - 4.0 / 14) < 1e-9)
+  }
+
   test("cut-spans-incremental: refresh-contract violations fail loudly") {
     import spark.implicits._
     val p = "alpha beta gamma delta epsilon zeta eta theta"
