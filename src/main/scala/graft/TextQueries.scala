@@ -647,6 +647,40 @@ object TextQueries {
         "dup_fraction")
   }
 
+  /** Per-source slice of [[dedupSpansApprox]]: WITHIN-source substring
+    * duplication, sketched — the triage view that tells a curation run
+    * whether the boilerplate lives inside individual sources (cut per
+    * source, cheap) or across them (run the full corpus cut / consult
+    * [[dedupSourceMatrix]], which measures exactly the cross-source
+    * structure this query cannot see). One kernel pass, one group-by-
+    * source aggregate: groups are |sources|-bounded, partial sketches
+    * are mergeable k-minima, so the only exchange is
+    * |partitions| × |sources| sketch buffers (k = 2¹⁴ → 128 KiB each) —
+    * corpus-size-independent. Exact below k per source (both
+    * verification SFs: ≤ 9.7 k distinct windows per source), rsd ≈
+    * 0.8 % saturated.
+    */
+  private def dedupSpansApproxSource(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = 20
+    docs(spark, sfDir)
+      .select(col("source").cast("string"), col("text").cast("string"))
+      .as[(String, String)]
+      .flatMap { case (src, t) =>
+        Dedupe.windowHashes(t, w).iterator.map(h => (src, h))
+      }
+      .toDF("source", "win")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_windows"),
+        graft.functions.KmvSketch.kmv_distinct(col("win"), 1 << 14)
+          .as("kmv_distinct_windows"))
+      .withColumn("dup_windows",
+        greatest(lit(0L), col("total_windows") - col("kmv_distinct_windows")))
+      .withColumn("dup_fraction",
+        when(col("total_windows") === 0, lit(0.0))
+          .otherwise(col("dup_windows").cast("double") / col("total_windows")))
+  }
+
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface
     * for the cut: one row per redundant maximal span (exactly the token
     * ranges dedup_spans_cut removes) with where its kept copy lives (the
@@ -1179,6 +1213,7 @@ object TextQueries {
     "dedup_containment" -> dedupContainment _,
     "dedup_spans" -> dedupSpans _,
     "dedup_spans_approx" -> dedupSpansApprox _,
+    "dedup_spans_approx_source" -> dedupSpansApproxSource _,
     "dedup_spans_cut" -> dedupSpansCut _,
     "dedup_spans_incremental" -> dedupSpansIncremental _,
     "dedup_spans_provenance" -> dedupSpansProvenance _,
@@ -1738,6 +1773,25 @@ object TextQueries {
         |    CAST(COUNT(DISTINCT win) AS BIGINT) AS kmv_distinct_windows
         |  FROM wins)
         |SELECT total_windows, kmv_distinct_windows,
+        |  total_windows - kmv_distinct_windows AS dup_windows,
+        |  CASE WHEN total_windows = 0 THEN 0.0
+        |    ELSE CAST(total_windows - kmv_distinct_windows AS DOUBLE)
+        |      / total_windows END AS dup_fraction
+        |FROM t""".stripMargin,
+    "dedup_spans_approx_source" ->
+      """WITH words AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |wins AS (
+        |  SELECT source, array_to_string(ws[i:i+19], ' ') AS win
+        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+        |  WHERE len(ws) >= 20),
+        |t AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS total_windows,
+        |    CAST(COUNT(DISTINCT win) AS BIGINT) AS kmv_distinct_windows
+        |  FROM wins GROUP BY source)
+        |SELECT source, total_windows, kmv_distinct_windows,
         |  total_windows - kmv_distinct_windows AS dup_windows,
         |  CASE WHEN total_windows = 0 THEN 0.0
         |    ELSE CAST(total_windows - kmv_distinct_windows AS DOUBLE)
