@@ -120,7 +120,8 @@ object ScaleRun {
     // exact-substring spans: corpus-wide window-hash agg + narrow merge,
     // the keep-earliest cut rewrite, and the cut-audit provenance over
     // the same substrate
-    "dedup_spans", "dedup_spans_approx", "dedup_spans_cut",
+    "dedup_spans", "dedup_spans_approx", "dedup_spans_approx_source",
+    "dedup_spans_cut",
     "dedup_spans_provenance", "dedup_spans_incremental",
     "dedup_source_matrix",
     "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
@@ -214,7 +215,8 @@ object ScaleRun {
     // the approx first-pass tier (sketch saturates here: the regime it
     // exists for)
     "dedup_spans", "dedup_spans_cut", "dedup_spans_incremental",
-    "dedup_spans_provenance", "dedup_source_matrix", "dedup_spans_approx")
+    "dedup_spans_provenance", "dedup_source_matrix", "dedup_spans_approx",
+    "dedup_spans_approx_source")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
