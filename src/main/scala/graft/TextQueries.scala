@@ -471,7 +471,7 @@ object TextQueries {
     */
   private[graft] val sharedBuildConsumers: Map[String, Set[String]] = Map(
     "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "dedup_keep_best",
-      "pipeline_curate"),
+      "dedup_neardup_matrix", "pipeline_curate"),
     // NOT stream_cdc/stream_cdc_approx: they reference the relation only
     // as oracleSide's by-name side-table argument, which timed runs
     // (side tables off) never evaluate — the stream chunks for itself
@@ -501,6 +501,40 @@ object TextQueries {
       TextAnalysis.tokenCountCol(col("text")).cast("long").as("score"))
     // the dedup_clusters relation itself — one clustering config to drift
     Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
+  }
+
+  /** Cross-source NEAR-duplication matrix — the keep-best retention
+    * decision rolled up by (dropped doc's source, keeper's source): the
+    * directional "whose documents get dropped against whose keepers"
+    * mass in whole-document tokens. Completes the source-pair triptych:
+    * dedup_source_matrix is exact-substring mass (span-level, the cut),
+    * source_similarity is symmetric sketch overlap (gram sets), and this
+    * is the document-level near-dup DROP decision a mixing policy acts
+    * on. Scale shape: the redundant and keeper relations are
+    * duplicate-count-bounded (clustered docs only), the two doc_id
+    * source joins are input-sized hash joins with the duplicate-bounded
+    * side as build, and the rollup is |sources|²-bounded. Shares the
+    * ngram-pair relation (and the one clustering config) with
+    * dedup_clusters / dedup_keep_best.
+    */
+  private def dedupNeardupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val kb = dedupKeepBest(spark, sfDir)
+    val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    // singletons are keep=true rows whose cluster_id is their own doc_id
+    // and never matches a dropped row's cluster_id (a cluster's label is
+    // the min id of a CLUSTERED doc), so no filter beyond `keep` needed
+    val dropped = kb.filter(!col("keep"))
+      .select(col("doc_id"), col("cluster_id"), col("score"))
+    val keepers = kb.filter(col("keep"))
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"))
+    dropped
+      .join(keepers, Seq("cluster_id"))
+      .join(src, Seq("doc_id"))
+      .join(src.select(col("doc_id").as("kept_doc"),
+        col("source").as("kept_source")), Seq("kept_doc"))
+      .groupBy(col("source"), col("kept_source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score")).as("drop_tokens"))
   }
 
   /** LSH-recall evaluation ([[Dedupe.minhashRecallEval]]): brute-force
@@ -1222,6 +1256,7 @@ object TextQueries {
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
+    "dedup_neardup_matrix" -> dedupNeardupMatrix _,
     "doc_novelty" -> docNovelty _,
     "stream_novelty" -> streamNovelty _,
     "corpus_report" -> corpusReport _,
@@ -1902,6 +1937,30 @@ object TextQueries {
         |    ELSE ROW_NUMBER() OVER (PARTITION BY cluster_id
         |           ORDER BY score DESC, doc_id ASC) = 1 END AS keep
         |FROM wc""".stripMargin,
+    "dedup_neardup_matrix" ->
+      s"""WITH RECURSIVE $NgramCtes,
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM ngram_pairs
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM ngram_pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+        |cl AS (SELECT id, CAST(MIN(r) AS BIGINT) AS cluster_id FROM reach GROUP BY id),
+        |sc AS (SELECT doc_id, source,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS score
+        |  FROM documents),
+        |rk AS (SELECT sc.doc_id, sc.source, cl.cluster_id, sc.score,
+        |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+        |      ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+        |  FROM sc JOIN cl ON cl.id = sc.doc_id),
+        |kept AS (SELECT cluster_id, source AS kept_source FROM rk WHERE rn = 1)
+        |SELECT rk.source, kept.kept_source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(rk.score) AS BIGINT) AS drop_tokens
+        |FROM rk JOIN kept USING (cluster_id) WHERE rk.rn > 1
+        |GROUP BY rk.source, kept.kept_source""".stripMargin,
     "pipeline_curate" ->
       s"""WITH $NgramCtes,
         |q AS (

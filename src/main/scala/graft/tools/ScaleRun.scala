@@ -124,7 +124,8 @@ object ScaleRun {
     "dedup_spans_cut",
     "dedup_spans_provenance", "dedup_spans_incremental",
     "dedup_source_matrix",
-    "dedup_clusters", "dedup_keep_best", "semantic_dedup", "emb_neardup",
+    "dedup_clusters", "dedup_keep_best", "dedup_neardup_matrix",
+    "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
     "dist_drift", "emb_drift",
     // event-time family (replica-offset user_ids: more users, same
