@@ -763,6 +763,39 @@ object TextQueries {
         sum(col("span_tokens")).as("dup_tokens"))
   }
 
+  /** Multi-line "page" fixture for the line-dedup family: the synthetic
+    * corpus carries no `\n`, so each document is deterministically
+    * reflowed into non-overlapping 12-word lines (lowercased words, the
+    * catalog's word-split idiom) — the natural cross-doc repetition of
+    * word runs then surfaces as duplicated LINES (97 classes at sf0.001),
+    * with zero artificial injection. The oracle rebuilds the identical
+    * pages in SQL ([[PagesCte]]).
+    */
+  private def pagedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = "filter(split(lower(text), ' '), x -> x != '')"
+    docs(spark, sfDir).select(col("doc_id"), col("source"),
+      expr(s"""CASE WHEN size($words) = 0 THEN ''
+        ELSE array_join(transform(sequence(1, size($words), 12),
+          i -> array_join(slice($words, i, 12), ' ')), '\n') END""")
+        .as("text"))
+  }
+
+  /** Line-level duplicate report ([[graft.operators.LineDedupe.duplicateLines]],
+    * the RefinedWeb line-wise pass): duplicated-line classes across the
+    * paged corpus with occurrence counts and the keep-earliest anchor.
+    */
+  private def dedupLines(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LineDedupe.duplicateLines(
+      pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10)
+
+  /** Line-level keep-earliest CUT ([[graft.operators.LineDedupe.cutDuplicateLines]]):
+    * the cleaned corpus, one row per document, rebuilt text
+    * string-compared against the oracle's SQL reconstruction.
+    */
+  private def dedupLinesCut(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LineDedupe.cutDuplicateLines(
+      pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10)
+
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
     * per-batch first-occurrence events through a shard-keyed BOUNDED
     * suppression cache, min-folded into the exact global first-occurrence
@@ -1252,6 +1285,8 @@ object TextQueries {
     "dedup_spans_incremental" -> dedupSpansIncremental _,
     "dedup_spans_provenance" -> dedupSpansProvenance _,
     "dedup_source_matrix" -> dedupSourceMatrix _,
+    "dedup_lines" -> dedupLines _,
+    "dedup_lines_cut" -> dedupLinesCut _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1403,6 +1438,27 @@ object TextQueries {
       |  JOIN sizes sa ON sa.doc_id = id_a
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_common AS DOUBLE) >= 0.3)""".stripMargin
+
+  /** Shared by dedup_lines / dedup_lines_cut: the paged corpus
+    * ([[pagedDocs]] in SQL — identical 12-word reflow), its 1-based line
+    * relation, and the eligible (length >= 10) subset.
+    */
+  private val PagesCtes: String =
+    """pages AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN len(words) = 0 THEN ''
+      |      ELSE array_to_string(list_transform(range(1, len(words)+1, 12),
+      |        i -> array_to_string(words[i:i+11], ' ')), chr(10)) END AS text
+      |  FROM (SELECT doc_id, source,
+      |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS words
+      |        FROM documents)),
+      |plines AS (
+      |  SELECT doc_id, CAST(u.ord AS BIGINT) AS ord, u.line AS line
+      |  FROM (SELECT doc_id, UNNEST(list_transform(range(1, len(arr)+1),
+      |          i -> {'ord': i, 'line': arr[i]})) AS u
+      |        FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+      |              FROM pages))),
+      |pelig AS (SELECT * FROM plines WHERE length(line) >= 10)""".stripMargin
 
   /** Shared by lang_id and lang_id_eval: the full prediction relation
     * (doc_id, lang, lang_pred) in pure SQL. */
@@ -1788,6 +1844,51 @@ object TextQueries {
          |$SpansProvenanceSql
          |) p JOIN s USING (doc_id) JOIN s k ON p.kept_doc = k.doc_id
          |GROUP BY s.source, k.source""".stripMargin,
+    "dedup_lines" ->
+      s"""WITH $PagesCtes,
+         |stats AS (
+         |  SELECT line, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+         |  FROM pelig GROUP BY line HAVING COUNT(*) > 1),
+         |firsts AS (
+         |  SELECT line, doc_id AS first_doc, ord AS first_ord FROM (
+         |    SELECT line, doc_id, ord,
+         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+         |    FROM pelig) WHERE rn = 1)
+         |SELECT s.line, CAST(s.n_occ AS BIGINT) AS n_occ,
+         |  CAST(s.n_docs AS BIGINT) AS n_docs,
+         |  CAST(length(s.line) AS BIGINT) AS line_chars,
+         |  f.first_doc, f.first_ord
+         |FROM stats s JOIN firsts f USING (line)""".stripMargin,
+    "dedup_lines_cut" ->
+      s"""WITH $PagesCtes,
+         |dupfirsts AS (
+         |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
+         |    SELECT line, doc_id, ord,
+         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,
+         |      COUNT(*) OVER (PARTITION BY line) AS n_occ
+         |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
+         |drops AS (
+         |  SELECT e.doc_id, e.ord, CAST(length(e.line) AS BIGINT) AS chars
+         |  FROM pelig e JOIN dupfirsts f USING (line)
+         |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
+         |kept AS (
+         |  SELECT l.doc_id, l.ord, l.line FROM plines l
+         |  LEFT JOIN drops d ON d.doc_id = l.doc_id AND d.ord = l.ord
+         |  WHERE d.doc_id IS NULL),
+         |reb AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text_clean
+         |  FROM kept GROUP BY doc_id),
+         |dstats AS (
+         |  SELECT doc_id, COUNT(*) AS n_dropped, SUM(chars) AS chars_dropped
+         |  FROM drops GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(COALESCE(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  CAST(COALESCE(ds.chars_dropped, 0) AS BIGINT) AS chars_dropped,
+         |  COALESCE(r.text_clean, '') AS text_clean
+         |FROM pages p
+         |LEFT JOIN reb r USING (doc_id)
+         |LEFT JOIN dstats ds USING (doc_id)""".stripMargin,
     // NOTE: valid at the verification SFs, where distinct window
     // cardinality (17 k at sf0.01, 170 k at sf0.1) is below the KMV
     // k = 2^18, so the sketch is provably exact and equals

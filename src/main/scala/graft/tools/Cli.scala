@@ -136,6 +136,73 @@ object Cli {
       s"window=$w (KMV k=${1 << 18}; exact when distinct < k)", frac)
   }
 
+  /** `dup-lines` body, factored for ToolsSpec: duplicated-line classes
+    * ([[graft.operators.LineDedupe.duplicateLines]]) over a documents
+    * parquet. Returns (classes relation, rollup
+    * `line_classes=N extra_occurrences=N dup_chars=N min_chars=M`).
+    */
+  private[tools] def dupLinesReport(
+      spark: SparkSession,
+      file: String,
+      minLineChars: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val classes = graft.operators.LineDedupe
+      .duplicateLines(docs, "doc_id", "text", minLineChars = minLineChars)
+    val agg = classes.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("n_occ") - 1),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum(
+          (org.apache.spark.sql.functions.col("n_occ") - 1) *
+            org.apache.spark.sql.functions.col("line_chars")),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    (classes, s"line_classes=${agg.getLong(0)} " +
+      s"extra_occurrences=${agg.getLong(1)} dup_chars=${agg.getLong(2)} " +
+      s"min_chars=$minLineChars")
+  }
+
+  /** `cut-lines` body, factored for ToolsSpec: the keep-earliest line
+    * cut ([[graft.operators.LineDedupe.cutDuplicateLines]]), written as
+    * parquet to `outDir`. Returns (cut relation, rollup
+    * `docs=N lines=N dropped=N dropped_chars=N cut_bp=N min_chars=M out=DIR`).
+    */
+  private[tools] def cutLinesReport(
+      spark: SparkSession,
+      file: String,
+      outDir: String,
+      minLineChars: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val rows = graft.operators.LineDedupe.cutDuplicateLines(
+      docs, "doc_id", "text", minLineChars = minLineChars)
+    rows.write.mode("overwrite").parquet(outDir)
+    val out = spark.read.parquet(outDir)
+    val agg = out.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_lines"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_dropped"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("chars_dropped"),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nDocs, nLines, nDrop, nChars) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val bp = if (nLines == 0) 0L else nDrop * 10000L / nLines
+    (out, s"docs=$nDocs lines=$nLines dropped=$nDrop " +
+      s"dropped_chars=$nChars cut_bp=$bp min_chars=$minLineChars out=$outDir")
+  }
+
   /** `span-index` body, factored for ToolsSpec: builds the hash128
     * distinct window index, writes it to `outDir` with a
     * [[graft.operators.SpanIndexMeta]] sidecar (windowTokens, hash128,
@@ -671,6 +738,29 @@ object Cli {
       graft.operators.Dedupe.releaseTrackedCaches()
       spark.stop()
 
+    case "dup-lines" :: file :: rest if rest.size <= 1 =>
+      // line-level exact duplicate classes over a documents parquet: the
+      // boilerplate lines (headers/footers/banners) a RefinedWeb-style
+      // line-wise pass removes
+      val minChars = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (classes, rollup) = dupLinesReport(spark, file, minChars)
+      classes.orderBy(org.apache.spark.sql.functions.col("n_occ").desc,
+        org.apache.spark.sql.functions.col("line"))
+        .show(20, truncate = false)
+      println(rollup)
+      spark.stop()
+
+    case "cut-lines" :: file :: outDir :: rest if rest.size <= 1 =>
+      // the line-dedup ACTION as a file tool: write the keep-earliest
+      // line-cleaned corpus (doc_id, n_lines, n_dropped, chars_dropped,
+      // text_clean) as parquet and print the removal rollup
+      val minChars = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (_, rollup) = cutLinesReport(spark, file, outDir, minChars)
+      println(rollup)
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -802,6 +892,8 @@ object Cli {
            |      (IDX_DIR from span-index; refuses on window/hash-width
            |       mismatch or batch ids <= the index's max_doc_id — the
            |       keep-earliest contract is append-only ids)
+           |  dup-lines DOCUMENTS.parquet [MIN_LINE_CHARS]
+           |  cut-lines DOCUMENTS.parquet OUT_DIR [MIN_LINE_CHARS]
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png

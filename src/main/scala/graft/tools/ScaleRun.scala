@@ -124,6 +124,10 @@ object ScaleRun {
     "dedup_spans_cut",
     "dedup_spans_provenance", "dedup_spans_incremental",
     "dedup_source_matrix",
+    // line-level exact dedup (RefinedWeb pass): string-keyed groupBy of
+    // the corpus line bytes + keep-earliest rebuild — replica-tagged
+    // words keep line classes replica-disjoint, so dup classes grow ~N×
+    "dedup_lines", "dedup_lines_cut",
     "dedup_clusters", "dedup_keep_best", "dedup_neardup_matrix",
     "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
@@ -217,7 +221,11 @@ object ScaleRun {
     // exists for)
     "dedup_spans", "dedup_spans_cut", "dedup_spans_incremental",
     "dedup_spans_provenance", "dedup_source_matrix", "dedup_spans_approx",
-    "dedup_spans_approx_source")
+    "dedup_spans_approx_source",
+    // r14: line-level keep-earliest cut — the one corpus-sized exchange
+    // keyed on a STRING (line bytes on the wire); two decades is where
+    // an accidental rebuild blowup or dupFirsts skew would show
+    "dedup_lines_cut")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+
+/** [[LineDedupe]] — line-level exact dedup (report + keep-earliest cut)
+  * on planted multi-line fixtures: boilerplate repeated across docs,
+  * within-doc repeats, the min-length guard, trailing/empty lines, and
+  * broadcast-vs-shuffle build parity.
+  */
+class LineDedupeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1: header + unique body + footer
+  // doc 2: same header + different body + same footer + a within-doc
+  //        repeated long line
+  // doc 3: short-line spam (below minLineChars — never deduped) + the
+  //        header AGAIN, plus a trailing empty line
+  // doc 4: empty text
+  private val header = "subscribe to our newsletter today"
+  private val footer = "copyright twenty twenty six all rights reserved"
+  private val longLine = "this exact long line repeats inside one doc"
+  private def fixture = Seq(
+    (1L, s"$header\nunique first body line\n$footer"),
+    (2L, s"$header\nanother body line here\n$longLine\n$longLine\n$footer"),
+    (3L, s"ok\n--\n$header\n"),
+    (4L, "")
+  ).toDF("doc_id", "text")
+
+  test("duplicateLines reports classes with keep-earliest anchors") {
+    val rep = LineDedupe.duplicateLines(fixture, "doc_id", "text")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(rep.keySet === Set(header, footer, longLine))
+    // header occurs in docs 1, 2, 3 — first occurrence (1, 1)
+    assert(rep(header) === (3L, 3L, header.length.toLong, 1L, 1L))
+    // footer occurs in docs 1, 2 — first occurrence (1, 3)
+    assert(rep(footer) === (2L, 2L, footer.length.toLong, 1L, 3L))
+    // longLine occurs twice WITHIN doc 2 at ords 3, 4 — first (2, 3)
+    assert(rep(longLine) === (2L, 1L, longLine.length.toLong, 2L, 3L))
+  }
+
+  test("cutDuplicateLines keeps earliest occurrence, rebuilds in order") {
+    val out = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    // doc 1 is the earliest for header and footer — untouched
+    assert(out(1L) === (3L, 0L, 0L,
+      s"$header\nunique first body line\n$footer"))
+    // doc 2 loses header (ord 1), the SECOND longLine (ord 4), footer
+    assert(out(2L) === (5L, 3L,
+      (header.length + longLine.length + footer.length).toLong,
+      s"another body line here\n$longLine"))
+    // doc 3: short lines survive the guard; header dropped; the split
+    // keeps the trailing empty line ("ok", "--", header, "") → 4 lines
+    assert(out(3L) === (4L, 1L, header.length.toLong, "ok\n--\n"))
+    // doc 4: one empty line, nothing eligible
+    assert(out(4L) === (1L, 0L, 0L, ""))
+  }
+
+  test("no duplicated eligible lines → corpus passes through unchanged") {
+    val df = Seq((7L, "only one long line lives here\nshort")).toDF("doc_id", "text")
+    assert(LineDedupe.duplicateLines(df, "doc_id", "text").count() === 0L)
+    val Array(r) = LineDedupe.cutDuplicateLines(df, "doc_id", "text").collect()
+    assert(r === Row(7L, 2L, 0L, 0L, "only one long line lives here\nshort"))
+  }
+
+  test("minLineChars guard: short duplicated lines are never cut") {
+    val df = Seq((1L, "---\nbody a"), (2L, "---\nbody b")).toDF("doc_id", "text")
+    assert(LineDedupe.duplicateLines(df, "doc_id", "text", minLineChars = 10)
+      .count() === 0L)
+    val texts = LineDedupe.cutDuplicateLines(df, "doc_id", "text",
+        minLineChars = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(texts === Map(1L -> "---\nbody a", 2L -> "---\nbody b"))
+    // the same corpus at minLineChars = 3 DOES cut the repeated "---"
+    val cut3 = LineDedupe.cutDuplicateLines(df, "doc_id", "text",
+        minLineChars = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(cut3 === Map(1L -> "---\nbody a", 2L -> "body b"))
+  }
+
+  test("broadcast and shuffle builds produce identical cuts") {
+    val bcast = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val shuffle = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text",
+        broadcastDupLimit = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(bcast === shuffle)
+  }
+}

@@ -192,6 +192,43 @@ class ToolsSpec extends SparkSpec {
     assert(math.abs(frac - 4.0 / 14) < 1e-9)
   }
 
+  test("dup-lines + cut-lines: planted boilerplate pins reports and the written corpus") {
+    import spark.implicits._
+    val header = "subscribe to the weekly newsletter"
+    val dir = Files.createTempDirectory("graft-lines")
+    Seq(
+      (70L, s"$header\nunique body line of document seventy"),
+      (71L, s"$header\nseventy one has its own body text"),
+      (72L, "no boilerplate in this one\nat all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val (classes, rollup) =
+      Cli.dupLinesReport(spark, s"$dir/docs.parquet", minLineChars = 10)
+    val cls = classes.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    assert(cls.toSeq == Seq((header, 2L, 70L, 1L)), cls.toSeq.toString)
+    assert(rollup == s"line_classes=1 extra_occurrences=1 " +
+      s"dup_chars=${header.length} min_chars=10")
+    val out = s"$dir/cleaned"
+    val (_, cutRollup) =
+      Cli.cutLinesReport(spark, s"$dir/docs.parquet", out, minLineChars = 10)
+    // 6 lines, 1 dropped -> 1666 bp
+    assert(cutRollup == s"docs=3 lines=6 dropped=1 " +
+      s"dropped_chars=${header.length} cut_bp=1666 min_chars=10 out=$out")
+    val written = spark.read.parquet(out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(written(70L) == s"$header\nunique body line of document seventy")
+    assert(written(71L) == "seventy one has its own body text")
+    assert(written(72L) == "no boilerplate in this one\nat all")
+    // column-contract guard, same as the span tools
+    Seq((1L, "x")).toDF("id", "body")
+      .write.mode("overwrite").parquet(s"$dir/bad.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Cli.dupLinesReport(spark, s"$dir/bad.parquet", minLineChars = 10)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("cut-spans-incremental: refresh-contract violations fail loudly") {
     import spark.implicits._
     val p = "alpha beta gamma delta epsilon zeta eta theta"
