@@ -771,14 +771,33 @@ object TextQueries {
     * with zero artificial injection. The oracle rebuilds the identical
     * pages in SQL ([[PagesCte]]).
     */
-  private def pagedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  private def pagedDocs(spark: SparkSession, sfDir: String): DataFrame =
+    pageTransform(docs(spark, sfDir))
+
+  /** The reflow as a DataFrame transform — shared with the streaming
+    * twin, whose source and batch finish must see the same lines.
+    */
+  private def pageTransform(d: DataFrame): DataFrame = {
     val words = "filter(split(lower(text), ' '), x -> x != '')"
-    docs(spark, sfDir).select(col("doc_id"), col("source"),
+    d.select(col("doc_id"), col("source"),
       expr(s"""CASE WHEN size($words) = 0 THEN ''
         ELSE array_join(transform(sequence(1, size($words), 12),
           i -> array_join(slice($words, i, 12), ' ')), '\n') END""")
         .as("text"))
   }
+
+  /** Streaming twin of dedup_lines_cut ([[graft.streaming.StreamLines]]):
+    * per-batch first-occurrence line events through the SAME bounded
+    * shard-keyed suppression cache as stream_dedup_spans, min-folded
+    * into the exact global first-occurrence relation, then the batch
+    * finish — same oracle SQL as the batch cut. Arrival-order- and
+    * eviction-independent.
+    */
+  private def streamDedupLines(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamLines.runCutOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"dup_lines_${Queries.dirTag(sfDir)}", "doc_id",
+      pageTransform = pageTransform)
 
   /** Line-level duplicate report ([[graft.operators.LineDedupe.duplicateLines]],
     * the RefinedWeb line-wise pass): duplicated-line classes across the
@@ -795,6 +814,27 @@ object TextQueries {
   private def dedupLinesCut(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.LineDedupe.cutDuplicateLines(
       pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10)
+
+  /** Incremental line dedup ([[graft.operators.LineDedupe.cutLinesIncremental]]):
+    * lower-half doc_ids are the already-ingested base whose persisted
+    * line index tonight's upper-half batch cuts against — never a base
+    * re-read. The oracle runs the FULL keep-earliest cut in SQL and
+    * filters to batch ids, so the refresh shortcut is verified against
+    * the from-scratch semantics. The append-only id guard runs on the
+    * catalog path too (base ids all < t).
+    */
+  private def dedupLinesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = pagedDocs(spark, sfDir)
+    // null-safe max: an empty corpus splits into empty base + batch
+    val maxId = Option(d.agg(max(col("doc_id").cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    val t = (maxId + 1) / 2
+    val idx = graft.operators.LineDedupe.lineIndex(
+      d.filter(col("doc_id") < t), "text", minLineChars = 10)
+    graft.operators.LineDedupe.cutLinesIncremental(
+      idx, d.filter(col("doc_id") >= t), "doc_id", "text",
+      minLineChars = 10, baseMaxDocId = Some(t - 1))
+  }
 
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
     * per-batch first-occurrence events through a shard-keyed BOUNDED
@@ -1287,6 +1327,8 @@ object TextQueries {
     "dedup_source_matrix" -> dedupSourceMatrix _,
     "dedup_lines" -> dedupLines _,
     "dedup_lines_cut" -> dedupLinesCut _,
+    "dedup_lines_incremental" -> dedupLinesIncremental _,
+    "stream_dedup_lines" -> streamDedupLines _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1459,6 +1501,40 @@ object TextQueries {
       |        FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
       |              FROM pages))),
       |pelig AS (SELECT * FROM plines WHERE length(line) >= 10)""".stripMargin
+
+  /** The full keep-earliest line cut over the paged corpus — shared by
+    * dedup_lines_cut and (batch-filtered) dedup_lines_incremental.
+    */
+  private val LinesCutSql: String =
+    s"""WITH $PagesCtes,
+       |dupfirsts AS (
+       |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
+       |    SELECT line, doc_id, ord,
+       |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,
+       |      COUNT(*) OVER (PARTITION BY line) AS n_occ
+       |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
+       |drops AS (
+       |  SELECT e.doc_id, e.ord, CAST(length(e.line) AS BIGINT) AS chars
+       |  FROM pelig e JOIN dupfirsts f USING (line)
+       |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
+       |kept AS (
+       |  SELECT l.doc_id, l.ord, l.line FROM plines l
+       |  LEFT JOIN drops d ON d.doc_id = l.doc_id AND d.ord = l.ord
+       |  WHERE d.doc_id IS NULL),
+       |reb AS (
+       |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text_clean
+       |  FROM kept GROUP BY doc_id),
+       |dstats AS (
+       |  SELECT doc_id, COUNT(*) AS n_dropped, SUM(chars) AS chars_dropped
+       |  FROM drops GROUP BY doc_id)
+       |SELECT p.doc_id,
+       |  CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
+       |  CAST(COALESCE(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |  CAST(COALESCE(ds.chars_dropped, 0) AS BIGINT) AS chars_dropped,
+       |  COALESCE(r.text_clean, '') AS text_clean
+       |FROM pages p
+       |LEFT JOIN reb r USING (doc_id)
+       |LEFT JOIN dstats ds USING (doc_id)""".stripMargin
 
   /** Shared by lang_id and lang_id_eval: the full prediction relation
     * (doc_id, lang, lang_pred) in pure SQL. */
@@ -1859,36 +1935,15 @@ object TextQueries {
          |  CAST(length(s.line) AS BIGINT) AS line_chars,
          |  f.first_doc, f.first_ord
          |FROM stats s JOIN firsts f USING (line)""".stripMargin,
-    "dedup_lines_cut" ->
-      s"""WITH $PagesCtes,
-         |dupfirsts AS (
-         |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
-         |    SELECT line, doc_id, ord,
-         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,
-         |      COUNT(*) OVER (PARTITION BY line) AS n_occ
-         |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
-         |drops AS (
-         |  SELECT e.doc_id, e.ord, CAST(length(e.line) AS BIGINT) AS chars
-         |  FROM pelig e JOIN dupfirsts f USING (line)
-         |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
-         |kept AS (
-         |  SELECT l.doc_id, l.ord, l.line FROM plines l
-         |  LEFT JOIN drops d ON d.doc_id = l.doc_id AND d.ord = l.ord
-         |  WHERE d.doc_id IS NULL),
-         |reb AS (
-         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text_clean
-         |  FROM kept GROUP BY doc_id),
-         |dstats AS (
-         |  SELECT doc_id, COUNT(*) AS n_dropped, SUM(chars) AS chars_dropped
-         |  FROM drops GROUP BY doc_id)
-         |SELECT p.doc_id,
-         |  CAST(len(string_split(p.text, chr(10))) AS BIGINT) AS n_lines,
-         |  CAST(COALESCE(ds.n_dropped, 0) AS BIGINT) AS n_dropped,
-         |  CAST(COALESCE(ds.chars_dropped, 0) AS BIGINT) AS chars_dropped,
-         |  COALESCE(r.text_clean, '') AS text_clean
-         |FROM pages p
-         |LEFT JOIN reb r USING (doc_id)
-         |LEFT JOIN dstats ds USING (doc_id)""".stripMargin,
+    "dedup_lines_cut" -> LinesCutSql,
+    // the streaming twin must land on the batch cut exactly
+    "stream_dedup_lines" -> LinesCutSql,
+    "dedup_lines_incremental" ->
+      // the full keep-earliest line cut, filtered to the batch half: the
+      // incremental operator must land on exactly this relation
+      s"""SELECT * FROM (
+         |$LinesCutSql
+         |) q WHERE doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
     // NOTE: valid at the verification SFs, where distinct window
     // cardinality (17 k at sf0.01, 170 k at sf0.1) is below the KMV
     // k = 2^18, so the sketch is provably exact and equals

@@ -2068,10 +2068,13 @@ object Dedupe {
   private val trackedCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  private def track(df: DataFrame): DataFrame = trackedCaches.synchronized {
-    trackedCaches += df
-    df
-  }
+  // private[operators]: LineDedupe's lineIndex registers here too, so
+  // the one harness hook releases every dedup-family cache
+  private[operators] def track(df: DataFrame): DataFrame =
+    trackedCaches.synchronized {
+      trackedCaches += df
+      df
+    }
 
   /** Unpersist every tracked relation handed out since the last release.
     * Call after fully consuming a hammingPairs-derived result (the

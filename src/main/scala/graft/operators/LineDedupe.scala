@@ -127,43 +127,240 @@ object LineDedupe {
           min(struct(col("id"), col("ord"))).as("f"))
         .filter(col("n_occ") > 1)
         .select(col("line"), col("f.id").as("f_id"), col("f.ord").as("f_ord"))
-      // duplicated-line index back over the corpus: broadcast when small
-      // (production path — the corpus lines never shuffle again), else an
-      // input-sized shuffle join on the line string (skew caveat above)
-      val dupSide =
-        if (dupFirsts.count() <= broadcastDupLimit) broadcast(dupFirsts)
-        else dupFirsts
-      val drops = elig
-        .join(dupSide, Seq("line"))
+      rebuildFromDupFirsts(df, idCol, textCol, elig, dupFirsts,
+        broadcastDupLimit)
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Shared rewrite tail of [[cutDuplicateLines]] /
+    * [[cutLinesIncremental]]: given the eligible line occurrences and
+    * the redundancy relation `(line, f_id, f_ord)` — where (f_id, f_ord)
+    * is the occurrence to KEEP, or the (-1, -1) sentinel for "every
+    * occurrence is redundant" (a line already present in an incremental
+    * base) — produce the cleaned corpus.
+    */
+  private def rebuildFromDupFirsts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      elig: DataFrame,
+      dupFirsts: DataFrame,
+      broadcastDupLimit: Long): DataFrame = {
+    // duplicated-line index back over the corpus: broadcast when small
+    // (production path — the corpus lines never shuffle again), else an
+    // input-sized shuffle join on the line string (hot-key caveat in the
+    // object doc)
+    val dupSide =
+      if (dupFirsts.count() <= broadcastDupLimit) broadcast(dupFirsts)
+      else dupFirsts
+    val drops = elig
+      .join(dupSide, Seq("line"))
+      .filter(!(col("id") === col("f_id") && col("ord") === col("f_ord")))
+      .select(col("id"), col("ord"),
+        length(col("line")).cast("long").as("line_chars"))
+    rebuildFromDrops(df, idCol, textCol, drops)
+  }
+
+  /** Rebuild tail shared with the streaming twin
+    * ([[graft.streaming.StreamLines]]): given `(id, ord, line_chars)`
+    * drop decisions, rebuild every document from its surviving lines.
+    */
+  private[graft] def rebuildFromDrops(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      drops: DataFrame): DataFrame = {
+    val dropsPerDoc = drops
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("ord"))).as("drop_ords"),
+        count(lit(1)).as("n_dropped"),
+        sum(col("line_chars")).as("chars_dropped"))
+    // rebuild from the original line array (narrow — no second explode):
+    // null-mark dropped ordinals, filter, rejoin. `drop_ords` per doc is
+    // bounded by the doc's own line count, so no collect_list skew.
+    val arr = split(col(textCol).cast("string"), "\n", -1)
+    df.select(col(idCol).cast("long").as("id"), arr.as("arr"))
+      .join(dropsPerDoc, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        size(col("arr")).cast("long").as("n_lines"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+        when(col("drop_ords").isNull, array_join(col("arr"), "\n"))
+          .otherwise(array_join(filter(
+            zip_with(
+              col("arr"),
+              sequence(lit(1L), size(col("arr")).cast("long")),
+              (line: Column, ord: Column) =>
+                when(array_contains(col("drop_ords"), ord), lit(null))
+                  .otherwise(line)),
+            (x: Column) => x.isNotNull), "\n"))
+          .as("text_clean"))
+  }
+
+  /** 128-bit line identity for the PERSISTED index: two independent
+    * codegen'd xxhash64 passes (the second salted). Raw strings stay
+    * the identity inside a single [[cutDuplicateLines]] run — the index
+    * hashes only so a 100 TB base corpus's line dictionary persists at
+    * 16 B/line instead of storing the corpus's distinct text. Collision
+    * cost mirrors the span family's hash128 cut: 2⁻¹²⁸-per-pair, and a
+    * collision DROPS a batch line — the accepted trade documented at
+    * [[Dedupe.cutDuplicateSpans]].
+    */
+  private val HiSalt = "graft.line.hi"
+  private[graft] def withLineHash(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("llo", xxhash64(col("line")))
+      .withColumn("lhi", xxhash64(lit(HiSalt), col("line")))
+
+  /** Distinct line-identity index of a corpus — the persistable side of
+    * [[cutLinesIncremental]]: build once over the already-ingested base
+    * (one input-sized distinct over eligible lines), store as parquet,
+    * and each incremental batch cuts against it without re-reading the
+    * base. Columns (llo, lhi).
+    *
+    * When PERSISTING, also write a [[LineIndexMeta]] sidecar
+    * (minLineChars, the base's max doc id, line count) the way
+    * `Cli line-index` does — the parquet alone records none of those,
+    * and a refresh against a mismatched index is silently wrong.
+    */
+  def lineIndex(
+      df: DataFrame,
+      textCol: String,
+      minLineChars: Int = 10): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val session = df.sparkSession
+    val lines = df.select(
+        lit(0L).as("id"), lit(0L).as("ord"),
+        explode(split(col(textCol).cast("string"), "\n", -1)).as("line"))
+    val prevParts = Conf.applyRowShufflePartitions(
+      session, lineShuffleBytes(lines), rowBytes = 1L)
+    try {
+      // materialized INSIDE the sizing window (the distinct's exchange
+      // must see the applied partition count), cache-tracked for the
+      // harness hook ([[Dedupe.releaseTrackedCaches]])
+      val idx = withLineHash(eligible(lines, minLineChars))
+        .select(col("llo"), col("lhi")).distinct()
+        .cache()
+      Dedupe.track(idx)
+      idx.count()
+      idx
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Eligible `(id, ord, line, llo, lhi)` relation — the streaming
+    * twin's event substrate and the finish side of
+    * [[cutFromFirstLines]] derive line identity identically from this.
+    */
+  private[graft] def hashedEligibleLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int): DataFrame =
+    withLineHash(eligible(linesRelation(df, idCol, textCol), minLineChars))
+
+  /** Finish a first-occurrence relation `(llo, lhi, f_id, f_ord)` —
+    * e.g. the fold of [[graft.streaming.StreamLines]]' event stream —
+    * into the exact [[cutDuplicateLines]] output: an occurrence is cut
+    * iff it is not its line's recorded first. Unique lines keep
+    * themselves (their only occurrence IS the first), so the relation
+    * may carry every eligible line, not just duplicated ones.
+    */
+  def cutFromFirstLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int,
+      firsts: DataFrame): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val session = df.sparkSession
+    val lines = linesRelation(df, idCol, textCol)
+    val prevParts = Conf.applyRowShufflePartitions(
+      session, lineShuffleBytes(lines), rowBytes = 1L)
+    try {
+      val drops = withLineHash(eligible(lines, minLineChars))
+        .join(firsts, Seq("llo", "lhi"))
         .filter(!(col("id") === col("f_id") && col("ord") === col("f_ord")))
         .select(col("id"), col("ord"),
           length(col("line")).cast("long").as("line_chars"))
-      val dropsPerDoc = drops
-        .groupBy(col("id"))
-        .agg(sort_array(collect_list(col("ord"))).as("drop_ords"),
-          count(lit(1)).as("n_dropped"),
-          sum(col("line_chars")).as("chars_dropped"))
-      // rebuild from the original line array (narrow — no second explode):
-      // null-mark dropped ordinals, filter, rejoin. `drop_ords` per doc is
-      // bounded by the doc's own line count, so no collect_list skew.
-      val arr = split(col(textCol).cast("string"), "\n", -1)
-      df.select(col(idCol).cast("long").as("id"), arr.as("arr"))
-        .join(dropsPerDoc, Seq("id"), "left")
-        .select(
-          col("id").as("doc_id"),
-          size(col("arr")).cast("long").as("n_lines"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
-          when(col("drop_ords").isNull, array_join(col("arr"), "\n"))
-            .otherwise(array_join(filter(
-              zip_with(
-                col("arr"),
-                sequence(lit(1L), size(col("arr")).cast("long")),
-                (line: Column, ord: Column) =>
-                  when(array_contains(col("drop_ords"), ord), lit(null))
-                    .otherwise(line)),
-              (x: Column) => x.isNotNull), "\n"))
-            .as("text_clean"))
+      rebuildFromDrops(df, idCol, textCol, drops)
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Incremental keep-earliest line cut — the production REFRESH shape
+    * of [[cutDuplicateLines]]: tonight's `batch` of new documents is
+    * cleaned against the already-ingested corpus's persisted
+    * [[lineIndex]] plus itself, WITHOUT re-reading the base corpus. A
+    * batch line occurrence is redundant iff its identity exists in the
+    * base index (the base copy is earlier by the append-only id
+    * contract: every base id < every batch id), or the line recurs
+    * within the batch and this occurrence is not the batch-earliest.
+    * Under that contract the result is EXACTLY
+    * `cutDuplicateLines(base ∪ batch)` restricted to batch docs
+    * (spec-pinned; the catalog oracle verifies independently by running
+    * the full keep-earliest cut in SQL and filtering to batch ids).
+    *
+    * Cost per refresh: one narrow batch line pass + one lookup join of
+    * the batch's distinct lines into the index — never a base re-read.
+    *
+    * @param baseMaxDocId when set, the append-only contract is ENFORCED
+    *   (one cheap aggregate folded into the sizing pass): the batch's
+    *   smallest id must exceed it or the call fails loudly. The
+    *   line-index sidecar ([[LineIndexMeta]]) persists this value; pass
+    *   None only when the caller proves the invariant some other way.
+    */
+  def cutLinesIncremental(
+      baseLines: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 10,
+      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      baseMaxDocId: Option[Long] = None): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val session = batch.sparkSession
+    val lines = linesRelation(batch, idCol, textCol)
+    // fold the contract check into the sizing aggregate — one pass, no
+    // extra scan
+    val statsRow = lines
+      .agg(coalesce(sum(length(col("line")).cast("long") + 32L), lit(0L)),
+        min(col("id")))
+      .head()
+    baseMaxDocId.foreach { maxBase =>
+      if (!statsRow.isNullAt(1)) {
+        val minBatch = statsRow.getLong(1)
+        require(minBatch > maxBase,
+          s"append-only id contract violated: batch min doc id $minBatch " +
+            s"<= base corpus max doc id $maxBase. cutLinesIncremental is " +
+            "exactly keep-earliest ONLY when every base id < every batch " +
+            "id; cut the union with cutDuplicateLines instead, or re-id " +
+            "the batch above the base range.")
+      }
+    }
+    val prevParts = Conf.applyRowShufflePartitions(
+      session, statsRow.getLong(0), rowBytes = 1L)
+    try {
+      val elig = withLineHash(eligible(lines, minLineChars))
+      // batch-local line stats, then one lookup join into the base
+      // index: in-base lines keep NOTHING in the batch (the (-1, -1)
+      // sentinel matches no real occurrence), batch-only lines with
+      // n > 1 keep their batch-earliest
+      val batchAgg = elig
+        .groupBy(col("line"), col("llo"), col("lhi"))
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("id"), col("ord"))).as("f"))
+      val dupFirsts = batchAgg
+        .join(baseLines.select(col("llo"), col("lhi"))
+          .withColumn("in_base", lit(true)), Seq("llo", "lhi"), "left")
+        .filter(col("in_base").isNotNull || col("n") > 1)
+        .select(col("line"),
+          when(col("in_base").isNotNull, lit(-1L))
+            .otherwise(col("f.id")).as("f_id"),
+          when(col("in_base").isNotNull, lit(-1L))
+            .otherwise(col("f.ord")).as("f_ord"))
+      rebuildFromDupFirsts(batch, idCol, textCol,
+        elig.select(col("id"), col("ord"), col("line")), dupFirsts,
+        broadcastDupLimit)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }

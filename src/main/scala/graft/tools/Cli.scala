@@ -203,6 +203,96 @@ object Cli {
       s"dropped_chars=$nChars cut_bp=$bp min_chars=$minLineChars out=$outDir")
   }
 
+  /** `line-index` body, factored for ToolsSpec: builds the 128-bit
+    * distinct line-identity index
+    * ([[graft.operators.LineDedupe.lineIndex]]), writes it to `outDir`
+    * with a [[graft.operators.LineIndexMeta]] sidecar (minLineChars,
+    * max_doc_id, line count — the refresh contract
+    * `cut-lines-incremental` validates), returns
+    * (line count, rollup `lines=N min_chars=M max_doc_id=N out=DIR`).
+    */
+  private[tools] def lineIndexReport(
+      spark: SparkSession,
+      file: String,
+      outDir: String,
+      minLineChars: Int): (Long, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val maxDocId = docs
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id").cast("long")))
+      .head().getLong(0)
+    val idx = graft.operators.LineDedupe.lineIndex(
+      docs, "text", minLineChars = minLineChars)
+    idx.write.mode("overwrite").parquet(outDir)
+    val n = idx.count()
+    idx.unpersist()
+    // after the parquet overwrite (which clears the dir first) so the
+    // sidecar survives; `_`-prefixed so parquet readers skip it
+    graft.operators.LineIndexMeta.write(
+      spark.sparkContext.hadoopConfiguration, outDir,
+      graft.operators.LineIndexMeta(minLineChars, maxDocId = maxDocId,
+        lines = n))
+    (n, s"lines=$n min_chars=$minLineChars max_doc_id=$maxDocId out=$outDir")
+  }
+
+  /** `cut-lines-incremental` body, factored for ToolsSpec: cuts the
+    * batch against a persisted line-index (must have been built by
+    * `line-index`), writes the cleaned batch, returns
+    * (cut relation, rollup like [[cutLinesReport]]'s).
+    */
+  private[tools] def cutLinesIncrementalReport(
+      spark: SparkSession,
+      idxDir: String,
+      file: String,
+      outDir: String,
+      minLineChars: Int): (org.apache.spark.sql.DataFrame, String) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
+    val idx = spark.read.parquet(idxDir)
+    require(idx.columns.sorted.sameElements(Array("lhi", "llo")),
+      s"not a line-index (expected (llo, lhi) columns): ${idx.columns.mkString(", ")}")
+    // refresh-contract guard: the sidecar records what the index was
+    // built with; a silent mismatch here is a silently WRONG cut, so
+    // refuse loudly on every discrepancy (and on a pre-sidecar index)
+    val meta = graft.operators.LineIndexMeta
+      .read(spark.sparkContext.hadoopConfiguration, idxDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"line-index at $idxDir has no ${graft.operators.LineIndexMeta.FileName} " +
+          "sidecar — rebuild it with `line-index` (the sidecar pins " +
+          "minLineChars/max_doc_id, without which this refresh cannot " +
+          "verify its exactness contract)"))
+    require(meta.minLineChars == minLineChars,
+      s"line-index at $idxDir was built with minLineChars=${meta.minLineChars} " +
+        s"but this refresh asked for $minLineChars — a mismatched " +
+        "eligibility floor cuts the wrong lines; rerun with the index's " +
+        "floor or rebuild the index")
+    val rows = graft.operators.LineDedupe.cutLinesIncremental(
+      idx, docs, "doc_id", "text", minLineChars = minLineChars,
+      baseMaxDocId = Some(meta.maxDocId))
+    rows.write.mode("overwrite").parquet(outDir)
+    val out = spark.read.parquet(outDir)
+    val agg = out.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_lines"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("n_dropped"),
+        org.apache.spark.sql.functions.lit(0L)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("chars_dropped"),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nDocs, nLines, nDrop, nChars) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val bp = if (nLines == 0) 0L else nDrop * 10000L / nLines
+    (out, s"docs=$nDocs lines=$nLines dropped=$nDrop " +
+      s"dropped_chars=$nChars cut_bp=$bp min_chars=$minLineChars out=$outDir")
+  }
+
   /** `span-index` body, factored for ToolsSpec: builds the hash128
     * distinct window index, writes it to `outDir` with a
     * [[graft.operators.SpanIndexMeta]] sidecar (windowTokens, hash128,
@@ -761,6 +851,29 @@ object Cli {
       println(rollup)
       spark.stop()
 
+    case "line-index" :: file :: outDir :: rest if rest.size <= 1 =>
+      // persist the corpus's distinct line-identity index — the base
+      // side of incremental line dedup; build once, refresh batches cut
+      // against it without re-reading this corpus
+      val minChars = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (_, rollup) = lineIndexReport(spark, file, outDir, minChars)
+      println(rollup)
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
+    case "cut-lines-incremental" :: idxDir :: file :: outDir :: rest
+        if rest.size <= 1 =>
+      // nightly refresh: cut BATCH documents against a line-index built
+      // earlier (plus the batch itself), write the cleaned batch parquet
+      val minChars = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (_, rollup) =
+        cutLinesIncrementalReport(spark, idxDir, file, outDir, minChars)
+      println(rollup)
+      graft.operators.Dedupe.releaseTrackedCaches()
+      spark.stop()
+
     case "phash-dedup" :: files if files.nonEmpty =>
       // perceptual (visual) dedup over real image files: decode → dHash →
       // exact groups + hamming<=3 near matches; file_idx keys the report
@@ -894,6 +1007,10 @@ object Cli {
            |       keep-earliest contract is append-only ids)
            |  dup-lines DOCUMENTS.parquet [MIN_LINE_CHARS]
            |  cut-lines DOCUMENTS.parquet OUT_DIR [MIN_LINE_CHARS]
+           |  line-index DOCUMENTS.parquet IDX_DIR [MIN_LINE_CHARS]
+           |  cut-lines-incremental IDX_DIR BATCH.parquet OUT_DIR [MIN_LINE_CHARS]
+           |      (IDX_DIR from line-index; refuses on a min-length
+           |       mismatch or batch ids <= the index's max_doc_id)
            |  phash-dedup IMAGE_FILE...
            |  video-fp Y4M_FILE...
            |  viz FILE... OUT.png

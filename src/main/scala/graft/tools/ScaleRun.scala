@@ -127,7 +127,7 @@ object ScaleRun {
     // line-level exact dedup (RefinedWeb pass): string-keyed groupBy of
     // the corpus line bytes + keep-earliest rebuild — replica-tagged
     // words keep line classes replica-disjoint, so dup classes grow ~N×
-    "dedup_lines", "dedup_lines_cut",
+    "dedup_lines", "dedup_lines_cut", "dedup_lines_incremental",
     "dedup_clusters", "dedup_keep_best", "dedup_neardup_matrix",
     "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",

@@ -82,6 +82,44 @@ class LineDedupeSpec extends SparkSpec {
     assert(cut3 === Map(1L -> "---\nbody a", 2L -> "body b"))
   }
 
+  test("cutLinesIncremental equals the full cut restricted to batch docs") {
+    // base = docs 1-2 of the fixture, batch = re-id'd docs carrying: a
+    // base-duplicated line (header — ALL batch copies drop), a fresh
+    // batch-internal dup (kept once, batch-earliest), and clean text
+    val base = fixture.filter("doc_id <= 2")
+    val fresh = "a brand new duplicated batch line appears twice"
+    val batch = Seq(
+      (10L, s"$header\n$fresh\nbatch ten unique body"),
+      (11L, s"$fresh\n$footer\nbatch eleven unique body"))
+      .toDF("doc_id", "text")
+    val idx = LineDedupe.lineIndex(base, "text")
+    val inc = LineDedupe.cutLinesIncremental(idx, batch, "doc_id", "text",
+        baseMaxDocId = Some(2L))
+      .orderBy("doc_id").collect().toSeq
+    val full = LineDedupe.cutDuplicateLines(
+        base.unionByName(batch), "doc_id", "text")
+      .filter("doc_id >= 10").orderBy("doc_id").collect().toSeq
+    assert(inc === full)
+    // and the semantics are the intended ones, not just self-consistent
+    val texts = inc.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(texts(10L) === s"$fresh\nbatch ten unique body")
+    assert(texts(11L) === "batch eleven unique body")
+    idx.unpersist()
+  }
+
+  test("cutLinesIncremental: append-only id contract enforced") {
+    val base = fixture.filter("doc_id <= 2")
+    val idx = LineDedupe.lineIndex(base, "text")
+    val overlapping = Seq((2L, "some batch text overlapping the base id"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      LineDedupe.cutLinesIncremental(idx, overlapping, "doc_id", "text",
+        baseMaxDocId = Some(2L)).collect()
+    }
+    assert(e.getMessage.contains("append-only"), e.getMessage)
+    idx.unpersist()
+  }
+
   test("broadcast and shuffle builds produce identical cuts") {
     val bcast = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq

@@ -229,6 +229,56 @@ class ToolsSpec extends SparkSpec {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("line-index + cut-lines-incremental: nightly refresh round-trips and guards") {
+    import spark.implicits._
+    val header = "subscribe to the weekly newsletter"
+    val dir = Files.createTempDirectory("graft-lineidx")
+    Seq((80L, s"$header\nbase document eighty body"),
+        (81L, "another base document with its own text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    val (n, rollup) = Cli.lineIndexReport(spark, s"$dir/base.parquet",
+      s"$dir/idx", minLineChars = 10)
+    // 3 eligible distinct base lines
+    assert(n == 3L, rollup)
+    assert(rollup == s"lines=3 min_chars=10 max_doc_id=81 out=$dir/idx")
+    Seq((90L, s"$header\nfresh batch ninety body text"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+    val (_, cutRollup) = Cli.cutLinesIncrementalReport(spark, s"$dir/idx",
+      s"$dir/batch.parquet", s"$dir/out", minLineChars = 10)
+    assert(cutRollup == s"docs=1 lines=2 dropped=1 " +
+      s"dropped_chars=${header.length} cut_bp=5000 min_chars=10 out=$dir/out")
+    val written = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_clean")).toMap
+    assert(written(90L) == "fresh batch ninety body text")
+    // min-length mismatch: the index pins minLineChars=10
+    val eMin = intercept[IllegalArgumentException] {
+      Cli.cutLinesIncrementalReport(spark, s"$dir/idx",
+        s"$dir/batch.parquet", s"$dir/outm", minLineChars = 5)
+    }
+    assert(eMin.getMessage.contains("minLineChars=10") &&
+      eMin.getMessage.contains("5"), eMin.getMessage)
+    // id overlap: batch ids must clear the index's max_doc_id
+    Seq((81L, s"$header\noverlapping id batch document"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/overlap.parquet")
+    val eId = intercept[IllegalArgumentException] {
+      Cli.cutLinesIncrementalReport(spark, s"$dir/idx",
+        s"$dir/overlap.parquet", s"$dir/outo", minLineChars = 10)
+    }
+    assert(eId.getMessage.contains("append-only") &&
+      eId.getMessage.contains("81"), eId.getMessage)
+    // an index without the sidecar is refused with a rebuild hint
+    spark.read.parquet(s"$dir/idx").write
+      .mode("overwrite").parquet(s"$dir/idx_nometa")
+    val eMeta = intercept[IllegalArgumentException] {
+      Cli.cutLinesIncrementalReport(spark, s"$dir/idx_nometa",
+        s"$dir/batch.parquet", s"$dir/outn", minLineChars = 10)
+    }
+    assert(eMeta.getMessage.contains("sidecar"), eMeta.getMessage)
+  }
+
   test("cut-spans-incremental: refresh-contract violations fail loudly") {
     import spark.implicits._
     val p = "alpha beta gamma delta epsilon zeta eta theta"
