@@ -604,6 +604,17 @@ object TextQueries {
     sys.env.get("SPARK_GRAFT_SPANS_BCAST_LIMIT").map(_.toLong)
       .getOrElse(4L * 1000 * 1000)
 
+  /** The line family's twin knob (BYTES, matching the operator's
+    * byte-bounded broadcast decision): `SPARK_GRAFT_LINES_BCAST_LIMIT=0`
+    * forces the hash-pair shuffle join (the fallback path) through the
+    * catalog registrations so the scale tiers can measure it; unset =
+    * the operator's 128 MiB default. Results are build-independent
+    * (LineDedupeSpec pins both builds identical).
+    */
+  private def linesBcastBytes: Long =
+    sys.env.get("SPARK_GRAFT_LINES_BCAST_LIMIT").map(_.toLong)
+      .getOrElse(graft.operators.LineDedupe.DefaultBroadcastDupBytes)
+
   /** The span CUT ([[Dedupe.cutDuplicateSpans]]): Lee et al. keep-one
     * semantics — every duplicated 20-token window keeps its globally
     * earliest occurrence, later occurrences' token ranges are removed.
@@ -775,9 +786,11 @@ object TextQueries {
     pageTransform(docs(spark, sfDir))
 
   /** The reflow as a DataFrame transform — shared with the streaming
-    * twin, whose source and batch finish must see the same lines.
+    * twin (whose source and batch finish must see the same lines) and
+    * the StreamRestartRun harness (whose line-restart tier needs the
+    * same multi-line corpus).
     */
-  private def pageTransform(d: DataFrame): DataFrame = {
+  private[graft] def pageTransform(d: DataFrame): DataFrame = {
     val words = "filter(split(lower(text), ' '), x -> x != '')"
     d.select(col("doc_id"), col("source"),
       expr(s"""CASE WHEN size($words) = 0 THEN ''
@@ -807,13 +820,25 @@ object TextQueries {
     graft.operators.LineDedupe.duplicateLines(
       pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10)
 
+  /** KMV first-pass tier of the line family
+    * ([[graft.operators.LineDedupe.approxDuplicateLines]], the
+    * dedup_spans_approx discipline): one narrow sketch pass estimating
+    * the corpus's duplicated-line mass before committing to a full cut.
+    * Exact below k = 2¹⁸ distinct lines (both verification SFs are),
+    * rsd ≈ 0.2 % saturated — the KmvSketchSpec-pinned bound.
+    */
+  private def dedupLinesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.LineDedupe.approxDuplicateLines(
+      pagedDocs(spark, sfDir), "text", minLineChars = 10)
+
   /** Line-level keep-earliest CUT ([[graft.operators.LineDedupe.cutDuplicateLines]]):
     * the cleaned corpus, one row per document, rebuilt text
     * string-compared against the oracle's SQL reconstruction.
     */
   private def dedupLinesCut(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.LineDedupe.cutDuplicateLines(
-      pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10)
+      pagedDocs(spark, sfDir), "doc_id", "text", minLineChars = 10,
+      broadcastDupBytes = linesBcastBytes)
 
   /** Incremental line dedup ([[graft.operators.LineDedupe.cutLinesIncremental]]):
     * lower-half doc_ids are the already-ingested base whose persisted
@@ -833,7 +858,8 @@ object TextQueries {
       d.filter(col("doc_id") < t), "text", minLineChars = 10)
     graft.operators.LineDedupe.cutLinesIncremental(
       idx, d.filter(col("doc_id") >= t), "doc_id", "text",
-      minLineChars = 10, baseMaxDocId = Some(t - 1))
+      minLineChars = 10, broadcastDupBytes = linesBcastBytes,
+      baseMaxDocId = Some(t - 1))
   }
 
   /** Streaming twin of dedup_spans_cut ([[graft.streaming.StreamSpans]]):
@@ -1326,6 +1352,7 @@ object TextQueries {
     "dedup_spans_provenance" -> dedupSpansProvenance _,
     "dedup_source_matrix" -> dedupSourceMatrix _,
     "dedup_lines" -> dedupLines _,
+    "dedup_lines_approx" -> dedupLinesApprox _,
     "dedup_lines_cut" -> dedupLinesCut _,
     "dedup_lines_incremental" -> dedupLinesIncremental _,
     "stream_dedup_lines" -> streamDedupLines _,
@@ -1935,6 +1962,22 @@ object TextQueries {
          |  CAST(length(s.line) AS BIGINT) AS line_chars,
          |  f.first_doc, f.first_ord
          |FROM stats s JOIN firsts f USING (line)""".stripMargin,
+    // NOTE: like dedup_spans_approx, valid at the verification SFs,
+    // where distinct eligible-line cardinality is below the KMV k = 2^18
+    // so the sketch is provably exact and equals COUNT(DISTINCT line)
+    // (modulo the 64-bit line-hash identity — the same accepted trade).
+    "dedup_lines_approx" ->
+      s"""WITH $PagesCtes,
+         |t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_lines,
+         |    CAST(COUNT(DISTINCT line) AS BIGINT) AS kmv_distinct_lines
+         |  FROM pelig)
+         |SELECT total_lines, kmv_distinct_lines,
+         |  total_lines - kmv_distinct_lines AS dup_lines,
+         |  CASE WHEN total_lines = 0 THEN 0.0
+         |    ELSE CAST(total_lines - kmv_distinct_lines AS DOUBLE)
+         |      / total_lines END AS dup_fraction
+         |FROM t""".stripMargin,
     "dedup_lines_cut" -> LinesCutSql,
     // the streaming twin must land on the batch cut exactly
     "stream_dedup_lines" -> LinesCutSql,

@@ -47,12 +47,17 @@ private[operators] final class LongLongMap(initialCapacity: Int)
   def apply(k: Long): Long = vals(slot(k))
 
   def put(k: Long, v: Long): Unit = {
-    val i = slot(k)
+    var i = slot(k)
     if (!used(i)) {
       used(i) = true; keys(i) = k; n += 1
-      if (n * 2 > cap) grow()
+      if (n * 2 > cap) {
+        grow()
+        // only a grow invalidates the probed slot — re-probe then, not
+        // on every call (same discipline as LongPairMap.put)
+        i = slot(k)
+      }
     }
-    vals(slot(k)) = v
+    vals(i) = v
   }
 
   private def grow(): Unit = {

@@ -16,14 +16,15 @@ import graft.Conf
   *   - line: THIS — exact `\n`-delimited lines, keep-earliest
   *   - token window: [[Dedupe.duplicateSpans]] (Lee et al. ExactSubstr)
   *
-  * Identity is the raw line STRING, not a hash: the groupBy key ships the
-  * line bytes, so equality is byte-exact and a cut can never delete an
-  * innocent line (the failure mode that pushed the span family to 128-bit
-  * identity does not exist here by construction). The exchange is
-  * corpus-sized — the same bytes a full-corpus `groupBy(text)` would
-  * move — and partial aggregation collapses repeated lines map-side
-  * before the shuffle, so a hot boilerplate line contributes one partial
-  * row per map task, not one row per occurrence.
+  * Identity inside a batch run is the raw line STRING: the groupBy key
+  * ships the line bytes, so equality is byte-exact. The rebuild join
+  * runs on the 128-bit salted-hash pair ([[withLineHash]] — 16 B
+  * fixed-width keys instead of full line bytes through the exchange)
+  * and then BYTE-VERIFIES `line == dup_line` post-join, so a hash
+  * collision can never delete an innocent line — exactness is
+  * preserved by construction, the hash only routes. (The persisted
+  * incremental index is hash-only — see [[lineIndex]] for that
+  * documented 2⁻¹²⁸ trade.)
   *
   * Lines shorter than `minLineChars` are never deduplicated: short lines
   * ("", "---", "## Intro") are generic, and cutting them would mangle
@@ -31,17 +32,30 @@ import graft.Conf
   * guard on line-wise filtering.
   *
   * 100 TB shape: one corpus-sized line exchange (groupBy line, partial
-  * agg collapses hot keys map-side), then either a broadcast of the
-  * duplicated-line index back over a narrow scan (`nDup <=
-  * broadcastDupLimit`, the production path — the corpus never shuffles
-  * again) or an input-sized shuffle join on the line string (fallback;
-  * a mega-hot boilerplate key lands on one task there, the same skew
-  * caveat as the containment gram join). The final rebuild regroups by
-  * doc id — input-bounded. Shuffle partitions for the line exchange are
-  * sized from the measured corpus line bytes
-  * ([[Conf.applyRowShufflePartitions]]).
+  * agg collapses hot boilerplate keys map-side), whose result — the
+  * duplicated-line index — is cached and counted INSIDE the
+  * shuffle-sizing window so the sized partition count
+  * ([[Conf.applyRowShufflePartitions]], fed by a single narrow
+  * doc-level byte estimate, no extra explode pass) governs the real
+  * exchange and the expensive groupBy is paid exactly once. The rebuild
+  * then either broadcasts that index (decision bounded by the index's
+  * measured BYTES, not row count — raw line strings are unbounded, so a
+  * row cap alone could build a multi-GB broadcast) or falls back to a
+  * shuffle join keyed on the fixed-width (llo, lhi) hash pair: narrow
+  * rows, AQE-splittable when a mega-hot boilerplate key skews a
+  * partition, never full line bytes as the join key. The final rebuild
+  * regroups by doc id — input-bounded.
   */
 object LineDedupe {
+
+  /** Broadcast the duplicated-line index only below this many measured
+    * bytes (line strings + fixed-width columns). The in-memory hash
+    * relation a broadcast builds is a small multiple of this, so 128 MiB
+    * keeps the production path comfortably inside executor headroom; a
+    * boilerplate-heavy corpus whose dup index exceeds it degrades to the
+    * hash-keyed shuffle join, not to an OOM.
+    */
+  val DefaultBroadcastDupBytes: Long = 128L * 1024 * 1024
 
   /** `(id, ord, line)` — 1-based line ordinal within each document.
     * `split(text, '\n', -1)` keeps trailing empty lines, matching
@@ -57,16 +71,23 @@ object LineDedupe {
   private def eligible(lines: DataFrame, minLineChars: Int): DataFrame =
     lines.filter(length(col("line")) >= minLineChars)
 
-  /** Σ line bytes (shuffle payload estimate) in ONE pass over the narrow
-    * line relation: string bytes + per-row UnsafeRow overhead (8 B null
-    * bitmap + 2×8 B long slots + 8 B string offset/len word).
+  /** Σ line bytes (shuffle payload estimate) + per-row UnsafeRow
+    * overhead (8 B null bitmap + 2×8 B long slots + 8 B string
+    * offset/len word), computed in ONE narrow pass over the DOCUMENT
+    * relation — `length(text)` bounds the line bytes from above (it
+    * includes the `\n` separators) and the newline count gives the line
+    * count, so no explode pass is spent on sizing.
     */
-  private def lineShuffleBytes(lines: DataFrame): Long =
-    lines.agg(coalesce(sum(length(col("line")).cast("long") + 32L), lit(0L)))
-      .collect()(0).getLong(0)
+  private def lineShuffleBytesCol(textCol: String): Column = {
+    val t = col(textCol).cast("string")
+    val nLines = (length(t) - length(translate(t, "\n", ""))).cast("long") + 1L
+    coalesce(sum(length(t).cast("long") + nLines * 32L), lit(0L))
+  }
 
   /** Duplicated-line classes: one row per eligible line string occurring
-    * more than once in the corpus.
+    * more than once in the corpus. Materialized (cached, counted) inside
+    * the shuffle-sizing window so the sized partition count governs the
+    * line exchange; cache-tracked ([[Dedupe.releaseTrackedCaches]]).
     *
     * @return `(line, n_occ, n_docs, line_chars, first_doc, first_ord)`
     *         where (first_doc, first_ord) is the globally earliest
@@ -80,11 +101,10 @@ object LineDedupe {
       minLineChars: Int = 10): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
-    val lines = linesRelation(df, idCol, textCol)
-    val prevParts = Conf.applyRowShufflePartitions(
-      session, lineShuffleBytes(lines), rowBytes = 1L)
+    val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
+    val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
-      eligible(lines, minLineChars)
+      val rep = eligible(linesRelation(df, idCol, textCol), minLineChars)
         .groupBy(col("line"))
         .agg(
           count(lit(1)).as("n_occ"),
@@ -94,6 +114,10 @@ object LineDedupe {
         .select(col("line"), col("n_occ"), col("n_docs"),
           length(col("line")).cast("long").as("line_chars"),
           col("f.id").as("first_doc"), col("f.ord").as("first_ord"))
+        .cache()
+      Dedupe.track(rep)
+      rep.count()
+      rep
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -104,6 +128,8 @@ object LineDedupe {
     * (short) lines always survive. Documents with nothing to cut pass
     * through unchanged — the output has exactly one row per input row.
     *
+    * @param broadcastDupBytes byte bound on broadcasting the
+    *   duplicated-line index (see [[DefaultBroadcastDupBytes]])
     * @return `(doc_id, n_lines, n_dropped, chars_dropped, text_clean)` —
     *         `chars_dropped` counts line bytes only (not the removed
     *         `\n` separators).
@@ -113,14 +139,13 @@ object LineDedupe {
       idCol: String,
       textCol: String,
       minLineChars: Int = 10,
-      broadcastDupLimit: Long = 4L * 1000 * 1000): DataFrame = {
+      broadcastDupBytes: Long = DefaultBroadcastDupBytes): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
-    val lines = linesRelation(df, idCol, textCol)
-    val prevParts = Conf.applyRowShufflePartitions(
-      session, lineShuffleBytes(lines), rowBytes = 1L)
+    val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
+    val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
-      val elig = eligible(lines, minLineChars)
+      val elig = eligible(linesRelation(df, idCol, textCol), minLineChars)
       val dupFirsts = elig
         .groupBy(col("line"))
         .agg(count(lit(1)).as("n_occ"),
@@ -128,16 +153,27 @@ object LineDedupe {
         .filter(col("n_occ") > 1)
         .select(col("line"), col("f.id").as("f_id"), col("f.ord").as("f_ord"))
       rebuildFromDupFirsts(df, idCol, textCol, elig, dupFirsts,
-        broadcastDupLimit)
+        broadcastDupBytes)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Shared rewrite tail of [[cutDuplicateLines]] /
-    * [[cutLinesIncremental]]: given the eligible line occurrences and
-    * the redundancy relation `(line, f_id, f_ord)` — where (f_id, f_ord)
-    * is the occurrence to KEEP, or the (-1, -1) sentinel for "every
-    * occurrence is redundant" (a line already present in an incremental
-    * base) — produce the cleaned corpus.
+    * [[cutLinesIncremental]]: given the eligible line occurrences
+    * `(id, ord, line)` and the redundancy relation `(line, f_id, f_ord)`
+    * — where (f_id, f_ord) is the occurrence to KEEP, or the (-1, -1)
+    * sentinel for "every occurrence is redundant" (a line already
+    * present in an incremental base) — produce the cleaned corpus.
+    *
+    * The dup index is hashed ([[withLineHash]]), cached, and counted
+    * here, INSIDE the caller's shuffle-sizing window: the one action
+    * both forces the corpus-sized line groupBy to run at the sized
+    * partition count and measures the index bytes for the broadcast
+    * decision — the groupBy is never recomputed when the returned plan
+    * executes. The occurrences→index join is keyed on (llo, lhi) —
+    * 16 B fixed-width, so a mega-hot boilerplate key ships narrow rows
+    * that AQE's skew-join split can cleave — and byte-verified
+    * (`line == dup_line`) so a hash collision cannot cut an innocent
+    * line.
     */
   private def rebuildFromDupFirsts(
       df: DataFrame,
@@ -145,16 +181,24 @@ object LineDedupe {
       textCol: String,
       elig: DataFrame,
       dupFirsts: DataFrame,
-      broadcastDupLimit: Long): DataFrame = {
-    // duplicated-line index back over the corpus: broadcast when small
-    // (production path — the corpus lines never shuffle again), else an
-    // input-sized shuffle join on the line string (hot-key caveat in the
-    // object doc)
+      broadcastDupBytes: Long): DataFrame = {
+    val idx = withLineHash(dupFirsts).cache()
+    Dedupe.track(idx)
+    // one action: materializes the cached index (running the line
+    // exchange at the sized partition count) and measures its bytes
+    // (string bytes + 48 B of fixed-width columns/row overhead)
+    val idxBytes = idx
+      .agg(coalesce(sum(length(col("line")).cast("long") + 48L), lit(0L)))
+      .collect()(0).getLong(0)
+    val dupSide0 = idx.select(col("line").as("dup_line"),
+      col("llo"), col("lhi"), col("f_id"), col("f_ord"))
+    // production path broadcasts (byte-bounded); fallback shuffles on
+    // the fixed-width hash pair, never on the raw string
     val dupSide =
-      if (dupFirsts.count() <= broadcastDupLimit) broadcast(dupFirsts)
-      else dupFirsts
-    val drops = elig
-      .join(dupSide, Seq("line"))
+      if (idxBytes <= broadcastDupBytes) broadcast(dupSide0) else dupSide0
+    val drops = withLineHash(elig)
+      .join(dupSide, Seq("llo", "lhi"))
+      .filter(col("line") === col("dup_line")) // byte-verify: exactness
       .filter(!(col("id") === col("f_id") && col("ord") === col("f_ord")))
       .select(col("id"), col("ord"),
         length(col("line")).cast("long").as("line_chars"))
@@ -198,13 +242,14 @@ object LineDedupe {
           .as("text_clean"))
   }
 
-  /** 128-bit line identity for the PERSISTED index: two independent
-    * codegen'd xxhash64 passes (the second salted). Raw strings stay
-    * the identity inside a single [[cutDuplicateLines]] run — the index
-    * hashes only so a 100 TB base corpus's line dictionary persists at
-    * 16 B/line instead of storing the corpus's distinct text. Collision
-    * cost mirrors the span family's hash128 cut: 2⁻¹²⁸-per-pair, and a
-    * collision DROPS a batch line — the accepted trade documented at
+  /** 128-bit line identity: two independent codegen'd xxhash64 passes
+    * (the second salted). Inside a batch run the hash only ROUTES (the
+    * rebuild byte-verifies, so collisions are harmless); for the
+    * PERSISTED index the hash IS the identity, so a 100 TB base
+    * corpus's line dictionary persists at 16 B/line instead of storing
+    * the corpus's distinct text. Collision cost there mirrors the span
+    * family's hash128 cut: 2⁻¹²⁸-per-pair, and a collision DROPS a
+    * batch line — the accepted trade documented at
     * [[Dedupe.cutDuplicateSpans]].
     */
   private val HiSalt = "graft.line.hi"
@@ -230,12 +275,12 @@ object LineDedupe {
       minLineChars: Int = 10): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
-    val lines = df.select(
+    val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
+    val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
+    try {
+      val lines = df.select(
         lit(0L).as("id"), lit(0L).as("ord"),
         explode(split(col(textCol).cast("string"), "\n", -1)).as("line"))
-    val prevParts = Conf.applyRowShufflePartitions(
-      session, lineShuffleBytes(lines), rowBytes = 1L)
-    try {
       // materialized INSIDE the sizing window (the distinct's exchange
       // must see the applied partition count), cache-tracked for the
       // harness hook ([[Dedupe.releaseTrackedCaches]])
@@ -264,7 +309,10 @@ object LineDedupe {
     * into the exact [[cutDuplicateLines]] output: an occurrence is cut
     * iff it is not its line's recorded first. Unique lines keep
     * themselves (their only occurrence IS the first), so the relation
-    * may carry every eligible line, not just duplicated ones.
+    * may carry every eligible line, not just duplicated ones. The drop
+    * relation is materialized (cached, counted) inside the sizing
+    * window so the corpus-sized occurrences↔firsts join runs at the
+    * sized partition count; cache-tracked.
     */
   def cutFromFirstLines(
       df: DataFrame,
@@ -274,15 +322,17 @@ object LineDedupe {
       firsts: DataFrame): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
-    val lines = linesRelation(df, idCol, textCol)
-    val prevParts = Conf.applyRowShufflePartitions(
-      session, lineShuffleBytes(lines), rowBytes = 1L)
+    val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
+    val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
-      val drops = withLineHash(eligible(lines, minLineChars))
+      val drops = hashedEligibleLines(df, idCol, textCol, minLineChars)
         .join(firsts, Seq("llo", "lhi"))
         .filter(!(col("id") === col("f_id") && col("ord") === col("f_ord")))
         .select(col("id"), col("ord"),
           length(col("line")).cast("long").as("line_chars"))
+        .cache()
+      Dedupe.track(drops)
+      drops.count()
       rebuildFromDrops(df, idCol, textCol, drops)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
@@ -315,16 +365,14 @@ object LineDedupe {
       idCol: String,
       textCol: String,
       minLineChars: Int = 10,
-      broadcastDupLimit: Long = 4L * 1000 * 1000,
+      broadcastDupBytes: Long = DefaultBroadcastDupBytes,
       baseMaxDocId: Option[Long] = None): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = batch.sparkSession
-    val lines = linesRelation(batch, idCol, textCol)
-    // fold the contract check into the sizing aggregate — one pass, no
-    // extra scan
-    val statsRow = lines
-      .agg(coalesce(sum(length(col("line")).cast("long") + 32L), lit(0L)),
-        min(col("id")))
+    // fold the contract check into the sizing aggregate — one narrow
+    // doc-level pass, no explode
+    val statsRow = batch
+      .agg(lineShuffleBytesCol(textCol), min(col(idCol).cast("long")))
       .head()
     baseMaxDocId.foreach { maxBase =>
       if (!statsRow.isNullAt(1)) {
@@ -340,7 +388,8 @@ object LineDedupe {
     val prevParts = Conf.applyRowShufflePartitions(
       session, statsRow.getLong(0), rowBytes = 1L)
     try {
-      val elig = withLineHash(eligible(lines, minLineChars))
+      val lines = eligible(linesRelation(batch, idCol, textCol), minLineChars)
+      val elig = withLineHash(lines)
       // batch-local line stats, then one lookup join into the base
       // index: in-base lines keep NOTHING in the batch (the (-1, -1)
       // sentinel matches no real occurrence), batch-only lines with
@@ -359,8 +408,43 @@ object LineDedupe {
           when(col("in_base").isNotNull, lit(-1L))
             .otherwise(col("f.ord")).as("f_ord"))
       rebuildFromDupFirsts(batch, idCol, textCol,
-        elig.select(col("id"), col("ord"), col("line")), dupFirsts,
-        broadcastDupLimit)
+        lines.select(col("id"), col("ord"), col("line")), dupFirsts,
+        broadcastDupBytes)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  /** Approximate line-duplication triage — the KMV first-pass tier of
+    * the line family, mirroring `dedup_spans_approx`
+    * ([[graft.functions.KmvSketch]]): ONE narrow pass over the corpus
+    * counting total eligible line occurrences and sketching distinct
+    * line identities, giving the "how much boilerplate is there"
+    * estimate (dup mass = total − distinct) before committing to a full
+    * [[cutDuplicateLines]]. The only exchange is one sketch buffer per
+    * map partition (≤ k longs each) — corpus-size-independent. Exact
+    * below k distinct lines; rsd ≈ 1/√(k−2) ≈ 0.2 % at the default
+    * k = 2¹⁸ saturated (the bound pinned in KmvSketchSpec).
+    *
+    * @return one row `(total_lines, kmv_distinct_lines, dup_lines,
+    *         dup_fraction)`
+    */
+  def approxDuplicateLines(
+      df: DataFrame,
+      textCol: String,
+      minLineChars: Int = 10,
+      k: Int = 1 << 18): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    import df.sparkSession.implicits._
+    val lines = df.select(
+      explode(split(col(textCol).cast("string"), "\n", -1)).as("line"))
+    val row = eligible(lines, minLineChars)
+      .select(xxhash64(col("line")).as("lh"))
+      .agg(count(lit(1)).as("total"),
+        graft.functions.KmvSketch.kmv_distinct(col("lh"), k).as("kmv"))
+      .head()
+    val total = row.getLong(0)
+    val kmv = row.getLong(1)
+    val dup = math.max(0L, total - kmv)
+    Seq((total, kmv, dup, if (total == 0) 0.0 else dup.toDouble / total))
+      .toDF("total_lines", "kmv_distinct_lines", "dup_lines", "dup_fraction")
   }
 }

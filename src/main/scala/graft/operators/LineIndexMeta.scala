@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 
 /** Sidecar metadata for a persisted [[LineDedupe.lineIndex]] — the
   * refresh-contract guard for [[LineDedupe.cutLinesIncremental]], the
@@ -12,10 +11,8 @@ import org.apache.hadoop.fs.Path
   * makes the incremental cut exactly keep-earliest. `Cli line-index`
   * writes this one-line JSON beside the parquet and
   * `Cli cut-lines-incremental` refuses loudly unless every field checks
-  * out (and the batch's min id clears `maxDocId`).
-  *
-  * File name starts with `_` so parquet readers skip it as a non-data
-  * file, exactly like `_SUCCESS`.
+  * out (and the batch's min id clears `maxDocId`). I/O and field
+  * extraction are the shared [[IndexMetaIO]] core.
   */
 final case class LineIndexMeta(
     minLineChars: Int,
@@ -26,42 +23,17 @@ object LineIndexMeta {
 
   val FileName = "_graft_line_index_meta.json"
 
-  def write(conf: Configuration, dir: String, meta: LineIndexMeta): Unit = {
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try {
-      val json =
-        s"""{"minLineChars":${meta.minLineChars},""" +
-          s""""maxDocId":${meta.maxDocId},"lines":${meta.lines}}"""
-      out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-  }
+  def write(conf: Configuration, dir: String, meta: LineIndexMeta): Unit =
+    IndexMetaIO.write(conf, dir, FileName,
+      s"""{"minLineChars":${meta.minLineChars},""" +
+        s""""maxDocId":${meta.maxDocId},"lines":${meta.lines}}""")
 
   /** None when the sidecar is absent (callers decide refuse vs warn). */
-  def read(conf: Configuration, dir: String): Option[LineIndexMeta] = {
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      val json =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      Some(parse(json))
-    }
-  }
+  def read(conf: Configuration, dir: String): Option[LineIndexMeta] =
+    IndexMetaIO.read(conf, dir, FileName).map(parse)
 
-  /** Parses exactly the flat JSON [[write]] emits (we are our own only
-    * producer).
-    */
   private[operators] def parse(json: String): LineIndexMeta = {
-    def field(name: String): String =
-      ("\"" + name + "\"\\s*:\\s*([^,}\\s]+)").r
-        .findFirstMatchIn(json)
-        .getOrElse(throw new IllegalArgumentException(
-          s"line-index meta missing field '$name': $json"))
-        .group(1)
+    def field(name: String) = IndexMetaIO.field("line-index", json, name)
     LineIndexMeta(
       minLineChars = field("minLineChars").toInt,
       maxDocId = field("maxDocId").toLong,

@@ -219,10 +219,17 @@ object Cli {
     val docs = spark.read.parquet(file)
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
-    val maxDocId = docs
+    // max(doc_id) is NULL on an empty parquet — refuse loudly instead of
+    // dying on a bare NullPointerException: an index of nothing is
+    // almost certainly a pipeline bug (wrong path, empty extract)
+    val maxRow = docs
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("doc_id").cast("long")))
-      .head().getLong(0)
+      .head()
+    require(!maxRow.isNullAt(0),
+      s"empty documents parquet (0 rows): $file — refusing to build a " +
+        "line index of nothing; check the input path")
+    val maxDocId = maxRow.getLong(0)
     val idx = graft.operators.LineDedupe.lineIndex(
       docs, "text", minLineChars = minLineChars)
     idx.write.mode("overwrite").parquet(outDir)
@@ -308,10 +315,16 @@ object Cli {
     val docs = spark.read.parquet(file)
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       s"expected (doc_id, text) columns, got ${docs.columns.mkString(", ")}")
-    val maxDocId = docs
+    // max(doc_id) is NULL on an empty parquet — refuse loudly instead of
+    // dying on a bare NullPointerException (see lineIndexReport)
+    val maxRow = docs
       .agg(org.apache.spark.sql.functions.max(
         org.apache.spark.sql.functions.col("doc_id").cast("long")))
-      .head().getLong(0)
+      .head()
+    require(!maxRow.isNullAt(0),
+      s"empty documents parquet (0 rows): $file — refusing to build a " +
+        "span index of nothing; check the input path")
+    val maxDocId = maxRow.getLong(0)
     val idx = graft.operators.Dedupe.windowIndex(
       docs, "text", windowTokens = windowTokens, hash128 = true)
     idx.write.mode("overwrite").parquet(outDir)

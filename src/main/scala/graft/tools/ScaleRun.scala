@@ -125,9 +125,11 @@ object ScaleRun {
     "dedup_spans_provenance", "dedup_spans_incremental",
     "dedup_source_matrix",
     // line-level exact dedup (RefinedWeb pass): string-keyed groupBy of
-    // the corpus line bytes + keep-earliest rebuild — replica-tagged
-    // words keep line classes replica-disjoint, so dup classes grow ~N×
-    "dedup_lines", "dedup_lines_cut", "dedup_lines_incremental",
+    // the corpus line bytes + hash-keyed keep-earliest rebuild —
+    // replica-tagged words keep line classes replica-disjoint, so dup
+    // classes grow ~N×; the approx tier is the one-pass KMV triage
+    "dedup_lines", "dedup_lines_approx", "dedup_lines_cut",
+    "dedup_lines_incremental",
     "dedup_clusters", "dedup_keep_best", "dedup_neardup_matrix",
     "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
@@ -224,8 +226,14 @@ object ScaleRun {
     "dedup_spans_approx_source",
     // r14: line-level keep-earliest cut — the one corpus-sized exchange
     // keyed on a STRING (line bytes on the wire); two decades is where
-    // an accidental rebuild blowup or dupFirsts skew would show
-    "dedup_lines_cut")
+    // an accidental rebuild blowup or dupFirsts skew would show.
+    // r15 promotions: the report and incremental-refresh shapes (the
+    // nightly-ingest story), the KMV line triage (sketch saturates
+    // here: the regime it exists for), and the near-dup matrix (it
+    // consumes the shared minhash pair relation — its 100x behavior
+    // validates pair-relation sharing under real cardinality)
+    "dedup_lines_cut", "dedup_lines", "dedup_lines_incremental",
+    "dedup_lines_approx", "dedup_neardup_matrix")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   * reload + one small batch), not to the already-ingested corpus.
   *
   * Per query (stream_cdc over documents, stream_dedup over events,
-  * stream_dedup_spans over documents), per tier (1× = sf0.1 testdata,
-  * N× = the ScaleRun corpus):
+  * stream_dedup_spans and stream_dedup_lines over documents — the line
+  * twin reflowed through the catalog's pageTransform), per tier (1× =
+  * sf0.1 testdata, N× = the ScaleRun corpus):
   *
   *  1. initial run: file stream over the corpus → stateful operator →
   *     foreachBatch parquet snapshot, with a checkpoint; timed.
@@ -274,12 +275,63 @@ object StreamRestartRun {
       stateRowsBound = Some(spansShards.toLong),
       occurrencesIn = spansOccurrences)
 
+    // the lines twin rides the SAME suppression cache (StreamLines
+    // delegates shard state to StreamSpans.advanceShard), so it gets the
+    // identical discipline: initial-vs-restart parity against the batch
+    // fold, shard-bounded state rows, and a forced-tiny-cap saturated
+    // case with its re-emission volume published. The corpus is reflowed
+    // into 12-word lines (the catalog's pageTransform) on BOTH the
+    // stream source and the batch twin — raw testdata docs carry no \n,
+    // and a one-line-per-doc corpus would test nothing line-shaped.
+    val linesShards = 256
+    val linesMinChars = 10
+    def linesBatchFirsts(dirs: Seq[String]): DataFrame =
+      graft.operators.LineDedupe.hashedEligibleLines(
+          graft.TextQueries.pageTransform(spark.read.parquet(dirs: _*)),
+          "doc_id", "text", linesMinChars)
+        .groupBy(col("llo"), col("lhi"))
+        .agg(min(struct(col("id"), col("ord"))).as("f"))
+        .select(col("llo"), col("lhi"),
+          col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+    def linesOccurrences(dirs: Seq[String]): Long =
+      graft.operators.LineDedupe.hashedEligibleLines(
+        graft.TextQueries.pageTransform(spark.read.parquet(dirs: _*)),
+        "doc_id", "text", linesMinChars).count()
+    def linesCase(dir: String, tag: String, cap: Int): CaseResult = runCase(
+      spark, tag,
+      Seq(s"$dir/documents.parquet"),
+      // delta: 100 re-uploads (every line already first-seen — must be
+      // suppressed / fold-invisible) + 100 genuinely new docs
+      src => {
+        val maxId = src.agg(max(col("doc_id"))).head().getLong(0)
+        val re = src.orderBy(col("doc_id")).limit(100)
+          .select((col("doc_id") + lit(maxId + 1)).as("doc_id"), col("text"))
+        val fresh = src.orderBy(col("doc_id")).limit(100)
+          .select((col("doc_id") + lit(maxId + 201)).as("doc_id"),
+            concat(lit(s"entirely new line delta payload $dir "), col("text"),
+              col("doc_id").cast("string")).as("text"))
+        re.unionByName(fresh)
+          .select(col("doc_id"), col("text"), lit("xx").as("lang"),
+            lit("delta").as("source"), length(col("text")).cast("long").as("n_chars"))
+      },
+      s => graft.streaming.StreamLines.firstLines(
+        graft.TextQueries.pageTransform(s), "doc_id", "text", linesMinChars,
+        numShards = linesShards, maxStateLinesPerShard = cap),
+      completeMode = false,
+      linesBatchFirsts,
+      foldSink = graft.streaming.StreamLines.foldFirsts,
+      stateRowsBound = Some(linesShards.toLong),
+      occurrencesIn = linesOccurrences)
+
     def n2(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     // unsaturated: 256 shards x 2^16 cap tracks 16.7M windows; the
     // SATURATED twin forces cap 2^10 (262k tracked vs ~1M windows at 1x,
     // ~100M at 100x) — the deep-degradation regime the scaladoc promises
     // stays exact, with its re-emission traffic measured (events out vs
-    // window occurrences in) instead of hand-waved
+    // window occurrences in) instead of hand-waved. The lines twin gets
+    // the same pair of rows (~0.5M line identities at 1x, ~50M at 100x —
+    // replica-tagged words keep line classes replica-disjoint, so the
+    // default cap saturates at 100x as well).
     val results = Seq(
       ("stream_cdc", cdcCase(base), cdcCase(corpus)),
       ("stream_dedup", dedupCase(base), dedupCase(corpus)),
@@ -288,7 +340,13 @@ object StreamRestartRun {
         spansCase(corpus, "stream_dedup_spans", 1 << 16)),
       ("stream_dedup_spans_sat",
         spansCase(base, "stream_dedup_spans_sat", 1 << 10),
-        spansCase(corpus, "stream_dedup_spans_sat", 1 << 10)))
+        spansCase(corpus, "stream_dedup_spans_sat", 1 << 10)),
+      ("stream_dedup_lines",
+        linesCase(base, "stream_dedup_lines", 1 << 16),
+        linesCase(corpus, "stream_dedup_lines", 1 << 16)),
+      ("stream_dedup_lines_sat",
+        linesCase(base, "stream_dedup_lines_sat", 1 << 10),
+        linesCase(corpus, "stream_dedup_lines_sat", 1 << 10)))
 
     println("| query | tier | initial (s) | restart (s) | state rows | state MiB | events out | occ in |")
     println("|---|---|---|---|---|---|---|---|")

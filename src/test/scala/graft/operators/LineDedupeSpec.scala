@@ -123,9 +123,38 @@ class LineDedupeSpec extends SparkSpec {
   test("broadcast and shuffle builds produce identical cuts") {
     val bcast = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
+    // broadcastDupBytes = 0 forces the hash-pair shuffle join fallback
     val shuffle = LineDedupe.cutDuplicateLines(fixture, "doc_id", "text",
-        broadcastDupLimit = 0L)
+        broadcastDupBytes = 0L)
       .orderBy("doc_id").collect().toSeq
     assert(bcast === shuffle)
+  }
+
+  test("incremental broadcast and shuffle builds produce identical cuts") {
+    val base = fixture.filter("doc_id <= 2")
+    val batch = Seq(
+      (10L, s"$header\nfresh batch dup line appears twice\nten body"),
+      (11L, s"fresh batch dup line appears twice\n$footer\neleven body"))
+      .toDF("doc_id", "text")
+    val idx = LineDedupe.lineIndex(base, "text")
+    val bcast = LineDedupe.cutLinesIncremental(idx, batch, "doc_id", "text",
+        baseMaxDocId = Some(2L))
+      .orderBy("doc_id").collect().toSeq
+    val shuffle = LineDedupe.cutLinesIncremental(idx, batch, "doc_id", "text",
+        broadcastDupBytes = 0L, baseMaxDocId = Some(2L))
+      .orderBy("doc_id").collect().toSeq
+    assert(bcast === shuffle)
+    idx.unpersist()
+  }
+
+  test("approxDuplicateLines: exact below k, matches the exact report") {
+    // total eligible lines and distinct-line count from first principles
+    val total = 3L + 5L + 1L // doc1: 3 elig, doc2: 5, doc3: header only
+    val distinct = 5L // header, footer, longLine, 2 unique body lines
+    val Array(r) = LineDedupe.approxDuplicateLines(fixture, "text").collect()
+    assert(r.getLong(0) === total)
+    assert(r.getLong(1) === distinct) // below k → provably exact
+    assert(r.getLong(2) === total - distinct)
+    assert(math.abs(r.getDouble(3) - (total - distinct).toDouble / total) < 1e-12)
   }
 }
