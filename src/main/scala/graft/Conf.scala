@@ -162,6 +162,38 @@ object Conf {
     prev
   }
 
+  /** Byte-limit override from an environment knob — the shared parse/
+    * validate path behind the broadcast→fallback forcing knobs
+    * (`SPARK_GRAFT_SPANS_BCAST_LIMIT`, `SPARK_GRAFT_LINES_BCAST_LIMIT`):
+    * unset → `default`; `0` → the operators' explicit force-fallback
+    * sentinel (a zero limit always takes the shuffle build, even when
+    * the measured index is empty); anything non-numeric or negative
+    * fails loudly instead of silently riding the default.
+    */
+  def envByteLimit(name: String, default: Long): Long =
+    parseByteLimit(name, sys.env.get(name), default)
+
+  /** Env-free core of [[envByteLimit]] (spec-testable: `sys.env` can't be
+    * injected under test).
+    */
+  private[graft] def parseByteLimit(
+      name: String,
+      raw: Option[String],
+      default: Long): Long =
+    raw match {
+      case None => default
+      case Some(s) =>
+        val v =
+          try s.trim.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$name must be a byte/row count, got '$s'")
+          }
+        require(v >= 0, s"$name must be >= 0, got $v")
+        v
+    }
+
   /** Total length of `paths` through the Hadoop FS API (metadata-only) —
     * the input-size probe for [[applyChunkShufflePartitions]].
     *

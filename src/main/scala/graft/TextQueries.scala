@@ -598,11 +598,11 @@ object TextQueries {
     * `SPARK_GRAFT_SPANS_BCAST_LIMIT=0` forces the shuffle build (the
     * 100 TB path) through the catalog registrations so the 100× tier can
     * exercise it; unset = the operators' 4M default. Results are
-    * build-independent (DedupeSpec pins both builds identical).
+    * build-independent (DedupeSpec pins both builds identical). Parse/
+    * validate shared with the line family's knob ([[Conf.envByteLimit]]).
     */
   private def spansBcastLimit: Long =
-    sys.env.get("SPARK_GRAFT_SPANS_BCAST_LIMIT").map(_.toLong)
-      .getOrElse(4L * 1000 * 1000)
+    Conf.envByteLimit("SPARK_GRAFT_SPANS_BCAST_LIMIT", 4L * 1000 * 1000)
 
   /** The line family's twin knob (BYTES, matching the operator's
     * byte-bounded broadcast decision): `SPARK_GRAFT_LINES_BCAST_LIMIT=0`
@@ -612,8 +612,8 @@ object TextQueries {
     * (LineDedupeSpec pins both builds identical).
     */
   private def linesBcastBytes: Long =
-    sys.env.get("SPARK_GRAFT_LINES_BCAST_LIMIT").map(_.toLong)
-      .getOrElse(graft.operators.LineDedupe.DefaultBroadcastDupBytes)
+    Conf.envByteLimit("SPARK_GRAFT_LINES_BCAST_LIMIT",
+      graft.operators.LineDedupe.DefaultBroadcastDupBytes)
 
   /** The span CUT ([[Dedupe.cutDuplicateSpans]]): Lee et al. keep-one
     * semantics — every duplicated 20-token window keeps its globally

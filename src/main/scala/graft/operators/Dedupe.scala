@@ -645,7 +645,8 @@ object Dedupe {
     *    driver): window df count over the gram partition, then the per-id
     *    fold — exactly two wide input-sized exchanges. Grams are per-doc
     *    distinct (wordGramHashes dedupes), so the occurrence count IS
-    *    document frequency; both builds agree exactly.
+    *    document frequency; both builds agree exactly. A zero limit is
+    *    the explicit force-shuffle sentinel.
     *
     * Also applies [[Conf.applyRowShufflePartitions]] for the Σ n_grams-
     * row gram exchanges (Conf.scala preamble). Returns
@@ -680,7 +681,9 @@ object Dedupe {
       Conf.GramRowShuffleBytes)
     val exploded = docGrams.select(col("id"), col("n_grams"),
       explode(col("grams")).as("gram"))
-    val perDoc = (if (sumGrams <= broadcastGramDfLimit) {
+    // 0 is the explicit force-shuffle sentinel (same contract as the
+    // span/line families): the fallback runs even on an empty gram set
+    val perDoc = (if (broadcastGramDfLimit > 0 && sumGrams <= broadcastGramDfLimit) {
       val dfRows = exploded
         .groupBy(col("gram")).agg(count(lit(1)).as("gram_df"))
         .as[(Long, Long)].collect()
@@ -1075,7 +1078,10 @@ object Dedupe {
     *  - SHUFFLE (the 100 TB path): duplicated hashes join back to the
     *    exploded positions (co-partitioned on the hash from the
     *    aggregation), then one id-keyed fold merges spans. Exchanges are
-    *    input-sized from the Σ windows probe.
+    *    input-sized from the Σ windows probe. `broadcastDupLimit = 0` is
+    *    the explicit force-shuffle sentinel: the fallback runs even when
+    *    the duplicated-window set is empty, so the forcing knob and the
+    *    parity specs genuinely exercise this path on any input.
     *
     * Window identity width (`hash128`, mirroring the chunk relation's
     * ChunkRow128 option): 64-bit identity is fine for the REPORT — a
@@ -1149,7 +1155,7 @@ object Dedupe {
         .filter(col("n") > 1).select(col("wlo"), col("whi"))
       val spans = {
         val nDup = dupHashes.count()
-        if (nDup <= broadcastDupLimit) {
+        if (broadcastDupLimit > 0 && nDup <= broadcastDupLimit) {
           val dupArr = dupHashes.as[(Long, Long)].collect()
           val set = new LongPairMap(dupArr.length * 2 + 16, withValues = false)
           dupArr.foreach { case (a, b) => set.put(a, b, 0L, 0L) }
@@ -1322,7 +1328,7 @@ object Dedupe {
     try {
     val rows = {
       val nDup = dupFirsts.count()
-      if (nDup <= broadcastDupLimit) {
+      if (broadcastDupLimit > 0 && nDup <= broadcastDupLimit) {
         val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
         val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
         firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }
@@ -1570,7 +1576,7 @@ object Dedupe {
           col("f.id").as("f_id"), col("f.pos").as("f_pos"))
       val spans = {
         val nDup = dupFirsts.count()
-        if (nDup <= broadcastDupLimit) {
+        if (broadcastDupLimit > 0 && nDup <= broadcastDupLimit) {
           val firsts = dupFirsts.as[(Long, Long, Long, Long)].collect()
           val m = new LongPairMap(firsts.length * 2 + 16, withValues = true)
           firsts.foreach { case (a, b, d, p) => m.put(a, b, d, p) }

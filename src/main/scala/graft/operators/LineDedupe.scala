@@ -49,11 +49,15 @@ import graft.Conf
 object LineDedupe {
 
   /** Broadcast the duplicated-line index only below this many measured
-    * bytes (line strings + fixed-width columns). The in-memory hash
-    * relation a broadcast builds is a small multiple of this, so 128 MiB
-    * keeps the production path comfortably inside executor headroom; a
-    * boilerplate-heavy corpus whose dup index exceeds it degrades to the
-    * hash-keyed shuffle join, not to an OOM.
+    * bytes (UTF-8 line bytes + fixed-width columns — `octet_length`, not
+    * character count, so multibyte corpora don't understate the build by
+    * up to 4×). The in-memory hash relation a broadcast builds is a small
+    * multiple of this, so 128 MiB keeps the production path comfortably
+    * inside executor headroom; a boilerplate-heavy corpus whose dup index
+    * exceeds it degrades to the hash-keyed shuffle join, not to an OOM.
+    * `0` is the explicit force-shuffle sentinel: the fallback build runs
+    * even when the measured index is empty (so the forcing knob and the
+    * parity specs genuinely exercise the shuffle path on dup-free input).
     */
   val DefaultBroadcastDupBytes: Long = 128L * 1024 * 1024
 
@@ -74,20 +78,28 @@ object LineDedupe {
   /** Σ line bytes (shuffle payload estimate) + per-row UnsafeRow
     * overhead (8 B null bitmap + 2×8 B long slots + 8 B string
     * offset/len word), computed in ONE narrow pass over the DOCUMENT
-    * relation — `length(text)` bounds the line bytes from above (it
-    * includes the `\n` separators) and the newline count gives the line
-    * count, so no explode pass is spent on sizing.
+    * relation — `octet_length(text)` (UTF-8 bytes, what the exchange
+    * actually ships) bounds the line bytes from above (it includes the
+    * `\n` separators) and the newline count gives the line count, so no
+    * explode pass is spent on sizing.
     */
   private def lineShuffleBytesCol(textCol: String): Column = {
     val t = col(textCol).cast("string")
     val nLines = (length(t) - length(translate(t, "\n", ""))).cast("long") + 1L
-    coalesce(sum(length(t).cast("long") + nLines * 32L), lit(0L))
+    coalesce(sum(octet_length(t).cast("long") + nLines * 32L), lit(0L))
   }
 
   /** Duplicated-line classes: one row per eligible line string occurring
     * more than once in the corpus. Materialized (cached, counted) inside
     * the shuffle-sizing window so the sized partition count governs the
-    * line exchange; cache-tracked ([[Dedupe.releaseTrackedCaches]]).
+    * line exchange.
+    *
+    * CACHE RELEASE: the returned relation is cached and registered with
+    * [[Dedupe.releaseTrackedCaches]]. A long-lived session calling this
+    * (or any of the cut/incremental operators below — they cache their
+    * intermediate index the same way) repeatedly must call that hook —
+    * or `unpersist()` the returned relation — after consuming each
+    * result, or corpus-scale cached relations accumulate across calls.
     *
     * @return `(line, n_occ, n_docs, line_chars, first_doc, first_ord)`
     *         where (first_doc, first_ord) is the globally earliest
@@ -128,8 +140,12 @@ object LineDedupe {
     * (short) lines always survive. Documents with nothing to cut pass
     * through unchanged — the output has exactly one row per input row.
     *
+    * The intermediate dup index is cached until the returned plan is
+    * consumed — see the cache-release note on [[duplicateLines]].
+    *
     * @param broadcastDupBytes byte bound on broadcasting the
-    *   duplicated-line index (see [[DefaultBroadcastDupBytes]])
+    *   duplicated-line index (see [[DefaultBroadcastDupBytes]]; `0`
+    *   forces the hash-pair shuffle join)
     * @return `(doc_id, n_lines, n_dropped, chars_dropped, text_clean)` —
     *         `chars_dropped` counts line bytes only (not the removed
     *         `\n` separators).
@@ -186,16 +202,22 @@ object LineDedupe {
     Dedupe.track(idx)
     // one action: materializes the cached index (running the line
     // exchange at the sized partition count) and measures its bytes
-    // (string bytes + 48 B of fixed-width columns/row overhead)
+    // (UTF-8 string bytes via octet_length — the broadcast build holds
+    // bytes, not characters — + 48 B of fixed-width columns/row overhead)
     val idxBytes = idx
-      .agg(coalesce(sum(length(col("line")).cast("long") + 48L), lit(0L)))
+      .agg(coalesce(sum(octet_length(col("line")).cast("long") + 48L), lit(0L)))
       .collect()(0).getLong(0)
     val dupSide0 = idx.select(col("line").as("dup_line"),
       col("llo"), col("lhi"), col("f_id"), col("f_ord"))
     // production path broadcasts (byte-bounded); fallback shuffles on
-    // the fixed-width hash pair, never on the raw string
+    // the fixed-width hash pair, never on the raw string. A zero bound
+    // is the explicit force-shuffle sentinel (never broadcast — even an
+    // EMPTY index takes the fallback join, so the forcing knob and the
+    // parity specs exercise the shuffle path regardless of dup content).
     val dupSide =
-      if (idxBytes <= broadcastDupBytes) broadcast(dupSide0) else dupSide0
+      if (broadcastDupBytes > 0 && idxBytes <= broadcastDupBytes)
+        broadcast(dupSide0)
+      else dupSide0
     val drops = withLineHash(elig)
       .join(dupSide, Seq("llo", "lhi"))
       .filter(col("line") === col("dup_line")) // byte-verify: exactness
@@ -264,6 +286,9 @@ object LineDedupe {
     * and each incremental batch cuts against it without re-reading the
     * base. Columns (llo, lhi).
     *
+    * The returned index is cached (release note on [[duplicateLines]];
+    * the incremental specs `unpersist()` it directly when done).
+    *
     * When PERSISTING, also write a [[LineIndexMeta]] sidecar
     * (minLineChars, the base's max doc id, line count) the way
     * `Cli line-index` does — the parquet alone records none of those,
@@ -312,7 +337,8 @@ object LineDedupe {
     * may carry every eligible line, not just duplicated ones. The drop
     * relation is materialized (cached, counted) inside the sizing
     * window so the corpus-sized occurrences↔firsts join runs at the
-    * sized partition count; cache-tracked.
+    * sized partition count; cache-tracked (release note on
+    * [[duplicateLines]]).
     */
   def cutFromFirstLines(
       df: DataFrame,
@@ -352,6 +378,8 @@ object LineDedupe {
     *
     * Cost per refresh: one narrow batch line pass + one lookup join of
     * the batch's distinct lines into the index — never a base re-read.
+    * The intermediate dup index is cached until the returned plan is
+    * consumed — see the cache-release note on [[duplicateLines]].
     *
     * @param baseMaxDocId when set, the append-only contract is ENFORCED
     *   (one cheap aggregate folded into the sizing pass): the batch's

@@ -2,8 +2,8 @@ package graft
 
 /** Smoke coverage for the full catalog: every query must run and return a
   * schema at sf0.001; oracle-backed queries additionally return rows
-  * (deep value checks are the driver's DuckDB compare + the local replay
-  * harness in .claude/skills/verify).
+  * (deep value checks are the external differential-replay harness's
+  * DuckDB compare).
   */
 class QueriesSpec extends SparkSpec {
 

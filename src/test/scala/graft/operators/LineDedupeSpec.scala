@@ -147,6 +147,33 @@ class LineDedupeSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  /** The regime dedup_lines_approx exists for: distinct lines ≫ k, where
+    * the KMV estimate (not an exact count) carries the answer. Mirrors
+    * KmvSketchSpec's saturated-error-bound pin for the line identity
+    * stream specifically: 50k distinct lines at k = 1024 (≈49× saturated)
+    * must estimate within 5·rsd = 5/√1023 ≈ 15.6 % — deterministic
+    * (xxhash64 over fixed strings), so a pinned regression test, not a
+    * flaky statistical one. Duplication (3 copies of every line) must not
+    * inflate the distinct estimate, and the dup mass must follow.
+    */
+  test("approxDuplicateLines saturated: distinct >> k within 5·rsd") {
+    val n = 50000L
+    val k = 1024
+    val distinctDocs = spark.range(n).selectExpr("id AS doc_id",
+      "concat('distinct boilerplate line number ', id) AS text")
+    val corpus = distinctDocs.unionAll(distinctDocs).unionAll(distinctDocs)
+    val Array(r) = LineDedupe.approxDuplicateLines(corpus, "text", k = k)
+      .collect()
+    assert(r.getLong(0) === 3 * n) // total occurrences are exact
+    val est = r.getLong(1)
+    val err = math.abs(est - n).toDouble / n
+    val bound = 5.0 / math.sqrt(k - 1.0)
+    info(f"saturated line-KMV estimate: $est (err ${err * 100}%.2f%%, " +
+      f"bound ${bound * 100}%.2f%%)")
+    assert(err < bound, s"estimate $est breaks the 5·rsd bound for $n")
+    assert(r.getLong(2) === 3 * n - est) // dup mass = total − estimate
+  }
+
   test("approxDuplicateLines: exact below k, matches the exact report") {
     // total eligible lines and distinct-line count from first principles
     val total = 3L + 5L + 1L // doc1: 3 elig, doc2: 5, doc3: header only
