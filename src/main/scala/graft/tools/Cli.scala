@@ -167,6 +167,32 @@ object Cli {
       s"min_chars=$minLineChars")
   }
 
+  /** `dup-lines-approx` body, factored for ToolsSpec: the KMV first-pass
+    * line-duplication estimate
+    * ([[graft.operators.LineDedupe.approxDuplicateLines]] — one narrow
+    * pass, one ≤k-long sketch buffer per partition on the wire; exact
+    * below the sketch's k, the dedup_lines_approx catalog query this
+    * mirrors). The triage to run before committing to a full `cut-lines`
+    * over a big corpus. Returns (rollup line, dup_fraction).
+    */
+  private[tools] def dupLinesApproxReport(
+      spark: SparkSession,
+      file: String,
+      minLineChars: Int): (String, Double) = {
+    val docs = spark.read.parquet(file)
+    require(docs.columns.contains("text"),
+      s"expected a text column, got ${docs.columns.mkString(", ")}")
+    val row = graft.operators.LineDedupe
+      .approxDuplicateLines(docs, "text", minLineChars = minLineChars)
+      .head()
+    val (total, kmv, dup, frac) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val bp = math.round(frac * 10000).toInt
+    (s"lines=$total distinct~$kmv dup~$dup dup_bp~$bp " +
+      s"min_chars=$minLineChars (KMV k=${1 << 18}; exact when distinct < k)",
+      frac)
+  }
+
   /** `cut-lines` body, factored for ToolsSpec: the keep-earliest line
     * cut ([[graft.operators.LineDedupe.cutDuplicateLines]]), written as
     * parquet to `outDir`. Returns (cut relation, rollup
@@ -854,6 +880,16 @@ object Cli {
       println(rollup)
       spark.stop()
 
+    case "dup-lines-approx" :: file :: rest if rest.size <= 1 =>
+      // the cheap first-pass: KMV-sketched line-duplication estimate (one
+      // narrow pass, no per-line shuffle) — run this before committing to
+      // a full cut-lines over a big corpus
+      val minChars = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val (line, _) = dupLinesApproxReport(spark, file, minChars)
+      println(line)
+      spark.stop()
+
     case "cut-lines" :: file :: outDir :: rest if rest.size <= 1 =>
       // the line-dedup ACTION as a file tool: write the keep-earliest
       // line-cleaned corpus (doc_id, n_lines, n_dropped, chars_dropped,
@@ -1019,6 +1055,7 @@ object Cli {
            |       mismatch or batch ids <= the index's max_doc_id — the
            |       keep-earliest contract is append-only ids)
            |  dup-lines DOCUMENTS.parquet [MIN_LINE_CHARS]
+           |  dup-lines-approx DOCUMENTS.parquet [MIN_LINE_CHARS]
            |  cut-lines DOCUMENTS.parquet OUT_DIR [MIN_LINE_CHARS]
            |  line-index DOCUMENTS.parquet IDX_DIR [MIN_LINE_CHARS]
            |  cut-lines-incremental IDX_DIR BATCH.parquet OUT_DIR [MIN_LINE_CHARS]

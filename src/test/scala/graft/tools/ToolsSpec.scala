@@ -192,6 +192,34 @@ class ToolsSpec extends SparkSpec {
     assert(math.abs(frac - 4.0 / 14) < 1e-9)
   }
 
+  test("dup-lines-approx report: exact-below-k estimate pins the rollup") {
+    import spark.implicits._
+    val header = "subscribe to the weekly newsletter"
+    val dir = Files.createTempDirectory("graft-lineapprox")
+    // 3 eligible lines in docs 80/81 share the header (1 dup occurrence);
+    // doc 82's lines are unique; the short "--" line is ineligible
+    Seq(
+      (80L, s"$header\nunique body line of document eighty"),
+      (81L, s"$header\n--\neighty one has its own body text"),
+      (82L, "no boilerplate in this one at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val (line, frac) = Cli.dupLinesApproxReport(
+      spark, s"$dir/docs.parquet", minLineChars = 10)
+    // 5 eligible lines, 4 distinct -> dup 1, 2000 bp — far below k, so
+    // the sketch is exact and the line is fully pinned
+    assert(line.startsWith("lines=5 distinct~4 dup~1 dup_bp~2000 min_chars=10"),
+      line)
+    assert(math.abs(frac - 1.0 / 5) < 1e-9)
+    // column-contract guard, same as the span twin
+    Seq((1L, "x")).toDF("id", "body")
+      .write.mode("overwrite").parquet(s"$dir/bad.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Cli.dupLinesApproxReport(spark, s"$dir/bad.parquet", minLineChars = 10)
+    }
+    assert(e.getMessage.contains("text column"))
+  }
+
   test("dup-lines + cut-lines: planted boilerplate pins reports and the written corpus") {
     import spark.implicits._
     val header = "subscribe to the weekly newsletter"
