@@ -147,6 +147,38 @@ class LineDedupeSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  /** Multibyte corpora are where the round-16 byte-exact accounting
+    * matters: each CJK char below is 3 UTF-8 bytes, so octet_length ≈ 3×
+    * length. The cut must stay byte-exact (keep-earliest, rebuilt text
+    * identical across broadcast and forced-shuffle builds) and the
+    * reported line_chars stays CHARACTER-based (the oracle contract),
+    * while the broadcast/sizing decisions internally measure bytes.
+    */
+  test("multibyte UTF-8 lines: cut is exact, builds agree, chars reported") {
+    val banner = "訂閱我們的電子報以獲得最新消息" // 15 chars, 45 bytes
+    val df = Seq(
+      (1L, s"$banner\nユニークな本文その一です"),
+      (2L, s"$banner\nユニークな本文その二です"),
+      (3L, s"$banner\n$banner"))
+      .toDF("doc_id", "text")
+    val rep = LineDedupe.duplicateLines(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // line_chars is the CHARACTER count (15), not the 45-byte octet count
+    assert(rep(banner) === (4L, banner.length.toLong, 1L, 1L))
+    assert(banner.getBytes("UTF-8").length === 3 * banner.length)
+    val bcast = LineDedupe.cutDuplicateLines(df, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val shuffle = LineDedupe.cutDuplicateLines(df, "doc_id", "text",
+        broadcastDupBytes = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(bcast === shuffle)
+    val texts = bcast.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(texts(1L) === s"$banner\nユニークな本文その一です")
+    assert(texts(2L) === "ユニークな本文その二です")
+    assert(texts(3L) === "")
+  }
+
   /** The regime dedup_lines_approx exists for: distinct lines ≫ k, where
     * the KMV estimate (not an exact count) carries the answer. Mirrors
     * KmvSketchSpec's saturated-error-bound pin for the line identity
