@@ -831,6 +831,29 @@ object TextQueries {
     graft.operators.LineDedupe.approxDuplicateLines(
       pagedDocs(spark, sfDir), "text", minLineChars = 10)
 
+  /** Cross-source line-duplication matrix —
+    * [[graft.operators.LineDedupe.lineProvenance]] rolled up by (dropped
+    * doc's source, keeper's source): the directional "who copies whose
+    * boilerplate" mass in removed lines/chars, the line-family twin of
+    * [[dedupSourceMatrix]]. The provenance relation is dropped-line-sized
+    * and the doc→source side joins on doc_id (key-partitioned, never a
+    * corpus cross), so the rollup stays |sources|²-bounded.
+    */
+  private def dedupLinesMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = pagedDocs(spark, sfDir)
+    val prov = graft.operators.LineDedupe.lineProvenance(
+      d, "doc_id", "text", minLineChars = 10,
+      broadcastDupBytes = linesBcastBytes)
+    val src = d.select(col("doc_id"), col("source"))
+    prov
+      .join(src, Seq("doc_id"))
+      .join(src.select(col("doc_id").as("kept_doc"),
+        col("source").as("kept_source")), Seq("kept_doc"))
+      .groupBy(col("source"), col("kept_source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("line_chars")).as("dup_chars"))
+  }
+
   /** Line-level keep-earliest CUT ([[graft.operators.LineDedupe.cutDuplicateLines]]):
     * the cleaned corpus, one row per document, rebuilt text
     * string-compared against the oracle's SQL reconstruction.
@@ -1353,6 +1376,7 @@ object TextQueries {
     "dedup_source_matrix" -> dedupSourceMatrix _,
     "dedup_lines" -> dedupLines _,
     "dedup_lines_approx" -> dedupLinesApprox _,
+    "dedup_lines_matrix" -> dedupLinesMatrix _,
     "dedup_lines_cut" -> dedupLinesCut _,
     "dedup_lines_incremental" -> dedupLinesIncremental _,
     "stream_dedup_lines" -> streamDedupLines _,
@@ -1978,6 +2002,24 @@ object TextQueries {
          |    ELSE CAST(total_lines - kmv_distinct_lines AS DOUBLE)
          |      / total_lines END AS dup_fraction
          |FROM t""".stripMargin,
+    "dedup_lines_matrix" ->
+      s"""WITH $PagesCtes,
+         |dupfirsts AS (
+         |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
+         |    SELECT line, doc_id, ord,
+         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,
+         |      COUNT(*) OVER (PARTITION BY line) AS n_occ
+         |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
+         |drops AS (
+         |  SELECT e.doc_id, e.line, f.f_doc
+         |  FROM pelig e JOIN dupfirsts f USING (line)
+         |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT s.source, k.source AS kept_source,
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(length(d.line)) AS BIGINT) AS dup_chars
+         |FROM drops d JOIN s USING (doc_id) JOIN s k ON d.f_doc = k.doc_id
+         |GROUP BY s.source, k.source""".stripMargin,
     "dedup_lines_cut" -> LinesCutSql,
     // the streaming twin must land on the batch cut exactly
     "stream_dedup_lines" -> LinesCutSql,

@@ -197,6 +197,22 @@ object LineDedupe {
       textCol: String,
       elig: DataFrame,
       dupFirsts: DataFrame,
+      broadcastDupBytes: Long): DataFrame =
+    rebuildFromDrops(df, idCol, textCol,
+      dropsWithKeeper(elig, dupFirsts, broadcastDupBytes)
+        .select(col("id"), col("ord"), col("line_chars")))
+
+  /** The redundant-occurrence relation shared by the cut rewrite and
+    * [[lineProvenance]]: every eligible occurrence that is NOT its
+    * line's keeper, `(id, ord, line_chars, f_id, f_ord)` — where
+    * (f_id, f_ord) is the keeper (or the (-1, -1) in-base sentinel from
+    * [[cutLinesIncremental]]). Carries the whole hash-route/byte-verify
+    * and broadcast-vs-shuffle machinery described on
+    * [[DefaultBroadcastDupBytes]].
+    */
+  private def dropsWithKeeper(
+      elig: DataFrame,
+      dupFirsts: DataFrame,
       broadcastDupBytes: Long): DataFrame = {
     val idx = withLineHash(dupFirsts).cache()
     Dedupe.track(idx)
@@ -218,13 +234,54 @@ object LineDedupe {
       if (broadcastDupBytes > 0 && idxBytes <= broadcastDupBytes)
         broadcast(dupSide0)
       else dupSide0
-    val drops = withLineHash(elig)
+    withLineHash(elig)
       .join(dupSide, Seq("llo", "lhi"))
       .filter(col("line") === col("dup_line")) // byte-verify: exactness
       .filter(!(col("id") === col("f_id") && col("ord") === col("f_ord")))
       .select(col("id"), col("ord"),
-        length(col("line")).cast("long").as("line_chars"))
-    rebuildFromDrops(df, idCol, textCol, drops)
+        length(col("line")).cast("long").as("line_chars"),
+        col("f_id"), col("f_ord"))
+  }
+
+  /** Line-cut PROVENANCE — the audit surface for [[cutDuplicateLines]]:
+    * one row per redundant line occurrence (exactly the occurrences the
+    * cut removes) with where its kept copy lives. The line-family twin
+    * of [[Dedupe.spanProvenance]]: roll it up by (dropped doc's source,
+    * keeper's source) and you get the directional "who copies whose
+    * boilerplate" mass that decides which scrapes to line-dedupe against
+    * each other before mixing.
+    *
+    * Same plan as the cut's front half (one sized line exchange, the
+    * hash-pair-routed byte-verified join, broadcast byte-bounded with
+    * the same force-shuffle sentinel); the rebuild tail is simply not
+    * run. Cache-release note on [[duplicateLines]] applies.
+    *
+    * @return `(doc_id, ord, line_chars, kept_doc, kept_ord)` — one row
+    *         per removed occurrence; docs with nothing cut contribute
+    *         no rows. `line_chars` is the removed line's character count.
+    */
+  def lineProvenance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineChars: Int = 10,
+      broadcastDupBytes: Long = DefaultBroadcastDupBytes): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val session = df.sparkSession
+    val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
+    val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
+    try {
+      val elig = eligible(linesRelation(df, idCol, textCol), minLineChars)
+      val dupFirsts = elig
+        .groupBy(col("line"))
+        .agg(count(lit(1)).as("n_occ"),
+          min(struct(col("id"), col("ord"))).as("f"))
+        .filter(col("n_occ") > 1)
+        .select(col("line"), col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+      dropsWithKeeper(elig, dupFirsts, broadcastDupBytes)
+        .select(col("id").as("doc_id"), col("ord"), col("line_chars"),
+          col("f_id").as("kept_doc"), col("f_ord").as("kept_ord"))
+    } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Rebuild tail shared with the streaming twin

@@ -60,6 +60,21 @@ class LineDedupeSpec extends SparkSpec {
     assert(out(4L) === (1L, 0L, 0L, ""))
   }
 
+  test("lineProvenance reports exactly the cut occurrences with keepers") {
+    val want = Set(
+      (2L, 1L, header.length.toLong, 1L, 1L), // header copy in doc 2
+      (3L, 3L, header.length.toLong, 1L, 1L), // header copy in doc 3
+      (2L, 5L, footer.length.toLong, 1L, 3L), // footer copy in doc 2
+      (2L, 4L, longLine.length.toLong, 2L, 3L)) // within-doc repeat
+    for (bcBytes <- Seq(Long.MaxValue, 0L)) {
+      val got = LineDedupe.lineProvenance(fixture, "doc_id", "text",
+          broadcastDupBytes = bcBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === want, s"bcBytes=$bcBytes")
+    }
+  }
+
   test("no duplicated eligible lines → corpus passes through unchanged") {
     val df = Seq((7L, "only one long line lives here\nshort")).toDF("doc_id", "text")
     assert(LineDedupe.duplicateLines(df, "doc_id", "text").count() === 0L)

@@ -95,6 +95,21 @@ class LinesPropertySpec extends SparkSpec {
     (classes.filter(_._2._1 > 1), cut)
   }
 
+  /** Sequential reference for [[LineDedupe.lineProvenance]]: every
+    * dropped occurrence with its keeper.
+    */
+  private def modelProvenance(
+      docs: Seq[(Long, String)]): Set[(Long, Long, Long, Long, Long)] = {
+    val (classes, _) = modelState(docs)
+    (for {
+      (id, t) <- docs
+      (line, i) <- t.split("\n", -1).zipWithIndex
+      if line.length >= MinChars
+      (n, _, fd, fo) <- classes.get(line)
+      if n > 1 && !(fd == id && fo == (i + 1).toLong)
+    } yield (id, (i + 1).toLong, line.length.toLong, fd, fo)).toSet
+  }
+
   test("lines report + cut + incremental match the sequential model, both builds") {
     import spark.implicits._
     val corpora = (0 until Corpora).map { k =>
@@ -136,8 +151,18 @@ class LinesPropertySpec extends SparkSpec {
     // batch-earliest — recompute from the model state of base ∪ batch
     val wantInc = wantCut.filter { case (id, _) => id % 100 >= 3 }
 
+    val wantProv = corpora.flatMap { case (_, docs) => modelProvenance(docs) }.toSet
+
     for (bcBytes <- Seq(Long.MaxValue, 0L)) {
       val tagB = if (bcBytes == 0L) "shuffle" else "broadcast"
+      val gotProv = LineDedupe
+        .lineProvenance(df, "doc_id", "text", MinChars, bcBytes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(gotProv == wantProv,
+        s"$tagB provenance diverges from model: " +
+          s"extra=${(gotProv -- wantProv).take(5)} " +
+          s"missing=${(wantProv -- gotProv).take(5)}")
       val gotCut = LineDedupe
         .cutDuplicateLines(df, "doc_id", "text", MinChars, bcBytes)
         .collect()
