@@ -130,6 +130,10 @@ object ScaleRun {
     // classes grow ~N×; the approx tier is the one-pass KMV triage
     "dedup_lines", "dedup_lines_approx", "dedup_lines_cut",
     "dedup_lines_incremental",
+    // r16: the cross-source boilerplate matrix — provenance front half
+    // (one sized line exchange + hash-pair join) + |sources|²-bounded
+    // rollup; its scale shape is the report's, plus two doc_id joins
+    "dedup_lines_matrix",
     "dedup_clusters", "dedup_keep_best", "dedup_neardup_matrix",
     "semantic_dedup", "emb_neardup",
     "cdc_estimate", "doc_select_topk", "lm_score", "ann_ivfpq_topk",
