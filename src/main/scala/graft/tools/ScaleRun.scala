@@ -237,7 +237,11 @@ object ScaleRun {
     // consumes the shared minhash pair relation — its 100x behavior
     // validates pair-relation sharing under real cardinality)
     "dedup_lines_cut", "dedup_lines", "dedup_lines_incremental",
-    "dedup_lines_approx", "dedup_neardup_matrix")
+    "dedup_lines_approx", "dedup_neardup_matrix",
+    // r16: the line-family cut audit — provenance front half + doc_id
+    // joins + |sources|²-bounded rollup; two decades is where a join
+    // blowup on the dropped-line relation would show
+    "dedup_lines_matrix")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
