@@ -812,6 +812,19 @@ object TextQueries {
       s"dup_lines_${Queries.dirTag(sfDir)}", "doc_id",
       pageTransform = pageTransform)
 
+  /** Bounded-state streaming twin of [[dedupLinesApprox]]
+    * ([[graft.streaming.StreamLines.runApproxOnce]], the
+    * stream_cdc_approx discipline): the KMV boilerplate triage run
+    * continuously over the documents stream, state = one sketch buffer
+    * (≤ k longs) + a counter regardless of corpus size. Shares the batch
+    * tier's oracle — same estimator, same arithmetic, same k.
+    */
+  private def streamLinesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamLines.runApproxOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"dup_lines_kmv_${Queries.dirTag(sfDir)}",
+      pageTransform = pageTransform)
+
   /** Line-level duplicate report ([[graft.operators.LineDedupe.duplicateLines]],
     * the RefinedWeb line-wise pass): duplicated-line classes across the
     * paged corpus with occurrence counts and the keep-earliest anchor.
@@ -1380,6 +1393,7 @@ object TextQueries {
     "dedup_lines_cut" -> dedupLinesCut _,
     "dedup_lines_incremental" -> dedupLinesIncremental _,
     "stream_dedup_lines" -> streamDedupLines _,
+    "stream_lines_approx" -> streamLinesApprox _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1556,6 +1570,26 @@ object TextQueries {
   /** The full keep-earliest line cut over the paged corpus — shared by
     * dedup_lines_cut and (batch-filtered) dedup_lines_incremental.
     */
+  /** The KMV line-duplication triage — shared by dedup_lines_approx and
+    * its bounded-state streaming twin stream_lines_approx. Valid at the
+    * verification SFs, where distinct eligible-line cardinality is below
+    * the KMV k = 2^18 so the sketch is provably exact and equals
+    * COUNT(DISTINCT line) (modulo the 64-bit line-hash identity — the
+    * same accepted trade as the span tier).
+    */
+  private val LinesApproxSql: String =
+    s"""WITH $PagesCtes,
+       |t AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS total_lines,
+       |    CAST(COUNT(DISTINCT line) AS BIGINT) AS kmv_distinct_lines
+       |  FROM pelig)
+       |SELECT total_lines, kmv_distinct_lines,
+       |  total_lines - kmv_distinct_lines AS dup_lines,
+       |  CASE WHEN total_lines = 0 THEN 0.0
+       |    ELSE CAST(total_lines - kmv_distinct_lines AS DOUBLE)
+       |      / total_lines END AS dup_fraction
+       |FROM t""".stripMargin
+
   private val LinesCutSql: String =
     s"""WITH $PagesCtes,
        |dupfirsts AS (
@@ -1986,22 +2020,11 @@ object TextQueries {
          |  CAST(length(s.line) AS BIGINT) AS line_chars,
          |  f.first_doc, f.first_ord
          |FROM stats s JOIN firsts f USING (line)""".stripMargin,
-    // NOTE: like dedup_spans_approx, valid at the verification SFs,
-    // where distinct eligible-line cardinality is below the KMV k = 2^18
-    // so the sketch is provably exact and equals COUNT(DISTINCT line)
-    // (modulo the 64-bit line-hash identity — the same accepted trade).
-    "dedup_lines_approx" ->
-      s"""WITH $PagesCtes,
-         |t AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS total_lines,
-         |    CAST(COUNT(DISTINCT line) AS BIGINT) AS kmv_distinct_lines
-         |  FROM pelig)
-         |SELECT total_lines, kmv_distinct_lines,
-         |  total_lines - kmv_distinct_lines AS dup_lines,
-         |  CASE WHEN total_lines = 0 THEN 0.0
-         |    ELSE CAST(total_lines - kmv_distinct_lines AS DOUBLE)
-         |      / total_lines END AS dup_fraction
-         |FROM t""".stripMargin,
+    // NOTE: exactness conditions documented on [[LinesApproxSql]]
+    "dedup_lines_approx" -> LinesApproxSql,
+    // the bounded-state streaming twin shares the batch tier's oracle:
+    // same estimator, same arithmetic, same k (exact below it)
+    "stream_lines_approx" -> LinesApproxSql,
     "dedup_lines_matrix" ->
       s"""WITH $PagesCtes,
          |dupfirsts AS (

@@ -103,4 +103,45 @@ object StreamLines {
       pageTransform(spark.read.parquet(docsPath)), idCol, textCol,
       minLineChars, foldFirsts(events))
   }
+
+  /** Bounded-state streaming twin of
+    * [[graft.operators.LineDedupe.approxDuplicateLines]] — the line
+    * family's `stream_cdc_approx` discipline: the KMV line-duplication
+    * triage run continuously, whose streaming state is the sketch buffer
+    * (≤ k longs) plus one counter REGARDLESS of corpus size — the
+    * configuration an unbounded ingest monitor actually runs (the
+    * suppression-cache cut twin above tracks per-identity events; this
+    * one answers only "how much boilerplate is arriving" at fixed
+    * state). Exact below k distinct eligible lines; same estimator and
+    * same output shape as the batch operator, so they share one oracle.
+    */
+  def runApproxOnce(
+      spark: SparkSession,
+      docsPath: String,
+      queryName: String,
+      textCol: String = "text",
+      minLineChars: Int = 10,
+      k: Int = 1 << 18,
+      pageTransform: DataFrame => DataFrame = identity): DataFrame = {
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    val agg = EventStream.runToMemory(spark, docsPath, queryName,
+      df => pageTransform(df)
+        .select(explode(
+          split(col(textCol).cast("string"), "\n", -1)).as("line"))
+        .filter(length(col("line")) >= minLineChars)
+        .select(xxhash64(col("line")).as("lh"))
+        .agg(count(lit(1)).as("total_lines"),
+          graft.functions.KmvSketch.kmv_distinct(col("lh"), k)
+            .as("kmv_distinct_lines")),
+      OutputMode.Complete())
+    // mirror the batch operator's arithmetic exactly (clamped dup mass,
+    // double fraction) so both twins land on one oracle relation
+    agg
+      .withColumn("dup_lines",
+        greatest(lit(0L), col("total_lines") - col("kmv_distinct_lines")))
+      .withColumn("dup_fraction",
+        when(col("total_lines") === 0, lit(0.0))
+          .otherwise(col("dup_lines").cast("double")
+            / col("total_lines").cast("double")))
+  }
 }

@@ -51,6 +51,20 @@ class StreamLinesSpec extends SparkSpec {
     assert(got(2L)._2 == 2L, s"doc 2 should lose header+footer: $got")
   }
 
+  test("streaming KMV triage equals the batch approx tier exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("slineapx")
+    writeFlatParquet(fixture.toDF("doc_id", "text"), dir, "docs.parquet")
+    val got = StreamLines.runApproxOnce(spark, s"$dir/docs.parquet",
+      "sline_apx").collect()
+    val want = LineDedupe.approxDuplicateLines(
+      fixture.toDF("doc_id", "text"), "text").collect()
+    // both twins below k: provably exact, so byte-identical rows
+    assert(got.toSeq == want.toSeq, s"got ${got.toSeq} want ${want.toSeq}")
+    // and non-trivial: this fixture HAS duplicated boilerplate
+    assert(got(0).getLong(2) > 0, "expected nonzero dup mass")
+  }
+
   test("reverse-id-order arrival still lands on the batch cut") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("slinerev")
