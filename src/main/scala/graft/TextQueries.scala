@@ -812,6 +812,16 @@ object TextQueries {
       s"dup_lines_${Queries.dirTag(sfDir)}", "doc_id",
       pageTransform = pageTransform)
 
+  /** Bounded-state streaming twin of [[dedupSpansApprox]]
+    * ([[graft.streaming.StreamSpans.runApproxOnce]]): the span family's
+    * fixed-state ingest monitor — see [[streamLinesApprox]] for the
+    * discipline.
+    */
+  private def streamSpansApprox(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.StreamSpans.runApproxOnce(
+      spark, s"$sfDir/documents.parquet",
+      s"dup_spans_kmv_${Queries.dirTag(sfDir)}")
+
   /** Bounded-state streaming twin of [[dedupLinesApprox]]
     * ([[graft.streaming.StreamLines.runApproxOnce]], the
     * stream_cdc_approx discipline): the KMV boilerplate triage run
@@ -1394,6 +1404,7 @@ object TextQueries {
     "dedup_lines_incremental" -> dedupLinesIncremental _,
     "stream_dedup_lines" -> streamDedupLines _,
     "stream_lines_approx" -> streamLinesApprox _,
+    "stream_spans_approx" -> streamSpansApprox _,
     "stream_dedup_spans" -> streamDedupSpans _,
     "dedup_lsh_eval" -> dedupLshEval _,
     "dedup_clusters" -> dedupClusters _,
@@ -1570,6 +1581,34 @@ object TextQueries {
   /** The full keep-earliest line cut over the paged corpus — shared by
     * dedup_lines_cut and (batch-filtered) dedup_lines_incremental.
     */
+  /** The KMV substring-duplication triage — shared by dedup_spans_approx
+    * and its bounded-state streaming twin stream_spans_approx. Valid at
+    * the verification SFs, where distinct window cardinality (17 k at
+    * sf0.01, 170 k at sf0.1) is below the KMV k = 2^18, so the sketch is
+    * provably exact and equals COUNT(DISTINCT win). At sketch-saturating
+    * scales this oracle would not hold — which is the point of the
+    * sketch (the cdc_estimate_approx precedent).
+    */
+  private val SpansApproxSql: String =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |wins AS (
+      |  SELECT array_to_string(ws[i:i+19], ' ') AS win
+      |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
+      |  WHERE len(ws) >= 20),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS total_windows,
+      |    CAST(COUNT(DISTINCT win) AS BIGINT) AS kmv_distinct_windows
+      |  FROM wins)
+      |SELECT total_windows, kmv_distinct_windows,
+      |  total_windows - kmv_distinct_windows AS dup_windows,
+      |  CASE WHEN total_windows = 0 THEN 0.0
+      |    ELSE CAST(total_windows - kmv_distinct_windows AS DOUBLE)
+      |      / total_windows END AS dup_fraction
+      |FROM t""".stripMargin
+
   /** The KMV line-duplication triage — shared by dedup_lines_approx and
     * its bounded-state streaming twin stream_lines_approx. Valid at the
     * verification SFs, where distinct eligible-line cardinality is below
@@ -2052,31 +2091,10 @@ object TextQueries {
       s"""SELECT * FROM (
          |$LinesCutSql
          |) q WHERE doc_id >= (SELECT (MAX(doc_id) + 1) // 2 FROM documents)""".stripMargin,
-    // NOTE: valid at the verification SFs, where distinct window
-    // cardinality (17 k at sf0.01, 170 k at sf0.1) is below the KMV
-    // k = 2^18, so the sketch is provably exact and equals
-    // COUNT(DISTINCT win). At sketch-saturating scales this oracle would
-    // not hold — which is the point of the sketch (the
-    // cdc_estimate_approx precedent).
-    "dedup_spans_approx" ->
-      """WITH words AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |wins AS (
-        |  SELECT array_to_string(ws[i:i+19], ' ') AS win
-        |  FROM words, UNNEST(generate_series(1, len(ws) - 19)) AS t(i)
-        |  WHERE len(ws) >= 20),
-        |t AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS total_windows,
-        |    CAST(COUNT(DISTINCT win) AS BIGINT) AS kmv_distinct_windows
-        |  FROM wins)
-        |SELECT total_windows, kmv_distinct_windows,
-        |  total_windows - kmv_distinct_windows AS dup_windows,
-        |  CASE WHEN total_windows = 0 THEN 0.0
-        |    ELSE CAST(total_windows - kmv_distinct_windows AS DOUBLE)
-        |      / total_windows END AS dup_fraction
-        |FROM t""".stripMargin,
+    "dedup_spans_approx" -> SpansApproxSql,
+    // the bounded-state streaming twin shares the batch tier's oracle:
+    // same estimator, same arithmetic, same k (exact below it)
+    "stream_spans_approx" -> SpansApproxSql,
     "dedup_spans_approx_source" ->
       """WITH words AS (
         |  SELECT source,

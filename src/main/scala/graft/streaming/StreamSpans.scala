@@ -298,4 +298,45 @@ object StreamSpans {
       spark.read.parquet(docsPath), idCol, textCol, windowTokens,
       foldFirsts(events), hash128)
   }
+
+  /** Bounded-state streaming twin of the span family's KMV triage
+    * (dedup_spans_approx) — the stream_cdc_approx discipline: the
+    * substring-duplication estimate run continuously, with streaming
+    * state = one sketch buffer (≤ k longs) + a counter REGARDLESS of
+    * corpus size. The fixed-state ingest monitor: [[runCutOnce]] answers
+    * "emit the exact cut" with a capped suppression cache; this answers
+    * only "how much substring duplication is arriving" at fixed state.
+    * Exact below k distinct windows; same estimator, arithmetic, and
+    * output shape as the batch tier, so both share one oracle.
+    */
+  def runApproxOnce(
+      spark: SparkSession,
+      docsPath: String,
+      queryName: String,
+      textCol: String = "text",
+      windowTokens: Int = 20,
+      k: Int = 1 << 18): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    val agg = EventStream.runToMemory(spark, docsPath, queryName,
+      df => {
+        import df.sparkSession.implicits._
+        val w = windowTokens
+        df.select(col(textCol).cast("string")).as[String]
+          .flatMap(t => graft.operators.Dedupe.windowHashes(t, w))
+          .toDF("win")
+          .agg(count(lit(1)).as("total_windows"),
+            graft.functions.KmvSketch.kmv_distinct(col("win"), k)
+              .as("kmv_distinct_windows"))
+      },
+      OutputMode.Complete())
+    // mirror the batch tier's arithmetic exactly (clamped dup mass,
+    // double fraction) so both twins land on one oracle relation
+    agg
+      .withColumn("dup_windows",
+        greatest(lit(0L), col("total_windows") - col("kmv_distinct_windows")))
+      .withColumn("dup_fraction",
+        when(col("total_windows") === 0, lit(0.0))
+          .otherwise(col("dup_windows").cast("double")
+            / col("total_windows").cast("double")))
+  }
 }

@@ -46,6 +46,28 @@ class StreamSpansSpec extends SparkSpec {
     assert(got == batchCut(fixture))
   }
 
+  test("streaming KMV triage equals the batch approx tier exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sspanapx")
+    writeFlatParquet(fixture.toDF("doc_id", "text"), dir, "docs.parquet")
+    val got = StreamSpans.runApproxOnce(spark, s"$dir/docs.parquet",
+      "sspan_apx", windowTokens = 5).collect()
+    // the batch tier's arithmetic from first principles: the fixture's
+    // window multiset at w=5 is small, so count it sequentially
+    val wins = fixture.flatMap { case (_, t) =>
+      Dedupe.windowHashes(t, 5)
+    }
+    val total = wins.size.toLong
+    val distinct = wins.distinct.size.toLong
+    assert(got.length == 1)
+    assert(got(0).getLong(0) === total)
+    assert(got(0).getLong(1) === distinct) // below k: provably exact
+    assert(got(0).getLong(2) === total - distinct)
+    assert(got(0).getLong(2) > 0, "expected nonzero dup mass")
+    assert(math.abs(got(0).getDouble(3) -
+      (total - distinct).toDouble / total) < 1e-12)
+  }
+
   /** Out-of-order ingest: the LATER micro-batch carries the SMALLER
     * doc_ids (the true earliest occurrences). The old design's
     * never-revised state silently kept the wrong first; the
