@@ -152,6 +152,9 @@ object ScaleRun {
     "doc_shuffle",
     // streaming estimator: chunk volume and per-hash state both grow N×
     "stream_cdc",
+    // r16 fixed-state streaming triage twins: N× corpus through the
+    // micro-batch scan, state stays one sketch buffer at both scales
+    "stream_lines_approx", "stream_spans_approx",
     // full-corpus Lloyd's: per-iteration narrow sweep over N× vectors,
     // partials stay k×dim regardless — the linear-scan scale shape
     "emb_kmeans",
