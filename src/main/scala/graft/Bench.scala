@@ -171,14 +171,14 @@ object Bench {
         i += 1
       }
     }
-    // release operator-tracked caches (hammingPairs results) after each
-    // run: every fn() call builds and registers its own, so without the
-    // release a min-of-2 sweep leaks two cached RDDs per consumer query
-    def timedQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t = timed(() => { fn(spark, sfDir).count(); () })
-      graft.operators.Dedupe.releaseTrackedCaches()
-      t
-    }
+    // operator-tracked caches (hammingPairs results) are loan-scoped per
+    // run: every fn() call builds and registers its own; the bracket
+    // releases them after the consume, so a min-of-2 sweep never carries
+    // cached RDDs between runs
+    def timedQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      graft.operators.Dedupe.withTrackedCaches {
+        timed(() => { fn(spark, sfDir).count(); () })
+      }
     val blockSentinels = scala.collection.mutable.Map.empty[Int, Double]
     val firstPass = selected.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % sentinelEvery == 0)

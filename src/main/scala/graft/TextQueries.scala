@@ -674,6 +674,38 @@ object TextQueries {
     * identity (a collision moves the estimate by ~1 part in 2⁶⁴·rate —
     * unobservable at any corpus size).
     */
+  /** Verification-harness guard for the KMV triage wrappers: their
+    * oracles compute exact COUNT(DISTINCT), which the sketch only equals
+    * BELOW its k — if a verification SF ever grows past k the compare
+    * would surface as an unexplained hash mismatch. Make saturation an
+    * explicit error instead: assert every sketch estimate in the (tiny,
+    * already-materialized) result is below k. Catalog-only — the
+    * underlying operators stay saturation-tolerant, because saturated IS
+    * their intended regime at corpus scale (the 100× tier exercises it).
+    */
+  /** Opt-in switch for [[assertUnsaturated]] — set by the verification
+    * harness ([[graft.Verify]]), the only context where the exact-
+    * COUNT(DISTINCT) oracle applies. Left off for Bench and ScaleRun:
+    * the 100× tier deliberately saturates the sketch (that regime is
+    * the whole point of the approx tier at corpus scale).
+    */
+  @volatile private[graft] var kmvOracleGuard: Boolean = false
+
+  private def assertUnsaturated(
+      df: DataFrame,
+      distinctCol: String,
+      k: Int,
+      query: String): DataFrame = {
+    if (!kmvOracleGuard) return df
+    val maxEst = df.agg(coalesce(max(col(distinctCol)), lit(0L)))
+      .head().getLong(0)
+    if (maxEst >= k) throw new IllegalStateException(
+      s"$query: KMV estimate $maxEst >= k=$k — the verification SF has " +
+        "outgrown the sketch's exact regime, so the exact-COUNT(DISTINCT) " +
+        "oracle no longer applies; raise k for verification or shrink the SF")
+    df
+  }
+
   private def dedupSpansApprox(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = 20
@@ -682,14 +714,18 @@ object TextQueries {
       .flatMap(t => Dedupe.windowHashes(t, w))
       .toDF("win")
       .agg(count(lit(1)).as("total"),
-        graft.functions.KmvSketch.kmv_distinct(col("win"), 1 << 18).as("kmv"))
+        graft.functions.KmvSketch.kmv_distinct(col("win"),
+          graft.functions.KmvSketch.TriageK).as("kmv"))
       .head()
     val total = row.getLong(0)
     val kmv = row.getLong(1)
     val dup = math.max(0L, total - kmv)
-    Seq((total, kmv, dup, if (total == 0) 0.0 else dup.toDouble / total))
-      .toDF("total_windows", "kmv_distinct_windows", "dup_windows",
-        "dup_fraction")
+    assertUnsaturated(
+      Seq((total, kmv, dup, if (total == 0) 0.0 else dup.toDouble / total))
+        .toDF("total_windows", "kmv_distinct_windows", "dup_windows",
+          "dup_fraction"),
+      "kmv_distinct_windows", graft.functions.KmvSketch.TriageK,
+      "dedup_spans_approx")
   }
 
   /** Per-source slice of [[dedupSpansApprox]]: WITHIN-source substring
@@ -708,7 +744,7 @@ object TextQueries {
   private def dedupSpansApproxSource(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val w = 20
-    docs(spark, sfDir)
+    val perSource = docs(spark, sfDir)
       .select(col("source").cast("string"), col("text").cast("string"))
       .as[(String, String)]
       .flatMap { case (src, t) =>
@@ -724,6 +760,12 @@ object TextQueries {
       .withColumn("dup_fraction",
         when(col("total_windows") === 0, lit(0.0))
           .otherwise(col("dup_windows").cast("double") / col("total_windows")))
+    // localize (|sources|-bounded) so the saturation guard's aggregate
+    // and the harness's consumption don't each rerun the corpus pass
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(perSource.collect(): _*), perSource.schema)
+    assertUnsaturated(local, "kmv_distinct_windows", 1 << 14,
+      "dedup_spans_approx_source")
   }
 
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface
@@ -818,9 +860,12 @@ object TextQueries {
     * discipline.
     */
   private def streamSpansApprox(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.StreamSpans.runApproxOnce(
-      spark, s"$sfDir/documents.parquet",
-      s"dup_spans_kmv_${Queries.dirTag(sfDir)}")
+    assertUnsaturated(
+      graft.streaming.StreamSpans.runApproxOnce(
+        spark, s"$sfDir/documents.parquet",
+        s"dup_spans_kmv_${Queries.dirTag(sfDir)}"),
+      "kmv_distinct_windows", graft.functions.KmvSketch.TriageK,
+      "stream_spans_approx")
 
   /** Bounded-state streaming twin of [[dedupLinesApprox]]
     * ([[graft.streaming.StreamLines.runApproxOnce]], the
@@ -830,10 +875,13 @@ object TextQueries {
     * tier's oracle — same estimator, same arithmetic, same k.
     */
   private def streamLinesApprox(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.StreamLines.runApproxOnce(
-      spark, s"$sfDir/documents.parquet",
-      s"dup_lines_kmv_${Queries.dirTag(sfDir)}",
-      pageTransform = pageTransform)
+    assertUnsaturated(
+      graft.streaming.StreamLines.runApproxOnce(
+        spark, s"$sfDir/documents.parquet",
+        s"dup_lines_kmv_${Queries.dirTag(sfDir)}",
+        pageTransform = pageTransform),
+      "kmv_distinct_lines", graft.functions.KmvSketch.TriageK,
+      "stream_lines_approx")
 
   /** Line-level duplicate report ([[graft.operators.LineDedupe.duplicateLines]],
     * the RefinedWeb line-wise pass): duplicated-line classes across the
@@ -851,8 +899,11 @@ object TextQueries {
     * rsd ≈ 0.2 % saturated — the KmvSketchSpec-pinned bound.
     */
   private def dedupLinesApprox(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.LineDedupe.approxDuplicateLines(
-      pagedDocs(spark, sfDir), "text", minLineChars = 10)
+    assertUnsaturated(
+      graft.operators.LineDedupe.approxDuplicateLines(
+        pagedDocs(spark, sfDir), "text", minLineChars = 10),
+      "kmv_distinct_lines", graft.functions.KmvSketch.TriageK,
+      "dedup_lines_approx")
 
   /** Cross-source line-duplication matrix —
     * [[graft.operators.LineDedupe.lineProvenance]] rolled up by (dropped

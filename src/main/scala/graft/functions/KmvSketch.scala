@@ -138,6 +138,15 @@ class KmvBufferAgg(k: Int) extends Aggregator[Long, KmvBuffer, Array[Long]] {
 }
 
 object KmvSketch {
+  /** Default k for the corpus-triage operators (`dedup_lines_approx`,
+    * `dedup_spans_approx` and their streaming twins, plus the CLI
+    * reports that print it): exact below 2¹⁸ ≈ 262k distinct
+    * identities, rsd ≈ 1/√(k−2) ≈ 0.2 % saturated, state ≤ k longs
+    * (2 MiB). One definition so the operators' defaults and the CLI
+    * report strings can never drift.
+    */
+  val TriageK: Int = 1 << 18
+
   /** Column function: `df.agg(kmv_distinct($"hash"))`. */
   def kmv_distinct(c: Column, k: Int = 1024): Column = udaf(new KmvSketch(k)).apply(c)
 

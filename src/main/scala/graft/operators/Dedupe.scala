@@ -2079,13 +2079,53 @@ object Dedupe {
   private val trackedCaches =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** Upper bound on concurrently persisted tracked relations: [[track]]
+    * evicts (unpersists) the OLDEST registration once the registry
+    * exceeds this, so an application that loops the dedup-family
+    * operators with no release discipline at all holds O(1) cached
+    * relations instead of accumulating one per call until executor
+    * memory pressure evicts them (DedupeCacheLifecycleSpec pins the
+    * bound). Sized so a single operator call (which tracks ≤ 3
+    * relations) can never evict its own intermediates, with headroom
+    * for a handful of unconsumed results in flight. Eviction is safe,
+    * not just tolerable: an unpersisted relation stays valid — a later
+    * consume recomputes it (slower, never wrong). Consumers that want
+    * deterministic release still use [[withTrackedCaches]] or
+    * [[releaseTrackedCaches]]; the bound is the backstop.
+    */
+  val MaxTrackedCaches: Int = 8
+
   // private[operators]: LineDedupe's lineIndex registers here too, so
   // the one harness hook releases every dedup-family cache
   private[operators] def track(df: DataFrame): DataFrame =
     trackedCaches.synchronized {
       trackedCaches += df
+      while (trackedCaches.length > MaxTrackedCaches) {
+        val oldest = trackedCaches.remove(0)
+        try oldest.unpersist()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       df
     }
+
+  /** Currently registered (still-persisted) tracked relations — the
+    * observable the lifecycle spec asserts on; always ≤
+    * [[MaxTrackedCaches]].
+    */
+  def trackedCacheCount: Int = trackedCaches.synchronized(trackedCaches.length)
+
+  /** Loan bracket for the tracked-cache lifecycle: run `body` (build
+    * AND fully consume any dedup-family results inside it), then
+    * release every tracked relation on the way out — normal return or
+    * exception. The scoped alternative to calling
+    * [[releaseTrackedCaches]] by hand; the harness loops (Verify,
+    * Bench, ScaleRun) bracket each catalog query with it. Don't let a
+    * LAZY result escape the bracket: its cached intermediates are
+    * released on exit, so a later consume recomputes them (valid, just
+    * no longer cached).
+    */
+  def withTrackedCaches[A](body: => A): A =
+    try body finally releaseTrackedCaches()
 
   /** Unpersist every tracked relation handed out since the last release.
     * Call after fully consuming a hammingPairs-derived result (the

@@ -94,12 +94,16 @@ object LineDedupe {
     * the shuffle-sizing window so the sized partition count governs the
     * line exchange.
     *
-    * CACHE RELEASE: the returned relation is cached and registered with
-    * [[Dedupe.releaseTrackedCaches]]. A long-lived session calling this
+    * CACHE RELEASE: the returned relation is cached and registered in
+    * [[Dedupe]]'s tracked-cache registry. The registry is BOUNDED
+    * ([[Dedupe.MaxTrackedCaches]]): a long-lived session looping this
     * (or any of the cut/incremental operators below — they cache their
-    * intermediate index the same way) repeatedly must call that hook —
-    * or `unpersist()` the returned relation — after consuming each
-    * result, or corpus-scale cached relations accumulate across calls.
+    * intermediate index the same way) holds O(1) cached relations with
+    * no release discipline at all — the oldest registration is evicted
+    * (unpersisted, still valid, recomputes on a later consume). For
+    * deterministic release, bracket build-and-consume in
+    * [[Dedupe.withTrackedCaches]] (the harness loops do) or call
+    * [[Dedupe.releaseTrackedCaches]] / `unpersist()` after consuming.
     *
     * @return `(line, n_occ, n_docs, line_chars, first_doc, first_ord)`
     *         where (first_doc, first_ord) is the globally earliest
@@ -516,7 +520,7 @@ object LineDedupe {
       df: DataFrame,
       textCol: String,
       minLineChars: Int = 10,
-      k: Int = 1 << 18): DataFrame = {
+      k: Int = graft.functions.KmvSketch.TriageK): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     import df.sparkSession.implicits._
     val lines = df.select(

@@ -121,7 +121,7 @@ object StreamLines {
       queryName: String,
       textCol: String = "text",
       minLineChars: Int = 10,
-      k: Int = 1 << 18,
+      k: Int = graft.functions.KmvSketch.TriageK,
       pageTransform: DataFrame => DataFrame = identity): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val agg = EventStream.runToMemory(spark, docsPath, queryName,

@@ -315,7 +315,7 @@ object StreamSpans {
       queryName: String,
       textCol: String = "text",
       windowTokens: Int = 20,
-      k: Int = 1 << 18): DataFrame = {
+      k: Int = graft.functions.KmvSketch.TriageK): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val agg = EventStream.runToMemory(spark, docsPath, queryName,
       df => {

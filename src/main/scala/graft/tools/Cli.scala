@@ -125,7 +125,8 @@ object Cli {
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)),
         graft.functions.KmvSketch.kmv_distinct(
-          org.apache.spark.sql.functions.col("win"), 1 << 18))
+          org.apache.spark.sql.functions.col("win"),
+          graft.functions.KmvSketch.TriageK))
       .head()
     val total = row.getLong(0)
     val kmv = row.getLong(1)
@@ -133,7 +134,8 @@ object Cli {
     val frac = if (total == 0) 0.0 else dup.toDouble / total
     val bp = math.round(frac * 10000).toInt
     (f"windows=$total distinct~$kmv dup~$dup dup_bp~$bp " +
-      s"window=$w (KMV k=${1 << 18}; exact when distinct < k)", frac)
+      s"window=$w (KMV k=${graft.functions.KmvSketch.TriageK}; " +
+      "exact when distinct < k)", frac)
   }
 
   /** `dup-lines` body, factored for ToolsSpec: duplicated-line classes
@@ -189,8 +191,8 @@ object Cli {
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
     val bp = math.round(frac * 10000).toInt
     (s"lines=$total distinct~$kmv dup~$dup dup_bp~$bp " +
-      s"min_chars=$minLineChars (KMV k=${1 << 18}; exact when distinct < k)",
-      frac)
+      s"min_chars=$minLineChars (KMV k=${graft.functions.KmvSketch.TriageK}; " +
+      "exact when distinct < k)", frac)
   }
 
   /** `cut-lines` body, factored for ToolsSpec: the keep-earliest line

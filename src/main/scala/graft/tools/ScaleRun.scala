@@ -294,11 +294,9 @@ object ScaleRun {
       }
     }
     def minOf2(fn: () => Unit): Double = {
-      val a = once(fn)
-      graft.operators.Dedupe.releaseTrackedCaches()
-      val r = if (a.isNaN) a else math.min(a, once(fn))
-      graft.operators.Dedupe.releaseTrackedCaches()
-      r
+      val a = graft.operators.Dedupe.withTrackedCaches(once(fn))
+      if (a.isNaN) a
+      else math.min(a, graft.operators.Dedupe.withTrackedCaches(once(fn)))
     }
 
     // tier selection: factors past the 10× tier run the heavy-family

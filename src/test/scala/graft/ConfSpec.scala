@@ -101,9 +101,14 @@ class ConfSpec extends SparkSpec {
       Conf.parseByteLimit("SPARK_GRAFT_LINES_BCAST_LIMIT", Some("128MiB"), 42L)
     }
     assert(e.getMessage.contains("SPARK_GRAFT_LINES_BCAST_LIMIT"))
-    intercept[IllegalArgumentException] {
-      Conf.parseByteLimit("X", Some("-1"), 42L)
+    // Spark's own never-broadcast convention (-1, as in
+    // autoBroadcastJoinThreshold=-1) is an accepted alias for the 0
+    // force-shuffle sentinel; anything below it still fails loudly
+    assert(Conf.parseByteLimit("X", Some("-1"), 42L) == 0L)
+    val n = intercept[IllegalArgumentException] {
+      Conf.parseByteLimit("X", Some("-2"), 42L)
     }
+    assert(n.getMessage.contains("0 forces the shuffle build"))
   }
 
   test("totalFileBytes: batched per-parent listing matches per-file stats") {

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+
+/** The tracked-cache lifecycle ([[Dedupe.track]] /
+  * [[Dedupe.MaxTrackedCaches]] / [[Dedupe.withTrackedCaches]]): an
+  * application that loops the dedup-family operators with ZERO release
+  * discipline must hold O(1) cached relations (bounded-registry
+  * eviction), the loan bracket must release on normal exit and on
+  * exception, and an evicted (unpersisted) relation must stay CORRECT —
+  * it recomputes, never breaks.
+  *
+  * Every corpus here is content-unique (a tag line seeds each one):
+  * Spark's cache manager keys entries by CANONICALIZED plan, so two
+  * calls over byte-identical local fixtures would share one cache entry
+  * and alias each other's persistence state — the assertions below need
+  * each call to own its entry. The assertions are also monotone under
+  * the suite-parallel test JVM: concurrent suites can only push MORE
+  * registrations through the shared registry (more eviction, more
+  * release), so "at most cap of mine are still persisted" never flakes.
+  */
+class DedupeCacheLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val header = "subscribe to our newsletter today"
+  private val footer = "copyright twenty twenty six all rights reserved"
+  private def fixture(tag: String) = Seq(
+    (1L, s"$header\nunique first body line\n$footer"),
+    (2L, s"$header\nanother body line here\n$footer"),
+    (3L, s"ok\n$header\n"),
+    (4L, s"cache lifecycle tag line $tag")
+  ).toDF("doc_id", "text")
+
+  private def persisted(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.storageLevel != StorageLevel.NONE
+
+  test("a release-free loop of cutDuplicateLines holds O(1) cached relations") {
+    val n = 3 * Dedupe.MaxTrackedCaches // well past the bound
+    val reports = (1 to n).map { i =>
+      // consume fully, never release — the undisciplined embedding app
+      val fx = fixture(s"loop iteration $i")
+      val cut = LineDedupe.cutDuplicateLines(fx, "doc_id", "text")
+      assert(cut.count() === 4L)
+      val rep = LineDedupe.duplicateLines(fx, "doc_id", "text")
+      assert(rep.count() === 2L, s"iteration $i")
+      // the registry bound is a hard invariant, enforced under its lock
+      assert(Dedupe.trackedCacheCount <= Dedupe.MaxTrackedCaches)
+      rep
+    }
+    // of the n report relations this loop was handed, at most cap can
+    // still be persisted — everything older was evicted (unpersisted)
+    val stillPersisted = reports.count(persisted)
+    assert(stillPersisted <= Dedupe.MaxTrackedCaches,
+      s"$stillPersisted of $n loop results still persisted — the " +
+        "registry bound did not evict")
+    // an evicted relation is still a valid plan: it recomputes
+    val first = reports.head
+    assert(first.collect().map(_.getString(0)).toSet === Set(header, footer))
+  }
+
+  test("withTrackedCaches releases on normal exit") {
+    val rep = Dedupe.withTrackedCaches {
+      val r = LineDedupe.duplicateLines(
+        fixture("bracket normal exit"), "doc_id", "text")
+      assert(r.count() === 2L) // consumed inside the loan scope
+      r
+    }
+    assert(!persisted(rep), "bracket exit left the tracked relation cached")
+    // released ≠ broken: consuming after the bracket recomputes
+    assert(rep.count() === 2L)
+  }
+
+  test("withTrackedCaches releases on exception and rethrows") {
+    var rep: org.apache.spark.sql.DataFrame = null
+    val boom = intercept[RuntimeException] {
+      Dedupe.withTrackedCaches {
+        rep = LineDedupe.duplicateLines(
+          fixture("bracket exception exit"), "doc_id", "text")
+        rep.count()
+        throw new RuntimeException("consumer failed mid-scope")
+      }
+    }
+    assert(boom.getMessage === "consumer failed mid-scope")
+    assert(rep != null && !persisted(rep),
+      "exception exit left the tracked relation cached")
+  }
+}
