@@ -918,14 +918,8 @@ object TextQueries {
     val prov = graft.operators.LineDedupe.lineProvenance(
       d, "doc_id", "text", minLineChars = 10,
       broadcastDupBytes = linesBcastBytes)
-    val src = d.select(col("doc_id"), col("source"))
-    prov
-      .join(src, Seq("doc_id"))
-      .join(src.select(col("doc_id").as("kept_doc"),
-        col("source").as("kept_source")), Seq("kept_doc"))
-      .groupBy(col("source"), col("kept_source"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(col("line_chars")).as("dup_chars"))
+    graft.operators.LineDedupe.lineSourceMatrix(
+      prov, d.select(col("doc_id"), col("source")))
   }
 
   /** Line-level keep-earliest CUT ([[graft.operators.LineDedupe.cutDuplicateLines]]):
@@ -1680,8 +1674,16 @@ object TextQueries {
        |      / total_lines END AS dup_fraction
        |FROM t""".stripMargin
 
-  private val LinesCutSql: String =
-    s"""WITH $PagesCtes,
+  /** The keep-earliest redundancy relation shared by the line cut,
+    * incremental, streaming-cut, and matrix oracles: the globally
+    * earliest (doc, ord) per duplicated line (the `dupfirsts` window
+    * shape — defined ONCE), then every non-keeper occurrence with its
+    * keeper. Carries the union of the consumers' columns (cut uses
+    * (doc_id, ord, chars); the matrix uses (line, f_doc)); DuckDB
+    * prunes what a consumer doesn't read.
+    */
+  private val LinesDropsCtes: String =
+    s"""$PagesCtes,
        |dupfirsts AS (
        |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
        |    SELECT line, doc_id, ord,
@@ -1689,9 +1691,13 @@ object TextQueries {
        |      COUNT(*) OVER (PARTITION BY line) AS n_occ
        |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
        |drops AS (
-       |  SELECT e.doc_id, e.ord, CAST(length(e.line) AS BIGINT) AS chars
+       |  SELECT e.doc_id, e.ord, e.line,
+       |    CAST(length(e.line) AS BIGINT) AS chars, f.f_doc
        |  FROM pelig e JOIN dupfirsts f USING (line)
-       |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
+       |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord))""".stripMargin
+
+  private val LinesCutSql: String =
+    s"""WITH $LinesDropsCtes,
        |kept AS (
        |  SELECT l.doc_id, l.ord, l.line FROM plines l
        |  LEFT JOIN drops d ON d.doc_id = l.doc_id AND d.ord = l.ord
@@ -2116,17 +2122,7 @@ object TextQueries {
     // same estimator, same arithmetic, same k (exact below it)
     "stream_lines_approx" -> LinesApproxSql,
     "dedup_lines_matrix" ->
-      s"""WITH $PagesCtes,
-         |dupfirsts AS (
-         |  SELECT line, doc_id AS f_doc, ord AS f_ord FROM (
-         |    SELECT line, doc_id, ord,
-         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,
-         |      COUNT(*) OVER (PARTITION BY line) AS n_occ
-         |    FROM pelig) WHERE rn = 1 AND n_occ > 1),
-         |drops AS (
-         |  SELECT e.doc_id, e.line, f.f_doc
-         |  FROM pelig e JOIN dupfirsts f USING (line)
-         |  WHERE NOT (e.doc_id = f.f_doc AND e.ord = f.f_ord)),
+      s"""WITH $LinesDropsCtes,
          |s AS (SELECT doc_id, source FROM documents)
          |SELECT s.source, k.source AS kept_source,
          |  CAST(count(*) AS BIGINT) AS n_lines,

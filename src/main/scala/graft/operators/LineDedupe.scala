@@ -288,6 +288,24 @@ object LineDedupe {
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  /** Cross-source line-duplication matrix: [[lineProvenance]] rolled up
+    * by (dropped doc's source, keeper's source) — the directional "who
+    * copies whose boilerplate" mass in removed lines/chars (the
+    * dedup_lines_matrix catalog query; the line-family twin of the span
+    * source matrix). `src` is the `(doc_id, source)` dimension; the
+    * provenance relation is dropped-line-sized and both joins are
+    * doc_id-keyed (key-partitioned, never a corpus cross), so the
+    * rollup stays |sources|²-bounded.
+    */
+  def lineSourceMatrix(prov: DataFrame, src: DataFrame): DataFrame =
+    prov
+      .join(src, Seq("doc_id"))
+      .join(src.select(col("doc_id").as("kept_doc"),
+        col("source").as("kept_source")), Seq("kept_doc"))
+      .groupBy(col("source"), col("kept_source"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("line_chars")).as("dup_chars"))
+
   /** Rebuild tail shared with the streaming twin
     * ([[graft.streaming.StreamLines]]): given `(id, ord, line_chars)`
     * drop decisions, rebuild every document from its surviving lines.

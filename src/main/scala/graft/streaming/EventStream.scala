@@ -222,6 +222,15 @@ object EventStream {
   def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runToMemory(spark, dir, queryName, windowedCounts(_), OutputMode.Complete())
 
+  /** State-store footprint (max rows, max bytes across triggers) of the
+    * most recent [[runToMemory]] query on this thread's harness — read
+    * by ScaleRun right after timing a streaming catalog query, so the
+    * tier tables can report state size next to wall time (the bounded-
+    * state twins' claim IS that this stays flat from 1× to 100×). None
+    * when the last run had no stateful operator.
+    */
+  @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
+
   /** Shared finite-input streaming harness: parquet file source →
     * transform → memory sink, drained with processAllAvailable. The
     * memory sink is harness-only (it collects to the driver); production
@@ -262,6 +271,13 @@ object EventStream {
       .start()
     try {
       q.processAllAvailable()
+      // surface the run's state-store footprint (max across triggers)
+      // for the scale harness: the fixed-state streaming twins' whole
+      // claim is that these numbers do NOT grow with the corpus
+      val ops = q.recentProgress.flatMap(_.stateOperators)
+      lastStateMetrics =
+        if (ops.isEmpty) None
+        else Some((ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max))
     } finally q.stop()
     // the memory sink registers its temp view in the child session; the
     // child dies with its references, so no cross-run dropTempView needed

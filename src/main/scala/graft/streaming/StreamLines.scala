@@ -125,17 +125,33 @@ object StreamLines {
       pageTransform: DataFrame => DataFrame = identity): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val agg = EventStream.runToMemory(spark, docsPath, queryName,
-      df => pageTransform(df)
-        .select(explode(
-          split(col(textCol).cast("string"), "\n", -1)).as("line"))
-        .filter(length(col("line")) >= minLineChars)
-        .select(xxhash64(col("line")).as("lh"))
-        .agg(count(lit(1)).as("total_lines"),
-          graft.functions.KmvSketch.kmv_distinct(col("lh"), k)
-            .as("kmv_distinct_lines")),
+      df => approxAgg(pageTransform(df), textCol, minLineChars, k),
       OutputMode.Complete())
-    // mirror the batch operator's arithmetic exactly (clamped dup mass,
-    // double fraction) so both twins land on one oracle relation
+    approxFinish(agg)
+  }
+
+  /** The twin's streaming aggregation, factored so the saturation spec
+    * can drive it through an explicit multi-trigger stream (the
+    * Complete-mode cross-micro-batch sketch-merge path is distinct from
+    * the batch estimator's partial-aggregation merge).
+    */
+  private[graft] def approxAgg(
+      df: DataFrame,
+      textCol: String,
+      minLineChars: Int,
+      k: Int): DataFrame =
+    df.select(explode(
+        split(col(textCol).cast("string"), "\n", -1)).as("line"))
+      .filter(length(col("line")) >= minLineChars)
+      .select(xxhash64(col("line")).as("lh"))
+      .agg(count(lit(1)).as("total_lines"),
+        graft.functions.KmvSketch.kmv_distinct(col("lh"), k)
+          .as("kmv_distinct_lines"))
+
+  /** The batch operator's arithmetic, mirrored exactly (clamped dup
+    * mass, double fraction) so both twins land on one oracle relation.
+    */
+  private[graft] def approxFinish(agg: DataFrame): DataFrame =
     agg
       .withColumn("dup_lines",
         greatest(lit(0L), col("total_lines") - col("kmv_distinct_lines")))
@@ -143,5 +159,4 @@ object StreamLines {
         when(col("total_lines") === 0, lit(0.0))
           .otherwise(col("dup_lines").cast("double")
             / col("total_lines").cast("double")))
-  }
 }

@@ -318,19 +318,35 @@ object StreamSpans {
       k: Int = graft.functions.KmvSketch.TriageK): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     val agg = EventStream.runToMemory(spark, docsPath, queryName,
-      df => {
-        import df.sparkSession.implicits._
-        val w = windowTokens
-        df.select(col(textCol).cast("string")).as[String]
-          .flatMap(t => graft.operators.Dedupe.windowHashes(t, w))
-          .toDF("win")
-          .agg(count(lit(1)).as("total_windows"),
-            graft.functions.KmvSketch.kmv_distinct(col("win"), k)
-              .as("kmv_distinct_windows"))
-      },
+      df => approxAgg(df, textCol, windowTokens, k),
       OutputMode.Complete())
-    // mirror the batch tier's arithmetic exactly (clamped dup mass,
-    // double fraction) so both twins land on one oracle relation
+    approxFinish(agg)
+  }
+
+  /** The twin's streaming aggregation, factored so the saturation spec
+    * can drive it through an explicit multi-trigger stream (the
+    * Complete-mode cross-micro-batch sketch-merge path is distinct from
+    * the batch estimator's partial-aggregation merge).
+    */
+  private[graft] def approxAgg(
+      df: DataFrame,
+      textCol: String,
+      windowTokens: Int,
+      k: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = windowTokens
+    df.select(col(textCol).cast("string")).as[String]
+      .flatMap(t => graft.operators.Dedupe.windowHashes(t, w))
+      .toDF("win")
+      .agg(count(lit(1)).as("total_windows"),
+        graft.functions.KmvSketch.kmv_distinct(col("win"), k)
+          .as("kmv_distinct_windows"))
+  }
+
+  /** The batch tier's arithmetic, mirrored exactly (clamped dup mass,
+    * double fraction) so both twins land on one oracle relation.
+    */
+  private[graft] def approxFinish(agg: DataFrame): DataFrame =
     agg
       .withColumn("dup_windows",
         greatest(lit(0L), col("total_windows") - col("kmv_distinct_windows")))
@@ -338,5 +354,4 @@ object StreamSpans {
         when(col("total_windows") === 0, lit(0.0))
           .otherwise(col("dup_windows").cast("double")
             / col("total_windows").cast("double")))
-  }
 }

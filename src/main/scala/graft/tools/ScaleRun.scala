@@ -244,7 +244,13 @@ object ScaleRun {
     // r16: the line-family cut audit — provenance front half + doc_id
     // joins + |sources|²-bounded rollup; two decades is where a join
     // blowup on the dropped-line relation would show
-    "dedup_lines_matrix")
+    "dedup_lines_matrix",
+    // r17: the fixed-state streaming KMV triage twins at two decades —
+    // their whole claim is corpus-independent state (one ≤k-long sketch
+    // buffer), and this tier is what proves it: the harness reports
+    // state rows/bytes next to wall time, which must be IDENTICAL at 1×
+    // and 100× (the stream_cdc precedent, where state is the contrast)
+    "stream_lines_approx", "stream_spans_approx")
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
@@ -328,12 +334,21 @@ object ScaleRun {
     // shared builds timed separately per dir (same attribution as Bench) —
     // ONE timed run: the second call would hit the session cache and
     // min-of-2 would report the cached scan, not the build
+    // (dir, query) → (state rows, state bytes) captured from the LAST
+    // streaming run of each timed query — the bounded-state evidence
+    // printed next to the wall-time table
+    val streamState =
+      scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
     def timeDir(dir: String): (Map[String, Double], Map[String, Double]) = {
       val shared = sharedSelected.map { case (name, build) =>
         name -> once(() => build(spark, dir))
       }.toMap
       val qs = queries.map { name =>
-        name -> minOf2(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
+        graft.streaming.EventStream.lastStateMetrics = None
+        val t = minOf2(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
+        graft.streaming.EventStream.lastStateMetrics
+          .foreach(m => streamState((dir, name)) = m)
+        name -> t
       }.toMap
       (shared, qs)
     }
@@ -355,6 +370,20 @@ object ScaleRun {
     queries.foreach { n =>
       println(s"| $n | ${n2(t1(n))} | ${n2(tN(n))} | ${n1(tN(n) / t1(n))}x |")
     }
+    // bounded-state evidence for the streaming queries: state-store
+    // rows/bytes at both tiers (the fixed-state twins must be IDENTICAL)
+    val stateNames = queries.filter(n =>
+      streamState.contains((base, n)) || streamState.contains((out, n)))
+    if (stateNames.nonEmpty) {
+      def fmt(dir: String, n: String): String =
+        streamState.get((dir, n))
+          .map { case (r, b) => s"$r rows / ${n2(b / 1048576.0)} MiB" }
+          .getOrElse("-")
+      println(s"[scale] streaming state (max rows / bytes across triggers), 1x vs ${factor}x:")
+      stateNames.foreach { n =>
+        println(s"[scale]   $n: ${fmt(base, n)} vs ${fmt(out, n)}")
+      }
+    }
     // memory headroom after the Nx sweep: a post-GC used-heap reading —
     // the resident state (caches, broadcasts, state stores) the sweep
     // leaves behind, against the configured ceiling. Both corpora are
@@ -368,9 +397,15 @@ object ScaleRun {
     val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     val maxMb = rt.maxMemory() / (1024 * 1024)
     println(s"[scale] heap after ${factor}x sweep: ${usedMb} MiB used of ${maxMb} MiB max")
-    val js = queries.map(n =>
-      s""""$n":{"t1":${n2(t1(n))},"tN":${n2(tN(n))},"ratio":${n2(tN(n) / t1(n))}}""")
-      .mkString("{", ",", "}")
+    val js = queries.map { n =>
+      val st = Seq((base, "1"), (out, "N")).flatMap { case (d, sfx) =>
+        streamState.get((d, n)).map { case (r, b) =>
+          s""""state_rows_$sfx":$r,"state_bytes_$sfx":$b"""
+        }
+      }
+      val extra = if (st.isEmpty) "" else "," + st.mkString(",")
+      s""""$n":{"t1":${n2(t1(n))},"tN":${n2(tN(n))},"ratio":${n2(tN(n) / t1(n))}$extra}"""
+    }.mkString("{", ",", "}")
     println(s"""{"scale_factor":$factor,"heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"queries":$js}""")
     spark.stop()
   }

@@ -153,6 +153,18 @@ class LinesPropertySpec extends SparkSpec {
 
     val wantProv = corpora.flatMap { case (_, docs) => modelProvenance(docs) }.toSet
 
+    // matrix rollup model: assign every doc a deterministic source and
+    // group the provenance tuples by (dropped doc's source, keeper's
+    // source) — the dedup_lines_matrix shape over the SAME model
+    def srcOf(id: Long): String = s"s${id % 3}"
+    val wantMatrix = wantProv.toSeq
+      .groupBy { case (id, _, _, fd, _) => (srcOf(id), srcOf(fd)) }
+      .map { case (k, rows) =>
+        k -> (rows.size.toLong, rows.map(_._3).sum)
+      }
+    val srcDf = all.map { case (id, _) => (id, srcOf(id)) }
+      .toDF("doc_id", "source")
+
     for (bcBytes <- Seq(Long.MaxValue, 0L)) {
       val tagB = if (bcBytes == 0L) "shuffle" else "broadcast"
       val gotProv = LineDedupe
@@ -163,6 +175,22 @@ class LinesPropertySpec extends SparkSpec {
         s"$tagB provenance diverges from model: " +
           s"extra=${(gotProv -- wantProv).take(5)} " +
           s"missing=${(wantProv -- gotProv).take(5)}")
+      val gotMatrix = LineDedupe.lineSourceMatrix(
+        LineDedupe.lineProvenance(df, "doc_id", "text", MinChars, bcBytes),
+        srcDf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(gotMatrix == wantMatrix, {
+        val bad = gotMatrix.collect {
+          case (k, v) if wantMatrix.get(k) != Some(v) =>
+            s"$k got $v want ${wantMatrix.get(k)}"
+        }
+        s"$tagB matrix rollup diverges from model: " +
+          s"${bad.take(3).mkString("; ")} " +
+          s"(missing=${(wantMatrix.keySet -- gotMatrix.keySet).take(5)})"
+      })
       val gotCut = LineDedupe
         .cutDuplicateLines(df, "doc_id", "text", MinChars, bcBytes)
         .collect()

@@ -126,4 +126,58 @@ class StreamLinesSpec extends SparkSpec {
       StreamLines.foldFirsts(session.table("sline_cap"))))
     assert(got == batchCut(fixture))
   }
+
+  test("saturated KMV across >=2 triggers: 5·rsd bound, equals single-batch union") {
+    // distinct eligible lines ≫ k, split across two files so the
+    // Complete-mode cross-micro-batch sketch-MERGE path (not just the
+    // batch estimator's partial-agg merge, pinned in LineDedupeSpec)
+    // carries the saturated regime. f1 re-ships f0's lines under new
+    // doc ids, so the dup mass is real and known: total 3n, distinct 2n.
+    import spark.implicits._
+    val n = 20000L
+    val k = 1024
+    def docsRange(lo: Long, hi: Long, tagBase: Long) =
+      spark.range(lo, hi).selectExpr(
+        s"id + $tagBase AS doc_id",
+        "concat('distinct streaming boilerplate line number ', id) AS text")
+    val f0 = docsRange(0, n, 0)
+    val f1 = docsRange(n, 2 * n, 0).unionAll(docsRange(0, n, 3 * n))
+    val dir = java.nio.file.Files.createTempDirectory("slinesat")
+    writeFlatParquet(f0, dir, "f0.parquet")
+    writeFlatParquet(f1, dir, "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamLines.approxAgg(stream, "text", 10, k)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sline_sat").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the merge path needs at least two non-empty triggers")
+    // streaming state is the ONE global sketch row, regardless of corpus
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    assert(stateRows <= 4, s"expected one sketch state row, got $stateRows")
+    val Array(got) =
+      StreamLines.approxFinish(session.table("sline_sat")).collect()
+    assert(got.getLong(0) === 3 * n)
+    val est = got.getLong(1)
+    val err = math.abs(est - 2 * n).toDouble / (2 * n)
+    val bound = 5.0 / math.sqrt(k - 1.0)
+    info(f"saturated streaming line-KMV: $est (err ${err * 100}%.2f%%, " +
+      f"bound ${bound * 100}%.2f%%)")
+    assert(err < bound, s"estimate $est breaks the 5·rsd bound for ${2 * n}")
+    // the KMV buffer depends only on the SET of values seen, so the
+    // micro-batch merge must land bit-identically on the single-batch
+    // estimate over the union corpus — same rows, not just same ballpark
+    val Array(want) = LineDedupe.approxDuplicateLines(
+      f0.unionAll(f1), "text", k = k).collect()
+    assert(got.toSeq === want.toSeq,
+      s"streaming merge diverged from the single-batch union run")
+  }
 }

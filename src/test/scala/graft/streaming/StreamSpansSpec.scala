@@ -281,4 +281,63 @@ class StreamSpansSpec extends SparkSpec {
       hash128 = true, loBits = 0))
     assert(got128 == batchCut(fixture))
   }
+
+  test("saturated KMV across >=2 triggers: 5·rsd bound, equals single-batch union") {
+    // distinct windows ≫ k, split across two files so the Complete-mode
+    // cross-micro-batch sketch-MERGE path carries the saturated regime
+    // (the batch estimator's saturation is pinned via the line family —
+    // same KmvSketch). Every doc carries 9 id-unique words → 5 distinct
+    // windows at w=5; f1 re-ships f0's texts, so total 15n windows with
+    // 10n distinct.
+    import spark.implicits._
+    val n = 2000L
+    val w = 5
+    val k = 256
+    def docsRange(lo: Long, hi: Long) =
+      spark.range(lo, hi).selectExpr("id AS doc_id",
+        "concat('alpha', id, ' bravo', id, ' charlie', id, ' delta', id, " +
+          "' echo', id, ' foxtrot', id, ' golf', id, ' hotel', id, " +
+          "' india', id) AS text")
+    val f0 = docsRange(0, n)
+    val f1 = docsRange(n, 2 * n)
+      .unionAll(docsRange(0, n).selectExpr(s"doc_id + ${3 * n}", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("sspansat")
+    writeFlatParquet(f0, dir, "f0.parquet")
+    writeFlatParquet(f1, dir, "f1.parquet")
+    val session = spark.newSession()
+    session.conf.set("spark.sql.shuffle.partitions", "4")
+    val schema = session.read.parquet(s"$dir/f0.parquet").schema
+    val stream = session.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .option("pathGlobFilter", "f*.parquet")
+      .parquet(dir.toString)
+    val q = StreamSpans.approxAgg(stream, "text", w, k)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sspan_sat").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the merge path needs at least two non-empty triggers")
+    // streaming state is the ONE global sketch row, regardless of corpus
+    val stateRows = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    assert(stateRows <= 4, s"expected one sketch state row, got $stateRows")
+    val Array(got) =
+      StreamSpans.approxFinish(session.table("sspan_sat")).collect()
+    assert(got.getLong(0) === 15 * n) // 3n docs × 5 windows, exact
+    val est = got.getLong(1)
+    val truth = 10 * n
+    val err = math.abs(est - truth).toDouble / truth
+    val bound = 5.0 / math.sqrt(k - 1.0)
+    info(f"saturated streaming span-KMV: $est (err ${err * 100}%.2f%%, " +
+      f"bound ${bound * 100}%.2f%%)")
+    assert(err < bound, s"estimate $est breaks the 5·rsd bound for $truth")
+    // the KMV buffer depends only on the SET of values seen, so the
+    // micro-batch merge must land bit-identically on the single-batch
+    // run of the same kernel over the union corpus
+    val Array(want) = StreamSpans.approxFinish(
+      StreamSpans.approxAgg(f0.unionAll(f1), "text", w, k)).collect()
+    assert(got.toSeq === want.toSeq,
+      "streaming merge diverged from the single-batch union run")
+  }
 }
