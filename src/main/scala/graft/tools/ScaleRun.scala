@@ -299,10 +299,21 @@ object ScaleRun {
         Double.NaN
       }
     }
-    def minOf2(fn: () => Unit): Double = {
-      val a = graft.operators.Dedupe.withTrackedCaches(once(fn))
-      if (a.isNaN) a
-      else math.min(a, graft.operators.Dedupe.withTrackedCaches(once(fn)))
+    // the shared VM host steals CPU in multi-second bursts (observed:
+    // a min-of-2 1x row reading 4x its quiet-box value), so a fixed two
+    // attempts is not enough for trustworthy ratios — take the min over
+    // SPARK_GRAFT_SCALE_MINOF attempts (default 3; the published sweeps
+    // state the setting)
+    val attempts =
+      math.max(1, sys.env.get("SPARK_GRAFT_SCALE_MINOF").map(_.toInt).getOrElse(3))
+    def minOfN(fn: () => Unit): Double = {
+      var best = graft.operators.Dedupe.withTrackedCaches(once(fn))
+      var i = 1
+      while (!best.isNaN && i < attempts) {
+        best = math.min(best, graft.operators.Dedupe.withTrackedCaches(once(fn)))
+        i += 1
+      }
+      best
     }
 
     // tier selection: factors past the 10× tier run the heavy-family
@@ -331,30 +342,59 @@ object ScaleRun {
       graft.TextQueries.sharedBuildConsumers(n).exists(qSet)
     }
 
-    // shared builds timed separately per dir (same attribution as Bench) —
-    // ONE timed run: the second call would hit the session cache and
-    // min-of-2 would report the cached scan, not the build
+    // Measurement order is INTERLEAVED per unit of work: each shared
+    // build and each query is timed at 1x and then immediately at Nx,
+    // so the two sides of every published RATIO run seconds apart in
+    // the same host window. (Timing the whole 1x tier first put ~10
+    // minutes between a query's two sides; on this burst-noisy shared
+    // VM that landed sustained slow windows on exactly one side and
+    // corrupted ratios even under min-of-3.)
+    //
+    // Shared builds are timed separately per dir (same attribution as
+    // Bench). A naive re-run would hit the session cache and report the
+    // cached scan, not the build — so between attempts the per-dir
+    // session relations are EVICTED (releaseFor) and the builds
+    // genuinely rebuild; the min is per build, and the final attempt
+    // leaves both dirs' caches warm for the query segment exactly as
+    // the single-run order did.
+    def timeShared(): (Map[String, Double], Map[String, Double]) = {
+      var s1 = Map.empty[String, Double]
+      var sN = Map.empty[String, Double]
+      for (attempt <- 0 until attempts if sharedSelected.nonEmpty) {
+        if (attempt > 0) {
+          graft.Queries.SessionRelationCache.releaseFor(base)
+          graft.Queries.SessionRelationCache.releaseFor(out)
+        }
+        sharedSelected.foreach { case (name, build) =>
+          val a = once(() => build(spark, base))
+          val b = once(() => build(spark, out))
+          def fold(m: Map[String, Double], t: Double) = m.get(name) match {
+            case Some(prev) if !prev.isNaN => m.updated(name, math.min(prev, t))
+            case _ => m.updated(name, t)
+          }
+          s1 = fold(s1, a); sN = fold(sN, b)
+        }
+      }
+      (s1, sN)
+    }
+
     // (dir, query) → (state rows, state bytes) captured from the LAST
     // streaming run of each timed query — the bounded-state evidence
     // printed next to the wall-time table
     val streamState =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
-    def timeDir(dir: String): (Map[String, Double], Map[String, Double]) = {
-      val shared = sharedSelected.map { case (name, build) =>
-        name -> once(() => build(spark, dir))
-      }.toMap
-      val qs = queries.map { name =>
-        graft.streaming.EventStream.lastStateMetrics = None
-        val t = minOf2(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
-        graft.streaming.EventStream.lastStateMetrics
-          .foreach(m => streamState((dir, name)) = m)
-        name -> t
-      }.toMap
-      (shared, qs)
+    def timeQuery(name: String, dir: String): Double = {
+      graft.streaming.EventStream.lastStateMetrics = None
+      val t = minOfN(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
+      graft.streaming.EventStream.lastStateMetrics
+        .foreach(m => streamState((dir, name)) = m)
+      t
     }
 
-    val (shared1, t1) = timeDir(base)
-    val (sharedN, tN) = timeDir(out)
+    val (shared1, sharedN) = timeShared()
+    val timed = queries.map(n => n -> (timeQuery(n, base), timeQuery(n, out))).toMap
+    val t1 = timed.map { case (n, (a, _)) => n -> a }
+    val tN = timed.map { case (n, (_, b)) => n -> b }
 
     // Locale.ROOT everywhere: the JSON line is machine-parsed, and even
     // the human table must not flip to comma decimals on another JVM
