@@ -699,10 +699,20 @@ object TextQueries {
     if (!kmvOracleGuard) return df
     val maxEst = df.agg(coalesce(max(col(distinctCol)), lit(0L)))
       .head().getLong(0)
-    if (maxEst >= k) throw new IllegalStateException(
-      s"$query: KMV estimate $maxEst >= k=$k — the verification SF has " +
-        "outgrown the sketch's exact regime, so the exact-COUNT(DISTINCT) " +
-        "oracle no longer applies; raise k for verification or shrink the SF")
+    // Guard at a margin BELOW k, not at k itself: a corpus whose distinct
+    // count sits just past k produces a SATURATED estimate of k·(1 ± rsd)
+    // that can land back under k and evade an `>= k` test — exactly the
+    // unexplained-mismatch case this guard exists to convert into a loud
+    // error. 5·rsd·k of margin (the KmvSketchSpec-pinned worst case,
+    // rsd = 1/√(k−1)) closes that blind window; both verification SFs sit
+    // far below it (sf0.1: 169,815 distinct windows vs a 259,584 bound at
+    // k=2¹⁸; max per-source 9,739 vs 15,744 at k=2¹⁴).
+    val bound = (k - 5.0 * k / math.sqrt(k - 1.0)).toLong
+    if (maxEst >= bound) throw new IllegalStateException(
+      s"$query: KMV estimate $maxEst >= $bound (k=$k minus a 5·rsd " +
+        "saturation margin) — the verification SF is at or past the " +
+        "sketch's exact regime, so the exact-COUNT(DISTINCT) oracle no " +
+        "longer applies; raise k for verification or shrink the SF")
     df
   }
 

@@ -2099,6 +2099,17 @@ object Dedupe {
   // the one harness hook releases every dedup-family cache
   private[operators] def track(df: DataFrame): DataFrame =
     trackedCaches.synchronized {
+      // Spark's cache manager keys by CANONICALIZED plan, so two
+      // registrations of the same operator over the same input share ONE
+      // cache entry — evicting the older registration would unpersist
+      // the newer call's cache through that alias (and, transitively,
+      // let a same-plan loop evict its own just-built result). Keep a
+      // single registration per canonical plan: dropping the older
+      // bookkeeping row leaks nothing, because releasing the newer one
+      // unpersists the shared entry.
+      val canon = df.queryExecution.analyzed.canonicalized
+      trackedCaches.filterInPlace(
+        _.queryExecution.analyzed.canonicalized != canon)
       trackedCaches += df
       while (trackedCaches.length > MaxTrackedCaches) {
         val oldest = trackedCaches.remove(0)

@@ -304,8 +304,25 @@ object ScaleRun {
     // attempts is not enough for trustworthy ratios — take the min over
     // SPARK_GRAFT_SCALE_MINOF attempts (default 3; the published sweeps
     // state the setting)
-    val attempts =
-      math.max(1, sys.env.get("SPARK_GRAFT_SCALE_MINOF").map(_.toInt).getOrElse(3))
+    val attempts = sys.env.get("SPARK_GRAFT_SCALE_MINOF") match {
+      case None => 3
+      case Some(s) =>
+        val n =
+          try s.trim.toInt
+          catch {
+            case _: NumberFormatException =>
+              System.err.println(
+                s"[scale] SPARK_GRAFT_SCALE_MINOF must be a positive attempt count, got '$s'")
+              sys.exit(2)
+          }
+        if (n < 1) {
+          // fail loudly rather than silently publishing min-of-1 numbers
+          System.err.println(
+            s"[scale] SPARK_GRAFT_SCALE_MINOF must be >= 1, got $n")
+          sys.exit(2)
+        }
+        n
+    }
     def minOfN(fn: () => Unit): Double = {
       var best = graft.operators.Dedupe.withTrackedCaches(once(fn))
       var i = 1
@@ -355,8 +372,13 @@ object ScaleRun {
     // cached scan, not the build — so between attempts the per-dir
     // session relations are EVICTED (releaseFor) and the builds
     // genuinely rebuild; the min is per build, and the final attempt
-    // leaves both dirs' caches warm for the query segment exactly as
-    // the single-run order did.
+    // leaves both dirs' caches warm for the query segment. NOTE one
+    // deliberate difference from the old tier-by-tier order: the 1×
+    // queries now run with the Nx shared relations also resident. With
+    // an 8 GiB heap and ≤ ~1.5 GiB of caches after the full 100× sweep
+    // this costs the 1× side nothing measurable (the 1× readings at the
+    // 100× tier match the 10× tier's), and it is what buys the
+    // interleaving that keeps the RATIOS honest on a bursty host.
     def timeShared(): (Map[String, Double], Map[String, Double]) = {
       var s1 = Map.empty[String, Double]
       var sN = Map.empty[String, Double]
@@ -368,9 +390,15 @@ object ScaleRun {
         sharedSelected.foreach { case (name, build) =>
           val a = once(() => build(spark, base))
           val b = once(() => build(spark, out))
+          // a failed attempt poisons the build's figure in EITHER
+          // direction (the "must surface as FAILED" policy) — min-ing
+          // around a NaN would publish a number for a build that did
+          // not reliably complete
           def fold(m: Map[String, Double], t: Double) = m.get(name) match {
-            case Some(prev) if !prev.isNaN => m.updated(name, math.min(prev, t))
-            case _ => m.updated(name, t)
+            case Some(prev) =>
+              m.updated(name,
+                if (prev.isNaN || t.isNaN) Double.NaN else math.min(prev, t))
+            case None => m.updated(name, t)
           }
           s1 = fold(s1, a); sN = fold(sN, b)
         }
@@ -386,8 +414,12 @@ object ScaleRun {
     def timeQuery(name: String, dir: String): Double = {
       graft.streaming.EventStream.lastStateMetrics = None
       val t = minOfN(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
-      graft.streaming.EventStream.lastStateMetrics
-        .foreach(m => streamState((dir, name)) = m)
+      // never publish bounded-state evidence for a FAILED query: a
+      // successful early attempt may have set the metrics before a later
+      // attempt poisoned the timing to NaN
+      if (!t.isNaN)
+        graft.streaming.EventStream.lastStateMetrics
+          .foreach(m => streamState((dir, name)) = m)
       t
     }
 

@@ -59,6 +59,29 @@ class DedupeCacheLifecycleSpec extends SparkSpec {
     assert(first.collect().map(_.getString(0)).toSet === Set(header, footer))
   }
 
+  test("a same-corpus loop never evicts its own cache through plan aliasing") {
+    // The OTHER loop shape: the same operator over the SAME input, past
+    // the registry bound. Spark's cache manager keys by canonicalized
+    // plan, so every iteration's result aliases ONE cache entry — a
+    // registry that kept stale registrations would evict an old one and
+    // unpersist the newest call's cache through the alias. track()
+    // dedupes registrations by canonical plan, so the loop holds one
+    // registration per distinct relation and the latest result STAYS
+    // persisted.
+    val fx = fixture("aliased same-plan loop")
+    val n = 3 * Dedupe.MaxTrackedCaches
+    var last: org.apache.spark.sql.DataFrame = null
+    (1 to n).foreach { i =>
+      last = LineDedupe.duplicateLines(fx, "doc_id", "text")
+      assert(last.count() === 2L, s"iteration $i")
+    }
+    assert(persisted(last),
+      "the latest same-plan result was unpersisted by registry eviction " +
+        "(canonical-plan aliasing)")
+    Dedupe.releaseTrackedCaches()
+    assert(!persisted(last))
+  }
+
   test("withTrackedCaches releases on normal exit") {
     val rep = Dedupe.withTrackedCaches {
       val r = LineDedupe.duplicateLines(
