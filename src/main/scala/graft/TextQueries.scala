@@ -691,7 +691,8 @@ object TextQueries {
     */
   @volatile private[graft] var kmvOracleGuard: Boolean = false
 
-  private def assertUnsaturated(
+  // private[graft] for KmvGuardSpec, which pins the saturation margin
+  private[graft] def assertUnsaturated(
       df: DataFrame,
       distinctCol: String,
       k: Int,
