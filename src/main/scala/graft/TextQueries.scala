@@ -691,13 +691,26 @@ object TextQueries {
     */
   @volatile private[graft] var kmvOracleGuard: Boolean = false
 
-  // private[graft] for KmvGuardSpec, which pins the saturation margin
+  // private[graft] for KmvGuardSpec, which pins the saturation margin.
+  // `enabled` defaults to the harness switch and exists so the spec can
+  // exercise the guard per-call instead of toggling the global (which
+  // would race a concurrently running suite if forked tests ever run
+  // suites in parallel).
   private[graft] def assertUnsaturated(
       df: DataFrame,
       distinctCol: String,
       k: Int,
-      query: String): DataFrame = {
-    if (!kmvOracleGuard) return df
+      query: String,
+      enabled: Boolean = kmvOracleGuard): DataFrame = {
+    if (!enabled) return df
+    // the 5·rsd margin below is only meaningful for large k: at k ≤ ~27
+    // the bound goes non-positive (every estimate would "saturate") and
+    // at k = 1 it divides by zero. Every catalog tier uses k ≥ 2¹⁴
+    // (KmvSketch.TriageK / SourceTriageK); refuse tiny k loudly instead
+    // of guarding nonsensically.
+    require(k >= 1024,
+      s"$query: assertUnsaturated needs k >= 1024 for a meaningful " +
+        s"5·rsd saturation margin, got k=$k")
     val maxEst = df.agg(coalesce(max(col(distinctCol)), lit(0L)))
       .head().getLong(0)
     // Guard at a margin BELOW k, not at k itself: a corpus whose distinct
@@ -764,7 +777,8 @@ object TextQueries {
       .toDF("source", "win")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("total_windows"),
-        graft.functions.KmvSketch.kmv_distinct(col("win"), 1 << 14)
+        graft.functions.KmvSketch.kmv_distinct(col("win"),
+          graft.functions.KmvSketch.SourceTriageK)
           .as("kmv_distinct_windows"))
       .withColumn("dup_windows",
         greatest(lit(0L), col("total_windows") - col("kmv_distinct_windows")))
@@ -775,8 +789,8 @@ object TextQueries {
     // and the harness's consumption don't each rerun the corpus pass
     val local = spark.createDataFrame(
       java.util.Arrays.asList(perSource.collect(): _*), perSource.schema)
-    assertUnsaturated(local, "kmv_distinct_windows", 1 << 14,
-      "dedup_spans_approx_source")
+    assertUnsaturated(local, "kmv_distinct_windows",
+      graft.functions.KmvSketch.SourceTriageK, "dedup_spans_approx_source")
   }
 
   /** Span-cut PROVENANCE ([[Dedupe.spanProvenance]]) — the audit surface

@@ -147,6 +147,17 @@ object KmvSketch {
     */
   val TriageK: Int = 1 << 18
 
+  /** Default k for the PER-SOURCE triage slices
+    * (`dedup_spans_approx_source` and the guard that verifies it):
+    * groups are |sources|-bounded, so each group pays its own sketch —
+    * 2¹⁴ (128 KiB per partial) keeps |partitions| × |sources| merge
+    * traffic small while staying exact below 16k distinct identities
+    * per source (both verification SFs: ≤ 9.7k). One definition so the
+    * operator, its saturation guard, and any report string can never
+    * drift — the same reason [[TriageK]] exists for the corpus-level k.
+    */
+  val SourceTriageK: Int = 1 << 14
+
   /** Column function: `df.agg(kmv_distinct($"hash"))`. */
   def kmv_distinct(c: Column, k: Int = 1024): Column = udaf(new KmvSketch(k)).apply(c)
 

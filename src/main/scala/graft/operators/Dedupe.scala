@@ -1454,6 +1454,9 @@ object Dedupe {
       hash128: Boolean = false,
       baseMaxDocId: Option[Long] = None): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    // the consumed index is hot: refresh its LRU position so a loop of
+    // incremental cuts never lets its own cold results evict it
+    touch(baseWindows)
     val session = batch.sparkSession
     import session.implicits._
     val w = windowTokens
@@ -2080,8 +2083,10 @@ object Dedupe {
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Upper bound on concurrently persisted tracked relations: [[track]]
-    * evicts (unpersists) the OLDEST registration once the registry
-    * exceeds this, so an application that loops the dedup-family
+    * evicts (unpersists) the LEAST-RECENTLY registered-or-touched
+    * registration once the registry exceeds this (see [[touch]] — the
+    * incremental-cut/cluster operators refresh the position of the
+    * tracked index they consume), so an application that loops the dedup-family
     * operators with no release discipline at all holds O(1) cached
     * relations instead of accumulating one per call until executor
     * memory pressure evicts them (DedupeCacheLifecycleSpec pins the
@@ -2124,6 +2129,29 @@ object Dedupe {
     * [[MaxTrackedCaches]].
     */
   def trackedCacheCount: Int = trackedCaches.synchronized(trackedCaches.length)
+
+  /** LRU touch: refresh a tracked relation's eviction position. The
+    * operators that CONSUME a caller-supplied tracked relation — an
+    * incremental index ([[cutSpansIncremental]]/
+    * [[LineDedupe.cutLinesIncremental]]), a shared pair relation
+    * ([[duplicateClusters]]) — call this on entry, so eviction order is
+    * recency of registration-OR-consumption, not plain FIFO: an
+    * application that interleaves two operator families in a loop keeps
+    * both hot indexes resident while the loop's own cold results are
+    * what the bound evicts (DedupeCacheLifecycleSpec pins the
+    * interleaved loop). Matching is by canonicalized plan, the same key
+    * [[track]] dedupes on; a no-op for untracked inputs.
+    */
+  private[operators] def touch(df: DataFrame): Unit =
+    trackedCaches.synchronized {
+      val canon = df.queryExecution.analyzed.canonicalized
+      val i = trackedCaches.indexWhere(
+        _.queryExecution.analyzed.canonicalized == canon)
+      if (i >= 0 && i != trackedCaches.length - 1) {
+        val entry = trackedCaches.remove(i)
+        trackedCaches += entry
+      }
+    }
 
   /** Loan bracket for the tracked-cache lifecycle: run `body` (build
     * AND fully consume any dedup-family results inside it), then
@@ -2247,6 +2275,8 @@ object Dedupe {
       pairs: DataFrame,
       maxIter: Int = 10,
       singleTaskEdgeCap: Long = 1L << 20): DataFrame = {
+    // a tracked pair relation being clustered is hot — LRU-refresh it
+    touch(pairs)
     val spark = pairs.sparkSession
     // undirected edge list, both directions
     val edges = pairs

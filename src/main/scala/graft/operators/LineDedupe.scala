@@ -475,6 +475,9 @@ object LineDedupe {
       broadcastDupBytes: Long = DefaultBroadcastDupBytes,
       baseMaxDocId: Option[Long] = None): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+    // the consumed index is hot: refresh its LRU position so a loop of
+    // incremental cuts never lets its own cold results evict it
+    Dedupe.touch(baseLines)
     val session = batch.sparkSession
     // fold the contract check into the sizing aggregate — one narrow
     // doc-level pass, no explode

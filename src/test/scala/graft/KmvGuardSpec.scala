@@ -7,19 +7,21 @@ package graft
   * distinct count just past k yields a saturated estimate of k·(1 ± rsd)
   * that can land back UNDER k, so the guard must assert at a margin
   * below k (5·rsd·k, the KmvSketchSpec-pinned worst case), not at k
-  * itself.
+  * itself. The spec passes `enabled = true` per call instead of
+  * toggling the global `kmvOracleGuard` switch, so it stays correct
+  * even if forked suites ever run in parallel.
   */
 class KmvGuardSpec extends SparkSpec {
   import spark.implicits._
 
-  private val k = 1 << 14 // the dedup_spans_approx_source tier
+  private val k = graft.functions.KmvSketch.SourceTriageK // the per-source tier
   private def bound: Long = (k - 5.0 * k / math.sqrt(k - 1.0)).toLong
 
   private def guarded(est: Long): Unit = {
     val df = Seq((est, 0L)).toDF("kmv_distinct", "other")
-    TextQueries.kmvOracleGuard = true
-    try TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
-    finally TextQueries.kmvOracleGuard = false
+    TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query",
+      enabled = true)
+    ()
   }
 
   test("estimates below the margin pass") {
@@ -44,7 +46,19 @@ class KmvGuardSpec extends SparkSpec {
 
   test("the guard is a no-op outside the verification harness") {
     val df = Seq((k + 1000L, 0L)).toDF("kmv_distinct", "other")
-    // kmvOracleGuard stays false — Bench/ScaleRun deliberately saturate
+    // default enabled = kmvOracleGuard, which stays false here —
+    // Bench/ScaleRun deliberately saturate
     TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
+  }
+
+  test("tiny k refuses loudly instead of guarding nonsensically") {
+    // at k ≤ ~27 the 5·rsd margin goes non-positive (every estimate
+    // would read as saturated); the guard requires k >= 1024
+    val df = Seq((0L, 0L)).toDF("kmv_distinct", "other")
+    val e = intercept[IllegalArgumentException] {
+      TextQueries.assertUnsaturated(df, "kmv_distinct", 16, "spec_query",
+        enabled = true)
+    }
+    assert(e.getMessage.contains("k >= 1024"))
   }
 }

@@ -82,6 +82,45 @@ class DedupeCacheLifecycleSpec extends SparkSpec {
     assert(!persisted(last))
   }
 
+  test("an interleaved two-family loop keeps both hot indexes resident") {
+    // The cross-plan eviction shape: two operator families interleaved
+    // in a loop, each iteration consuming a long-lived tracked INDEX
+    // (line index, span window index) and tracking its own fresh cut
+    // result. Plain FIFO-by-registration would evict the hot indexes —
+    // registered once, at the very start — while the loop's cold
+    // younger results survive; the LRU touch the incremental cuts issue
+    // on entry keeps both indexes resident under the cap.
+    Dedupe.releaseTrackedCaches() // deterministic start: empty registry
+    val idxLines = LineDedupe.lineIndex(
+      fixture("interleaved lines base"), "text", minLineChars = 10)
+    val idxSpans = Dedupe.windowIndex(
+      Seq((1L, "interleaved spans base " + (1 to 30).map(i => s"tok$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "text", windowTokens = 5)
+    assert(persisted(idxLines) && persisted(idxSpans))
+    val n = 3 * Dedupe.MaxTrackedCaches
+    (1 to n).foreach { i =>
+      // content-unique batches with ids above both base ranges, so every
+      // iteration tracks fresh canonical plans (real eviction pressure)
+      val batchL = Seq((100L + i,
+        s"interleaved batch line family iteration $i body text"))
+        .toDF("doc_id", "text")
+      LineDedupe.cutLinesIncremental(idxLines, batchL, "doc_id", "text",
+        minLineChars = 10, baseMaxDocId = Some(4L)).count()
+      val batchS = Seq((100L + i,
+        s"interleaved span family iteration $i " +
+          (1 to 12).map(j => s"w${i}x$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      Dedupe.cutSpansIncremental(idxSpans, batchS, "doc_id", "text",
+        windowTokens = 5, baseMaxDocId = Some(1L)).count()
+      assert(Dedupe.trackedCacheCount <= Dedupe.MaxTrackedCaches)
+      assert(persisted(idxLines) && persisted(idxSpans),
+        s"iteration $i evicted a hot index — LRU touch did not refresh")
+    }
+    Dedupe.releaseTrackedCaches()
+    assert(!persisted(idxLines) && !persisted(idxSpans))
+  }
+
   test("withTrackedCaches releases on normal exit") {
     val rep = Dedupe.withTrackedCaches {
       val r = LineDedupe.duplicateLines(
