@@ -211,12 +211,78 @@ object Bench {
     val loadIndex =
       if (sentinelSecs.size < 2 || sentinelSecs.min <= 0) -1.0
       else sentinelSecs.max / sentinelSecs.min
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // total = steady-state query mins + the one-time shared builds, so the
     // headline still covers ALL work the catalog pays; -1 failure markers
     // stay visible per-entry but must not subtract from the headline
     val total = (results.map(_._2) ++ shared.map(_._2)).filter(_ >= 0).sum
+
+    // ---- machine-readable box-drift normalization (round-18 ask #3):
+    // three bench generations drifted 73→111→148 s on identical plans,
+    // reconciled only in README prose. Publish the normalization inputs
+    // in the artifact itself so "box, not plans" is verifiable with one
+    // python3 line instead of re-derived by hand each round.
+    //
+    // sentinel_floor: this run's best sentinel sample — the box's
+    // steady-state speed probe (a dedicated scan-agg, see above).
+    val sentinelFloor = sentinelSecs.filter(_ > 0).minOption.getOrElse(-1.0)
+    // normalized_total: total rescaled to the round-14 reference box
+    // (sentinel floor 0.151 s, the fastest box any committed artifact
+    // measured on) — total ÷ (floor / 0.151). Comparable across rounds
+    // to first order; the codec-kernel ratio below is the second probe.
+    val R14ReferenceFloor = 0.151
+    val normalizedTotal =
+      if (sentinelFloor <= 0) -1.0 else total * R14ReferenceFloor / sentinelFloor
+    // codec_kernel_ratio_vs_prev: median current/previous wall-time
+    // ratio over the pure-codec kernels (real encode/decode work, no
+    // shuffle, plans untouched for many rounds) read from the previous
+    // committed artifact (GRAFT_BENCH_PREV, default the repo's
+    // bench_full.json). A uniform ratio here = hardware drift, not
+    // plan regressions; -1 when the previous artifact or the kernels
+    // are unavailable.
+    val codecKernels =
+      Seq("mm_audio_fp", "mm_video_fp", "mm_phash_dedup", "phash_pairs",
+        "video_pairs")
+    val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV", "bench_full.json")
+    val currentByName = (results ++ shared).toMap
+    val kernelRatios: Seq[(String, Double)] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      // cross-SF ratios are meaningless (an sf0.01 verification run vs
+      // the committed sf0.1 headline would publish junk): only compare
+      // artifacts measured on the same corpus
+      val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      if (!prevSf.contains(sfDir)) Seq.empty
+      else codecKernels.flatMap { k =>
+        // the artifact is flat enough for a targeted extract: kernel
+        // names are globally unique keys within it
+        val re = ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
+        for {
+          m <- re.findFirstMatchIn(txt)
+          prev = m.group(1).toDouble if prev > 0
+          cur <- currentByName.get(k) if cur > 0
+        } yield k -> cur / prev
+      }
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val codecRatio =
+      if (kernelRatios.isEmpty) -1.0
+      else {
+        val sorted = kernelRatios.map(_._2).sorted
+        val n = sorted.length
+        if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+      }
+    def n3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val kernelJson = kernelRatios
+      .map { case (k, r) => "\"" + k + "\":" + n3(r) }
+      .mkString("{", ",", "}")
+    val normJson =
+      s""""sentinel_floor":${n3(sentinelFloor)},"normalized_total":${n3(normalizedTotal)},""" +
+        s""""r14_reference_floor":$R14ReferenceFloor,""" +
+        s""""codec_kernel_ratio_vs_prev":${n3(codecRatio)},""" +
+        s""""codec_kernel_ratios":$kernelJson,"prev_artifact":"$prevPath""""
+
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val sharedJson = shared.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // formatLocal(Locale.ROOT): the default-locale f-interpolator would
@@ -225,21 +291,28 @@ object Bench {
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,$normJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's BENCH_r{N}.json keeps only a ~2 KB stdout tail, which
     // truncates per-query times for most of the catalog; persist the full
-    // line as a repo artifact so round-over-round timings stay diffable
+    // line so round-over-round timings stay diffable. The default lives
+    // under target/ (UNTRACKED) on purpose: the committed headline
+    // artifact bench_full.json was clobbered three times in round 17 by
+    // verification-pass and driver reruns writing to the tracked path.
+    // Committing a headline is an explicit, deliberate copy:
+    //   cp target/bench_full.json bench_full.json   (verify skill, step 4)
     try {
       val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_full.json"))
+        sys.env.getOrElse("GRAFT_BENCH_OUT", "target/bench_full.json"))
+      Option(out.getParent)
+        .foreach(p => { java.nio.file.Files.createDirectories(p); () })
       java.nio.file.Files.write(out,
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(e) =>
       // NonFatal, not just IOException: Paths.get throws (unchecked)
       // InvalidPathException on a malformed GRAFT_BENCH_OUT, and losing the
       // computed results to an artifact-write hiccup is never worth it
-      System.err.println(s"bench_full.json write failed (non-fatal): $e")
+      System.err.println(s"bench artifact write failed (non-fatal): $e")
     }
     // compact 10 ms-rounded duplicate: the driver keeps only the final
     // ~2 KB of output, which truncates the front of the full-precision
@@ -255,11 +328,11 @@ object Bench {
     // driver's ~2 KB tail — the full-precision line above carries it;
     // "li" is the load_index (the one diagnostic worth its bytes here)
     println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"sb":$compactShared,"q":$compact}""")
-    // headline + load_index once more as the VERY LAST (≤100-byte) line:
-    // with 106 queries even the compact line overflows the driver's ~2 KB
-    // tail and its leading fields get cut — round 7's load_index vanished
-    // exactly when it had something to say
-    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)}}""")
+    // headline + load_index + box-normalized total once more as the VERY
+    // LAST (≤100-byte) line: with a large catalog even the compact line
+    // overflows the driver's ~2 KB tail and its leading fields get cut —
+    // round 7's load_index vanished exactly when it had something to say
+    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"nt":${n2(normalizedTotal)},"ckr":${n2(codecRatio)}}""")
     // drop this corpus's session-shared relations (ngram/span/phash/video
     // builds) — the untracked caches releaseTrackedCaches cannot reclaim
     Queries.SessionRelationCache.releaseFor(sfDir)

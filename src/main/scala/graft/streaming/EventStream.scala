@@ -223,13 +223,41 @@ object EventStream {
     runToMemory(spark, dir, queryName, windowedCounts(_), OutputMode.Complete())
 
   /** State-store footprint (max rows, max bytes across triggers) of the
-    * most recent [[runToMemory]] query on this thread's harness — read
+    * most recent [[runToMemory]] run, PER memory-sink query name — read
     * by ScaleRun right after timing a streaming catalog query, so the
     * tier tables can report state size next to wall time (the bounded-
-    * state twins' claim IS that this stays flat from 1× to 100×). None
-    * when the last run had no stateful operator.
+    * state twins' claim IS that this stays flat from 1× to 100×). A
+    * concurrent map keyed by the run's sink name (unique per catalog
+    * query + corpus dir), so two harness runs interleaving in one JVM
+    * never cross-attribute metrics — a single global slot did
+    * (StreamStateMetricsSpec pins the isolation). No entry when the
+    * run had no stateful operator.
     */
-  @volatile private[graft] var lastStateMetrics: Option[(Long, Long)] = None
+  private[graft] val stateMetrics =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  /** Sink name of the most recent [[runToMemory]] started on the
+    * CURRENT thread — callers like ScaleRun don't know the catalog's
+    * per-query sink naming scheme, but they DO own the thread their
+    * timed query ran on, so this plus [[stateMetrics]] yields exactly
+    * their own run's key. Cleared by [[clearThreadStateAttribution]]
+    * so a following non-streaming query can't inherit a stale name.
+    */
+  private val lastSinkOnThread = new ThreadLocal[String]
+
+  /** The current thread's own last streaming run's state footprint —
+    * None if the thread hasn't started one since the last
+    * [[clearThreadStateAttribution]], or if that run was stateless.
+    */
+  private[graft] def lastStateMetricsHere: Option[(Long, Long)] =
+    Option(lastSinkOnThread.get).flatMap(stateMetrics.get)
+
+  /** Forget the current thread's sink attribution — harness loops call
+    * this before timing each catalog query, so a batch query that
+    * follows a streaming one never reads the earlier run's metrics.
+    */
+  private[graft] def clearThreadStateAttribution(): Unit =
+    lastSinkOnThread.remove()
 
   /** Shared finite-input streaming harness: parquet file source →
     * transform → memory sink, drained with processAllAvailable. The
@@ -242,7 +270,8 @@ object EventStream {
       queryName: String,
       transform: DataFrame => DataFrame,
       mode: OutputMode,
-      shufflePartitions: Int = 8): DataFrame = {
+      shufflePartitions: Int = 8,
+      stateProvider: Option[String] = StateBackend.providerClass): DataFrame = {
     // stateful operators pay a per-(partition, state store) commit on
     // every micro-batch — a stream-stream join keeps FOUR stores per
     // partition — so the harness narrows the stateful shuffle width for
@@ -253,6 +282,15 @@ object EventStream {
     // width — no session-global mutation, no restore to race.
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    // a re-run of the same sink name must never expose the previous
+    // run's footprint if this one turns out stateless or fails
+    stateMetrics.remove(queryName)
+    lastSinkOnThread.set(queryName)
+    // opt-in state-store backend override (SPARK_GRAFT_STATE_BACKEND,
+    // or the spec-injected param): session-scoped, so concurrent batch
+    // work in the caller's session is untouched — see [[StateBackend]]
+    stateProvider.foreach(cls =>
+      session.conf.set("spark.sql.streaming.stateStore.providerClass", cls))
     val schema = session.read.parquet(dir).schema
     // file-source streams need a directory; a single-file input becomes
     // parent-dir + glob filter
@@ -275,9 +313,9 @@ object EventStream {
       // for the scale harness: the fixed-state streaming twins' whole
       // claim is that these numbers do NOT grow with the corpus
       val ops = q.recentProgress.flatMap(_.stateOperators)
-      lastStateMetrics =
-        if (ops.isEmpty) None
-        else Some((ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max))
+      if (ops.nonEmpty)
+        stateMetrics(queryName) =
+          (ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
     } finally q.stop()
     // the memory sink registers its temp view in the child session; the
     // child dies with its references, so no cross-run dropTempView needed

@@ -383,10 +383,13 @@ object ScaleRun {
       var s1 = Map.empty[String, Double]
       var sN = Map.empty[String, Double]
       for (attempt <- 0 until attempts if sharedSelected.nonEmpty) {
-        if (attempt > 0) {
-          graft.Queries.SessionRelationCache.releaseFor(base)
-          graft.Queries.SessionRelationCache.releaseFor(out)
-        }
+        // release before EVERY attempt, including the first: the warmup
+        // queries run against the 1× dir only, so attempt 0's base-side
+        // build could otherwise hit warm session relations while the N×
+        // side is always cold — an asymmetry that let min-of-N pick a
+        // warm base attempt and slightly inflate shared-build ratios
+        graft.Queries.SessionRelationCache.releaseFor(base)
+        graft.Queries.SessionRelationCache.releaseFor(out)
         sharedSelected.foreach { case (name, build) =>
           val a = once(() => build(spark, base))
           val b = once(() => build(spark, out))
@@ -411,15 +414,29 @@ object ScaleRun {
     // printed next to the wall-time table
     val streamState =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    // (dir, query) → post-GC used heap right after the streaming query's
+    // last timed run, while its just-stopped state provider is still
+    // loaded (the maintenance unload runs on a 60 s cadence): under the
+    // default HDFSBacked backend this reading carries the state rows
+    // IN-HEAP; under rocksdb the state lives off-heap/on-disk and the
+    // reading stays flat — the per-query evidence for the backend flag
+    val streamHeap = scala.collection.mutable.Map.empty[(String, String), Long]
     def timeQuery(name: String, dir: String): Double = {
-      graft.streaming.EventStream.lastStateMetrics = None
+      // drop this thread's sink attribution so a batch query can never
+      // inherit the previous streaming query's metrics
+      graft.streaming.EventStream.clearThreadStateAttribution()
       val t = minOfN(() => { graft.SparkEntry.queries(name)(spark, dir).count(); () })
       // never publish bounded-state evidence for a FAILED query: a
       // successful early attempt may have set the metrics before a later
       // attempt poisoned the timing to NaN
       if (!t.isNaN)
-        graft.streaming.EventStream.lastStateMetrics
-          .foreach(m => streamState((dir, name)) = m)
+        graft.streaming.EventStream.lastStateMetricsHere.foreach { m =>
+          streamState((dir, name)) = m
+          System.gc()
+          val rt = Runtime.getRuntime
+          streamHeap((dir, name)) =
+            (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        }
       t
     }
 
@@ -449,9 +466,14 @@ object ScaleRun {
     if (stateNames.nonEmpty) {
       def fmt(dir: String, n: String): String =
         streamState.get((dir, n))
-          .map { case (r, b) => s"$r rows / ${n2(b / 1048576.0)} MiB" }
+          .map { case (r, b) =>
+            val heap = streamHeap.get((dir, n))
+              .map(h => s", heap $h MiB").getOrElse("")
+            s"$r rows / ${n2(b / 1048576.0)} MiB$heap"
+          }
           .getOrElse("-")
-      println(s"[scale] streaming state (max rows / bytes across triggers), 1x vs ${factor}x:")
+      println(s"[scale] streaming state (max rows / bytes across triggers, " +
+        s"backend=${graft.streaming.StateBackend.name}), 1x vs ${factor}x:")
       stateNames.foreach { n =>
         println(s"[scale]   $n: ${fmt(base, n)} vs ${fmt(out, n)}")
       }
@@ -472,13 +494,15 @@ object ScaleRun {
     val js = queries.map { n =>
       val st = Seq((base, "1"), (out, "N")).flatMap { case (d, sfx) =>
         streamState.get((d, n)).map { case (r, b) =>
-          s""""state_rows_$sfx":$r,"state_bytes_$sfx":$b"""
+          val heap = streamHeap.get((d, n))
+            .map(h => s""","post_run_heap_mb_$sfx":$h""").getOrElse("")
+          s""""state_rows_$sfx":$r,"state_bytes_$sfx":$b$heap"""
         }
       }
       val extra = if (st.isEmpty) "" else "," + st.mkString(",")
       s""""$n":{"t1":${n2(t1(n))},"tN":${n2(tN(n))},"ratio":${n2(tN(n) / t1(n))}$extra}"""
     }.mkString("{", ",", "}")
-    println(s"""{"scale_factor":$factor,"heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"queries":$js}""")
+    println(s"""{"scale_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}","heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"queries":$js}""")
     spark.stop()
   }
 }

@@ -47,6 +47,7 @@ object StreamRestartRun {
       tRestart: Double,
       stateRows: Long,
       stateBytes: Long,
+      heapMb: Long,
       distinctKeys: Long,
       sinkRows: Long,
       occurrencesIn: Long)
@@ -103,14 +104,24 @@ object StreamRestartRun {
         }
         .start()
       val t0 = System.nanoTime()
-      try q.processAllAvailable() finally q.stop()
-      val secs = (System.nanoTime() - t0) / 1e9
-      val (rows, bytes) = maxStateMetrics(q)
-      lastState = (rows, bytes)
-      secs
+      try {
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        lastState = maxStateMetrics(q)
+        // post-GC used heap BEFORE q.stop(), while the run's state
+        // provider is still loaded: under the default hdfs backend every
+        // state row is on-heap here; under rocksdb the same state lives
+        // off-heap/on-disk and this reading stays flat — the per-case
+        // heap evidence for the SPARK_GRAFT_STATE_BACKEND flag
+        System.gc()
+        val rt = Runtime.getRuntime
+        lastHeapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        secs
+      } finally q.stop()
     }
 
     val tInitial = runOnce()
+    val heapInitial = lastHeapMb
     // the delta lands while the monitor is down: some re-uploads (state
     // keys already present), some genuinely new rows
     ScaleRun.writeSingleFile(delta(spark.read.parquet(srcDir.toString)),
@@ -119,6 +130,9 @@ object StreamRestartRun {
       work.resolve("delta.parquet"))
     val tRestart = runOnce()
     val (stateRows, stateBytes) = lastState
+    // the bigger of the two runs' readings: the initial run builds the
+    // state, the restart reloads it — either can carry the peak
+    val heapMb = math.max(heapInitial, lastHeapMb)
 
     // correctness: the snapshot equals the batch twin over ALL files
     val keysDf = batchKeys(Seq(srcDir.toString))
@@ -149,11 +163,12 @@ object StreamRestartRun {
       .forEach(p => { Files.deleteIfExists(p); () })
     finally s.close()
 
-    CaseResult(tInitial, tRestart, stateRows, stateBytes, distinctKeys,
-      sinkRows, occIn)
+    CaseResult(tInitial, tRestart, stateRows, stateBytes, heapMb,
+      distinctKeys, sinkRows, occIn)
   }
 
   private var lastState: (Long, Long) = (0L, 0L)
+  private var lastHeapMb: Long = 0L
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(100)
@@ -172,6 +187,13 @@ object StreamRestartRun {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in state-store backend (SPARK_GRAFT_STATE_BACKEND=rocksdb):
+    // set session-wide so the initial run AND the restart inherit the
+    // same provider — a checkpoint must keep the provider it started
+    // with (the two providers' checkpoint state formats differ)
+    graft.streaming.StateBackend.providerClass.foreach(c =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", c))
+    println(s"[restart] state backend: ${graft.streaming.StateBackend.name}")
     import spark.implicits._
 
     val chunk: DataFrame => DataFrame = df => df
@@ -348,14 +370,14 @@ object StreamRestartRun {
         linesCase(base, "stream_dedup_lines_sat", 1 << 10),
         linesCase(corpus, "stream_dedup_lines_sat", 1 << 10)))
 
-    println("| query | tier | initial (s) | restart (s) | state rows | state MiB | events out | occ in |")
-    println("|---|---|---|---|---|---|---|---|")
+    println("| query | tier | initial (s) | restart (s) | state rows | state MiB | heap MiB | events out | occ in |")
+    println("|---|---|---|---|---|---|---|---|---|")
     val json = results.map { case (name, r1, rN) =>
       for ((tier, r) <- Seq("1x" -> r1, s"${factor}x" -> rN)) {
         val occ = if (r.occurrencesIn == 0) "-" else r.occurrencesIn.toString
         println(s"| $name | $tier | ${n2(r.tInitial)} | ${n2(r.tRestart)} | " +
           s"${r.stateRows} | ${n2(r.stateBytes / 1024.0 / 1024.0)} | " +
-          s"${r.sinkRows} | $occ |")
+          s"${r.heapMb} | ${r.sinkRows} | $occ |")
       }
       // the N× recovery bar: restart pays state reload + delta, never a
       // corpus re-chunk. Two ways to pass: well under the initial run, OR
@@ -368,11 +390,13 @@ object StreamRestartRun {
           s"${n2(r1.tRestart)}s — recovery is re-processing the corpus")
       s""""$name":{"t1_initial":${n2(r1.tInitial)},"t1_restart":${n2(r1.tRestart)},""" +
         s""""t1_state_rows":${r1.stateRows},"t1_state_bytes":${r1.stateBytes},""" +
+        s""""t1_heap_mb":${r1.heapMb},""" +
         s""""tN_initial":${n2(rN.tInitial)},"tN_restart":${n2(rN.tRestart)},""" +
         s""""tN_state_rows":${rN.stateRows},"tN_state_bytes":${rN.stateBytes},""" +
+        s""""tN_heap_mb":${rN.heapMb},""" +
         s""""tN_events_out":${rN.sinkRows},"tN_occurrences_in":${rN.occurrencesIn}}"""
     }
-    println(s"""{"stream_restart_factor":$factor,${json.mkString(",")}}""")
+    println(s"""{"stream_restart_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}",${json.mkString(",")}}""")
     spark.stop()
   }
 }
