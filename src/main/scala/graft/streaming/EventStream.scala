@@ -316,7 +316,16 @@ object EventStream {
       if (ops.nonEmpty)
         stateMetrics(queryName) =
           (ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // drop the manager's lastTerminatedQuery reference: it pins the
+      // stopped query and through it the memory sink's collected rows —
+      // for a complete-mode run over a large corpus that is the whole
+      // result set held twice (sink + consumer), visible as hundreds of
+      // stale MiB in the scale harness's heap readings. The returned
+      // table below still owns the sink data through its plan.
+      session.streams.resetTerminated()
+    }
     // the memory sink registers its temp view in the child session; the
     // child dies with its references, so no cross-run dropTempView needed
     session.table(queryName)

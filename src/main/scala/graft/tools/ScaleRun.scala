@@ -414,12 +414,12 @@ object ScaleRun {
     // printed next to the wall-time table
     val streamState =
       scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
-    // (dir, query) → post-GC used heap right after the streaming query's
-    // last timed run, while its just-stopped state provider is still
-    // loaded (the maintenance unload runs on a 60 s cadence): under the
-    // default HDFSBacked backend this reading carries the state rows
+    // (dir, query) → post-GC used-heap DELTA with exactly ONE run's
+    // state providers loaded vs an unloaded baseline (see below): under
+    // the default HDFSBacked backend the delta carries the state rows
     // IN-HEAP; under rocksdb the state lives off-heap/on-disk and the
-    // reading stays flat — the per-query evidence for the backend flag
+    // delta stays near the harness-sink floor — the per-query evidence
+    // for the SPARK_GRAFT_STATE_BACKEND flag
     val streamHeap = scala.collection.mutable.Map.empty[(String, String), Long]
     def timeQuery(name: String, dir: String): Double = {
       // drop this thread's sink attribution so a batch query can never
@@ -432,10 +432,31 @@ object ScaleRun {
       if (!t.isNaN)
         graft.streaming.EventStream.lastStateMetricsHere.foreach { m =>
           streamState((dir, name)) = m
-          System.gc()
-          val rt = Runtime.getRuntime
-          streamHeap((dir, name)) =
-            (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+          // dedicated UNTIMED run for the heap evidence, reported as a
+          // DELTA over a just-taken baseline: the timed attempts left up
+          // to `attempts` checkpoint-distinct provider copies loaded
+          // (each run gets a fresh temp checkpoint) plus driver-side
+          // sink buffers that die on their own schedule, so an absolute
+          // reading smears one query's leftovers into the next. Unload
+          // everything, take a post-GC baseline, load exactly ONE run's
+          // state, read again: the delta is this query's own resident
+          // footprint (state provider + its harness sink — the sink
+          // rides BOTH backends identically, so the hdfs-vs-rocksdb
+          // difference isolates where the state lives)
+          def gcUsed(): Long = {
+            // two passes: one often leaves reference-processing work
+            System.gc(); Thread.sleep(200); System.gc()
+            val rt = Runtime.getRuntime
+            rt.totalMemory() - rt.freeMemory()
+          }
+          org.apache.spark.sql.GraftBridge.unloadStateStores()
+          val heapBase = gcUsed()
+          try {
+            graft.SparkEntry.queries(name)(spark, dir).count()
+            streamHeap((dir, name)) =
+              math.max(0L, gcUsed() - heapBase) / (1024 * 1024)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          org.apache.spark.sql.GraftBridge.unloadStateStores()
         }
       t
     }
@@ -468,7 +489,7 @@ object ScaleRun {
         streamState.get((dir, n))
           .map { case (r, b) =>
             val heap = streamHeap.get((dir, n))
-              .map(h => s", heap $h MiB").getOrElse("")
+              .map(h => s", heap +$h MiB").getOrElse("")
             s"$r rows / ${n2(b / 1048576.0)} MiB$heap"
           }
           .getOrElse("-")
@@ -495,7 +516,7 @@ object ScaleRun {
       val st = Seq((base, "1"), (out, "N")).flatMap { case (d, sfx) =>
         streamState.get((d, n)).map { case (r, b) =>
           val heap = streamHeap.get((d, n))
-            .map(h => s""","post_run_heap_mb_$sfx":$h""").getOrElse("")
+            .map(h => s""","heap_delta_mb_$sfx":$h""").getOrElse("")
           s""""state_rows_$sfx":$r,"state_bytes_$sfx":$b$heap"""
         }
       }

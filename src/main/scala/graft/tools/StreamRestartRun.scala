@@ -354,21 +354,38 @@ object StreamRestartRun {
     // the same pair of rows (~0.5M line identities at 1x, ~50M at 100x —
     // replica-tagged words keep line classes replica-disjoint, so the
     // default cap saturates at 100x as well).
-    val results = Seq(
-      ("stream_cdc", cdcCase(base), cdcCase(corpus)),
-      ("stream_dedup", dedupCase(base), dedupCase(corpus)),
+    val allCases: Seq[(String, () => CaseResult, () => CaseResult)] = Seq(
+      ("stream_cdc", () => cdcCase(base), () => cdcCase(corpus)),
+      ("stream_dedup", () => dedupCase(base), () => dedupCase(corpus)),
       ("stream_dedup_spans",
-        spansCase(base, "stream_dedup_spans", 1 << 16),
-        spansCase(corpus, "stream_dedup_spans", 1 << 16)),
+        () => spansCase(base, "stream_dedup_spans", 1 << 16),
+        () => spansCase(corpus, "stream_dedup_spans", 1 << 16)),
       ("stream_dedup_spans_sat",
-        spansCase(base, "stream_dedup_spans_sat", 1 << 10),
-        spansCase(corpus, "stream_dedup_spans_sat", 1 << 10)),
+        () => spansCase(base, "stream_dedup_spans_sat", 1 << 10),
+        () => spansCase(corpus, "stream_dedup_spans_sat", 1 << 10)),
       ("stream_dedup_lines",
-        linesCase(base, "stream_dedup_lines", 1 << 16),
-        linesCase(corpus, "stream_dedup_lines", 1 << 16)),
+        () => linesCase(base, "stream_dedup_lines", 1 << 16),
+        () => linesCase(corpus, "stream_dedup_lines", 1 << 16)),
       ("stream_dedup_lines_sat",
-        linesCase(base, "stream_dedup_lines_sat", 1 << 10),
-        linesCase(corpus, "stream_dedup_lines_sat", 1 << 10)))
+        () => linesCase(base, "stream_dedup_lines_sat", 1 << 10),
+        () => linesCase(corpus, "stream_dedup_lines_sat", 1 << 10)))
+    // iteration aid (same convention as SPARK_GRAFT_SCALE_ONLY): a
+    // comma-separated case subset — e.g. the exact-state twins when
+    // contrasting state backends; a typo exits 2
+    val selected = sys.env.get("SPARK_GRAFT_RESTART_ONLY") match {
+      case None => allCases
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        val known = allCases.map(_._1).toSet
+        val unknown = want.filterNot(known)
+        if (unknown.nonEmpty) {
+          System.err.println(
+            s"[restart] unknown SPARK_GRAFT_RESTART_ONLY entries: ${unknown.mkString(",")}")
+          sys.exit(2)
+        }
+        allCases.filter(c => want.contains(c._1))
+    }
+    val results = selected.map { case (n, r1, rN) => (n, r1(), rN()) }
 
     println("| query | tier | initial (s) | restart (s) | state rows | state MiB | heap MiB | events out | occ in |")
     println("|---|---|---|---|---|---|---|---|---|")
