@@ -252,16 +252,25 @@ object Bench {
       // the committed sf0.1 headline would publish junk): only compare
       // artifacts measured on the same corpus
       val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      if (!prevSf.contains(sfDir)) Seq.empty
-      else codecKernels.flatMap { k =>
-        // the artifact is flat enough for a targeted extract: kernel
-        // names are globally unique keys within it
-        val re = ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
-        for {
-          m <- re.findFirstMatchIn(txt)
-          prev = m.group(1).toDouble if prev > 0
-          cur <- currentByName.get(k) if cur > 0
-        } yield k -> cur / prev
+      // extract ONLY from the shared_builds/queries tail: a round-18+
+      // artifact repeats every kernel name earlier in the line inside
+      // its own "codec_kernel_ratios" block, and a whole-text first
+      // match would read a RATIO as a previous TIME and publish garbage
+      // (both old- and new-format artifacts put shared_builds before
+      // queries, so the slice covers every kernel's time and nothing
+      // else)
+      val timesAt = txt.indexOf("\"shared_builds\":")
+      if (!prevSf.contains(sfDir) || timesAt < 0) Seq.empty
+      else {
+        val times = txt.substring(timesAt)
+        codecKernels.flatMap { k =>
+          val re = ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
+          for {
+            m <- re.findFirstMatchIn(times)
+            prev = m.group(1).toDouble if prev > 0
+            cur <- currentByName.get(k) if cur > 0
+          } yield k -> cur / prev
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     val codecRatio =
@@ -272,6 +281,12 @@ object Bench {
         if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
       }
     def n3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // a path with quotes/backslashes must not corrupt the JSON line
+    val prevPathJson = prevPath.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
     val kernelJson = kernelRatios
       .map { case (k, r) => "\"" + k + "\":" + n3(r) }
       .mkString("{", ",", "}")
@@ -279,7 +294,7 @@ object Bench {
       s""""sentinel_floor":${n3(sentinelFloor)},"normalized_total":${n3(normalizedTotal)},""" +
         s""""r14_reference_floor":$R14ReferenceFloor,""" +
         s""""codec_kernel_ratio_vs_prev":${n3(codecRatio)},""" +
-        s""""codec_kernel_ratios":$kernelJson,"prev_artifact":"$prevPath""""
+        s""""codec_kernel_ratios":$kernelJson,"prev_artifact":"$prevPathJson""""
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

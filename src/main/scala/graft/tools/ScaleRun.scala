@@ -452,7 +452,12 @@ object ScaleRun {
           org.apache.spark.sql.GraftBridge.unloadStateStores()
           val heapBase = gcUsed()
           try {
-            graft.SparkEntry.queries(name)(spark, dir).count()
+            // same loan bracket as every timed attempt: a stream query
+            // that track()s a relation must not leak it into the rest
+            // of the sweep (and into this very heap delta)
+            graft.operators.Dedupe.withTrackedCaches {
+              graft.SparkEntry.queries(name)(spark, dir).count()
+            }
             streamHeap((dir, name)) =
               math.max(0L, gcUsed() - heapBase) / (1024 * 1024)
           } catch { case scala.util.control.NonFatal(_) => () }

@@ -93,6 +93,14 @@ object StreamRestartRun {
     }
 
     def runOnce(): Double = {
+      // start COLD: drop every loaded state provider first. Without
+      // this, (a) the restart run would find the initial run's
+      // providers still loaded (same checkpoint → same provider ids)
+      // and skip the state reload it claims to measure, and (b) a
+      // previous CASE's providers (fresh checkpoint each, so never
+      // reused) would sit in heap until the ~60 s maintenance cadence
+      // and smear into this case's heap reading
+      org.apache.spark.sql.GraftBridge.unloadStateStores()
       val schema = spark.read.parquet(srcDir.toString).schema
       val stream = spark.readStream.schema(schema).parquet(srcDir.toString)
       val q = transform(stream).writeStream
@@ -376,6 +384,13 @@ object StreamRestartRun {
       case None => allCases
       case Some(csv) =>
         val want = csv.split(",").map(_.trim).filter(_.nonEmpty)
+        if (want.isEmpty) {
+          // an empty filter (unexpanded shell variable) must not run
+          // zero cases, assert nothing, and exit green
+          System.err.println(
+            "[restart] SPARK_GRAFT_RESTART_ONLY is set but names no cases")
+          sys.exit(2)
+        }
         val known = allCases.map(_._1).toSet
         val unknown = want.filterNot(known)
         if (unknown.nonEmpty) {

@@ -90,6 +90,14 @@ class DedupeCacheLifecycleSpec extends SparkSpec {
     // registered once, at the very start — while the loop's cold
     // younger results survive; the LRU touch the incremental cuts issue
     // on entry keeps both indexes resident under the cap.
+    //
+    // NOTE: unlike this suite's other tests, the persisted(idx*)
+    // assertions are POSITIVE persistence claims on the process-global
+    // registry, valid because forked suites run sequentially (no
+    // Test/testForkedParallel in build.sbt — the same assumption
+    // KmvGuardSpec documents). A concurrent suite pushing >= cap
+    // registrations between a touch and its assert could evict the hot
+    // index; revisit if suite-parallel forking is ever enabled.
     Dedupe.releaseTrackedCaches() // deterministic start: empty registry
     val idxLines = LineDedupe.lineIndex(
       fixture("interleaved lines base"), "text", minLineChars = 10)
