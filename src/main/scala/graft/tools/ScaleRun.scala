@@ -512,7 +512,12 @@ object ScaleRun {
     // what a hygienic long-lived session would actually retain
     graft.Queries.SessionRelationCache.releaseFor(base)
     graft.Queries.SessionRelationCache.releaseFor(out)
-    System.gc()
+    // also unload the state-store providers the last streaming queries
+    // left loaded (a stopped query's state stays in heap on the default
+    // backend until the 60 s maintenance cadence) — a hygienic session
+    // would have moved on past them too
+    org.apache.spark.sql.GraftBridge.unloadStateStores()
+    System.gc(); Thread.sleep(200); System.gc()
     val rt = Runtime.getRuntime
     val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     val maxMb = rt.maxMemory() / (1024 * 1024)
