@@ -10,6 +10,59 @@ import org.apache.spark.sql.functions.col
   * otherwise lands on whichever query happens to run first.
   */
 object Bench {
+
+  /** The pure-codec kernels used for cross-round box-drift pinning:
+    * real encode/decode work, no shuffle, plans untouched for many
+    * rounds — a uniform wall-time ratio across them means hardware
+    * drift, not plan changes.
+    */
+  val CodecKernels: Seq[String] =
+    Seq("mm_audio_fp", "mm_video_fp", "mm_phash_dedup", "phash_pairs",
+      "video_pairs")
+
+  /** Per-kernel current/previous wall-time ratios against a previous
+    * artifact's raw JSON line. Empty when the previous artifact was
+    * measured on a different SF (cross-SF ratios are junk — an sf0.01
+    * verification run vs the committed sf0.1 headline), or when it has
+    * no shared_builds/queries section. Extraction reads ONLY from the
+    * `"shared_builds":`… tail: a round-18+ artifact repeats every
+    * kernel name earlier in the line inside its own
+    * "codec_kernel_ratios" block, and a whole-text first match would
+    * read a previous RATIO as a previous TIME and publish garbage
+    * (BenchNormalizationSpec pins this). private[graft] for the spec.
+    */
+  private[graft] def kernelRatiosVsPrev(
+      prevArtifact: String,
+      sfDir: String,
+      current: Map[String, Double]): Seq[(String, Double)] = {
+    val prevSf =
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prevArtifact).map(_.group(1))
+    val timesAt = prevArtifact.indexOf("\"shared_builds\":")
+    if (!prevSf.contains(sfDir) || timesAt < 0) Seq.empty
+    else {
+      val times = prevArtifact.substring(timesAt)
+      CodecKernels.flatMap { k =>
+        val re = ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
+        for {
+          m <- re.findFirstMatchIn(times)
+          prev = m.group(1).toDouble if prev > 0
+          cur <- current.get(k) if cur > 0
+        } yield k -> cur / prev
+      }
+    }
+  }
+
+  /** Median, or `empty` for an empty sequence (the "-1 = unavailable"
+    * marker the artifact documents). private[graft] for the spec.
+    */
+  private[graft] def medianOr(xs: Seq[Double], empty: Double): Double =
+    if (xs.isEmpty) empty
+    else {
+      val sorted = xs.sorted
+      val n = sorted.length
+      if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+    }
+
   def main(args: Array[String]): Unit = {
     // timed runs must never pay oracle side-table writes — force-disable
     // them regardless of any GRAFT_ORACLE_SIDETABLES leaking in from a
@@ -239,47 +292,15 @@ object Bench {
     // bench_full.json). A uniform ratio here = hardware drift, not
     // plan regressions; -1 when the previous artifact or the kernels
     // are unavailable.
-    val codecKernels =
-      Seq("mm_audio_fp", "mm_video_fp", "mm_phash_dedup", "phash_pairs",
-        "video_pairs")
     val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV", "bench_full.json")
     val currentByName = (results ++ shared).toMap
     val kernelRatios: Seq[(String, Double)] = try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
         java.nio.charset.StandardCharsets.UTF_8)
-      // cross-SF ratios are meaningless (an sf0.01 verification run vs
-      // the committed sf0.1 headline would publish junk): only compare
-      // artifacts measured on the same corpus
-      val prevSf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      // extract ONLY from the shared_builds/queries tail: a round-18+
-      // artifact repeats every kernel name earlier in the line inside
-      // its own "codec_kernel_ratios" block, and a whole-text first
-      // match would read a RATIO as a previous TIME and publish garbage
-      // (both old- and new-format artifacts put shared_builds before
-      // queries, so the slice covers every kernel's time and nothing
-      // else)
-      val timesAt = txt.indexOf("\"shared_builds\":")
-      if (!prevSf.contains(sfDir) || timesAt < 0) Seq.empty
-      else {
-        val times = txt.substring(timesAt)
-        codecKernels.flatMap { k =>
-          val re = ("\"" + k + "\":(-?[0-9][0-9.eE+-]*)").r
-          for {
-            m <- re.findFirstMatchIn(times)
-            prev = m.group(1).toDouble if prev > 0
-            cur <- currentByName.get(k) if cur > 0
-          } yield k -> cur / prev
-        }
-      }
+      kernelRatiosVsPrev(txt, sfDir, currentByName)
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    val codecRatio =
-      if (kernelRatios.isEmpty) -1.0
-      else {
-        val sorted = kernelRatios.map(_._2).sorted
-        val n = sorted.length
-        if (n % 2 == 1) sorted(n / 2) else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
-      }
+    val codecRatio = medianOr(kernelRatios.map(_._2), -1.0)
     def n3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // a path with quotes/backslashes must not corrupt the JSON line
     val prevPathJson = prevPath.flatMap {
