@@ -683,25 +683,42 @@ object TextQueries {
     * underlying operators stay saturation-tolerant, because saturated IS
     * their intended regime at corpus scale (the 100× tier exercises it).
     */
-  /** Opt-in switch for [[assertUnsaturated]] — set by the verification
-    * harness ([[graft.Verify]]), the only context where the exact-
-    * COUNT(DISTINCT) oracle applies. Left off for Bench and ScaleRun:
-    * the 100× tier deliberately saturates the sketch (that regime is
-    * the whole point of the approx tier at corpus scale).
+  /** Opt-in SCOPE for [[assertUnsaturated]] — entered by the
+    * verification harness ([[graft.Verify]]) via [[withKmvOracleGuard]],
+    * the only context where the exact-COUNT(DISTINCT) oracle applies.
+    * Bench and ScaleRun never enter it: the 100× tier deliberately
+    * saturates the sketch (that regime is the whole point of the approx
+    * tier at corpus scale). A plain ThreadLocal bracket, not a mutable
+    * global (and not a DynamicVariable, whose InheritableThreadLocal
+    * would leak the scope into threads SPAWNED inside the bracket): the
+    * scope is strictly per-thread and restored on exit, so a harness
+    * bracketing its runs can never leak guard state into concurrently
+    * running suites or a co-resident harness in the same JVM — the
+    * hazard the retired `@volatile var` carried.
     */
-  @volatile private[graft] var kmvOracleGuard: Boolean = false
+  private val kmvGuardScope = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Run `body` with the KMV saturation guard enabled on this thread
+    * (see [[kmvGuardScope]]); restores the previous scope on exit, even
+    * an exceptional one.
+    */
+  private[graft] def withKmvOracleGuard[T](body: => T): T = {
+    val prev = kmvGuardScope.get
+    kmvGuardScope.set(true)
+    try body finally kmvGuardScope.set(prev)
+  }
 
   // private[graft] for KmvGuardSpec, which pins the saturation margin.
-  // `enabled` defaults to the harness switch and exists so the spec can
-  // exercise the guard per-call instead of toggling the global (which
-  // would race a concurrently running suite if forked tests ever run
-  // suites in parallel).
+  // `enabled` defaults to the thread's guard scope and exists so the
+  // spec can exercise the guard per-call without entering the scope.
   private[graft] def assertUnsaturated(
       df: DataFrame,
       distinctCol: String,
       k: Int,
       query: String,
-      enabled: Boolean = kmvOracleGuard): DataFrame = {
+      enabled: Boolean = kmvGuardScope.get): DataFrame = {
     if (!enabled) return df
     // the 5·rsd margin below is only meaningful for large k: at k ≤ ~27
     // the bound goes non-positive (every estimate would "saturate") and

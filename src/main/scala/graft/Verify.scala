@@ -9,11 +9,6 @@ object Verify {
     // verification runs persist oracle side-tables (chunk relations, LSH
     // signatures, ...) that the DuckDB oracle SQL reads back
     System.setProperty(Queries.SideTableProp, "1")
-    // the KMV triage oracles assume the sketch's exact (< k) regime;
-    // make a verification SF outgrowing it a loud error instead of an
-    // unexplained hash mismatch (Bench/ScaleRun leave this off — the
-    // 100× tier deliberately saturates)
-    TextQueries.kmvOracleGuard = true
     // the dumped oracle SQL reads the side-tables written for THIS sfDir
     System.setProperty(Queries.SfBaseProp, new java.io.File(sfDir).getName)
     System.setProperty(Queries.SfDirProp,
@@ -56,17 +51,24 @@ object Verify {
       case Some(s) => SparkEntry.queries.view.filterKeys(s).toMap
       case None    => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      // cache hygiene: operators that return materialized relations
-      // (hammingPairs) register them; the bracket releases after the
-      // write consumes the result — otherwise a full catalog run would
-      // carry one cached RDD per call (the registry bound would evict
-      // eventually, but deterministic scoping beats eviction here)
-      graft.operators.Dedupe.withTrackedCaches {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // the KMV triage oracles assume the sketch's exact (< k) regime;
+    // make a verification SF outgrowing it a loud error instead of an
+    // unexplained hash mismatch. A thread-scoped bracket, not a global:
+    // Bench/ScaleRun (which deliberately saturate at the 100× tier) and
+    // concurrently running suites can never inherit the guard.
+    TextQueries.withKmvOracleGuard {
+      selected.foreach { case (name, fn) =>
+        // cache hygiene: operators that return materialized relations
+        // (hammingPairs) register them; the bracket releases after the
+        // write consumes the result — otherwise a full catalog run would
+        // carry one cached RDD per call (the registry bound would evict
+        // eventually, but deterministic scoping beats eviction here)
+        graft.operators.Dedupe.withTrackedCaches {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
         }
       }
     }

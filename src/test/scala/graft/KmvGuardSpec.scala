@@ -7,8 +7,9 @@ package graft
   * distinct count just past k yields a saturated estimate of k·(1 ± rsd)
   * that can land back UNDER k, so the guard must assert at a margin
   * below k (5·rsd·k, the KmvSketchSpec-pinned worst case), not at k
-  * itself. The spec passes `enabled = true` per call instead of
-  * toggling the global `kmvOracleGuard` switch, so it stays correct
+  * itself. The spec passes `enabled = true` per call (or enters the
+  * thread-scoped [[TextQueries.withKmvOracleGuard]] bracket — the shape
+  * Verify uses) instead of flipping any global, so it stays correct
   * even if forked suites ever run in parallel.
   */
 class KmvGuardSpec extends SparkSpec {
@@ -46,9 +47,34 @@ class KmvGuardSpec extends SparkSpec {
 
   test("the guard is a no-op outside the verification harness") {
     val df = Seq((k + 1000L, 0L)).toDF("kmv_distinct", "other")
-    // default enabled = kmvOracleGuard, which stays false here —
+    // default enabled = the thread's guard scope, not entered here —
     // Bench/ScaleRun deliberately saturate
     TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
+  }
+
+  test("withKmvOracleGuard scopes the guard to the bracket and the thread") {
+    val df = Seq((k + 1000L, 0L)).toDF("kmv_distinct", "other")
+    // inside the bracket the default-enabled path raises …
+    intercept[IllegalStateException] {
+      TextQueries.withKmvOracleGuard {
+        TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
+      }
+    }
+    // … and the scope is RESTORED on exit (even an exceptional one)
+    TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
+    // another thread never sees this thread's scope — the parallel-
+    // suite hazard the retired @volatile global carried
+    @volatile var otherThreadRaised = false
+    TextQueries.withKmvOracleGuard {
+      val t = new Thread(() => {
+        try TextQueries.assertUnsaturated(df, "kmv_distinct", k, "spec_query")
+        catch { case _: IllegalStateException => otherThreadRaised = true }
+      })
+      t.start()
+      t.join()
+    }
+    assert(!otherThreadRaised,
+      "guard scope leaked across threads — the global-switch hazard is back")
   }
 
   test("tiny k refuses loudly instead of guarding nonsensically") {
