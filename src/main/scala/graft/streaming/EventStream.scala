@@ -222,42 +222,75 @@ object EventStream {
   def runWindowedOnce(spark: SparkSession, dir: String, queryName: String): DataFrame =
     runToMemory(spark, dir, queryName, windowedCounts(_), OutputMode.Complete())
 
-  /** State-store footprint (max rows, max bytes across triggers) of the
-    * most recent [[runToMemory]] run, PER memory-sink query name — read
-    * by ScaleRun right after timing a streaming catalog query, so the
-    * tier tables can report state size next to wall time (the bounded-
-    * state twins' claim IS that this stays flat from 1× to 100×). A
-    * concurrent map keyed by the run's sink name (unique per catalog
-    * query + corpus dir), so two harness runs interleaving in one JVM
-    * never cross-attribute metrics — a single global slot did
-    * (StreamStateMetricsSpec pins the isolation). No entry when the
-    * run had no stateful operator.
+  /** One run's state-store footprint: the run token plus (max rows, max
+    * bytes across triggers). The token makes attribution exact per RUN,
+    * not just per sink name — see [[lastStateMetricsHere]].
+    */
+  private[graft] final case class StateFootprint(
+      runId: Long, rows: Long, bytes: Long)
+
+  /** State-store footprint of the most recent [[runToMemory]] run, PER
+    * memory-sink query name — read by ScaleRun right after timing a
+    * streaming catalog query, so the tier tables can report state size
+    * next to wall time (the bounded-state twins' claim IS that this
+    * stays flat from 1× to 100×). A concurrent map keyed by the run's
+    * sink name (unique per catalog query + corpus dir), so two harness
+    * runs interleaving in one JVM never cross-attribute metrics — a
+    * single global slot did (StreamStateMetricsSpec pins the
+    * isolation). No entry when the run had no stateful operator.
+    * Entries are pruned by [[clearThreadStateAttribution]], so the map
+    * stays bounded to in-flight runs instead of accumulating one entry
+    * per (query, corpus dir) for a long-lived embedding process.
     */
   private[graft] val stateMetrics =
-    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[String, StateFootprint]
 
-  /** Sink name of the most recent [[runToMemory]] started on the
-    * CURRENT thread — callers like ScaleRun don't know the catalog's
-    * per-query sink naming scheme, but they DO own the thread their
-    * timed query ran on, so this plus [[stateMetrics]] yields exactly
-    * their own run's key. Cleared by [[clearThreadStateAttribution]]
-    * so a following non-streaming query can't inherit a stale name.
+  /** Monotonic run token: attribution is (sink name, run id), never the
+    * name alone. On a pooled/reused thread whose harness never cleared
+    * its attribution, a NEWER run of the same sink name elsewhere would
+    * otherwise read as the stale thread's own.
     */
-  private val lastSinkOnThread = new ThreadLocal[String]
+  private val runIds = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** (sink name, run id) of the most recent [[runToMemory]] started on
+    * the CURRENT thread — callers like ScaleRun don't know the
+    * catalog's per-query sink naming scheme, but they DO own the thread
+    * their timed query ran on, so this plus [[stateMetrics]] yields
+    * exactly their own run's key. Cleared by
+    * [[clearThreadStateAttribution]] so a following non-streaming query
+    * can't inherit a stale name.
+    */
+  private val lastRunOnThread = new ThreadLocal[(String, Long)]
 
   /** The current thread's own last streaming run's state footprint —
     * None if the thread hasn't started one since the last
-    * [[clearThreadStateAttribution]], or if that run was stateless.
+    * [[clearThreadStateAttribution]], if that run was stateless, or if
+    * a newer run took over the sink name (the run-token mismatch: a
+    * stale thread must read None, never another run's numbers).
     */
   private[graft] def lastStateMetricsHere: Option[(Long, Long)] =
-    Option(lastSinkOnThread.get).flatMap(stateMetrics.get)
+    Option(lastRunOnThread.get).flatMap { case (name, id) =>
+      stateMetrics.get(name).collect {
+        case StateFootprint(`id`, rows, bytes) => (rows, bytes)
+      }
+    }
 
   /** Forget the current thread's sink attribution — harness loops call
     * this before timing each catalog query, so a batch query that
     * follows a streaming one never reads the earlier run's metrics.
+    * Also prunes the consumed map entry (only when it is still this
+    * thread's own run — a newer run of the same sink name owns it
+    * otherwise), keeping [[stateMetrics]] bounded to in-flight runs.
     */
-  private[graft] def clearThreadStateAttribution(): Unit =
-    lastSinkOnThread.remove()
+  private[graft] def clearThreadStateAttribution(): Unit = {
+    Option(lastRunOnThread.get).foreach { case (name, id) =>
+      stateMetrics.get(name) match {
+        case Some(fp) if fp.runId == id => stateMetrics.remove(name); ()
+        case _ => ()
+      }
+    }
+    lastRunOnThread.remove()
+  }
 
   /** Shared finite-input streaming harness: parquet file source →
     * transform → memory sink, drained with processAllAvailable. The
@@ -284,8 +317,9 @@ object EventStream {
     session.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
     // a re-run of the same sink name must never expose the previous
     // run's footprint if this one turns out stateless or fails
+    val runId = runIds.incrementAndGet()
     stateMetrics.remove(queryName)
-    lastSinkOnThread.set(queryName)
+    lastRunOnThread.set((queryName, runId))
     // opt-in state-store backend override (SPARK_GRAFT_STATE_BACKEND,
     // or the spec-injected param): session-scoped, so concurrent batch
     // work in the caller's session is untouched — see [[StateBackend]]
@@ -314,8 +348,8 @@ object EventStream {
       // claim is that these numbers do NOT grow with the corpus
       val ops = q.recentProgress.flatMap(_.stateOperators)
       if (ops.nonEmpty)
-        stateMetrics(queryName) =
-          (ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
+        stateMetrics(queryName) = StateFootprint(runId,
+          ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
     } finally {
       q.stop()
       // drop the manager's lastTerminatedQuery reference: it pins the

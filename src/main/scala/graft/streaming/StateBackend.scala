@@ -21,11 +21,20 @@ package graft.streaming
   *    provider it started with, which is why this is a harness-level
   *    knob and not a per-query default).
   *
-  * Resolution happens once per JVM (the harnesses read the env at
-  * startup); an unknown value fails fast rather than silently running
-  * on the default provider.
+  * Resolution happens once per JVM; an unknown value fails rather than
+  * silently running on the default provider. `providerClass` is lazy,
+  * so the harness mains call [[forceResolve]] FIRST — without it a
+  * typo'd env var would only throw at the first streaming run,
+  * mid-harness, after batch work already completed.
   */
 object StateBackend {
+
+  /** Force env-var resolution NOW. Harness mains (Bench, ScaleRun,
+    * StreamRestartRun) call this before any timed or batch work so a
+    * typo'd SPARK_GRAFT_STATE_BACKEND aborts at startup instead of at
+    * the first streaming run.
+    */
+  def forceResolve(): Unit = { providerClass; () }
 
   val RocksDbProviderClass: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
