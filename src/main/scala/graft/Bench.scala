@@ -52,6 +52,27 @@ object Bench {
     }
   }
 
+  /** Previous committed artifact's `stream_sentinel_floor` — the
+    * streaming-I/O-floor counterpart of the codec-kernel extraction, so
+    * a round-over-round streaming-family shift can be attributed to the
+    * box's I/O floor with one field instead of a by-hand bisection
+    * (r18's +13 s streaming drift needed exactly this). -1 when the
+    * previous artifact is cross-SF (junk ratio), predates the field, or
+    * has no positive reading. private[graft] for the spec.
+    */
+  private[graft] def prevStreamFloor(
+      prevArtifact: String, sfDir: String): Double = {
+    val prevSf =
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prevArtifact).map(_.group(1))
+    if (!prevSf.contains(sfDir)) -1.0
+    else
+      "\"stream_sentinel_floor\":(-?[0-9][0-9.eE+-]*)".r
+        .findFirstMatchIn(prevArtifact)
+        .map(_.group(1).toDouble)
+        .filter(_ > 0)
+        .getOrElse(-1.0)
+  }
+
   /** Median, or `empty` for an empty sequence (the "-1 = unavailable"
     * marker the artifact documents). private[graft] for the spec.
     */
@@ -68,6 +89,9 @@ object Bench {
     // them regardless of any GRAFT_ORACLE_SIDETABLES leaking in from a
     // verification environment (the property overrides the env var)
     System.setProperty(Queries.SideTableProp, "0")
+    // a typo'd SPARK_GRAFT_STATE_BACKEND must abort NOW, not at the
+    // first streaming query mid-run (providerClass is lazy)
+    graft.streaming.StateBackend.forceResolve()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -224,6 +248,28 @@ object Bench {
         i += 1
       }
     }
+    // streaming I/O-floor sentinel (round-19): the CPU sentinel above is
+    // blind to the trigger/commit/checkpoint I/O floor that dominates
+    // every stream_* wall time — r18's +13 s streaming drift hid inside
+    // a "flat" headline because both CPU probes read the box as FASTER.
+    // Three samples before the catalog loop and three after
+    // (stream_floor_secs in the artifact); the published floor is the
+    // min. Reading rule: stream_* moved but stream_sentinel_floor moved
+    // with it ⇒ box I/O drift; floor flat but stream_* moved ⇒ look at
+    // the plans.
+    val streamFloorDir = graft.streaming.StreamFloor.writeInput(spark)
+    val streamFloorSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val streamFloorProbe: () => Unit =
+      () => graft.streaming.StreamFloor.probe(spark, streamFloorDir)
+    def runStreamFloor(n: Int): Unit =
+      for (_ <- 0 until n) {
+        val t = timed(streamFloorProbe)
+        if (t >= 0) streamFloorSecs += t
+      }
+    // two untimed priming passes (the streaming warmups above loaded the
+    // machinery's classes, but the probe's own shape still JITs)
+    timed(streamFloorProbe); timed(streamFloorProbe)
+    runStreamFloor(3)
     // operator-tracked caches (hammingPairs results) are loan-scoped per
     // run: every fn() call builds and registers its own; the bracket
     // releases them after the consume, so a min-of-2 sweep never carries
@@ -236,11 +282,19 @@ object Bench {
     val firstPass = selected.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx % sentinelEvery == 0)
         blockSentinels(idx / sentinelEvery) = runSentinel()
+      // stream_* walls are trigger-floor-dominated and noisier than any
+      // batch plan (the r18 residual adjudication), so the streaming
+      // family takes min-of-3 where batch queries take min-of-2; a
+      // failed run still poisons the figure (the FAILURE-visibility
+      // policy — a flaky query must never read as a fast one)
+      val extraRuns = if (name.startsWith("stream_")) 2 else 1
       val first = timedQuery(fn)
-      name -> (if (first < 0) first else math.min(first, timedQuery(fn)))
+      name -> (0 until extraRuns).foldLeft(first)((best, _) =>
+        if (best < 0) best else math.min(best, timedQuery(fn)))
     }
     // closing sample so the last stretch of queries is covered
     val closingSentinel = runSentinel()
+    runStreamFloor(3)
     // targeted re-measure (round-8 adjudication: min-of-2 is not enough at
     // load_index 10 — BENCH_r08 shipped 5-10x-inflated numbers): a query
     // whose NEIGHBORING sentinel samples spiked > 2x over the steady-state
@@ -294,12 +348,14 @@ object Bench {
     // are unavailable.
     val prevPath = sys.env.getOrElse("GRAFT_BENCH_PREV", "bench_full.json")
     val currentByName = (results ++ shared).toMap
-    val kernelRatios: Seq[(String, Double)] = try {
-      val txt = new String(
+    val prevArtifact: Option[String] = try {
+      Some(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      kernelRatiosVsPrev(txt, sfDir, currentByName)
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(_) => None }
+    val kernelRatios: Seq[(String, Double)] = prevArtifact
+      .map(kernelRatiosVsPrev(_, sfDir, currentByName))
+      .getOrElse(Seq.empty)
     val codecRatio = medianOr(kernelRatios.map(_._2), -1.0)
     def n3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     // a path with quotes/backslashes must not corrupt the JSON line
@@ -311,9 +367,24 @@ object Bench {
     val kernelJson = kernelRatios
       .map { case (k, r) => "\"" + k + "\":" + n3(r) }
       .mkString("{", ",", "}")
+    // the streaming I/O floor alongside the CPU floor (see the probe's
+    // scaladoc for the reading rule); -1 when every sample failed. The
+    // vs-prev ratio is the one-field answer to "did the stream family
+    // move with the box's I/O floor or against it".
+    val streamFloor = streamFloorSecs.minOption.getOrElse(-1.0)
+    val prevStreamF =
+      prevArtifact.map(prevStreamFloor(_, sfDir)).getOrElse(-1.0)
+    val streamFloorRatio =
+      if (streamFloor > 0 && prevStreamF > 0) streamFloor / prevStreamF
+      else -1.0
+    val streamFloorJson = streamFloorSecs
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
     val normJson =
       s""""sentinel_floor":${n3(sentinelFloor)},"normalized_total":${n3(normalizedTotal)},""" +
         s""""r14_reference_floor":$R14ReferenceFloor,""" +
+        s""""stream_sentinel_floor":${n3(streamFloor)},"stream_floor_secs":$streamFloorJson,""" +
+        s""""stream_floor_ratio_vs_prev":${n3(streamFloorRatio)},""" +
         s""""codec_kernel_ratio_vs_prev":${n3(codecRatio)},""" +
         s""""codec_kernel_ratios":$kernelJson,"prev_artifact":"$prevPathJson""""
 
@@ -327,7 +398,7 @@ object Bench {
       .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
       .mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2","load_index":$loadIndex,"remeasured":$remeasured,$normJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_2_stream_min_of_3","load_index":$loadIndex,"remeasured":$remeasured,$normJson,"sentinel":"$sentinelName","sentinel_secs":$sentinelJson,"shared_builds":$sharedJson,"queries":$qs,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver's BENCH_r{N}.json keeps only a ~2 KB stdout tail, which
     // truncates per-query times for most of the catalog; persist the full
@@ -368,7 +439,7 @@ object Bench {
     // LAST (≤100-byte) line: with a large catalog even the compact line
     // overflows the driver's ~2 KB tail and its leading fields get cut —
     // round 7's load_index vanished exactly when it had something to say
-    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"nt":${n2(normalizedTotal)},"ckr":${n2(codecRatio)}}""")
+    println(s"""{"total":${n2(total)},"li":${n2(loadIndex)},"nt":${n2(normalizedTotal)},"ckr":${n2(codecRatio)},"ssf":${n2(streamFloor)}}""")
     // drop this corpus's session-shared relations (ngram/span/phash/video
     // builds) — the untracked caches releaseTrackedCaches cannot reclaim
     Queries.SessionRelationCache.releaseFor(sfDir)

@@ -27,6 +27,36 @@ import java.nio.file.{Files, Paths}
   */
 object ScaleRun {
 
+  /** Post-GC used heap: two passes with a settling sleep (a single pass
+    * often leaves reference-processing work pending and over-reads).
+    * Shared by the per-query heap probes here and by
+    * [[StreamRestartRun]]'s per-case baseline-delta readings.
+    */
+  private[tools] def gcUsedBytes(): Long = {
+    System.gc(); Thread.sleep(200); System.gc()
+    val rt = Runtime.getRuntime
+    rt.totalMemory() - rt.freeMemory()
+  }
+
+  /** Persist a harness's machine-readable JSON line (the Bench
+    * discipline: the default path is UNTRACKED under target/ so driver
+    * and verification reruns can never clobber a committed copy —
+    * publishing one is an explicit `cp`). NonFatal-safe: losing the
+    * computed sweep to an artifact-write hiccup is never worth it.
+    */
+  private[tools] def writeArtifact(
+      defaultPath: String, envVar: String, line: String): Unit =
+    try {
+      val out = Paths.get(sys.env.getOrElse(envVar, defaultPath))
+      Option(out.getParent)
+        .foreach(p => { Files.createDirectories(p); () })
+      Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"artifact write failed (non-fatal): $e")
+    }
+
   /** Write df as a SINGLE parquet file at dir/name (the chunk queries open
     * paths as plain file streams, not directory tables).
     */
@@ -48,9 +78,19 @@ object ScaleRun {
     finally s.close()
   }
 
-  private def buildCorpus(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+  /** Every corpus table the builder knows; SPARK_GRAFT_SCALE_TABLES
+    * selects a subset (the 1000× streaming tier needs only
+    * documents+events — building a 1000× lineitem for it would waste
+    * tens of GB and most of the build time).
+    */
+  private[tools] val AllCorpusTables: Set[String] =
+    Set("documents", "embeddings", "lineitem", "orders", "events", "part")
+
+  private def buildCorpus(spark: SparkSession, base: String, out: String,
+      factor: Int, tables: Set[String]): Unit = {
     Files.createDirectories(Paths.get(out))
 
+    if (tables("documents")) {
     val docs = spark.read.parquet(s"$base/documents.parquet")
     val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val docReps = (0 until factor).map { k =>
@@ -65,7 +105,9 @@ object ScaleRun {
         length(text).cast("long").as("n_chars"))
     }
     writeSingleFile(docReps.reduce(_ unionAll _), out, "documents.parquet")
+    }
 
+    if (tables("embeddings")) {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
     val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
     val embReps = (0 until factor).map { k =>
@@ -82,8 +124,9 @@ object ScaleRun {
         vec.as("embedding"), col("label"))
     }
     writeSingleFile(embReps.reduce(_ unionAll _), out, "embeddings.parquet")
+    }
 
-    for (t <- Seq("lineitem", "orders")) {
+    for (t <- Seq("lineitem", "orders") if tables(t)) {
       val src = spark.read.parquet(s"$base/$t.parquet")
       writeSingleFile(Seq.fill(factor)(src).reduce(_ unionAll _), out, s"$t.parquet")
     }
@@ -95,6 +138,7 @@ object ScaleRun {
     // join, funnel) should scale ≈linearly in the user-keyed shuffles.
     // ts is replicated as-is, whatever physical type the testdata ships
     // (the queries adapt via graft.Events).
+    if (tables("events")) {
     val ev = spark.read.parquet(s"$base/events.parquet")
     val nUsers = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     val nEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
@@ -106,13 +150,15 @@ object ScaleRun {
         col("event_type"), col("value"), col("props"))
     }
     writeSingleFile(evReps.reduce(_ unionAll _), out, "events.parquet")
+    }
 
     // part stays 1× (the dim side): lineitem fact rows grow ×N against
     // the same part keys, so q22's per-part correlated aggregates see N×
     // deeper groups — the realistic dim/fact scale split. Replicating
     // part would instead duplicate its keys and break key semantics.
-    writeSingleFile(spark.read.parquet(s"$base/part.parquet"), out,
-      "part.parquet")
+    if (tables("part"))
+      writeSingleFile(spark.read.parquet(s"$base/part.parquet"), out,
+        "part.parquet")
   }
 
   private val ScaleQueries = Seq(
@@ -254,6 +300,9 @@ object ScaleRun {
 
   def main(args: Array[String]): Unit = {
     System.setProperty(graft.Queries.SideTableProp, "0")
+    // a typo'd SPARK_GRAFT_STATE_BACKEND must abort NOW, before the
+    // corpus build and timed work (providerClass is lazy)
+    graft.streaming.StateBackend.forceResolve()
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse(s"/tmp/graft_scale_x$factor")
@@ -268,18 +317,42 @@ object ScaleRun {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_SCALE_TABLES: comma-separated corpus-table subset
+    // (default: all). The 1000× streaming tier builds documents+events
+    // only — a 1000× lineitem it will never read would cost tens of GB.
+    val tables = sys.env.get("SPARK_GRAFT_SCALE_TABLES") match {
+      case None => AllCorpusTables
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want.diff(AllCorpusTables)
+        if (want.isEmpty || unknown.nonEmpty) {
+          System.err.println(s"[scale] SPARK_GRAFT_SCALE_TABLES must name " +
+            s"tables from ${AllCorpusTables.toSeq.sorted.mkString(",")}; " +
+            s"got '$csv'")
+          sys.exit(2)
+        }
+        want
+    }
     // SPARK_GRAFT_SCALE_REUSE=1: skip the (deterministic) corpus build
-    // when the output dir already holds all four tables — iteration aid
-    // for re-measuring single families without paying the N× rebuild
+    // when the output dir already holds every selected table —
+    // iteration aid for re-measuring single families without the rebuild
     val reusable = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
-      Seq("documents", "embeddings", "events", "lineitem")
-        .forall(t => Files.exists(Paths.get(s"$out/$t.parquet")))
+      tables.forall(t => Files.exists(Paths.get(s"$out/$t.parquet")))
     if (reusable) println(s"[scale] reusing existing ${factor}x corpus at $out")
     else {
-      println(s"[scale] building ${factor}x corpus at $out from $base")
+      println(s"[scale] building ${factor}x corpus at $out from $base " +
+        s"(tables: ${tables.toSeq.sorted.mkString(",")})")
       val tBuild = System.nanoTime()
-      buildCorpus(spark, base, out, factor)
+      buildCorpus(spark, base, out, factor, tables)
       println(f"[scale] corpus built in ${(System.nanoTime() - tBuild) / 1e9}%.1f s")
+    }
+    // SPARK_GRAFT_SCALE_BUILD_ONLY=1: corpus construction as a service
+    // for the other harnesses (StreamRestartRun's 1000× tier) — exit
+    // before the query sweep
+    if (sys.env.get("SPARK_GRAFT_SCALE_BUILD_ONLY").contains("1")) {
+      println(s"[scale] build-only requested; corpus ready at $out")
+      spark.stop()
+      return
     }
 
     // warm code paths once (Bench discipline) so neither side pays codegen
@@ -443,14 +516,8 @@ object ScaleRun {
           // footprint (state provider + its harness sink — the sink
           // rides BOTH backends identically, so the hdfs-vs-rocksdb
           // difference isolates where the state lives)
-          def gcUsed(): Long = {
-            // two passes: one often leaves reference-processing work
-            System.gc(); Thread.sleep(200); System.gc()
-            val rt = Runtime.getRuntime
-            rt.totalMemory() - rt.freeMemory()
-          }
           org.apache.spark.sql.GraftBridge.unloadStateStores()
-          val heapBase = gcUsed()
+          val heapBase = gcUsedBytes()
           try {
             // same loan bracket as every timed attempt: a stream query
             // that track()s a relation must not leak it into the rest
@@ -459,15 +526,53 @@ object ScaleRun {
               graft.SparkEntry.queries(name)(spark, dir).count()
             }
             streamHeap((dir, name)) =
-              math.max(0L, gcUsed() - heapBase) / (1024 * 1024)
-          } catch { case scala.util.control.NonFatal(_) => () }
+              math.max(0L, gcUsedBytes() - heapBase) / (1024 * 1024)
+          } catch { case scala.util.control.NonFatal(e) =>
+            // a missing heap_delta_mb field must be distinguishable
+            // from a probe crash: a systematically failing probe (e.g.
+            // under a misbehaving backend) must not read as "no data"
+            System.err.println(
+              s"[scale] heap probe FAILED for $name @ $dir: " +
+                e.toString.linesIterator.next())
+          }
           org.apache.spark.sql.GraftBridge.unloadStateStores()
         }
       t
     }
 
+    // box sentinel (Bench's dedicated scan-agg probe): sampled before
+    // and after the sweep so the published artifact carries the same
+    // machine-readable load evidence as the bench headline —
+    // sentinel_floor (box steady-state speed, comparable across rounds)
+    // and sentinel_load_index (burstiness across this window). The
+    // interleaved 1×/N× ordering stays the primary ratio defense; these
+    // fields make the window itself checkable after the fact.
+    val sentinelSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sentinelQuery: () => Unit = () => {
+      spark.read.parquet(s"$base/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .agg(sum(col("l_extendedprice")).as("sum_price"),
+          avg(col("l_discount")).as("avg_disc"))
+        .collect()
+      ()
+    }
+    def runSentinel(): Unit = {
+      // min-of-2 per sample, same as Bench: a one-off GC hiccup must not
+      // fake a load spike
+      val a = once(sentinelQuery)
+      val b = once(sentinelQuery)
+      val t = if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
+      if (!t.isNaN) sentinelSecs += t
+    }
+    // two untimed priming runs: C2 ramps a small scan-agg over several
+    // executions and an unprimed first sample would fake a load index
+    once(sentinelQuery); once(sentinelQuery)
+    runSentinel()
+
     val (shared1, sharedN) = timeShared()
+    runSentinel()
     val timed = queries.map(n => n -> (timeQuery(n, base), timeQuery(n, out))).toMap
+    runSentinel()
     val t1 = timed.map { case (n, (a, _)) => n -> a }
     val tN = timed.map { case (n, (_, b)) => n -> b }
 
@@ -517,10 +622,8 @@ object ScaleRun {
     // backend until the 60 s maintenance cadence) — a hygienic session
     // would have moved on past them too
     org.apache.spark.sql.GraftBridge.unloadStateStores()
-    System.gc(); Thread.sleep(200); System.gc()
-    val rt = Runtime.getRuntime
-    val usedMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-    val maxMb = rt.maxMemory() / (1024 * 1024)
+    val usedMb = gcUsedBytes() / (1024 * 1024)
+    val maxMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"[scale] heap after ${factor}x sweep: ${usedMb} MiB used of ${maxMb} MiB max")
     val js = queries.map { n =>
       val st = Seq((base, "1"), (out, "N")).flatMap { case (d, sfx) =>
@@ -533,7 +636,24 @@ object ScaleRun {
       val extra = if (st.isEmpty) "" else "," + st.mkString(",")
       s""""$n":{"t1":${n2(t1(n))},"tN":${n2(tN(n))},"ratio":${n2(tN(n) / t1(n))}$extra}"""
     }.mkString("{", ",", "}")
-    println(s"""{"scale_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}","heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"queries":$js}""")
+    val sharedJs = sharedSelected.map { case (n, _) =>
+      s""""$n":{"t1":${n2(shared1(n))},"tN":${n2(sharedN(n))},"ratio":${n2(sharedN(n) / shared1(n))}}"""
+    }.mkString("{", ",", "}")
+    val sentinelFloor = sentinelSecs.minOption.getOrElse(-1.0)
+    val sentinelLoad =
+      if (sentinelSecs.size < 2 || sentinelFloor <= 0) -1.0
+      else sentinelSecs.max / sentinelFloor
+    val sentinelJs = sentinelSecs
+      .map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"scale_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}","minof":$attempts,""" +
+        s""""sentinel_floor":${n2(sentinelFloor)},"sentinel_load_index":${n2(sentinelLoad)},"sentinel_secs":$sentinelJs,""" +
+        s""""heap_used_mb":$usedMb,"heap_max_mb":$maxMb,"shared_builds":$sharedJs,"queries":$js}"""
+    println(line)
+    // machine-readable tier evidence (round-19): the README tier tables
+    // cite this artifact instead of being the only copy of the numbers
+    writeArtifact(s"target/scale_x$factor.json", "GRAFT_SCALE_OUT", line)
     spark.stop()
   }
 }

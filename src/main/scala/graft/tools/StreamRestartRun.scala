@@ -92,6 +92,15 @@ object StreamRestartRun {
       Files.createLink(srcDir.resolve(s"b$i.parquet"), Paths.get(f))
     }
 
+    // per-case heap BASELINE (ScaleRun's gcUsedBytes discipline — two GC
+    // passes with a settling sleep), taken with every state provider
+    // unloaded: the per-run readings below are DELTAS over this, so a
+    // previous case's leftovers and the session's resident caches never
+    // smear into the hdfs-vs-rocksdb contrast the way an absolute
+    // single-GC reading did
+    org.apache.spark.sql.GraftBridge.unloadStateStores()
+    val heapBase = ScaleRun.gcUsedBytes()
+
     def runOnce(): Double = {
       // start COLD: drop every loaded state provider first. Without
       // this, (a) the restart run would find the initial run's
@@ -116,14 +125,14 @@ object StreamRestartRun {
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
         lastState = maxStateMetrics(q)
-        // post-GC used heap BEFORE q.stop(), while the run's state
-        // provider is still loaded: under the default hdfs backend every
-        // state row is on-heap here; under rocksdb the same state lives
-        // off-heap/on-disk and this reading stays flat — the per-case
-        // heap evidence for the SPARK_GRAFT_STATE_BACKEND flag
-        System.gc()
-        val rt = Runtime.getRuntime
-        lastHeapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        // post-GC used-heap DELTA over the case baseline, read BEFORE
+        // q.stop() while the run's state provider is still loaded: under
+        // the default hdfs backend every state row is on-heap here;
+        // under rocksdb the same state lives off-heap/on-disk and this
+        // delta stays near zero — the per-case heap evidence for the
+        // SPARK_GRAFT_STATE_BACKEND flag
+        lastHeapMb =
+          math.max(0L, ScaleRun.gcUsedBytes() - heapBase) / (1024 * 1024)
         secs
       } finally q.stop()
     }
@@ -179,6 +188,9 @@ object StreamRestartRun {
   private var lastHeapMb: Long = 0L
 
   def main(args: Array[String]): Unit = {
+    // a typo'd SPARK_GRAFT_STATE_BACKEND must abort NOW, before the
+    // corpus check and any runs (providerClass is lazy)
+    graft.streaming.StateBackend.forceResolve()
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpus = args.lift(1).getOrElse(s"/tmp/graft_scale_x$factor")
@@ -402,7 +414,7 @@ object StreamRestartRun {
     }
     val results = selected.map { case (n, r1, rN) => (n, r1(), rN()) }
 
-    println("| query | tier | initial (s) | restart (s) | state rows | state MiB | heap MiB | events out | occ in |")
+    println("| query | tier | initial (s) | restart (s) | state rows | state MiB | heap Δ MiB | events out | occ in |")
     println("|---|---|---|---|---|---|---|---|---|")
     val json = results.map { case (name, r1, rN) =>
       for ((tier, r) <- Seq("1x" -> r1, s"${factor}x" -> rN)) {
@@ -422,13 +434,22 @@ object StreamRestartRun {
           s"${n2(r1.tRestart)}s — recovery is re-processing the corpus")
       s""""$name":{"t1_initial":${n2(r1.tInitial)},"t1_restart":${n2(r1.tRestart)},""" +
         s""""t1_state_rows":${r1.stateRows},"t1_state_bytes":${r1.stateBytes},""" +
-        s""""t1_heap_mb":${r1.heapMb},""" +
+        s""""t1_heap_delta_mb":${r1.heapMb},""" +
         s""""tN_initial":${n2(rN.tInitial)},"tN_restart":${n2(rN.tRestart)},""" +
         s""""tN_state_rows":${rN.stateRows},"tN_state_bytes":${rN.stateBytes},""" +
-        s""""tN_heap_mb":${rN.heapMb},""" +
+        s""""tN_heap_delta_mb":${rN.heapMb},""" +
         s""""tN_events_out":${rN.sinkRows},"tN_occurrences_in":${rN.occurrencesIn}}"""
     }
-    println(s"""{"stream_restart_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}",${json.mkString(",")}}""")
+    val line =
+      s"""{"stream_restart_factor":$factor,"state_backend":"${graft.streaming.StateBackend.name}",${json.mkString(",")}}"""
+    println(line)
+    // machine-readable tier evidence (round-19): the README restart and
+    // state-backend tables cite this artifact instead of being the only
+    // copy of the numbers; backend in the name so an hdfs and a rocksdb
+    // sweep of the same factor don't clobber each other
+    ScaleRun.writeArtifact(
+      s"target/stream_restart_x${factor}_${graft.streaming.StateBackend.name}.json",
+      "GRAFT_RESTART_OUT", line)
     spark.stop()
   }
 }

@@ -69,6 +69,25 @@ class BenchNormalizationSpec extends AnyFunSuite {
     assert(failed === Map("mm_video_fp" -> 1.5))
   }
 
+  test("prevStreamFloor: present, absent, cross-SF, and failed-marker cases") {
+    // an r19+ artifact carries the streaming I/O-floor probe
+    val withFloor =
+      s"""{"metric":"total","sentinel_floor":0.200,""" +
+        s""""stream_sentinel_floor":0.450,"stream_floor_secs":[0.450,0.470],""" +
+        s""""queries":{},"sf":"$sf"}"""
+    assert(Bench.prevStreamFloor(withFloor, sf) === 0.450)
+    // pre-r19 artifacts (the committed r18 headline's format) have no
+    // field: -1 = unavailable, never a fake ratio
+    assert(Bench.prevStreamFloor(newFormat, sf) === -1.0)
+    // cross-SF floors are junk for the same reason kernel ratios are
+    assert(Bench.prevStreamFloor(withFloor, "/root/testdata/sf0.01") === -1.0)
+    // a previous run whose every probe failed published -1; that must
+    // not propagate as a "previous floor"
+    val failed = withFloor.replace("\"stream_sentinel_floor\":0.450",
+      "\"stream_sentinel_floor\":-1.000")
+    assert(Bench.prevStreamFloor(failed, sf) === -1.0)
+  }
+
   test("medianOr: odd, even, and the empty -1 marker") {
     assert(Bench.medianOr(Seq(3.0, 1.0, 2.0), -1.0) === 2.0)
     assert(Bench.medianOr(Seq(1.0, 2.0, 3.0, 4.0), -1.0) === 2.5)
