@@ -61,6 +61,72 @@ object LineDedupe {
     */
   val DefaultBroadcastDupBytes: Long = 128L * 1024 * 1024
 
+  /** Front-half grouping strategy for the report/cut/provenance paths.
+    * `false` (the default — the measured winner): group the corpus's
+    * eligible occurrences by the RAW line string (byte-exact identity;
+    * the exchange key is the line bytes). `true`: group by the 128-bit
+    * salted hash pair ([[withLineHash]]) with the keeper occurrence —
+    * and its line bytes — carried as a min-struct VALUE, so the agg
+    * hash map, the exchange partitioner, and any sort fallback key on
+    * 16 fixed bytes instead of unbounded strings.
+    *
+    * Round-19 adjudication (the verdict's "adopt whichever wins, with
+    * the numbers published"): at the 100× tier, interleaved string→hash
+    * within each round so both sides of every ratio share a host window
+    * ([[graft.LinesAb]]; two NON-interleaved sweeps were discarded —
+    * their sentinel floors read 0.26 s vs 0.44 s, a 1.7× box drift
+    * dwarfing the effect), min-of-3: dedup_lines 88.2 s string vs
+    * 90.0 s hash (1.02×), dedup_lines_cut 82.7 s vs 85.7 s (1.04×) —
+    * hash-first LOSES slightly. The theoretical 16-B-key win never
+    * materializes because the report's semantics force the keeper's
+    * line bytes across the exchange either way (as the min-struct
+    * value), so hash-first only swaps key comparisons for two extra
+    * xxhash64 passes plus wider pre-agg rows. String-keyed stays the
+    * default: byte-exact identity AND the measured winner. The knob
+    * remains for re-measurement on corpora with far longer lines
+    * (where key comparisons could dominate) — in hash mode the REPORT
+    * row grouping weakens to 2⁻¹²⁸-per-pair identity (the cut itself
+    * still byte-verifies before dropping anything — a collision can
+    * only MISS a cut, never take an innocent line), the same
+    * documented trade the persisted [[lineIndex]] already makes.
+    * `SPARK_GRAFT_LINES_HASH_FIRST=0/1` overrides for measurement.
+    */
+  private[graft] val HashFirstGroup: Boolean =
+    sys.env.get("SPARK_GRAFT_LINES_HASH_FIRST") match {
+      case None => false
+      case Some("1") => true
+      case Some("0") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_LINES_HASH_FIRST must be 0 or 1, got '$other'")
+    }
+
+  /** The shared front half: duplicated-line classes
+    * `(line, n_occ, n_docs, f_id, f_ord)` from the eligible occurrence
+    * relation, under either grouping strategy (see [[HashFirstGroup]]).
+    * The keeper (f_id, f_ord) is the globally earliest occurrence —
+    * min over (id, ord); in hash-first mode the struct carries the
+    * keeper's line bytes too, so line order never decides (id is).
+    */
+  private def dupClassesOf(elig: DataFrame, hashFirst: Boolean): DataFrame =
+    if (hashFirst)
+      withLineHash(elig)
+        .groupBy(col("llo"), col("lhi"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("id")).as("n_docs"),
+          min(struct(col("id"), col("ord"), col("line"))).as("f"))
+        .filter(col("n_occ") > 1)
+        .select(col("f.line").as("line"), col("n_occ"), col("n_docs"),
+          col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+    else
+      elig
+        .groupBy(col("line"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("id")).as("n_docs"),
+          min(struct(col("id"), col("ord"))).as("f"))
+        .filter(col("n_occ") > 1)
+        .select(col("line"), col("n_occ"), col("n_docs"),
+          col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+
   /** `(id, ord, line)` — 1-based line ordinal within each document.
     * `split(text, '\n', -1)` keeps trailing empty lines, matching
     * DuckDB `string_split` (the oracle side) exactly.
@@ -114,22 +180,19 @@ object LineDedupe {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minLineChars: Int = 10): DataFrame = {
+      minLineChars: Int = 10,
+      hashFirstGroup: Boolean = HashFirstGroup): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
     val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
     val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
-      val rep = eligible(linesRelation(df, idCol, textCol), minLineChars)
-        .groupBy(col("line"))
-        .agg(
-          count(lit(1)).as("n_occ"),
-          countDistinct(col("id")).as("n_docs"),
-          min(struct(col("id"), col("ord"))).as("f"))
-        .filter(col("n_occ") > 1)
+      val rep = dupClassesOf(
+          eligible(linesRelation(df, idCol, textCol), minLineChars),
+          hashFirstGroup)
         .select(col("line"), col("n_occ"), col("n_docs"),
           length(col("line")).cast("long").as("line_chars"),
-          col("f.id").as("first_doc"), col("f.ord").as("first_ord"))
+          col("f_id").as("first_doc"), col("f_ord").as("first_ord"))
         .cache()
       Dedupe.track(rep)
       rep.count()
@@ -159,19 +222,16 @@ object LineDedupe {
       idCol: String,
       textCol: String,
       minLineChars: Int = 10,
-      broadcastDupBytes: Long = DefaultBroadcastDupBytes): DataFrame = {
+      broadcastDupBytes: Long = DefaultBroadcastDupBytes,
+      hashFirstGroup: Boolean = HashFirstGroup): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
     val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
     val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
       val elig = eligible(linesRelation(df, idCol, textCol), minLineChars)
-      val dupFirsts = elig
-        .groupBy(col("line"))
-        .agg(count(lit(1)).as("n_occ"),
-          min(struct(col("id"), col("ord"))).as("f"))
-        .filter(col("n_occ") > 1)
-        .select(col("line"), col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+      val dupFirsts = dupClassesOf(elig, hashFirstGroup)
+        .select(col("line"), col("f_id"), col("f_ord"))
       rebuildFromDupFirsts(df, idCol, textCol, elig, dupFirsts,
         broadcastDupBytes)
     } finally session.conf.set("spark.sql.shuffle.partitions", prevParts)
@@ -269,19 +329,16 @@ object LineDedupe {
       idCol: String,
       textCol: String,
       minLineChars: Int = 10,
-      broadcastDupBytes: Long = DefaultBroadcastDupBytes): DataFrame = {
+      broadcastDupBytes: Long = DefaultBroadcastDupBytes,
+      hashFirstGroup: Boolean = HashFirstGroup): DataFrame = {
     require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
     val session = df.sparkSession
     val bytes = df.agg(lineShuffleBytesCol(textCol)).collect()(0).getLong(0)
     val prevParts = Conf.applyRowShufflePartitions(session, bytes, rowBytes = 1L)
     try {
       val elig = eligible(linesRelation(df, idCol, textCol), minLineChars)
-      val dupFirsts = elig
-        .groupBy(col("line"))
-        .agg(count(lit(1)).as("n_occ"),
-          min(struct(col("id"), col("ord"))).as("f"))
-        .filter(col("n_occ") > 1)
-        .select(col("line"), col("f.id").as("f_id"), col("f.ord").as("f_ord"))
+      val dupFirsts = dupClassesOf(elig, hashFirstGroup)
+        .select(col("line"), col("f_id"), col("f_ord"))
       dropsWithKeeper(elig, dupFirsts, broadcastDupBytes)
         .select(col("id").as("doc_id"), col("ord"), col("line_chars"),
           col("f_id").as("kept_doc"), col("f_ord").as("kept_ord"))
