@@ -92,6 +92,7 @@ object Bench {
     // a typo'd SPARK_GRAFT_STATE_BACKEND must abort NOW, not at the
     // first streaming query mid-run (providerClass is lazy)
     graft.streaming.StateBackend.forceResolve()
+    graft.streaming.EventStream.forceResolveSink()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -292,8 +292,36 @@ object EventStream {
     lastRunOnThread.remove()
   }
 
+  /** Harness sink selector: `SPARK_GRAFT_STREAM_SINK=disk` flips
+    * [[runToMemory]] from the memory sink to a foreachBatch → parquet
+    * sink read back as the result (the production sink shape). The
+    * memory sink COLLECTS TO THE DRIVER, so a complete-mode snapshot is
+    * corpus-sized in driver heap — fine at catalog SF, a measured
+    * ceiling at the 1000× tier (stream_cdc's 46.6M-row merged relation
+    * is ~5 GiB of sink rows; the tier sweep's timed attempts all failed
+    * on it while the SAME query's operator state rode RocksDB at a
+    * +5 MiB heap delta). The disk sink bounds the driver at one batch's
+    * write tasks regardless of result cardinality; results are
+    * spec-pinned identical in both modes (StreamSinkModeSpec). An
+    * unknown value fails at first resolution — harness mains force this
+    * via [[forceResolveSink]] so a typo aborts at startup.
+    */
+  private[graft] lazy val diskSinkDefault: Boolean =
+    sys.env.get("SPARK_GRAFT_STREAM_SINK") match {
+      case None | Some("memory") => false
+      case Some("disk") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STREAM_SINK must be 'memory' or 'disk', got '$other'")
+    }
+
+  /** Force sink-mode env resolution NOW (see [[diskSinkDefault]]);
+    * called by harness mains next to [[StateBackend.forceResolve]].
+    */
+  def forceResolveSink(): Unit = { diskSinkDefault; () }
+
   /** Shared finite-input streaming harness: parquet file source →
-    * transform → memory sink, drained with processAllAvailable. The
+    * transform → memory sink (or a foreachBatch parquet sink read back,
+    * see [[diskSinkDefault]]), drained with processAllAvailable. The
     * memory sink is harness-only (it collects to the driver); production
     * sinks are kafka/parquet/delta-style writeStream targets.
     */
@@ -304,7 +332,8 @@ object EventStream {
       transform: DataFrame => DataFrame,
       mode: OutputMode,
       shufflePartitions: Int = 8,
-      stateProvider: Option[String] = StateBackend.providerClass): DataFrame = {
+      stateProvider: Option[String] = StateBackend.providerClass,
+      diskSink: Boolean = diskSinkDefault): DataFrame = {
     // stateful operators pay a per-(partition, state store) commit on
     // every micro-batch — a stream-stream join keeps FOUR stores per
     // partition — so the harness narrows the stateful shuffle width for
@@ -336,11 +365,32 @@ object EventStream {
     var reader = session.readStream.schema(schema)
     glob.foreach(g => reader = reader.option("pathGlobFilter", g))
     val stream = reader.parquet(baseDir)
-    val q = transform(stream).writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(queryName)
-      .start()
+    val transformed = transform(stream)
+    // disk sink: complete mode overwrites per trigger (final = last
+    // complete snapshot, exactly the memory sink's table), append mode
+    // accumulates — same contract, driver bounded at one batch's write
+    // tasks instead of the whole result set
+    val sinkDir: Option[String] =
+      if (!diskSink) None
+      else Some(java.nio.file.Files
+        .createTempDirectory(s"graft-disksink").resolve("out").toString)
+    val isComplete = mode == OutputMode.Complete()
+    val writer = sinkDir match {
+      case None =>
+        transformed.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(queryName)
+      case Some(out) =>
+        transformed.writeStream
+          .outputMode(mode)
+          .queryName(queryName)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.write.mode(if (isComplete) "overwrite" else "append")
+              .parquet(out)
+          }
+    }
+    val q = writer.start()
     try {
       q.processAllAvailable()
       // surface the run's state-store footprint (max across triggers)
@@ -360,8 +410,22 @@ object EventStream {
       // table below still owns the sink data through its plan.
       session.streams.resetTerminated()
     }
-    // the memory sink registers its temp view in the child session; the
-    // child dies with its references, so no cross-run dropTempView needed
-    session.table(queryName)
+    sinkDir match {
+      case None =>
+        // the memory sink registers its temp view in the child session;
+        // the child dies with its references, so no cross-run
+        // dropTempView needed
+        session.table(queryName)
+      case Some(out) =>
+        // an input with rows always fired at least one batch; the empty-
+        // input edge (no batch, no sink dir) still returns the right
+        // schema instead of a read error
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(out)))
+          session.read.parquet(out)
+        else
+          session.createDataFrame(
+            session.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            transformed.schema)
+    }
   }
 }

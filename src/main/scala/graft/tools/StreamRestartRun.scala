@@ -191,6 +191,7 @@ object StreamRestartRun {
     // a typo'd SPARK_GRAFT_STATE_BACKEND must abort NOW, before the
     // corpus check and any runs (providerClass is lazy)
     graft.streaming.StateBackend.forceResolve()
+    graft.streaming.EventStream.forceResolveSink()
     val factor = args.headOption.map(_.toInt).getOrElse(100)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val corpus = args.lift(1).getOrElse(s"/tmp/graft_scale_x$factor")
