@@ -20,6 +20,14 @@ object Bench {
     Seq("mm_audio_fp", "mm_video_fp", "mm_phash_dedup", "phash_pairs",
       "video_pairs")
 
+  /** Whether the previous artifact ran at the SAME sf dir — the shared
+    * cross-SF gate for every vs-prev extraction (kernel ratios, stream
+    * floor): cross-SF ratios are junk, never published.
+    */
+  private def sameSf(prevArtifact: String, sfDir: String): Boolean =
+    "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prevArtifact)
+      .map(_.group(1)).contains(sfDir)
+
   /** Per-kernel current/previous wall-time ratios against a previous
     * artifact's raw JSON line. Empty when the previous artifact was
     * measured on a different SF (cross-SF ratios are junk — an sf0.01
@@ -35,10 +43,8 @@ object Bench {
       prevArtifact: String,
       sfDir: String,
       current: Map[String, Double]): Seq[(String, Double)] = {
-    val prevSf =
-      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prevArtifact).map(_.group(1))
     val timesAt = prevArtifact.indexOf("\"shared_builds\":")
-    if (!prevSf.contains(sfDir) || timesAt < 0) Seq.empty
+    if (!sameSf(prevArtifact, sfDir) || timesAt < 0) Seq.empty
     else {
       val times = prevArtifact.substring(timesAt)
       CodecKernels.flatMap { k =>
@@ -62,9 +68,7 @@ object Bench {
     */
   private[graft] def prevStreamFloor(
       prevArtifact: String, sfDir: String): Double = {
-    val prevSf =
-      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(prevArtifact).map(_.group(1))
-    if (!prevSf.contains(sfDir)) -1.0
+    if (!sameSf(prevArtifact, sfDir)) -1.0
     else
       "\"stream_sentinel_floor\":(-?[0-9][0-9.eE+-]*)".r
         .findFirstMatchIn(prevArtifact)
@@ -93,6 +97,7 @@ object Bench {
     // first streaming query mid-run (providerClass is lazy)
     graft.streaming.StateBackend.forceResolve()
     graft.streaming.EventStream.forceResolveSink()
+    graft.operators.LineDedupe.forceResolveKnob()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -354,8 +359,13 @@ object Bench {
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(prevPath)),
         java.nio.charset.StandardCharsets.UTF_8))
     } catch { case scala.util.control.NonFatal(_) => None }
+    // extraction stays inside a NonFatal guard: a corrupt previous
+    // artifact (truncated number still matching the lenient regex →
+    // toDouble throws) must degrade to the -1 markers, never lose a
+    // fully-timed run to a crash after the catalog loop
     val kernelRatios: Seq[(String, Double)] = prevArtifact
-      .map(kernelRatiosVsPrev(_, sfDir, currentByName))
+      .map(a => try kernelRatiosVsPrev(a, sfDir, currentByName)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty })
       .getOrElse(Seq.empty)
     val codecRatio = medianOr(kernelRatios.map(_._2), -1.0)
     def n3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
@@ -374,7 +384,9 @@ object Bench {
     // move with the box's I/O floor or against it".
     val streamFloor = streamFloorSecs.minOption.getOrElse(-1.0)
     val prevStreamF =
-      prevArtifact.map(prevStreamFloor(_, sfDir)).getOrElse(-1.0)
+      prevArtifact.map(a => try prevStreamFloor(a, sfDir)
+        catch { case scala.util.control.NonFatal(_) => -1.0 })
+        .getOrElse(-1.0)
     val streamFloorRatio =
       if (streamFloor > 0 && prevStreamF > 0) streamFloor / prevStreamF
       else -1.0

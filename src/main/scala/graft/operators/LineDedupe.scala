@@ -90,8 +90,13 @@ object LineDedupe {
     * only MISS a cut, never take an innocent line), the same
     * documented trade the persisted [[lineIndex]] already makes.
     * `SPARK_GRAFT_LINES_HASH_FIRST=0/1` overrides for measurement.
+    * Lazy, with [[forceResolveKnob]] called at harness startup: a val
+    * would throw the validation failure from the OBJECT initializer as
+    * an ExceptionInInitializerError — a LinkageError no NonFatal guard
+    * converts to a -1 marker, crashing a bench mid-catalog instead of
+    * aborting before any timed work.
     */
-  private[graft] val HashFirstGroup: Boolean =
+  private[graft] lazy val HashFirstGroup: Boolean =
     sys.env.get("SPARK_GRAFT_LINES_HASH_FIRST") match {
       case None => false
       case Some("1") => true
@@ -99,6 +104,11 @@ object LineDedupe {
       case Some(other) => throw new IllegalArgumentException(
         s"SPARK_GRAFT_LINES_HASH_FIRST must be 0 or 1, got '$other'")
     }
+
+  /** Force knob resolution NOW (see [[HashFirstGroup]]); called by
+    * harness mains so a typo'd env var aborts at startup.
+    */
+  def forceResolveKnob(): Unit = { HashFirstGroup; () }
 
   /** The shared front half: duplicated-line classes
     * `(line, n_occ, n_docs, f_id, f_ord)` from the eligible occurrence

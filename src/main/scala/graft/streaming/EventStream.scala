@@ -319,6 +319,46 @@ object EventStream {
     */
   def forceResolveSink(): Unit = { diskSinkDefault; () }
 
+  /** Disk-sink dirs whose runs have FINISHED — purgeable. At the 1000×
+    * tier one complete-mode result is GiB-scale parquet, and a min-of-3
+    * interleaved sweep would otherwise leak tens of GiB of /tmp per
+    * query (the restart harness deletes its own work dirs; this runner
+    * must too). A finished dir is reclaimed when the NEXT disk-sink run
+    * starts and at JVM exit — so the harness contract is: consume the
+    * returned DataFrame (it reads the dir lazily) before starting the
+    * next streaming run, which every min-of-N loop already does.
+    */
+  private[streaming] val finishedDiskSinks =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root)) {
+      val stream = java.nio.file.Files.walk(root)
+      try stream.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally stream.close()
+    }
+
+  /** Delete every finished disk-sink dir (see [[finishedDiskSinks]]);
+    * NonFatal-safe per dir — reclamation must never fail a run.
+    */
+  private[graft] def purgeDiskSinks(): Unit = {
+    var p = finishedDiskSinks.poll()
+    while (p != null) {
+      try deleteRecursively(p)
+      catch { case scala.util.control.NonFatal(_) => () }
+      p = finishedDiskSinks.poll()
+    }
+  }
+
+  // best-effort /tmp hygiene for the LAST run's dir (every earlier one
+  // is purged by its successor's startup purge)
+  private lazy val diskSinkShutdownHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => purgeDiskSinks(), "graft-disksink-purge"))
+    ()
+  }
+
   /** Shared finite-input streaming harness: parquet file source →
     * transform → memory sink (or a foreachBatch parquet sink read back,
     * see [[diskSinkDefault]]), drained with processAllAvailable. The
@@ -372,8 +412,15 @@ object EventStream {
     // tasks instead of the whole result set
     val sinkDir: Option[String] =
       if (!diskSink) None
-      else Some(java.nio.file.Files
-        .createTempDirectory(s"graft-disksink").resolve("out").toString)
+      else {
+        // reclaim every FINISHED predecessor first (their results are
+        // consumed by now under the harness contract), and arm the
+        // exit-time purge for this run's own dir
+        purgeDiskSinks()
+        diskSinkShutdownHook
+        Some(java.nio.file.Files
+          .createTempDirectory(s"graft-disksink").resolve("out").toString)
+      }
     val isComplete = mode == OutputMode.Complete()
     val writer = sinkDir match {
       case None =>
@@ -417,6 +464,11 @@ object EventStream {
         // dropTempView needed
         session.table(queryName)
       case Some(out) =>
+        // run finished: the dir is reclaimable once the caller consumes
+        // the returned DataFrame (purged at the next disk-sink run /
+        // JVM exit — see finishedDiskSinks)
+        finishedDiskSinks.add(
+          java.nio.file.Paths.get(out).getParent)
         // an input with rows always fired at least one batch; the empty-
         // input edge (no batch, no sink dir) still returns the right
         // schema instead of a read error

@@ -46,9 +46,11 @@ object LinesAb {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm both code paths on the 1× corpus (JIT + codegen)
+    // warm both code paths on the 1× corpus (JIT + codegen); same env
+    // override every other harness honors
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (hf <- Seq(false, true); cut <- Seq(false, true))
-      time(hf, cut, "/root/testdata/sf0.1")
+      time(hf, cut, warmDir)
 
     val best = scala.collection.mutable.Map
       .empty[(String, String), Double].withDefaultValue(Double.MaxValue)

@@ -41,4 +41,21 @@ class StreamSinkModeSpec extends SparkSpec {
       .map(_.rows) ===
       EventStream.stateMetrics.get("sinkmode_complete_mem").map(_.rows))
   }
+
+  test("finished disk-sink dirs are reclaimed by the next run's purge") {
+    // at the 1000× tier one complete-mode result is GiB-scale parquet —
+    // a min-of-3 sweep must not leak one dir per attempt to /tmp
+    val src = sf() + "/events.parquet"
+    EventStream.runToMemory(spark, src, "sinkmode_purge_a",
+      EventStream.dedupKeys(_), OutputMode.Append(), diskSink = true).count()
+    val firstDir = EventStream.finishedDiskSinks.peek()
+    assert(firstDir != null && java.nio.file.Files.exists(firstDir),
+      "finished run's sink dir missing from the reclamation queue")
+    // the NEXT disk-sink run purges every finished predecessor
+    EventStream.runToMemory(spark, src, "sinkmode_purge_b",
+      EventStream.dedupKeys(_), OutputMode.Append(), diskSink = true).count()
+    assert(!java.nio.file.Files.exists(firstDir),
+      "previous run's sink dir survived the successor's startup purge")
+    EventStream.purgeDiskSinks()
+  }
 }
