@@ -324,9 +324,14 @@ object EventStream {
     * interleaved sweep would otherwise leak tens of GiB of /tmp per
     * query (the restart harness deletes its own work dirs; this runner
     * must too). A finished dir is reclaimed when the NEXT disk-sink run
-    * starts and at JVM exit — so the harness contract is: consume the
-    * returned DataFrame (it reads the dir lazily) before starting the
-    * next streaming run, which every min-of-N loop already does.
+    * starts and at JVM exit — so the harness contract is: CONSUME the
+    * returned DataFrame (it reads the dir lazily — count/collect/write)
+    * before starting the next disk-sink run, which every in-repo caller
+    * does inline. Holding a disk-sink-backed plan across a later
+    * disk-sink run reads a deleted directory (FileNotFoundException) —
+    * a deliberate trade: the alternative, purging on plan release, has
+    * no reliable hook in the JVM, and unreclaimed GiB-scale dirs are
+    * the worse failure at the tiers this mode exists for.
     */
   private[streaming] val finishedDiskSinks =
     new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
@@ -449,6 +454,14 @@ object EventStream {
           ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
     } finally {
       q.stop()
+      // the dir becomes reclaimable whether the run SUCCEEDED or THREW:
+      // a failed attempt's partial GiB-scale parquet must not be
+      // invisible to the purge (a min-of-3 sweep with failing attempts
+      // would otherwise leak one dir per attempt past JVM exit) —
+      // registering in the finally covers both paths, and on success
+      // precedes the read-back exactly as before
+      sinkDir.foreach(out => finishedDiskSinks.add(
+        java.nio.file.Paths.get(out).getParent))
       // drop the manager's lastTerminatedQuery reference: it pins the
       // stopped query and through it the memory sink's collected rows —
       // for a complete-mode run over a large corpus that is the whole
@@ -464,11 +477,6 @@ object EventStream {
         // dropTempView needed
         session.table(queryName)
       case Some(out) =>
-        // run finished: the dir is reclaimable once the caller consumes
-        // the returned DataFrame (purged at the next disk-sink run /
-        // JVM exit — see finishedDiskSinks)
-        finishedDiskSinks.add(
-          java.nio.file.Paths.get(out).getParent)
         // an input with rows always fired at least one batch; the empty-
         // input edge (no batch, no sink dir) still returns the right
         // schema instead of a read error

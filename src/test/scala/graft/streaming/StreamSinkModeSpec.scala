@@ -58,4 +58,22 @@ class StreamSinkModeSpec extends SparkSpec {
       "previous run's sink dir survived the successor's startup purge")
     EventStream.purgeDiskSinks()
   }
+
+  test("a FAILED disk-sink run still queues its dir for reclamation") {
+    // a min-of-3 sweep with failing attempts must not leak one
+    // partial-parquet dir per attempt past the purge's reach
+    import org.apache.spark.sql.functions.{lit, raise_error}
+    EventStream.purgeDiskSinks()
+    val src = sf() + "/events.parquet"
+    intercept[Exception] {
+      EventStream.runToMemory(spark, src, "sinkmode_fail_disk",
+        _.select(raise_error(lit("boom")).cast("string").as("x")),
+        OutputMode.Append(), diskSink = true)
+    }
+    val p = EventStream.finishedDiskSinks.peek()
+    assert(p != null, "failed run's sink dir not queued for reclamation")
+    EventStream.purgeDiskSinks()
+    assert(!java.nio.file.Files.exists(p),
+      "failed run's sink dir survived the purge")
+  }
 }
