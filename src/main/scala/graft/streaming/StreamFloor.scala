@@ -24,15 +24,49 @@ object StreamFloor {
 
   /** Write the probe's fixed input once (64 longs, one parquet file);
     * returns the directory to stream from. Temp-dir-scoped: the probe
-    * is a per-process sentinel, not a persisted fixture.
+    * is a per-process sentinel, not a persisted fixture — the dir is
+    * registered for exit-time reclamation (one leaked ~KB dir per bench
+    * run otherwise accumulates in /tmp forever; the r19 ADVICE catch).
     */
   def writeInput(spark: SparkSession): String = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-streamfloor").resolve("in").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-streamfloor")
+    val dir = root.resolve("in").toString
     import spark.implicits._
     (0L until 64L).toDF("id").coalesce(1)
       .write.mode("overwrite").parquet(dir)
+    // exit-time-only reclamation (deliberately NOT the disk-sink purge
+    // queue: that queue is drained by the NEXT disk-sink run's startup
+    // purge, which would delete this probe input mid-bench under
+    // SPARK_GRAFT_STREAM_SINK=disk)
+    registerForExitPurge(root)
     dir
+  }
+
+  private val exitPurgeDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val exitPurgeHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = exitPurgeDirs.poll()
+      while (p != null) {
+        try {
+          if (java.nio.file.Files.exists(p)) {
+            val s = java.nio.file.Files.walk(p)
+            try s.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+            finally s.close()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+        p = exitPurgeDirs.poll()
+      }
+    }, "graft-streamfloor-purge"))
+    ()
+  }
+
+  private def registerForExitPurge(root: java.nio.file.Path): Unit = {
+    exitPurgeHook
+    exitPurgeDirs.add(root)
+    ()
   }
 
   /** One probe pass (timed by the caller): a stateful exact dedup over

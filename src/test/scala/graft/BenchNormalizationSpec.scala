@@ -88,6 +88,63 @@ class BenchNormalizationSpec extends AnyFunSuite {
     assert(Bench.prevStreamFloor(failed, sf) === -1.0)
   }
 
+  test("prevQueryTimes reads the queries block only (never ratios/shared)") {
+    val t = Bench.prevQueryTimes(newFormat, sf)
+    // mm_audio_fp appears three times in the artifact (ratio 1.141,
+    // shared-build-adjacent, query time 2.000) — only the QUERY time may
+    // come back, or the vs-prev trigger compares against garbage
+    assert(t === Map("mm_audio_fp" -> 2.0, "mm_video_fp" -> 1.0,
+      "mm_phash_dedup" -> 0.5))
+    // cross-SF baselines are junk for the same reason kernel ratios are
+    assert(Bench.prevQueryTimes(newFormat, "/root/testdata/sf0.01").isEmpty)
+    // no queries block at all → empty, trigger disabled
+    assert(Bench.prevQueryTimes(s"""{"value":1.0,"sf":"$sf"}""", sf).isEmpty)
+    // -1 failure markers in the previous artifact are not baselines
+    val failed = newFormat.replace("\"mm_video_fp\":1.000,", "\"mm_video_fp\":-1.0,")
+    assert(!Bench.prevQueryTimes(failed, sf).contains("mm_video_fp"))
+  }
+
+  test("burstSuspects: trigger arithmetic, cap, and the failure-visibility rule") {
+    val prev = Map("a" -> 1.0, "b" -> 0.1, "c" -> 2.0, "d" -> 1.0, "e" -> 1.0)
+    val floor = 0.2
+    // threshold = max(4×prev, prev + 2×floor)
+    //  a: prev 1.0 → 4.0 ; 4.0 is NOT > 4.0 (strict), 4.01 is
+    assert(Bench.burstSuspects(Seq("a" -> 4.0), prev, floor).isEmpty)
+    assert(Bench.burstSuspects(Seq("a" -> 4.01), prev, floor) === Seq("a"))
+    //  b: prev 0.1 → max(0.4, 0.5) = 0.5 (the +2×floor arm dominates for
+    //  sub-floor queries, so a 0.45 s reading on a 0.1 s query — box
+    //  noise on an idle run — does NOT requeue)
+    assert(Bench.burstSuspects(Seq("b" -> 0.45), prev, floor).isEmpty)
+    assert(Bench.burstSuspects(Seq("b" -> 0.55), prev, floor) === Seq("b"))
+    // a -1 failure marker never remeasures into a pass
+    assert(Bench.burstSuspects(Seq("a" -> -1.0), prev, floor).isEmpty)
+    // unknown queries (new this round) have no baseline — skipped
+    assert(Bench.burstSuspects(Seq("zz" -> 99.0), prev, floor).isEmpty)
+    // no sentinel floor (every sample failed) disables the trigger
+    assert(Bench.burstSuspects(Seq("a" -> 99.0), prev, -1.0).isEmpty)
+    // cap keeps the WORST ratios: d reads 10× (10.0), e reads 100× (100.0)
+    val capped = Bench.burstSuspects(
+      Seq("d" -> 10.0, "e" -> 100.0), prev, floor, cap = 1)
+    assert(capped === Seq("e"))
+    // a deliberately-inflated figure (this round's own baseline case:
+    // 0.48 s → 10.21 s at li 1.94) requeues
+    assert(Bench.burstSuspects(
+      Seq("a" -> 10.21), Map("a" -> 0.48), floor) === Seq("a"))
+  }
+
+  test("the COMMITTED artifact's own times trigger no vs-prev remeasure") {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_full.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val sfInArtifact =
+      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).get.group(1)
+    val prev = Bench.prevQueryTimes(txt, sfInArtifact)
+    assert(prev.size > 100, s"expected a full catalog, got ${prev.size}")
+    val floor = "\"sentinel_floor\":(-?[0-9][0-9.eE+-]*)".r
+      .findFirstMatchIn(txt).get.group(1).toDouble
+    assert(Bench.burstSuspects(prev.toSeq, prev, floor).isEmpty)
+  }
+
   test("medianOr: odd, even, and the empty -1 marker") {
     assert(Bench.medianOr(Seq(3.0, 1.0, 2.0), -1.0) === 2.0)
     assert(Bench.medianOr(Seq(1.0, 2.0, 3.0, 4.0), -1.0) === 2.5)
