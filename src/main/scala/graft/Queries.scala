@@ -310,15 +310,28 @@ object Queries {
   }
 
   /** Correlated scalar subquery (TPC-H Q17 family): small-quantity
-    * lineitems vs each part's own average. Written as correlated SQL on
-    * purpose — Catalyst decorrelates each scalar aggregate into a grouped
-    * aggregate broadcast-joined back on the correlation key
-    * (RewriteCorrelatedScalarSubquery; plan-asserted in QueriesSpec), so
-    * the physical plan is two per-part aggregations over lineitem plus
-    * broadcast joins, never a per-part nested loop. The threshold
-    * `l_q < 0.2·avg` is cross-multiplied to exact integers
-    * (5·cnt·l_q < sum — quantities are integral doubles ≤ 50) so both
-    * engines compare BIGINTs, never a float division.
+    * lineitems vs each part's own average. The SEMANTICS are the two
+    * correlated scalar aggregates (per-part row count and quantity sum —
+    * the DuckDB oracle still runs that correlated form verbatim); the
+    * Spark side computes both aggregates in ONE grouped pass over
+    * lineitem joined back on l_partkey. Catalyst's own decorrelation
+    * (RewriteCorrelatedScalarSubquery) rewrites each scalar subquery
+    * SEPARATELY — three lineitem scans, two per-partkey exchanges, two
+    * broadcast joins; the combined aggregate is the same relation in two
+    * scans / one exchange / one join (guide §2.4 "remove shuffles
+    * outright", §2.3 "aggregate before you shuffle" — this was the 10×
+    * scale tier's worst ratio at 8.2×). Equivalence is exact, not
+    * approximate: every joined (lineitem, part) row's correlation group
+    * is non-empty (the driving row itself satisfies
+    * l_partkey = p_partkey), so COUNT ≥ 1 / SUM non-NULL and the INNER
+    * join to the grouped relation returns exactly the scalar the
+    * correlated form computed, row for row; NULL partkeys join in
+    * neither form. Plan-asserted in QueriesPlanSpec (two lineitem scans,
+    * one per-partkey aggregation) and oracle-verified against the
+    * unchanged correlated SQL. The threshold `l_q < 0.2·avg` is
+    * cross-multiplied to exact integers (5·cnt·l_q < sum — quantities
+    * are integral doubles ≤ 50) so both engines compare BIGINTs, never
+    * a float division.
     */
   private def q22ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
     t(spark, sfDir, "lineitem").createOrReplaceTempView("graft_li_ssq")
@@ -327,10 +340,11 @@ object Queries {
       """SELECT p_brand, COUNT(*) AS n_small,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_small
         |FROM graft_li_ssq JOIN graft_part_ssq ON p_partkey = l_partkey
-        |WHERE 5 * CAST(l_quantity AS BIGINT) *
-        |    (SELECT COUNT(*) FROM graft_li_ssq l2 WHERE l2.l_partkey = p_partkey)
-        |  < (SELECT SUM(CAST(l3.l_quantity AS BIGINT)) FROM graft_li_ssq l3
-        |     WHERE l3.l_partkey = p_partkey)
+        |JOIN (SELECT l_partkey AS agg_pk, COUNT(*) AS part_cnt,
+        |        SUM(CAST(l_quantity AS BIGINT)) AS part_qty
+        |      FROM graft_li_ssq GROUP BY l_partkey) per_part
+        |  ON agg_pk = l_partkey
+        |WHERE 5 * CAST(l_quantity AS BIGINT) * part_cnt < part_qty
         |GROUP BY p_brand""".stripMargin)
   }
 

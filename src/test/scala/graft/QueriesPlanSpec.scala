@@ -264,19 +264,26 @@ class QueriesPlanSpec extends SparkSpec {
     assert(bucketed == plain)
   }
 
-  test("q22's correlated scalar subqueries decorrelate — no nested-loop join") {
+  test("q22's per-part scalars run as ONE combined aggregate — no nested loop") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
     val df = SparkEntry.queries("q22_scalar_subquery")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan
     assert(countNodes(plan) {
       case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
       case _ => false
-    } == 0, s"scalar subqueries must decorrelate to aggregate-joins:\n$plan")
-    // and the decorrelated per-part aggregates are really there (count +
-    // sum, each a grouped aggregate joined back on l_partkey)
-    val s = plan.toString
-    assert(s.contains("HashAggregate"), s"expected decorrelated aggregates:\n$s")
+    } == 0, s"per-part scalars must run as aggregate-joins:\n$plan")
+    // the round-20 shape: count AND sum come from ONE grouped pass, so
+    // lineitem is scanned exactly twice (main + the combined aggregate) —
+    // Catalyst's own per-subquery decorrelation scanned it three times
+    val liScans = countNodes(plan) {
+      case f: FileSourceScanExec =>
+        f.relation.location.inputFiles.exists(_.contains("lineitem"))
+      case _ => false
+    }
+    assert(liScans == 2,
+      s"expected 2 lineitem scans (main + combined per-part aggregate), got $liScans:\n$plan")
   }
 
   test("q23's INTERSECT/EXCEPT rewrite to semi/anti joins") {
