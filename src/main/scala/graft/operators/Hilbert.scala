@@ -140,12 +140,22 @@ object Hilbert {
       .withColumn("zkey", expr(interleaveSql("qx", "qy")))
       .withColumn("linkey", shiftleft(col("qx"), Bits) + col("qy"))
     val shift = 2 * Bits - BucketBits
+    // one pass, not a three-way self-union: each union branch copied the
+    // ENTIRE keyed subtree (three fact scans, three bounds aggregations,
+    // and three copies of the per-level Hilbert fold to analyze/codegen);
+    // exploding a literal struct array emits the three (layout, bucket)
+    // rows per input row from one scan, one bounds aggregate, one fold
+    // (guide §2.4). Row multiplicity into the aggregate is identical to
+    // the union's, so the result is row-for-row the same.
     def tag(layout: String, key: Column) =
-      keyed.select(lit(layout).as("layout"),
-        shiftright(key, shift).as("bucket"), col("qx"), col("qy"))
-    tag("linear", col("linkey"))
-      .unionByName(tag("zorder", col("zkey")))
-      .unionByName(tag("hilbert", col("hkey")))
+      struct(lit(layout).as("layout"), shiftright(key, shift).as("bucket"))
+    keyed
+      .select(
+        explode(array(tag("linear", col("linkey")), tag("zorder", col("zkey")),
+          tag("hilbert", col("hkey")))).as("lb"),
+        col("qx"), col("qy"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("qx"), col("qy"))
       .groupBy(col("layout"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),

@@ -109,14 +109,23 @@ object ZOrder {
         expr(interleaveSql("qx", "qy")).as("zkey"),
         (shiftleft(col("qx"), Bits) + col("qy")).as("linkey"))
     val shift = 2 * Bits - BucketBits
-    val tagged =
-      q.select(lit("linear").as("layout"),
-          shiftright(col("linkey"), shift).as("bucket"),
-          col("qx"), col("qy"))
-        .unionByName(
-          q.select(lit("zorder").as("layout"),
-            shiftright(col("zkey"), shift).as("bucket"),
-            col("qx"), col("qy")))
+    // one pass, not a self-union: unioning two projections of `q` makes
+    // Spark COPY the whole subtree per branch (two fact scans + two
+    // bounds aggregations); exploding a literal struct array emits both
+    // (layout, bucket) rows per input row from a single scan and a
+    // single bounds aggregate (guide §2.4 — remove shuffles/passes
+    // outright). Row multiplicity into the aggregate is identical to
+    // the union's, so the result is row-for-row the same.
+    val tagged = q
+      .select(
+        explode(array(
+          struct(lit("linear").as("layout"),
+            shiftright(col("linkey"), shift).as("bucket")),
+          struct(lit("zorder").as("layout"),
+            shiftright(col("zkey"), shift).as("bucket")))).as("lb"),
+        col("qx"), col("qy"))
+      .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+        col("qx"), col("qy"))
     tagged.groupBy(col("layout"), col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),
