@@ -496,11 +496,16 @@ object TextQueries {
     * engine-exact; shares the cached ngram-pair relation with
     * dedup_ngram / dedup_clusters / pipeline_curate.
     */
-  private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+  private def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame =
+    dedupKeepBest0(spark, sfDir, includeKeptId = false)
+
+  private def dedupKeepBest0(
+      spark: SparkSession, sfDir: String, includeKeptId: Boolean): DataFrame = {
     val scored = docs(spark, sfDir).select(col("doc_id"),
       TextAnalysis.tokenCountCol(col("text")).cast("long").as("score"))
     // the dedup_clusters relation itself — one clustering config to drift
-    Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir))
+    Dedupe.keepBestPerCluster(scored, dedupClusters(spark, sfDir),
+      includeKeptId = includeKeptId)
   }
 
   /** Cross-source NEAR-duplication matrix — the keep-best retention
@@ -518,17 +523,19 @@ object TextQueries {
     * dedup_clusters / dedup_keep_best.
     */
   private def dedupNeardupMatrix(spark: SparkSession, sfDir: String): DataFrame = {
-    val kb = dedupKeepBest(spark, sfDir)
+    // keep-best WITH the keeper id exposed (round-20, guide §2.4): the
+    // previous shape evaluated the whole keep-best relation TWICE (a
+    // dropped branch and a keepers branch — each a full clustering +
+    // score + argmax subtree) and joined them back on cluster_id, when
+    // the keeper's id is a byproduct of the keep decision itself. One
+    // kept_id column removes the second evaluation and the self-join;
+    // every dropped row already knows who kept it. Row-for-row
+    // equivalent: each dropped row's cluster has exactly one keeper
+    // (kept_id), which is what the keepers join attached.
+    val kb = dedupKeepBest0(spark, sfDir, includeKeptId = true)
     val src = docs(spark, sfDir).select(col("doc_id"), col("source"))
-    // singletons are keep=true rows whose cluster_id is their own doc_id
-    // and never matches a dropped row's cluster_id (a cluster's label is
-    // the min id of a CLUSTERED doc), so no filter beyond `keep` needed
-    val dropped = kb.filter(!col("keep"))
-      .select(col("doc_id"), col("cluster_id"), col("score"))
-    val keepers = kb.filter(col("keep"))
-      .select(col("cluster_id"), col("doc_id").as("kept_doc"))
-    dropped
-      .join(keepers, Seq("cluster_id"))
+    kb.filter(!col("keep"))
+      .select(col("doc_id"), col("score"), col("kept_id").as("kept_doc"))
       .join(src, Seq("doc_id"))
       .join(src.select(col("doc_id").as("kept_doc"),
         col("source").as("kept_source")), Seq("kept_doc"))

@@ -2380,13 +2380,23 @@ object Dedupe {
     * @param scored   one row per document: (idCol, scoreCol)
     * @param clusters (id, cluster_id) as produced by [[duplicateClusters]]
     *                 — docs absent from it are treated as singletons
-    * @return (idCol, cluster_id, scoreCol, keep)
+    * @param includeKeptId append the cluster keeper's id as a trailing
+    *                 `kept_id` column (null for docs outside any cluster).
+    *                 The keeper is already computed for the keep decision;
+    *                 exposing it lets drop-attribution consumers (the
+    *                 neardup matrix) read "who kept me" directly instead
+    *                 of re-deriving it with a keepers self-join over a
+    *                 SECOND evaluation of this whole relation (guide §2.4).
+    *                 Default off — the established (idCol, cluster_id,
+    *                 scoreCol, keep) contract is unchanged.
+    * @return (idCol, cluster_id, scoreCol, keep[, kept_id])
     */
   def keepBestPerCluster(
       scored: DataFrame,
       clusters: DataFrame,
       idCol: String = "doc_id",
-      scoreCol: String = "score"): DataFrame = {
+      scoreCol: String = "score",
+      includeKeptId: Boolean = false): DataFrame = {
     val withCluster = scored.join(
       clusters.select(col("id").as(idCol), col("cluster_id")),
       Seq(idCol), "left")
@@ -2397,11 +2407,12 @@ object Dedupe {
       .agg(max(struct(col(scoreCol).as("s"), (-col(idCol)).as("neg_id")))
         .as("b"))
       .select(col("cluster_id"), (-col("b.neg_id")).as("kept_id"))
+    val base = Seq(col(idCol),
+      coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+      col(scoreCol),
+      (col("kept_id").isNull || col(idCol) === col("kept_id")).as("keep"))
     withCluster.join(best, Seq("cluster_id"), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
-        col(scoreCol),
-        (col("kept_id").isNull || col(idCol) === col("kept_id")).as("keep"))
+      .select(base ++ (if (includeKeptId) Seq(col("kept_id")) else Nil): _*)
   }
 
   // --------------------------------------------------- embedding near-dup

@@ -660,4 +660,32 @@ class DedupeSpec extends SparkSpec {
       1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
       10L -> ((10L, true)), 11L -> ((10L, false)), 50L -> ((50L, true))))
   }
+
+  test("keepBestPerCluster includeKeptId: trailing kept_id, base unchanged") {
+    import spark.implicits._
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (50L, 1L)).toDF("doc_id", "score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val withId = Dedupe.keepBestPerCluster(scored, clusters,
+      includeKeptId = true)
+    // contract: the default four columns, then kept_id
+    assert(withId.columns.toSeq ==
+      Seq("doc_id", "cluster_id", "score", "keep", "kept_id"))
+    val rows = withId.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"),
+          Option(r.getAs[java.lang.Long]("kept_id")).map(_.toLong)))).toMap
+    // kept_id = the cluster's keeper for every clustered doc (keeper
+    // included), null only for singletons — exactly what the old
+    // keepers self-join attached to each dropped row
+    assert(rows == Map(
+      1L -> ((false, Some(2L))), 2L -> ((true, Some(2L))),
+      3L -> ((false, Some(2L))), 10L -> ((true, Some(10L))),
+      11L -> ((false, Some(10L))), 50L -> ((true, None))))
+    // and the base projection is byte-identical to the default call
+    val base = Dedupe.keepBestPerCluster(scored, clusters).collect()
+      .map(_.toSeq).toSet
+    assert(withId.drop("kept_id").collect().map(_.toSeq).toSet == base)
+  }
 }
