@@ -121,13 +121,22 @@ object Packing {
     import spark.implicits._
     // null token counts → 0 (a document with unknown length must not
     // poison every later offset); ids must be non-null by contract.
-    // localCheckpoint PINS the range partitioning: both passes must see
+    // FIRST checkpoint: repartitionByRange runs a separate
+    // boundary-sampling job over its whole input before the shuffle, so
+    // an expensive tokensCol (doc_pack_bpe's learned-BPE fold over every
+    // word) would otherwise be computed TWICE per pack (guide §1.2:
+    // don't compute things you throw away). The projection is two longs
+    // per row — checkpointing it is corpus-row-count-sized, never
+    // corpus-byte-sized.
+    val projected = df
+      .select(col(idCol).cast("long").as("id"),
+        coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
+      .localCheckpoint(true)
+    // SECOND checkpoint PINS the range partitioning: both passes must see
     // byte-identical partitions, and recomputing the shuffle per job
     // would let AQE (or a non-deterministic upstream) re-plan it between
     // passes, silently corrupting every offset after the first divergence.
-    val base = df
-      .select(col(idCol).cast("long").as("id"),
-        coalesce(tokensCol.cast("long"), lit(0L)).as("n_tokens"))
+    val base = projected
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
       .as[(Long, Long)]
