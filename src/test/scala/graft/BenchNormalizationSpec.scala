@@ -132,17 +132,80 @@ class BenchNormalizationSpec extends AnyFunSuite {
       Seq("a" -> 10.21), Map("a" -> 0.48), floor) === Seq("a"))
   }
 
-  test("the COMMITTED artifact's own times trigger no vs-prev remeasure") {
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("bench_full.json")),
+  /** The committed headline artifact, found from either the sbt working
+    * dir or the absolute repo root (the forked test JVM's cwd is the
+    * project base, but a moved artifact must cancel with a message, not
+    * throw an opaque NoSuchFileException).
+    */
+  private def committedArtifact: String = {
+    val candidates = Seq("bench_full.json", "/root/repo/bench_full.json")
+      .map(java.nio.file.Paths.get(_))
+    val found = candidates.find(java.nio.file.Files.exists(_))
+      .getOrElse(cancel(
+        s"committed bench_full.json not found at ${candidates.mkString(" or ")}"))
+    new String(java.nio.file.Files.readAllBytes(found),
       java.nio.charset.StandardCharsets.UTF_8)
-    val sfInArtifact =
-      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).get.group(1)
+  }
+
+  /** First regex group in the artifact, with a descriptive failure
+    * instead of a bare NoSuchElementException when a field is missing.
+    */
+  private def artifactField(txt: String, pattern: String, what: String): String =
+    pattern.r.findFirstMatchIn(txt) match {
+      case Some(m) => m.group(1)
+      case None => fail(s"committed bench_full.json has no $what field")
+    }
+
+  test("the COMMITTED artifact's own times trigger no vs-prev remeasure") {
+    val txt = committedArtifact
+    val sfInArtifact = artifactField(txt, "\"sf\":\"([^\"]+)\"", "sf")
     val prev = Bench.prevQueryTimes(txt, sfInArtifact)
     assert(prev.size > 100, s"expected a full catalog, got ${prev.size}")
-    val floor = "\"sentinel_floor\":(-?[0-9][0-9.eE+-]*)".r
-      .findFirstMatchIn(txt).get.group(1).toDouble
+    val floor = artifactField(txt,
+      "\"sentinel_floor\":(-?[0-9][0-9.eE+-]*)", "sentinel_floor").toDouble
     assert(Bench.burstSuspects(prev.toSeq, prev, floor).isEmpty)
+    // same self-consistency for the round-21 stretch trigger: every
+    // ratio is 1.0 against itself, so no block's median can stand out
+    assert(Bench.stretchSuspects(prev.toSeq.sortBy(_._1), prev).isEmpty)
+  }
+
+  test("stretchSuspects: a localized inflated stretch fires, calm/uniform/single-query cases do not") {
+    // 30-query catalog, prev all 1.0 s; block 0 (indices 0-9) inflated 3×
+    val names = (0 until 30).map(i => f"q$i%02d")
+    val prev = names.map(_ -> 1.0).toMap
+    val burst = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 10) 3.0 else 1.0)
+    }
+    // run median 1.0, block-0 median 3.0 > 1.5×1.0 → exactly block 0's
+    // inflated queries fire, worst ratios first
+    assert(Bench.stretchSuspects(burst, prev).toSet === names.take(10).toSet)
+    // a single genuinely-regressed query cannot trip its block's median
+    val single = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i == 3) 5.0 else 1.0)
+    }
+    assert(Bench.stretchSuspects(single, prev).isEmpty)
+    // a uniform box slowdown inflates the run median too — no block
+    // stands out, nothing fires (that is normalization's job, not a
+    // remeasure's)
+    val uniform = names.map(_ -> 3.0)
+    assert(Bench.stretchSuspects(uniform, prev).isEmpty)
+    // missing previous artifact disables the trigger
+    assert(Bench.stretchSuspects(burst, Map.empty).isEmpty)
+    // -1 failure markers never requeue (failure-visibility rule)
+    val failed = burst.map { case (n, t) => n -> (if (t == 3.0) -1.0 else t) }
+    assert(Bench.stretchSuspects(failed, prev).isEmpty)
+    // cap keeps the WORST ratios
+    val capped = Bench.stretchSuspects(burst, prev, cap = 2)
+    assert(capped.length == 2 && capped.toSet.subsetOf(names.take(10).toSet))
+    // inside a fired block, only queries above the bar remeasure: a
+    // 1.0-ratio query sharing the block rides along untouched
+    val mixed = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i < 10 && i % 2 == 0) 4.0 else 1.0)
+    }
+    // 5 of block 0's 10 ratios are 4.0 → block median (4.0+1.0)/2 = 2.5
+    // > 1.5 → fires, but only the five 4.0-ratio queries requeue
+    assert(Bench.stretchSuspects(mixed, prev).toSet ===
+      names.take(10).zipWithIndex.collect { case (n, i) if i % 2 == 0 => n }.toSet)
   }
 
   test("medianOr: odd, even, and the empty -1 marker") {
@@ -155,11 +218,8 @@ class BenchNormalizationSpec extends AnyFunSuite {
     // the real headline at HEAD: extracting it against itself must give
     // ratio 1.0 for every kernel present — a format drift that breaks
     // the regex shows up here before it ships garbage next round
-    val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("bench_full.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val sfInArtifact =
-      "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(txt).get.group(1)
+    val txt = committedArtifact
+    val sfInArtifact = artifactField(txt, "\"sf\":\"([^\"]+)\"", "sf")
     // current = the artifact's own times for the kernels
     val timesTail = txt.substring(txt.indexOf("\"shared_builds\":"))
     val own = Bench.CodecKernels.flatMap { k =>
