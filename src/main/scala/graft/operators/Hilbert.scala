@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   * The classic per-level fold (quadrant index + rotate/reflect) is pure
   * integer CASE arithmetic — no XOR, which Spark spells `^` and DuckDB
   * spells `xor()` — so each level renders as ONE engine-neutral SQL
-  * template over the previous level's columns. The engine applies the
-  * levels as a `withColumn` chain; the oracle applies the identical
-  * strings as a chained-CTE pipeline. Both engines therefore run
-  * literally the same arithmetic, level for level.
+  * template over the previous level's columns; the oracle applies those
+  * strings as a chained-CTE pipeline ([[hilbertCtesSql]]). The Spark
+  * side computes the SAME values via the word-parallel prefix-scan
+  * formulation in [[hilbertKey]] (round-21; see its scaladoc for the
+  * derivation) — value equality between the two formulations and the
+  * pure-Scala reference [[xy2d]] is pinned exhaustively by HilbertSpec
+  * and by the DuckDB oracle replay.
   */
 object Hilbert {
 
@@ -73,29 +76,103 @@ object Hilbert {
     (x, y, d)
   }
 
-  /** Hilbert key column for already-quantized dims: a `withColumn`
-    * chain applying [[levelSql]] per level (intermediate columns, never
-    * an exponentially-substituted single expression).
+  /** Spread the low 16 bits of `v` to the even bit positions (the
+    * z-order interleave step), 4 shift-or-mask rounds.
+    */
+  private def spreadBits(v: Column): Column = {
+    val a = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Hilbert key column for already-quantized dims — word-parallel
+    * O(log bits) formulation (round-21: replaces the 16-level
+    * `withColumn` CASE chain, i.e. ~49 chained projections, with 6
+    * branch-free bitwise layers; value-identical to [[xy2d]], which
+    * HilbertSpec pins exhaustively on a 6-bit grid and on random
+    * 16-bit samples).
+    *
+    * Derivation: processing quantized bits MSB→LSB, the classic fold's
+    * rotate/reflect state is one of four maps {(x,y), (y,x), (¬x,¬y),
+    * (¬y,¬x)} — two state bits (swap `s`, complement `c`) with
+    *   rx_i = c ⊕ x_i ⊕ (s ∧ u_i),  ry_i = c ⊕ y_i ⊕ (s ∧ u_i),
+    *   u_i = x_i ⊕ y_i,
+    * and the per-level transition is an AFFINE map on (s,c) over GF(2)
+    * determined only by (u_i, y_i):
+    *   u=0: L=[[1,1],[0,1]], v=(¬y_i, 0);  u=1: L=[[0,1],[1,0]],
+    *   v=(¬y_i, ¬y_i).
+    * The state before level i is the composition of the earlier levels'
+    * maps applied to (0,0) — i.e. the composed map's constant (v1,v2) —
+    * so a Kogge–Stone prefix scan over the 6 bit-planes (4 matrix
+    * entries + 2 constants, one bit per level packed in a word) yields
+    * every level's state in ceil(log2 bits) rounds. The curve digit is
+    * (2·rx_i)+(rx_i⊕ry_i) with rx_i⊕ry_i = u_i, so
+    *   hkey = (spread(R) << 1) | spread(U),  R = c ⊕ x ⊕ (s ∧ u).
+    * The DuckDB oracle keeps the engine-neutral per-level CASE chain
+    * ([[hilbertCtesSql]]); both engines' values are pinned equal by the
+    * spec and the oracle replay.
     */
   def hilbertKey(df: DataFrame, qx: String, qy: String,
       bits: Int = ZOrder.Bits): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits=$bits outside the 16-bit frame")
+    val m = (1L << bits) - 1
+    def bnot(c: Column): Column = c.bitwiseXOR(lit(m))
     var out = df
-      .withColumn("__hx0", col(qx))
-      .withColumn("__hy0", col(qy))
-      .withColumn("__hd0", lit(0L))
-    var i = 0
-    var s = 1L << (bits - 1)
-    while (s > 0) {
-      val (xE, yE, dE) = levelSql(s, s"__hx$i", s"__hy$i", s"__hd$i")
+      .withColumn("__hu", col(qx).bitwiseXOR(col(qy)))
+      .withColumn("__hl11_0", bnot(col("__hu")))
+      .withColumn("__hl12_0", lit(m))
+      .withColumn("__hl21_0", col("__hu"))
+      .withColumn("__hl22_0", bnot(col("__hu")))
+      .withColumn("__hv1_0", bnot(col(qy)))
+      .withColumn("__hv2_0", col("__hu").bitwiseAND(bnot(col(qy))))
+    var r = 0
+    var ln = 1
+    while (ln < bits) {
+      def p(name: String) = col(s"__h${name}_$r")
+      def sh(name: String) = shiftright(p(name), ln)
+      // positions whose prefix window runs off the MSB end compose with
+      // the identity map (L=I, v=0): OR the identity diagonal into the
+      // shifted-in zeros; the off-diagonal/constant planes stay zero
+      val idmask = ((1L << ln) - 1) << (bits - ln)
+      val f11 = sh("l11").bitwiseOR(lit(idmask))
+      val f12 = sh("l12")
+      val f21 = sh("l21")
+      val f22 = sh("l22").bitwiseOR(lit(idmask))
+      val g1 = sh("v1")
+      val g2 = sh("v2")
+      // compose (this window's LATER levels) ∘ (shifted EARLIER levels):
+      // (L,v) ∘ (L',v') = (L·L', L·v' ⊕ v), entrywise over GF(2)
       out = out
-        .withColumn(s"__hd${i + 1}", expr(dE))
-        .withColumn(s"__hx${i + 1}", expr(xE))
-        .withColumn(s"__hy${i + 1}", expr(yE))
-      i += 1
-      s >>= 1
+        .withColumn(s"__hl11_${r + 1}",
+          p("l11").bitwiseAND(f11).bitwiseXOR(p("l12").bitwiseAND(f21)))
+        .withColumn(s"__hl12_${r + 1}",
+          p("l11").bitwiseAND(f12).bitwiseXOR(p("l12").bitwiseAND(f22)))
+        .withColumn(s"__hl21_${r + 1}",
+          p("l21").bitwiseAND(f11).bitwiseXOR(p("l22").bitwiseAND(f21)))
+        .withColumn(s"__hl22_${r + 1}",
+          p("l21").bitwiseAND(f12).bitwiseXOR(p("l22").bitwiseAND(f22)))
+        .withColumn(s"__hv1_${r + 1}",
+          p("l11").bitwiseAND(g1).bitwiseXOR(p("l12").bitwiseAND(g2))
+            .bitwiseXOR(p("v1")))
+        .withColumn(s"__hv2_${r + 1}",
+          p("l21").bitwiseAND(g1).bitwiseXOR(p("l22").bitwiseAND(g2))
+            .bitwiseXOR(p("v2")))
+      r += 1
+      ln <<= 1
     }
-    val keep = out.withColumn("hkey", col(s"__hd$i"))
-    keep.drop((0 to i).flatMap(j => Seq(s"__hx$j", s"__hy$j", s"__hd$j")): _*)
+    // inclusive scan at bit b covers levels [b..MSB]; the state BEFORE
+    // level b is the exclusive scan = inclusive at b+1, i.e. one right
+    // shift (level 0's shifted-in zero IS its (0,0) initial state)
+    val sPlane = shiftright(col(s"__hv1_$r"), 1)
+    val cPlane = shiftright(col(s"__hv2_$r"), 1)
+    val rPlane = cPlane.bitwiseXOR(col(qx))
+      .bitwiseXOR(sPlane.bitwiseAND(col("__hu"))).bitwiseAND(lit(m))
+    val keyed = out.withColumn("hkey",
+      shiftleft(spreadBits(rPlane), 1).bitwiseOR(spreadBits(col("__hu"))))
+    keyed.drop("__hu" +: (0 to r).flatMap(j =>
+      Seq(s"__hl11_$j", s"__hl12_$j", s"__hl21_$j", s"__hl22_$j",
+        s"__hv1_$j", s"__hv2_$j")): _*)
   }
 
   /** The same chain as chained CTEs for the DuckDB oracle: caller
