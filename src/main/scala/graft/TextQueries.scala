@@ -460,6 +460,7 @@ object TextQueries {
   private[graft] def sharedBuilds: Seq[(String, (SparkSession, String) => Unit)] =
     Seq(
       "ngram_pairs" -> ((s, d) => { sharedNgramPairs(s, d).count(); () }),
+      "dedup_clusters_rel" -> ((s, d) => { sharedClusters(s, d).count(); () }),
       "doc_cdc_chunks" -> ((s, d) => { sharedDocChunks(s, d).count(); () }),
       "phash_pairs" -> ((s, d) => { Queries.sharedPhashPairs(s, d).count(); () }),
       "video_pairs" -> ((s, d) => { Queries.sharedVideoPairs(s, d).count(); () }),
@@ -472,6 +473,8 @@ object TextQueries {
   private[graft] val sharedBuildConsumers: Map[String, Set[String]] = Map(
     "ngram_pairs" -> Set("dedup_ngram", "dedup_clusters", "dedup_keep_best",
       "dedup_neardup_matrix", "pipeline_curate"),
+    "dedup_clusters_rel" -> Set("dedup_clusters", "dedup_keep_best",
+      "dedup_neardup_matrix"),
     // NOT stream_cdc/stream_cdc_approx: they reference the relation only
     // as oracleSide's by-name side-table argument, which timed runs
     // (side tables off) never evaluate — the stream chunks for itself
@@ -482,12 +485,28 @@ object TextQueries {
     "video_pairs" -> Set("mm_video_fp", "mm_video_dedup"),
     "span_provenance" -> Set("dedup_spans_provenance", "dedup_source_matrix"))
 
+  /** The cluster relation (connected components over the shared ngram
+    * pairs) is itself consumed by THREE catalog queries (dedup_clusters,
+    * dedup_keep_best via [[dedupKeepBest0]], dedup_neardup_matrix) —
+    * each re-ran the edge distinct + count + union-find per query.
+    * Round-21 (guide §2.4 / the r20 verdict's shared-build ask): build
+    * once per (session, sf dir) as a declared, Bench-timed shared
+    * relation — cost stays attributed in `shared_builds`, never hidden.
+    */
+  private val clustersCache = new Queries.SessionRelationCache[DataFrame]
+
+  private def sharedClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clustersCache.getOrElseUpdate(spark, sfDir) {
+      Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
+        .cache()
+    }
+
   /** Duplicate clustering (connected components, min-id labels) over the
     * exact ngram pair relation — deterministic input, so the DuckDB oracle
     * re-derives the components with a recursive transitive-closure CTE.
     */
   private def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    Dedupe.duplicateClusters(sharedNgramPairs(spark, sfDir), maxIter = 40)
+    sharedClusters(spark, sfDir)
 
   /** Retention decision over the near-dup clusters
     * ([[Dedupe.keepBestPerCluster]]): keep the highest-token-count member
