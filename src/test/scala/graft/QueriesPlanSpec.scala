@@ -282,8 +282,11 @@ class QueriesPlanSpec extends SparkSpec {
         f.relation.location.inputFiles.exists(_.contains("lineitem"))
       case _ => false
     }
-    assert(liScans == 2,
-      s"expected 2 lineitem scans (main + combined per-part aggregate), got $liScans:\n$plan")
+    // <= 2, not == 2: the regression being guarded is the 3-scan
+    // decorrelated shape; a future AQE/exchange-reuse improvement that
+    // collapses the two scans into one is a win, not a failure
+    assert(liScans <= 2,
+      s"expected <=2 lineitem scans (main + combined per-part aggregate), got $liScans:\n$plan")
   }
 
   test("q23's INTERSECT/EXCEPT rewrite to semi/anti joins") {
