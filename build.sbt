@@ -69,7 +69,13 @@ val suiteSecondsEstimate: Map[String, Int] = Map(
 )
 Test / testGrouping := {
   val tests = (Test / definedTests).value
-  val jvmOpts = (Test / javaOptions).value.toVector
+  // cap each test JVM's VISIBLE processor count: without it every one of
+  // the 6 concurrent JVMs sizes its GC/JIT/netty/ForkJoin pools for all
+  // 32 cores (6 × 32 runnable threads), and the first grouped run showed
+  // the contention — every group dragged to the same 20:47 finish.
+  // local[4] Spark + 2 spare fits in 6.
+  val jvmOpts = ((Test / javaOptions).value :+
+    "-XX:ActiveProcessorCount=6").toVector
   val est = tests
     .map(t => t -> suiteSecondsEstimate.getOrElse(t.name.split('.').last, 5))
     .sortBy { case (t, d) => (-d, t.name) } // deterministic LPT

@@ -33,10 +33,26 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // per-JVM warehouse dir: test suites run in several concurrently
+    // forked JVMs, and the bucketed-table queries (q15) write real files
+    // under the warehouse — a SHARED ./spark-warehouse races across
+    // processes (one JVM's fresh-location delete yanks files another
+    // JVM's scan is reading). A temp dir per JVM isolates them; it is
+    // tiny (sf0.001 projections) and reclaimed on JVM exit.
+    val wh = java.nio.file.Files.createTempDirectory("graft-test-warehouse")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val s = java.nio.file.Files.walk(wh)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally s.close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }, "graft-test-warehouse-purge"))
     val s = SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
